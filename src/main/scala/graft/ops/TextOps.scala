@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline surface (exact dedup here; MinHash/LSH,
+  * SimHash and friends live in Dedup.scala).
+  *
+  * Scale notes: every op is a single groupBy/aggregate over the corpus —
+  * partial aggregation map-side, one shuffle on the (high-cardinality)
+  * group key. Exact dedup groups on a 128-bit content hash, so the shuffle
+  * key is uniform (no skew) and the reduce state is O(distinct docs).
+  */
+object TextOps {
+  import QueryDef.t
+
+  /** Whitespace token count, computed identically in Spark and DuckDB:
+    * chars minus chars-without-spaces plus one.
+    */
+  private def tokenCount = {
+    val txt = col("text")
+    (length(txt) - length(regexp_replace(txt, lit(" "), lit(""))) + lit(1)).cast(LongType)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------- exact dedup
+    QueryDef(
+      "dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "n_copies"),
+      Some("""
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)""")),
+
+    // ------------------------------------------------------- per-language stats
+    QueryDef(
+      "text_lang_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(tokenCount).as("total_tokens"),
+            (sum(col("n_chars")).cast(DoubleType) / count(lit(1)))
+              .cast(DoubleType).as("avg_chars"))
+          .select("lang", "n_docs", "total_chars", "total_tokens", "avg_chars"),
+      Some("""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+          CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_chars
+        FROM documents GROUP BY lang""")),
+
+    // ------------------------------------------------------- quality signals per source
+    QueryDef(
+      "text_quality_by_source",
+      (s, dir) => {
+        val punct = length(regexp_replace(col("text"), lit("[A-Za-z0-9 ]"), lit("")))
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (sum(punct.cast(LongType)).cast(DoubleType) /
+              sum(col("n_chars")).cast(DoubleType)).cast(DoubleType).as("punct_per_char"),
+            sum(when(length(col("text")) >= 100, 1L).otherwise(0L)).as("n_long"))
+          .select("source", "n_docs", "punct_per_char", "n_long")
+      },
+      Some("""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(CAST(SUM(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))) AS DOUBLE)
+            / CAST(SUM(n_chars) AS DOUBLE) AS DOUBLE) AS punct_per_char,
+          CAST(SUM(CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        FROM documents GROUP BY source""")),
+
+    // ------------------------------------------------------- per-doc token/char profile
+    QueryDef(
+      "text_doc_profile",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            tokenCount.as("n_tokens"),
+            length(col("text")).cast(LongType).as("n_chars_measured"),
+            (length(col("text")).cast(DoubleType) / tokenCount.cast(DoubleType))
+              .cast(DoubleType).as("chars_per_token")),
+      Some("""
+        SELECT doc_id, lang,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_measured,
+          CAST(CAST(length(text) AS DOUBLE) /
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS DOUBLE) AS chars_per_token
+        FROM documents"""))
+  )
+}
