@@ -1,0 +1,171 @@
+package graft.core
+
+import graft.meta.{DataFile, FieldSummary, ManifestFile, PartitionSpec}
+
+/** The reference's "optimizer": metadata-driven pruning evaluators, all
+  * driver-side and conservative (true = the manifest/file MIGHT contain
+  * matching rows; pruning only when provably impossible).
+  *
+  * Mirrors reference `table/evaluators.go:39-1198`:
+  *   - inclusive projection (row filter → partition-space filter);
+  *   - manifest evaluator over partition FieldSummary bounds;
+  *   - partition-tuple evaluator per manifest entry;
+  *   - inclusive metrics evaluator over DataFile column stats.
+  */
+object Evaluators {
+
+  /** A schema describing a spec's partition tuple, used to bind projected
+    * partition predicates.
+    */
+  def partitionSchema(spec: PartitionSpec, schema: IceSchema): IceSchema =
+    IceSchema(-1, spec.partitionType(schema).fields)
+
+  /** Project a bound row filter into the partition space of `spec`
+    * (reference `inclusiveProjection` `table/evaluators.go:561-609`):
+    * non-projectable leaves become AlwaysTrue (inclusive), and multiple
+    * transforms of the same source field AND together.
+    */
+  def inclusiveProjection(filter: IcePredicate, spec: PartitionSpec): IcePredicate =
+    filter match {
+      case And(l, r) =>
+        Predicates.and(inclusiveProjection(l, spec), inclusiveProjection(r, spec))
+      case Or(l, r) =>
+        Predicates.or(inclusiveProjection(l, spec), inclusiveProjection(r, spec))
+      case AlwaysTrue | AlwaysFalse => filter
+      case b: BoundPred =>
+        val projected = spec.fields.filter(_.sourceId == b.fieldId).flatMap { pf =>
+          pf.transform.project(pf.name, b)
+        }
+        projected.foldLeft(AlwaysTrue: IcePredicate)((acc, p) => Predicates.and(acc, p))
+      case other =>
+        throw new IllegalStateException(s"inclusiveProjection needs a bound filter, got $other")
+    }
+
+  /** Manifest-level pruning: evaluate the (bound) partition filter against
+    * per-field summaries (reference `manifestEvalVisitor`
+    * `table/evaluators.go:39-534`). Returns true when the manifest may
+    * contain matching entries.
+    */
+  def manifestMayMatch(partFilter: IcePredicate, partSchema: IceSchema,
+      m: ManifestFile): Boolean = {
+    if (m.partitions.isEmpty) return true
+    // position of each partition field in the summary list = field order
+    val posById = partSchema.fields.map(_.id).zipWithIndex.toMap
+    def eval(p: IcePredicate): Boolean = p match {
+      case AlwaysTrue => true
+      case AlwaysFalse => false
+      case And(l, r) => eval(l) && eval(r)
+      case Or(l, r) => eval(l) || eval(r)
+      case Not(c) => !eval(c)
+      case BoundPred(op, id, _, t, _, lits) =>
+        posById.get(id).flatMap(m.partitions.lift) match {
+          case None => true
+          case Some(s) => summaryMayMatch(op, t, lits, s)
+        }
+      case _: Pred => true
+    }
+    eval(partFilter)
+  }
+
+  private def summaryMayMatch(op: Op, t: IceType, lits: Seq[Any], s: FieldSummary): Boolean = {
+    lazy val lower = s.lowerBound.map(Bounds.decode(t, _))
+    lazy val upper = s.upperBound.map(Bounds.decode(t, _))
+    def allNull = s.containsNull && s.lowerBound.isEmpty && s.upperBound.isEmpty
+    op match {
+      case Op.IsNull => s.containsNull
+      case Op.NotNull => !allNull
+      case Op.IsNan => s.containsNan.getOrElse(true)
+      case Op.NotNan => true
+      case Op.Lt => lower.exists(lo => Bounds.compare(t, lo, lits.head) < 0)
+      case Op.LtEq => lower.exists(lo => Bounds.compare(t, lo, lits.head) <= 0)
+      case Op.Gt => upper.exists(up => Bounds.compare(t, up, lits.head) > 0)
+      case Op.GtEq => upper.exists(up => Bounds.compare(t, up, lits.head) >= 0)
+      case Op.Eq =>
+        lower.exists(lo => Bounds.compare(t, lo, lits.head) <= 0) &&
+          upper.exists(up => Bounds.compare(t, up, lits.head) >= 0)
+      case Op.NotEq =>
+        // prunable only when every row equals the literal
+        !(lower.isDefined && upper.isDefined && !s.containsNull &&
+          Bounds.compare(t, lower.get, upper.get) == 0 &&
+          Bounds.compare(t, lower.get, lits.head) == 0)
+      case Op.In =>
+        lits.exists(v => lower.exists(lo => Bounds.compare(t, lo, v) <= 0) &&
+          upper.exists(up => Bounds.compare(t, up, v) >= 0))
+      case Op.NotIn => true
+      case Op.StartsWith => (t, lower, upper) match {
+        case (IceString, Some(lo: String), Some(up: String)) =>
+          val pfx = lits.head.toString
+          val loCmp = lo.substring(0, math.min(lo.length, pfx.length))
+          val upCmp = up.substring(0, math.min(up.length, pfx.length))
+          loCmp <= pfx && pfx <= upCmp
+        case _ => true
+      }
+      case Op.NotStartsWith => true
+    }
+  }
+
+  /** Per-entry partition-tuple evaluation (reference
+    * `Scan.buildPartitionEvaluator` `table/scanner.go:252-266`).
+    */
+  def partitionMayMatch(partFilterBound: IcePredicate, partSchema: IceSchema,
+      tuple: Seq[Any]): Boolean = {
+    val byPos = partSchema.fields.map(_.id).zip(tuple).toMap
+    Predicates.evaluate(partFilterBound, id => byPos.get(id))
+  }
+
+  /** File-level pruning from column stats (reference `inclusiveMetricsEval`
+    * `table/evaluators.go:666-1198`). True = the file may contain matches.
+    */
+  def fileMayMatch(filter: IcePredicate, f: DataFile): Boolean = filter match {
+    case AlwaysTrue => true
+    case AlwaysFalse => false
+    case And(l, r) => fileMayMatch(l, f) && fileMayMatch(r, f)
+    case Or(l, r) => fileMayMatch(l, f) || fileMayMatch(r, f)
+    case Not(c) => !fileMayMatch(c, f)
+    case BoundPred(op, id, _, t, _, lits) => statsMayMatch(op, id, t, lits, f)
+    case _: Pred => true
+  }
+
+  private def statsMayMatch(op: Op, id: Int, t: IceType, lits: Seq[Any], f: DataFile): Boolean = {
+    val valueCount = f.valueCounts.get(id)
+    val nullCount = f.nullValueCounts.get(id)
+    val nanCount = f.nanValueCounts.get(id)
+    def allNull = (valueCount, nullCount) match {
+      case (Some(v), Some(n)) => v == n && v > 0
+      case _ => false
+    }
+    def allNaN = (valueCount, nanCount, nullCount) match {
+      case (Some(v), Some(nan), nc) => nan + nc.getOrElse(0L) == v && nan > 0
+      case _ => false
+    }
+    lazy val lower = f.lowerBounds.get(id).map(Bounds.decode(t, _)).filterNot(Bounds.isNaN)
+    lazy val upper = f.upperBounds.get(id).map(Bounds.decode(t, _)).filterNot(Bounds.isNaN)
+    op match {
+      case Op.IsNull => nullCount.forall(_ > 0)
+      case Op.NotNull => !allNull
+      case Op.IsNan => nanCount.forall(_ > 0) && !allNull
+      case Op.NotNan => !allNaN
+      case _ if allNull => false // value comparisons never match all-null files
+      case Op.Lt => lower.forall(lo => Bounds.compare(t, lo, lits.head) < 0)
+      case Op.LtEq => lower.forall(lo => Bounds.compare(t, lo, lits.head) <= 0)
+      case Op.Gt => upper.forall(up => Bounds.compare(t, up, lits.head) > 0)
+      case Op.GtEq => upper.forall(up => Bounds.compare(t, up, lits.head) >= 0)
+      case Op.Eq =>
+        lower.forall(lo => Bounds.compare(t, lo, lits.head) <= 0) &&
+          upper.forall(up => Bounds.compare(t, up, lits.head) >= 0)
+      case Op.NotEq => true
+      case Op.In =>
+        lits.exists(v => lower.forall(lo => Bounds.compare(t, lo, v) <= 0) &&
+          upper.forall(up => Bounds.compare(t, up, v) >= 0))
+      case Op.NotIn => true
+      case Op.StartsWith => (t, lower, upper) match {
+        case (IceString, Some(lo: String), Some(up: String)) =>
+          val pfx = lits.head.toString
+          lo.substring(0, math.min(lo.length, pfx.length)) <= pfx &&
+            pfx <= up.substring(0, math.min(up.length, pfx.length))
+        case _ => true
+      }
+      case Op.NotStartsWith => true
+    }
+  }
+}

@@ -1,0 +1,310 @@
+package graft.meta
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.core._
+
+/** Iceberg table-metadata tree + JSON v1/v2 serialization (reference
+  * `table/metadata.go:65-156`, format per the Iceberg table spec).
+  */
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifestList: String,
+    summary: Map[String, String],
+    schemaId: Int)
+
+final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
+final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
+final case class SnapshotRef(snapshotId: Long, refType: String) // "branch" | "tag"
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    currentSchemaId: Int,
+    schemas: Seq[IceSchema],
+    defaultSpecId: Int,
+    specs: Seq[PartitionSpec],
+    lastPartitionId: Int,
+    defaultSortOrderId: Int,
+    sortOrders: Seq[SortOrder],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot],
+    snapshotLog: Seq[SnapshotLogEntry],
+    metadataLog: Seq[MetadataLogEntry],
+    refs: Map[String, SnapshotRef]) {
+
+  def currentSchema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
+  def defaultSpec: PartitionSpec = specs.find(_.specId == defaultSpecId).get
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+  def schemaById(id: Int): Option[IceSchema] = schemas.find(_.schemaId == id)
+  def specById(id: Int): Option[PartitionSpec] = specs.find(_.specId == id)
+
+  /** Monotonic snapshot-ID reservation (reference `metadata.go:296-298`). */
+  def reserveSnapshotId(): Long =
+    math.max(snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L,
+      System.currentTimeMillis())
+
+  /** Snapshot current at a timestamp (reference `table/table.go:235-245`). */
+  def snapshotAsOf(timestampMs: Long, inclusive: Boolean = true): Option[Snapshot] =
+    snapshotLog.filter(e => if (inclusive) e.timestampMs <= timestampMs
+      else e.timestampMs < timestampMs)
+      .sortBy(_.timestampMs).lastOption
+      .flatMap(e => snapshotById(e.snapshotId))
+}
+
+object TableMetadataJson {
+  private val mapper = new ObjectMapper()
+
+  // ----------------------------------------------------------------- write
+  def write(m: TableMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", m.formatVersion)
+    root.put("table-uuid", m.tableUuid)
+    root.put("location", m.location)
+    root.put("last-sequence-number", m.lastSequenceNumber)
+    root.put("last-updated-ms", m.lastUpdatedMs)
+    root.put("last-column-id", m.lastColumnId)
+    root.put("current-schema-id", m.currentSchemaId)
+    root.set[JsonNode]("schemas", arr(m.schemas.map(schemaToJson)))
+    root.put("default-spec-id", m.defaultSpecId)
+    root.set[JsonNode]("partition-specs", arr(m.specs.map(specToJson)))
+    root.put("last-partition-id", m.lastPartitionId)
+    root.put("default-sort-order-id", m.defaultSortOrderId)
+    root.set[JsonNode]("sort-orders", arr(m.sortOrders.map(sortOrderToJson)))
+    val props = mapper.createObjectNode()
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    root.set[JsonNode]("properties", props)
+    m.currentSnapshotId.foreach(root.put("current-snapshot-id", _))
+    root.set[JsonNode]("snapshots", arr(m.snapshots.map(snapshotToJson)))
+    root.set[JsonNode]("snapshot-log", arr(m.snapshotLog.map { e =>
+      val o = mapper.createObjectNode()
+      o.put("timestamp-ms", e.timestampMs); o.put("snapshot-id", e.snapshotId); o
+    }))
+    root.set[JsonNode]("metadata-log", arr(m.metadataLog.map { e =>
+      val o = mapper.createObjectNode()
+      o.put("timestamp-ms", e.timestampMs); o.put("metadata-file", e.metadataFile); o
+    }))
+    val refs = mapper.createObjectNode()
+    m.refs.foreach { case (name, r) =>
+      val o = mapper.createObjectNode()
+      o.put("snapshot-id", r.snapshotId); o.put("type", r.refType)
+      refs.set[JsonNode](name, o)
+    }
+    root.set[JsonNode]("refs", refs)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def arr(nodes: Seq[JsonNode]): ArrayNode = {
+    val a = mapper.createArrayNode()
+    nodes.foreach(a.add)
+    a
+  }
+
+  def schemaToJson(s: IceSchema): ObjectNode = {
+    val o = typeToJson(IceStructType(s.fields)).asInstanceOf[ObjectNode]
+    o.put("schema-id", s.schemaId)
+    if (s.identifierFieldIds.nonEmpty)
+      o.set[JsonNode]("identifier-field-ids",
+        arr(s.identifierFieldIds.map(i => mapper.getNodeFactory.numberNode(i))))
+    o
+  }
+
+  def typeToJson(t: IceType): JsonNode = t match {
+    case IceStructType(fields) =>
+      val o = mapper.createObjectNode()
+      o.put("type", "struct")
+      o.set[JsonNode]("fields", arr(fields.map { f =>
+        val fo = mapper.createObjectNode()
+        fo.put("id", f.id)
+        fo.put("name", f.name)
+        fo.put("required", f.required)
+        fo.set[JsonNode]("type", typeToJson(f.tpe))
+        f.doc.foreach(fo.put("doc", _))
+        fo
+      }))
+      o
+    case IceListType(eid, elem, req) =>
+      val o = mapper.createObjectNode()
+      o.put("type", "list")
+      o.put("element-id", eid)
+      o.set[JsonNode]("element", typeToJson(elem))
+      o.put("element-required", req)
+      o
+    case IceMapType(kid, k, vid, v, vreq) =>
+      val o = mapper.createObjectNode()
+      o.put("type", "map")
+      o.put("key-id", kid)
+      o.set[JsonNode]("key", typeToJson(k))
+      o.put("value-id", vid)
+      o.set[JsonNode]("value", typeToJson(v))
+      o.put("value-required", vreq)
+      o
+    case prim => mapper.getNodeFactory.textNode(IceType.toSpecString(prim))
+  }
+
+  def specToJson(s: PartitionSpec): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("spec-id", s.specId)
+    o.set[JsonNode]("fields", arr(s.fields.map { f =>
+      val fo = mapper.createObjectNode()
+      fo.put("source-id", f.sourceId)
+      fo.put("field-id", f.fieldId)
+      fo.put("name", f.name)
+      fo.put("transform", f.transform.name)
+      fo
+    }))
+    o
+  }
+
+  def sortOrderToJson(s: SortOrder): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("order-id", s.orderId)
+    o.set[JsonNode]("fields", arr(s.fields.map { f =>
+      val fo = mapper.createObjectNode()
+      fo.put("transform", f.transform.name)
+      fo.put("source-id", f.sourceId)
+      fo.put("direction", if (f.ascending) "asc" else "desc")
+      fo.put("null-order", if (f.nullsFirst) "nulls-first" else "nulls-last")
+      fo
+    }))
+    o
+  }
+
+  private def snapshotToJson(s: Snapshot): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("snapshot-id", s.snapshotId)
+    s.parentSnapshotId.foreach(o.put("parent-snapshot-id", _))
+    o.put("sequence-number", s.sequenceNumber)
+    o.put("timestamp-ms", s.timestampMs)
+    o.put("manifest-list", s.manifestList)
+    val sum = mapper.createObjectNode()
+    s.summary.foreach { case (k, v) => sum.put(k, v) }
+    o.set[JsonNode]("summary", sum)
+    o.put("schema-id", s.schemaId)
+    o
+  }
+
+  // ------------------------------------------------------------------ read
+  def read(json: String): TableMetadata = {
+    val n = mapper.readTree(json)
+    val formatVersion = n.get("format-version").asInt()
+    val schemas =
+      if (n.has("schemas")) iter(n.get("schemas")).map(schemaFromJson)
+      else Seq(schemaFromJson(n.get("schema"))) // v1 single-schema form
+    val specs =
+      if (n.has("partition-specs")) iter(n.get("partition-specs")).map(specFromJson)
+      else Seq(PartitionSpec.Unpartitioned)
+    val sortOrders =
+      if (n.has("sort-orders")) iter(n.get("sort-orders")).map(sortOrderFromJson)
+      else Seq(SortOrder.Unsorted)
+    TableMetadata(
+      formatVersion = formatVersion,
+      tableUuid = opt(n, "table-uuid").map(_.asText()).getOrElse(""),
+      location = n.get("location").asText(),
+      lastSequenceNumber = opt(n, "last-sequence-number").map(_.asLong()).getOrElse(0L),
+      lastUpdatedMs = opt(n, "last-updated-ms").map(_.asLong()).getOrElse(0L),
+      lastColumnId = opt(n, "last-column-id").map(_.asInt()).getOrElse(
+        schemas.map(_.highestFieldId).maxOption.getOrElse(0)),
+      currentSchemaId = opt(n, "current-schema-id").map(_.asInt())
+        .getOrElse(schemas.head.schemaId),
+      schemas = schemas,
+      defaultSpecId = opt(n, "default-spec-id").map(_.asInt()).getOrElse(0),
+      specs = specs,
+      lastPartitionId = opt(n, "last-partition-id").map(_.asInt())
+        .getOrElse(specs.map(_.lastAssignedFieldId).maxOption.getOrElse(999)),
+      defaultSortOrderId = opt(n, "default-sort-order-id").map(_.asInt()).getOrElse(0),
+      sortOrders = sortOrders,
+      properties = opt(n, "properties").map(p =>
+        iterFields(p).map { case (k, v) => k -> v.asText() }.toMap).getOrElse(Map.empty),
+      currentSnapshotId = opt(n, "current-snapshot-id").map(_.asLong()).filter(_ != -1L),
+      snapshots = opt(n, "snapshots").map(s => iter(s).map(snapshotFromJson)).getOrElse(Nil),
+      snapshotLog = opt(n, "snapshot-log").map(s => iter(s).map(e =>
+        SnapshotLogEntry(e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())))
+        .getOrElse(Nil),
+      metadataLog = opt(n, "metadata-log").map(s => iter(s).map(e =>
+        MetadataLogEntry(e.get("timestamp-ms").asLong(), e.get("metadata-file").asText())))
+        .getOrElse(Nil),
+      refs = opt(n, "refs").map(r => iterFields(r).map { case (name, v) =>
+        name -> SnapshotRef(v.get("snapshot-id").asLong(), v.get("type").asText())
+      }.toMap).getOrElse(Map.empty))
+  }
+
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+
+  private def iter(n: JsonNode): Seq[JsonNode] = {
+    val b = Seq.newBuilder[JsonNode]
+    n.elements().forEachRemaining(e => b += e)
+    b.result()
+  }
+
+  private def iterFields(n: JsonNode): Seq[(String, JsonNode)] = {
+    val b = Seq.newBuilder[(String, JsonNode)]
+    n.fields().forEachRemaining(e => b += e.getKey -> e.getValue)
+    b.result()
+  }
+
+  def schemaFromJson(n: JsonNode): IceSchema = {
+    val struct = typeFromJson(n).asInstanceOf[IceStructType]
+    val ids = opt(n, "identifier-field-ids")
+      .map(a => iter(a).map(_.asInt())).getOrElse(Nil)
+    IceSchema(opt(n, "schema-id").map(_.asInt()).getOrElse(0), struct.fields, ids)
+  }
+
+  def typeFromJson(n: JsonNode): IceType =
+    if (n.isTextual) IceType.fromSpecString(n.asText())
+    else n.get("type").asText() match {
+      case "struct" =>
+        IceStructType(iter(n.get("fields")).map { f =>
+          NestedField(
+            f.get("id").asInt(),
+            f.get("name").asText(),
+            typeFromJson(f.get("type")),
+            f.get("required").asBoolean(),
+            opt(f, "doc").map(_.asText()))
+        })
+      case "list" =>
+        IceListType(n.get("element-id").asInt(), typeFromJson(n.get("element")),
+          n.get("element-required").asBoolean())
+      case "map" =>
+        IceMapType(n.get("key-id").asInt(), typeFromJson(n.get("key")),
+          n.get("value-id").asInt(), typeFromJson(n.get("value")),
+          n.get("value-required").asBoolean())
+    }
+
+  def specFromJson(n: JsonNode): PartitionSpec =
+    PartitionSpec(n.get("spec-id").asInt(), iter(n.get("fields")).map { f =>
+      PartitionField(f.get("source-id").asInt(), f.get("field-id").asInt(),
+        f.get("name").asText(), Transform.fromString(f.get("transform").asText()))
+    })
+
+  def sortOrderFromJson(n: JsonNode): SortOrder =
+    SortOrder(n.get("order-id").asInt(), iter(n.get("fields")).map { f =>
+      SortField(f.get("source-id").asInt(),
+        Transform.fromString(f.get("transform").asText()),
+        f.get("direction").asText() == "asc",
+        f.get("null-order").asText() == "nulls-first")
+    })
+
+  private def snapshotFromJson(n: JsonNode): Snapshot =
+    Snapshot(
+      n.get("snapshot-id").asLong(),
+      opt(n, "parent-snapshot-id").map(_.asLong()),
+      opt(n, "sequence-number").map(_.asLong()).getOrElse(0L),
+      n.get("timestamp-ms").asLong(),
+      n.get("manifest-list").asText(),
+      opt(n, "summary").map(s => iterFields(s).map { case (k, v) => k -> v.asText() }.toMap)
+        .getOrElse(Map.empty),
+      opt(n, "schema-id").map(_.asInt()).getOrElse(0))
+}

@@ -1,0 +1,124 @@
+package graft.table
+
+import java.util.UUID
+import scala.collection.parallel.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path, RemoteIterator}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.core._
+import graft.meta.{DataFile, PartitionSpec}
+
+/** The append data plane: write a DataFrame as Parquet data files and derive
+  * `DataFile` entries (stats from footers).
+  *
+  * Partitioned writes compute the transform columns with Catalyst
+  * expressions (codegen), shuffle once on the partition tuple
+  * (`repartition`, the fanout of reference
+  * `partitioned_fanout_writer.go:38-229`), and use `partitionBy` on derived
+  * `_p_*` columns so every data column — including partition sources — stays
+  * in the file, as Iceberg requires. Partition values are recovered from the
+  * staged directory names.
+  *
+  * 100 TB notes: one shuffle on the partition tuple; file sizing via
+  * `maxRecordsPerFile` session conf; footer-stat collection is metadata-only
+  * and parallelized driver-side.
+  */
+object DataWriter {
+  private val conf = new Configuration()
+  private val PartPrefix = "_p_"
+  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+
+  def write(df: DataFrame, location: String, schema: IceSchema,
+      spec: PartitionSpec): Seq[DataFile] = {
+    val staging = s"$location/data/${UUID.randomUUID()}"
+    // attach parquet.field.id metadata so Spark's writer stamps Iceberg
+    // field IDs into the files (ID-based column resolution on read)
+    val aligned = df.select(schema.fields.map(f =>
+      col(f.name).as(f.name, SchemaConv.toSparkField(f).metadata)): _*)
+    if (spec.isUnpartitioned) {
+      aligned.write.parquet(staging)
+      listParquet(staging).par.map { case (p, len) =>
+        ParquetStats.toDataFile(p, len, schema, Nil)
+      }.seq.toSeq
+    } else {
+      val partCols = spec.fields.map { pf =>
+        val src = schema.findById(pf.sourceId).get
+        pf.transform.toColumn(col(src.name), src.tpe).as(PartPrefix + pf.name)
+      }
+      val partNames = spec.fields.map(PartPrefix + _.name)
+      aligned.select(schema.fields.map(f => col(f.name)) ++ partCols: _*)
+        .repartition(partNames.map(col): _*)
+        .write.partitionBy(partNames: _*).parquet(staging)
+      val partType = spec.partitionType(schema)
+      listParquet(staging).par.map { case (p, len) =>
+        val tuple = parsePartitionPath(p, staging, partType)
+        ParquetStats.toDataFile(p, len, schema, tuple)
+      }.seq.toSeq
+    }
+  }
+
+  /** Recursively list data parquet files under a staging dir. */
+  def listParquet(dir: String): Seq[(String, Long)] = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val out = Seq.newBuilder[(String, Long)]
+    val it: RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
+      fs.listFiles(new Path(dir), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      if (p.endsWith(".parquet") && !p.contains("_temporary")) out += p -> st.getLen
+    }
+    out.result()
+  }
+
+  /** Parse `_p_name=value/...` segments back into a typed partition tuple. */
+  private[table] def parsePartitionPath(file: String, staging: String,
+      partType: IceStructType): Seq[Any] = {
+    val rel = file.stripPrefix(staging).stripPrefix("/")
+    val kv = rel.split('/').dropRight(1).iterator.map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i).stripPrefix(PartPrefix) -> unescape(seg.substring(i + 1))
+    }.toMap
+    partType.fields.map { f =>
+      kv.get(f.name) match {
+        case None | Some(HiveNull) => null
+        case Some(s) => parseValue(f.tpe, s)
+      }
+    }
+  }
+
+  private def parseValue(t: IceType, s: String): Any = t match {
+    case IceInt => s.toInt
+    case IceLong => s.toLong
+    case IceDate =>
+      if (s.matches("-?\\d+")) s.toInt // day-transform output: raw epoch days
+      else java.time.LocalDate.parse(s).toEpochDay.toInt
+    case IceTimestamp | IceTimestampTz =>
+      val norm = s.replace(' ', 'T')
+      java.time.Instant.parse(if (norm.endsWith("Z")) norm else norm + "Z")
+        .toEpochMilli * 1000L
+    case IceString | IceUUID => s
+    case IceDouble => s.toDouble
+    case IceFloat => s.toFloat
+    case IceBoolean => s.toBoolean
+    case IceDecimal(_, sc) => new java.math.BigDecimal(s).setScale(sc)
+    case other => throw new IllegalArgumentException(s"cannot parse partition value of $other")
+  }
+
+  /** Undo Hive path escaping (%xx sequences). */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

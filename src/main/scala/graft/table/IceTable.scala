@@ -1,0 +1,453 @@
+package graft.table
+
+import java.util.UUID
+import scala.collection.parallel.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.core._
+import graft.meta._
+
+/** One file-scan unit: a data file plus the positional-delete files that
+  * apply to it (reference `FileScanTask` `table/scanner.go`).
+  */
+final case class FileScanTask(file: DataFile, deletes: Seq[DataFile])
+
+/** Distributed snapshot descriptor (reference
+  * `table/distributed_snapshot.go:31-76`): the coordinator reserves the
+  * snapshot ID, workers write files/manifests against it, the coordinator
+  * assembles and CAS-commits.
+  */
+final case class DistributedSnapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    commitUuid: String)
+
+/** An Iceberg-style table on Spark: metadata plane ours (JSON + Avro
+  * manifests + CAS commits), data plane Spark (Parquet read/write, Catalyst
+  * residuals). Reference `table/table.go:49-379`.
+  */
+final class IceTable private (
+    val catalog: FileCatalog,
+    val name: String,
+    @volatile private var meta: TableMetadata,
+    @volatile private var version: Int) {
+
+  def metadata: TableMetadata = meta
+  def schema: IceSchema = meta.currentSchema
+  def spec: PartitionSpec = meta.defaultSpec
+  def location: String = meta.location
+  def currentSnapshot: Option[Snapshot] = meta.currentSnapshot
+
+  def refresh(): IceTable = synchronized {
+    meta = catalog.load(name)
+    version = catalog.currentVersion(name)
+    this
+  }
+
+  // ------------------------------------------------------------------ scan
+  def newScan(
+      filter: IcePredicate = AlwaysTrue,
+      selected: Option[Seq[String]] = None,
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None,
+      limit: Option[Int] = None,
+      caseSensitive: Boolean = true): IceScan = {
+    val snap = snapshotId.map(id => meta.snapshotById(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id")))
+      .orElse(asOfTimestampMs.map(ts => meta.snapshotAsOf(ts).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot as of $ts"))))
+      .orElse(meta.currentSnapshot)
+    new IceScan(this, snap, filter, selected, limit, caseSensitive)
+  }
+
+  /** Convenience: filtered + projected DataFrame of the current snapshot. */
+  def scan(spark: SparkSession, filter: IcePredicate = AlwaysTrue,
+      selected: Option[Seq[String]] = None): DataFrame =
+    newScan(filter, selected).toDF(spark)
+
+  // ---------------------------------------------------------------- append
+  /** Fast-append (reference `transaction.go:365-398` +
+    * `snapshot_producers.go:61-102`): write data files, one new manifest,
+    * carry parent manifests forward, CAS-commit with retry.
+    */
+  def append(df: DataFrame): Snapshot = {
+    val files = DataWriter.write(df, location, schema, spec)
+    commitAddedFiles(files, retries = 3)
+  }
+
+  /** Register already-written Parquet files (reference `AddFiles`
+    * `transaction.go:499-564`): stats from footers, no data copy.
+    */
+  def addFiles(paths: Seq[String]): Snapshot = {
+    require(spec.isUnpartitioned, "addFiles supports unpartitioned tables")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), new org.apache.hadoop.conf.Configuration())
+    val files = paths.par.map { p =>
+      val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
+      ParquetStats.toDataFile(p, len, schema, Nil)
+    }.seq.toSeq
+    commitAddedFiles(files, retries = 3)
+  }
+
+  private def commitAddedFiles(files: Seq[DataFile], retries: Int): Snapshot = synchronized {
+    try {
+      val snapId = meta.reserveSnapshotId()
+      val seq = meta.lastSequenceNumber + 1
+      val commitUuid = UUID.randomUUID().toString
+      val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+      val entries = files.map(f =>
+        ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+      val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema)
+        .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+      commitManifests(Seq(mf), snapId, seq, commitUuid, "append",
+        addedFiles = files.size, addedRecords = files.map(_.recordCount).sum)
+    } catch {
+      case _: CommitConflictException if retries > 0 =>
+        refresh()
+        commitAddedFiles(files, retries - 1)
+    }
+  }
+
+  /** Shared commit tail: assemble manifest list (new + parent's), snapshot,
+    * metadata, CAS (reference `snapshot_producers.go:420-718`).
+    */
+  private def commitManifests(newManifests: Seq[ManifestFile], snapId: Long, seq: Long,
+      commitUuid: String, operation: String, addedFiles: Long, addedRecords: Long,
+      attempt: Int = 1): Snapshot = {
+    val parent = meta.currentSnapshot
+    val parentManifests =
+      parent.map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
+    val listPath = s"$location/metadata/snap-$snapId-$attempt-$commitUuid.avro"
+    ManifestIO.writeManifestList(listPath, newManifests ++ parentManifests)
+    val now = System.currentTimeMillis()
+    val totalRecords =
+      parent.flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L) + addedRecords
+    val totalFiles =
+      parent.flatMap(_.summary.get("total-data-files")).map(_.toLong).getOrElse(0L) + addedFiles
+    val summary = Map(
+      "operation" -> operation,
+      "added-data-files" -> addedFiles.toString,
+      "added-records" -> addedRecords.toString,
+      "total-records" -> totalRecords.toString,
+      "total-data-files" -> totalFiles.toString)
+    val snap = Snapshot(snapId, meta.currentSnapshotId, seq, now, listPath, summary,
+      meta.currentSchemaId)
+    val newMeta = meta.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapId),
+      snapshots = meta.snapshots :+ snap,
+      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
+      refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")))
+    version = catalog.commit(name, version, newMeta)
+    meta = newMeta
+    snap
+  }
+
+  // ------------------------------------------------------------ MOR delete
+  /** Positional-delete (merge-on-read) of rows matching the filter: records
+    * (file_path, pos) pairs in a delete Parquet + a deletes manifest
+    * (content=1). Read-side applies them as an anti-join. Reference
+    * semantics: `table/arrow_scanner.go:50-190`, delete schema per spec
+    * (field ids 2147483546/2147483545).
+    */
+  def deleteWhere(spark: SparkSession, filter: IcePredicate): Option[Snapshot] = synchronized {
+    val scan = newScan(filter)
+    val tasks = scan.planFiles()
+    if (tasks.isEmpty) return None
+    val schemaNow = schema
+    val bound = Predicates.bind(filter, schemaNow)
+    val paths = tasks.map(_.file.filePath)
+    val matches = spark.read.schema(schemaNow.toSpark).parquet(paths: _*)
+      .withColumn("file_path", IceScan.normalizedMetaPath)
+      .withColumn("pos", col("_metadata.row_index"))
+      .where(Predicates.toColumn(bound))
+      .select("file_path", "pos")
+    val stagingDir = s"$location/data/deletes-${UUID.randomUUID()}"
+    matches.repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(stagingDir)
+    val deleteSchema = IceSchema(-1, Seq(
+      NestedField(2147483546, "file_path", IceString, required = true),
+      NestedField(2147483545, "pos", IceLong, required = true)))
+    val files = DataWriter.listParquet(stagingDir).map { case (p, len) =>
+      ParquetStats.toDataFile(p, len, deleteSchema, Nil, content = 1)
+    }
+    val snapId = meta.reserveSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val commitUuid = UUID.randomUUID().toString
+    val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+    val entries = files.map(f =>
+      ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+    val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
+        schemaNow, content = 1)
+      .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+    Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
+      addedFiles = 0, addedRecords = 0))
+  }
+
+  // -------------------------------------------------- distributed snapshot
+  /** Reserve a snapshot ID + commit UUID for workers (reference
+    * `BeginDistributedSnapshot` `distributed_snapshot.go:52-76`).
+    */
+  def beginDistributedSnapshot(): DistributedSnapshot =
+    DistributedSnapshot(meta.reserveSnapshotId(), meta.currentSnapshotId,
+      UUID.randomUUID().toString)
+
+  /** Assemble worker manifests into one snapshot with a centrally-assigned
+    * sequence number; fails (no retry) if the parent ref moved — callers
+    * must re-begin (reference `CommitDistributedSnapshot`
+    * `distributed_snapshot.go:78-149`, `transaction.go:157-225`).
+    */
+  def commitDistributedSnapshot(ds: DistributedSnapshot,
+      manifests: Seq[ManifestFile]): Snapshot = synchronized {
+    if (meta.currentSnapshotId != ds.parentSnapshotId)
+      throw new CommitConflictException(
+        s"parent moved: now ${meta.currentSnapshotId}, began at ${ds.parentSnapshotId}")
+    val seq = meta.lastSequenceNumber + 1
+    val stamped = manifests.map(_.copy(
+      sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = ds.snapshotId))
+    commitManifests(stamped, ds.snapshotId, seq, ds.commitUuid, "append",
+      addedFiles = stamped.map(_.addedFilesCount.toLong).sum,
+      addedRecords = stamped.map(_.addedRowsCount).sum)
+  }
+
+  // -------------------------------------------------------- metadata views
+  def snapshotsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    meta.snapshots.map(s => (s.snapshotId, s.parentSnapshotId, s.sequenceNumber,
+      new java.sql.Timestamp(s.timestampMs), s.manifestList,
+      s.summary.getOrElse("operation", ""))).toDF(
+      "snapshot_id", "parent_id", "sequence_number", "committed_at", "manifest_list",
+      "operation")
+  }
+
+  def manifestsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    currentSnapshot.map { s =>
+      ManifestIO.readManifestList(s.manifestList).map(m => (m.path, m.length, m.specId,
+        m.content, m.sequenceNumber, m.addedSnapshotId, m.addedFilesCount,
+        m.existingFilesCount, m.deletedFilesCount)).toDF(
+        "path", "length", "partition_spec_id", "content", "sequence_number",
+        "added_snapshot_id", "added_data_files_count", "existing_data_files_count",
+        "deleted_data_files_count")
+    }.getOrElse(spark.emptyDataFrame)
+  }
+
+  def filesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    newScan().planFiles().map { t =>
+      (t.file.filePath, t.file.fileFormat, t.file.recordCount, t.file.fileSizeInBytes,
+        t.deletes.size)
+    }.toDF("file_path", "file_format", "record_count", "file_size_in_bytes",
+      "delete_file_count")
+  }
+
+  // ---------------------------------------------------------- maintenance
+  /** Expire snapshots older than the timestamp, always retaining the current
+    * one (reference `Transaction.ExpireSnapshots` `transaction.go:256-363`).
+    */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Unit = synchronized {
+    val keepIds = (meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId.toSet ++
+      meta.snapshots.sortBy(-_.timestampMs).take(retainLast).map(_.snapshotId))
+    val (kept, expired) = meta.snapshots.partition(s =>
+      keepIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
+    if (expired.isEmpty) return
+    val expiredIds = expired.map(_.snapshotId).toSet
+    val newMeta = meta.copy(
+      snapshots = kept,
+      snapshotLog = meta.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
+      lastUpdatedMs = System.currentTimeMillis())
+    version = catalog.commit(name, version, newMeta)
+    meta = newMeta
+  }
+
+  /** Delete files under the table location that no snapshot references
+    * (reference `DeleteOrphanFiles` `orphan_cleanup.go:164-430`).
+    */
+  def deleteOrphanFiles(olderThanMs: Long, dryRun: Boolean = false): Seq[String] = {
+    val referenced: Set[String] = (for {
+      s <- meta.snapshots
+      mf <- ManifestIO.readManifestList(s.manifestList)
+      (_, entries) = ManifestIO.readManifest(mf.path, meta.specs,
+        meta.schemaById(s.schemaId).getOrElse(schema))
+    } yield entries.map(_.dataFile.filePath) :+ mf.path)
+      .flatten.toSet ++ meta.snapshots.map(_.manifestList).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), new org.apache.hadoop.conf.Configuration())
+    val orphans = Seq.newBuilder[String]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$location/data"), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      if (!referenced.contains(p) && st.getModificationTime < olderThanMs) orphans += p
+    }
+    val result = orphans.result()
+    if (!dryRun) result.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    result
+  }
+}
+
+object IceTable {
+  def create(catalog: FileCatalog, name: String, schema: IceSchema,
+      spec: PartitionSpec = PartitionSpec.Unpartitioned,
+      properties: Map[String, String] = Map.empty): IceTable = {
+    val location = catalog.tableLocation(name)
+    val m = TableMetadata(
+      formatVersion = 2,
+      tableUuid = UUID.randomUUID().toString,
+      location = location,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.highestFieldId,
+      currentSchemaId = schema.schemaId,
+      schemas = Seq(schema),
+      defaultSpecId = spec.specId,
+      specs = Seq(spec),
+      lastPartitionId = spec.lastAssignedFieldId,
+      defaultSortOrderId = 0,
+      sortOrders = Seq(SortOrder.Unsorted),
+      properties = properties,
+      currentSnapshotId = None,
+      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty)
+    catalog.create(name, m)
+    new IceTable(catalog, name, m, 1)
+  }
+
+  def load(catalog: FileCatalog, name: String): IceTable =
+    new IceTable(catalog, name, catalog.load(name), catalog.currentVersion(name))
+}
+
+/** Lazy scan with the four-level pruning pipeline: manifest-list summaries →
+  * partition tuples → file column stats → Parquet row groups (the last one
+  * is Spark's own pushdown, fed by the residual filter). Reference
+  * `table/scanner.go:410-466` + `table/arrow_scanner.go:609-631`.
+  */
+final class IceScan(
+    table: IceTable,
+    snapshot: Option[Snapshot],
+    filter: IcePredicate,
+    selected: Option[Seq[String]],
+    limit: Option[Int],
+    caseSensitive: Boolean) {
+
+  private def meta = table.metadata
+  private def scanSchema: IceSchema = snapshot
+    .flatMap(s => meta.schemaById(s.schemaId)).getOrElse(meta.currentSchema)
+
+  /** Driver-side file planning with manifest/partition/stats pruning. */
+  def planFiles(): Seq[FileScanTask] = snapshot match {
+    case None => Nil
+    case Some(snap) =>
+      val schema = scanSchema
+      val bound = Predicates.bind(filter, schema, caseSensitive)
+      if (bound == AlwaysFalse) return Nil
+      val manifests = ManifestIO.readManifestList(snap.manifestList)
+      // per-spec projected partition filters, bound to the partition schema
+      val bySpec = collection.mutable.Map[Int, (IcePredicate, IceSchema)]()
+      def partFilter(specId: Int): (IcePredicate, IceSchema) =
+        bySpec.getOrElseUpdate(specId, {
+          val spec = meta.specById(specId).getOrElse(PartitionSpec.Unpartitioned)
+          val ps = Evaluators.partitionSchema(spec, schema)
+          val projected = Evaluators.inclusiveProjection(bound, spec)
+          (Predicates.bind(projected, ps, caseSensitive), ps)
+        })
+
+      val dataManifests = manifests.filter(_.content == 0).filter { m =>
+        val (pf, ps) = partFilter(m.specId)
+        Evaluators.manifestMayMatch(pf, ps, m)
+      }
+      val minDataSeq = dataManifests.map(_.minSequenceNumber).minOption.getOrElse(0L)
+      val deleteManifests = manifests.filter(m =>
+        m.content == 1 && m.sequenceNumber >= minDataSeq)
+
+      val dataEntries = dataManifests.par.flatMap { m =>
+        val (pf, ps) = partFilter(m.specId)
+        val (_, entries) = ManifestIO.readManifest(m.path, meta.specs, schema)
+        entries.filter(e => e.status != ManifestEntryStatus.Deleted &&
+          Evaluators.partitionMayMatch(pf, ps, e.dataFile.partition) &&
+          Evaluators.fileMayMatch(bound, e.dataFile))
+          .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+      }.seq
+
+      val deleteEntries = deleteManifests.par.flatMap { m =>
+        val (_, entries) = ManifestIO.readManifest(m.path, meta.specs, schema)
+        entries.filter(_.status != ManifestEntryStatus.Deleted)
+          .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+      }.seq.sortBy(_.sequenceNumber.getOrElse(0L))
+
+      dataEntries.map { e =>
+        // positional deletes apply when delete.seq >= data.seq and the
+        // delete file's file_path bounds admit this data file
+        // (reference `matchDeletesToData` `table/scanner.go:285-309`)
+        val dseq = e.sequenceNumber.getOrElse(0L)
+        val applicable = deleteEntries.filter { d =>
+          d.sequenceNumber.getOrElse(0L) >= dseq && {
+            val lo = d.dataFile.lowerBounds.get(2147483546).map(new String(_, "UTF-8"))
+            val hi = d.dataFile.upperBounds.get(2147483546).map(new String(_, "UTF-8"))
+            lo.forall(_ <= e.dataFile.filePath) &&
+              hi.forall(h => e.dataFile.filePath <= h || e.dataFile.filePath.startsWith(h))
+          }
+        }
+        FileScanTask(e.dataFile, applicable.map(_.dataFile))
+      }.toSeq
+  }
+
+  /** Execute as a DataFrame: one Spark parquet scan over the planned files,
+    * deletes applied via broadcast anti-join on (file_path, row position),
+    * residual filter + projection pushed to Catalyst.
+    */
+  def toDF(spark: SparkSession): DataFrame = {
+    val schema = scanSchema
+    val projected: IceSchema =
+      selected.map(s => schema.select(s, caseSensitive)).getOrElse(schema)
+    if (limit.contains(0))
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        projected.toSpark)
+    val tasks = planFiles()
+    if (tasks.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        projected.toSpark)
+
+    val bound = Predicates.bind(filter, schema, caseSensitive)
+    // read schema = projection ∪ filter-referenced columns (column pruning
+    // at the scan; extra filter columns dropped after the residual applies)
+    val filterNames = Predicates.referencedNames(bound)
+    val readNames = (projected.fields.map(_.name) ++
+      schema.fields.map(_.name).filter(filterNames.contains)).distinct
+    val readSchema = schema.select(readNames, caseSensitive)
+
+    val paths = tasks.map(_.file.filePath)
+    // files written by us carry field IDs (ID-based resolution); externally
+    // added files may not — fall back to by-name for those (the reference's
+    // name-mapping behavior, `name_mapping.go:30-80`)
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    var df = spark.read.schema(readSchema.toSpark).parquet(paths: _*)
+
+    val deleteFiles = tasks.flatMap(_.deletes).map(_.filePath).distinct
+    if (deleteFiles.nonEmpty) {
+      val deletes = spark.read.parquet(deleteFiles: _*)
+        .select(col("file_path"), col("pos"))
+      df = df
+        .withColumn("__path", IceScan.normalizedMetaPath)
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(deletes),
+          col("__path") === col("file_path") && col("__pos") === col("pos"), "left_anti")
+        .drop("__path", "__pos")
+    }
+    if (bound != AlwaysTrue) df = df.where(Predicates.toColumn(bound))
+    df = df.select(projected.fields.map(f => col(f.name)): _*)
+    limit.map(df.limit).getOrElse(df)
+  }
+}
+
+object IceScan {
+  /** `_metadata.file_path` is a file: URI; normalize to a bare absolute path
+    * so it compares equal to the paths recorded in manifests.
+    */
+  def normalizedMetaPath: org.apache.spark.sql.Column =
+    regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+}

@@ -1,0 +1,121 @@
+package graft.table
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+
+import graft.core._
+import graft.meta.DataFile
+
+/** Fold Parquet footer column-chunk stats into a file-level `DataFile`
+  * (reference `parquet_files.go:103-519` DataFileStatsFromMeta): per-column
+  * value/null counts, total sizes, and min/max bounds encoded with the
+  * single-value codec, string bounds truncated to 16 units (metrics mode
+  * `truncate(16)`).
+  *
+  * Spark writes the data; reading footers driver-side keeps stats collection
+  * out of the row path — at scale this is one footer read per file, not a
+  * data scan (executed with parallel collections over the file list).
+  */
+object ParquetStats {
+  private val conf = new Configuration()
+  val TruncateWidth = 16
+
+  def toDataFile(
+      filePath: String,
+      fileSize: Long,
+      schema: IceSchema,
+      partition: Seq[Any],
+      content: Int = 0): DataFile = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(filePath), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val recordCount = blocks.map(_.getRowCount).sum
+      val colSizes = collection.mutable.Map[Int, Long]()
+      val valueCounts = collection.mutable.Map[Int, Long]()
+      val nullCounts = collection.mutable.Map[Int, Long]()
+      val mins = collection.mutable.Map[Int, Any]()
+      val maxs = collection.mutable.Map[Int, Any]()
+      val statsValid = collection.mutable.Map[Int, Boolean]().withDefaultValue(true)
+      val splitOffsets = blocks.map(_.getStartingPos).sorted
+
+      for (block <- blocks; col <- block.getColumns.asScala) {
+        val name = col.getPath.toDotString
+        schema.idByName.get(name).foreach { id =>
+          val t = schema.byId(id).tpe
+          colSizes(id) = colSizes.getOrElse(id, 0L) + col.getTotalSize
+          valueCounts(id) = valueCounts.getOrElse(id, 0L) + col.getValueCount
+          val st = col.getStatistics
+          if (st == null) statsValid(id) = false
+          else {
+            if (st.isNumNullsSet) nullCounts(id) = nullCounts.getOrElse(id, 0L) + st.getNumNulls
+            else statsValid(id) = false
+            if (st.hasNonNullValue) {
+              (decodeStat(t, st.genericGetMin().asInstanceOf[AnyRef]),
+                  decodeStat(t, st.genericGetMax().asInstanceOf[AnyRef])) match {
+                case (Some(mn), Some(mx)) =>
+                  mins(id) = mins.get(id) match {
+                    case Some(cur) if Bounds.compare(t, cur, mn) <= 0 => cur
+                    case _ => mn
+                  }
+                  maxs(id) = maxs.get(id) match {
+                    case Some(cur) if Bounds.compare(t, cur, mx) >= 0 => cur
+                    case _ => mx
+                  }
+                case _ => statsValid(id) = false
+              }
+            }
+          }
+        }
+      }
+
+      // drop bounds for columns where any row group lacked usable stats
+      val lowerBounds = mins.toMap.collect {
+        case (id, v) if statsValid(id) =>
+          val t = schema.byId(id).tpe
+          id -> Bounds.encode(t, Bounds.truncateLower(t, v, TruncateWidth))
+      }
+      val upperBounds = maxs.toMap.flatMap {
+        case (id, v) if statsValid(id) =>
+          val t = schema.byId(id).tpe
+          Bounds.truncateUpper(t, v, TruncateWidth).map(u => id -> Bounds.encode(t, u))
+        case _ => None
+      }
+      DataFile(
+        content = content,
+        filePath = filePath,
+        fileFormat = "PARQUET",
+        partition = partition,
+        recordCount = recordCount,
+        fileSizeInBytes = fileSize,
+        columnSizes = colSizes.toMap,
+        valueCounts = valueCounts.toMap,
+        nullValueCounts = nullCounts.toMap.filter { case (id, _) => statsValid(id) },
+        lowerBounds = lowerBounds,
+        upperBounds = upperBounds,
+        splitOffsets = splitOffsets)
+    } finally reader.close()
+  }
+
+  /** Parquet footer stat value → our JVM literal rep for the Iceberg type. */
+  private def decodeStat(t: IceType, v: AnyRef): Option[Any] = (t, v) match {
+    case (_, null) => None
+    case (IceInt | IceDate, i: Integer) => Some(i.intValue())
+    case (IceLong | IceTime | IceTimestamp | IceTimestampTz, l: java.lang.Long) =>
+      Some(l.longValue())
+    case (IceFloat, f: java.lang.Float) => if (f.isNaN) None else Some(f.floatValue())
+    case (IceDouble, d: java.lang.Double) => if (d.isNaN) None else Some(d.doubleValue())
+    case (IceString, b: Binary) => Some(b.toStringUsingUTF8)
+    case (IceBinary, b: Binary) => Some(b.getBytes)
+    case (IceDecimal(_, s), i: Integer) => Some(java.math.BigDecimal.valueOf(i.longValue(), s))
+    case (IceDecimal(_, s), l: java.lang.Long) => Some(java.math.BigDecimal.valueOf(l.longValue(), s))
+    case (IceDecimal(_, s), b: Binary) =>
+      Some(new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), s))
+    case (IceBoolean, b: java.lang.Boolean) => Some(b.booleanValue())
+    case _ => None
+  }
+}

@@ -1,0 +1,206 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Predicates => P, _}
+import graft.meta._
+
+/** End-to-end vertical slice (SURVEY §7 M5): create → append → scan through
+  * our metadata plane, checked against direct parquet reads; plus pruning
+  * counts (mirroring `scanner_test.go:74-113`-style exact task-count
+  * assertions), time travel, MOR deletes, and the distributed snapshot
+  * commit protocol with its concurrent-commit conflict.
+  */
+class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+  private var catalog: FileCatalog = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("icetable-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    warehouse = Files.createTempDirectory("graft-wh").toString
+    catalog = new FileCatalog(warehouse)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def lineitemSchema: IceSchema = SchemaConv.fromSpark(
+    spark.read.parquet(s"$sfDir/lineitem.parquet").schema)
+
+  private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("create + append + filtered scan matches a direct parquet read") {
+    val t = IceTable.create(catalog, "li_basic", lineitemSchema)
+    t.append(lineitem)
+    val mine = t.scan(spark,
+      P.gtEq("l_shipdate", "2001-01-01"),
+      Some(Seq("l_orderkey", "l_extendedprice")))
+    val direct = lineitem
+      .where("l_shipdate >= TIMESTAMP '2001-01-01'")
+      .select("l_orderkey", "l_extendedprice")
+    assert(mine.schema.fieldNames.toSeq == Seq("l_orderkey", "l_extendedprice"))
+    assert(mine.count() == direct.count())
+    assert(mine.exceptAll(direct).isEmpty && direct.exceptAll(mine).isEmpty)
+  }
+
+  test("metadata JSON + manifest round-trip through catalog reload") {
+    val t = IceTable.load(catalog, "li_basic")
+    assert(t.metadata.formatVersion == 2)
+    assert(t.currentSnapshot.isDefined)
+    val snap = t.currentSnapshot.get
+    assert(snap.summary("operation") == "append")
+    val manifests = ManifestIO.readManifestList(snap.manifestList)
+    assert(manifests.nonEmpty)
+    val (_, entries) = ManifestIO.readManifest(manifests.head.path, t.metadata.specs, t.schema)
+    assert(entries.nonEmpty)
+    val df0 = entries.head.dataFile
+    assert(df0.recordCount > 0 && df0.lowerBounds.nonEmpty && df0.upperBounds.nonEmpty)
+    assert(t.scan(spark).count() == lineitem.count())
+  }
+
+  test("file skipping: stats prune appends outside the predicate range") {
+    val t = IceTable.create(catalog, "li_pruned", lineitemSchema)
+    // three appends with disjoint quantity ranges → one file each
+    t.append(lineitem.where("l_quantity <= 15").coalesce(1))
+    t.append(lineitem.where("l_quantity > 15 AND l_quantity <= 35").coalesce(1))
+    t.append(lineitem.where("l_quantity > 35").coalesce(1))
+    assert(t.newScan().planFiles().size == 3)
+    val pruned = t.newScan(P.gt("l_quantity", 40.0)).planFiles()
+    assert(pruned.size == 1, s"expected 1 planned file, got ${pruned.size}")
+    // correctness of the pruned scan
+    val cnt = t.scan(spark, P.gt("l_quantity", 40.0)).count()
+    assert(cnt == lineitem.where("l_quantity > 40").count())
+    // always-false filter plans zero files
+    assert(t.newScan(P.and(P.lt("l_quantity", 1.0), P.gt("l_quantity", 60.0)))
+      .planFiles().isEmpty)
+  }
+
+  test("time travel by snapshot id and by timestamp") {
+    val t = IceTable.load(catalog, "li_pruned")
+    val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)
+    assert(snaps.size == 3)
+    val firstCount = t.newScan(snapshotId = Some(snaps.head.snapshotId))
+      .toDF(spark).count()
+    assert(firstCount == lineitem.where("l_quantity <= 15").count())
+    val secondCount = t.newScan(snapshotId = Some(snaps(1).snapshotId)).toDF(spark).count()
+    assert(secondCount == lineitem.where("l_quantity <= 35").count())
+    val asOf = t.newScan(asOfTimestampMs = Some(snaps(1).timestampMs)).toDF(spark).count()
+    assert(asOf == secondCount)
+    assert(t.scan(spark).count() == lineitem.count())
+  }
+
+  test("partitioned table: transform pruning plans fewer files") {
+    val schema = lineitemSchema
+    val spec = PartitionSpec.of(0,
+      ("l_shipdate", YearTransform, "ship_year"),
+      ("l_orderkey", BucketTransform(4), "ok_bucket"))(schema)
+    val t = IceTable.create(catalog, "li_part", schema, spec)
+    t.append(lineitem)
+    val all = t.newScan().planFiles()
+    assert(all.nonEmpty)
+    // year filter prunes to a subset of files without reading any data
+    val y2001 = t.newScan(P.gtEq("l_shipdate", "2001-01-01")).planFiles()
+    assert(y2001.nonEmpty && y2001.size < all.size,
+      s"${y2001.size} vs ${all.size}")
+    // partition tuples round-tripped through the path encoding
+    assert(all.head.file.partition.size == 2)
+    // scan correctness on the partitioned layout
+    val cnt = t.scan(spark, P.gtEq("l_shipdate", "2001-01-01")).count()
+    assert(cnt == lineitem.where("l_shipdate >= TIMESTAMP '2001-01-01'").count())
+    val bucketScan = t.newScan(P.equalTo("l_orderkey", 1L)).planFiles()
+    assert(bucketScan.size < all.size)
+    val cnt2 = t.scan(spark, P.equalTo("l_orderkey", 1L)).count()
+    assert(cnt2 == lineitem.where("l_orderkey = 1").count())
+  }
+
+  test("MOR positional deletes: deleted rows disappear from scans") {
+    val t = IceTable.create(catalog, "li_mor", lineitemSchema)
+    t.append(lineitem.coalesce(2))
+    val before = t.scan(spark).count()
+    val toDelete = lineitem.where("l_returnflag = 'R'").count()
+    assert(toDelete > 0)
+    val snap = t.deleteWhere(spark, P.equalTo("l_returnflag", "R"))
+    assert(snap.isDefined && snap.get.summary("operation") == "delete")
+    val after = t.scan(spark).count()
+    assert(after == before - toDelete, s"$after != $before - $toDelete")
+    // delete applies inside filtered scans too
+    assert(t.scan(spark, P.equalTo("l_returnflag", "R")).count() == 0)
+    assert(t.scan(spark, P.equalTo("l_returnflag", "N")).count() ==
+      lineitem.where("l_returnflag = 'N'").count())
+  }
+
+  test("distributed snapshot: begin/worker-manifests/commit, conflict loses") {
+    val t = IceTable.create(catalog, "li_dist", lineitemSchema)
+    t.append(lineitem.where("l_quantity <= 25"))
+    val ds = t.beginDistributedSnapshot()
+    // two "workers" each write data files + a manifest fragment
+    val manifests = (0 until 2).map { w =>
+      val part = lineitem.where(s"l_quantity > 25 AND pmod(l_orderkey, 2) = $w")
+      val files = DataWriter.write(part, t.location, t.schema, t.spec)
+      val path = s"${t.location}/metadata/${ds.commitUuid}-m${w + 1}.avro"
+      val entries = files.map(f => ManifestEntry(ManifestEntryStatus.Added,
+        ds.snapshotId, None, None, f))
+      ManifestIO.writeManifest(path, entries, t.spec, t.schema)
+    }
+    val committed = t.commitDistributedSnapshot(ds, manifests)
+    assert(committed.snapshotId == ds.snapshotId)
+    assert(t.scan(spark).count() == lineitem.count())
+
+    // a snapshot begun against a now-stale parent must fail to commit
+    val stale = DistributedSnapshot(t.metadata.reserveSnapshotId(),
+      parentSnapshotId = Some(-1L), commitUuid = "stale")
+    intercept[CommitConflictException] {
+      t.commitDistributedSnapshot(stale, manifests)
+    }
+  }
+
+  test("snapshot expiry keeps current, drops old") {
+    val t = IceTable.load(catalog, "li_pruned")
+    val before = t.metadata.snapshots.size
+    assert(before == 3)
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    val after = t.metadata.snapshots
+    assert(after.size == 1)
+    assert(after.head.snapshotId == t.metadata.currentSnapshotId.get)
+    assert(t.scan(spark).count() == lineitem.count())
+  }
+
+  test("metadata tables: files/snapshots/manifests DataFrames") {
+    val t = IceTable.load(catalog, "li_basic")
+    assert(t.snapshotsDF(spark).count() >= 1)
+    assert(t.manifestsDF(spark).count() >= 1)
+    val files = t.filesDF(spark)
+    assert(files.count() >= 1)
+    assert(files.columns.contains("record_count"))
+  }
+
+  test("limit 0 yields empty frame with the projected schema") {
+    val t = IceTable.load(catalog, "li_basic")
+    val df = t.newScan(selected = Some(Seq("l_orderkey")), limit = Some(0)).toDF(spark)
+    assert(df.schema.fieldNames.toSeq == Seq("l_orderkey"))
+    assert(df.count() == 0)
+  }
+
+  test("catalog CAS: stale writer loses the race") {
+    val t1 = IceTable.load(catalog, "li_basic")
+    val t2 = IceTable.load(catalog, "li_basic")
+    t1.append(lineitem.limit(10))
+    // t2 holds the old version; its commit retries refresh and then succeed
+    t2.append(lineitem.limit(5))
+    val reloaded = IceTable.load(catalog, "li_basic")
+    assert(reloaded.metadata.snapshots.size == t1.metadata.snapshots.size + 1)
+  }
+}
