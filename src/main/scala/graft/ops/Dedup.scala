@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Murmur3
+
+/** Near-duplicate detection over `documents` — the dedup surface of a
+  * training-data pipeline.
+  *
+  * Scale design (100 TB):
+  *   - nothing here is all-pairs: candidates come from an inverted index
+  *     over rarity-ranked prefix tokens (exact-preserving for the jaccard
+  *     threshold) or from MinHash/SimHash band buckets (probabilistic);
+  *   - shuffles are keyed on tokens/band hashes — high cardinality, low
+  *     skew (document-frequency ranking puts only rare tokens in prefixes);
+  *   - signatures are computed in one pass per document (a single scan),
+  *     candidate verification touches only bucket-mates.
+  */
+object Dedup {
+  import QueryDef.t
+
+  /** Distinct lowercase whitespace tokens of the text. */
+  private def wordSet(c: Column): Column =
+    array_distinct(split(regexp_replace(lower(c), "\\s+", " "), " "))
+
+  // ---------------------------------------------------------------- minhash
+  /** 64-permutation MinHash signature of a token set, one pass per doc.
+    * h_i(x) = (a_i * murmur(x) + b_i) mod p with deterministic a/b.
+    */
+  private val NumHashes = 64
+  private val BandCount = 16 // 16 bands x 4 rows
+  private val Prime = 2305843009213693951L // 2^61 - 1
+
+  private val minhashUdf = udf { (tokens: Seq[String]) =>
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    tokens.foreach { tok =>
+      val x = Murmur3.hashString(tok).toLong & 0xffffffffL
+      var i = 0
+      while (i < NumHashes) {
+        // deterministic per-i coefficients from the spec hash
+        val a = 2L * (Murmur3.hashLong(i.toLong * 2 + 1).toLong & 0xffffffffL) + 1
+        val b = Murmur3.hashLong(i.toLong * 2 + 2).toLong & 0xffffffffL
+        val h = (a * x + b) % Prime
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig.toSeq
+  }
+
+  /** Documents → (doc_id, band, band_hash) for LSH bucketing. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val rows = NumHashes / BandCount
+    docs.select(col("doc_id"), minhashUdf(wordSet(col("text"))).as("sig"))
+      .select(col("doc_id"), posexplode(
+        array((0 until BandCount).map(b =>
+          hash((0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket, with the estimated
+    * jaccard = fraction of equal minhash components. Never all-pairs: the
+    * only shuffle keys are (band, band_hash).
+    */
+  def minhashCandidates(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sigs = docs.select(col("doc_id"), minhashUdf(wordSet(col("text"))).as("sig"))
+    val bands = minhashBands(docs)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs.join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .withColumn("est_jaccard",
+        expr(s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) AS DOUBLE) / $NumHashes"))
+      .where(col("est_jaccard") >= estThreshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // ---------------------------------------------------------------- simhash
+  /** 64-bit SimHash over word hashes (sign-aggregated bit votes). */
+  private val simhashUdf = udf { (tokens: Seq[String]) =>
+    val votes = new Array[Int](64)
+    tokens.foreach { tok =>
+      val h = (Murmur3.hashString(tok).toLong << 32) |
+        (Murmur3.hashString(tok.reverse + "").toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    votes.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > 0) acc | (1L << i) else acc
+    }
+  }
+
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashUdf(wordSet(col("text"))).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, candidates
+    * from 4 x 16-bit band buckets (pigeonhole: dist<=3 shares a band).
+    */
+  def simhashCandidates(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
+    val sh = simhashes(t(spark, dir, "documents"))
+    val banded = sh.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until 4).map(b => shiftrightunsigned(col("simhash"), b * 16) % 65536): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ------------------------------------------------- exact jaccard (PPJoin)
+  /** Exact word-set jaccard pairs >= threshold via prefix filtering: any
+    * pair with J >= t shares a token among each doc's (|d| - ceil(t*|d|) + 1)
+    * globally-rarest tokens, so the inverted index is built only on those
+    * prefixes — exact results without an all-pairs join.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+      .withColumn("sz", size(col("ws")))
+    val tokens = docs.select(col("doc_id"), col("sz"), explode(col("ws")).as("tok"))
+    val tokenDf = tokens.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    val ranked = tokens.join(tokenDf, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tok_df"), col("tok"))))
+      .where(col("rn") <= col("sz") - ceil(col("sz") * threshold) + lit(1))
+      .select("doc_id", "tok")
+    val cand = ranked.as("a").join(ranked.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val left = docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a"))
+    val right = docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
+    cand.join(left, "doc_a").join(right, "doc_b")
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
+      .where(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // exact word-set duplicate families — one shuffle on the content key
+    QueryDef(
+      "dedup_wordset_families",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(array_join(sort_array(wordSet(col("text"))), " ").as("wskey"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("family_size"))
+          .select("doc_id", "family_size"),
+      Some("""
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS family_size
+        FROM documents
+        GROUP BY array_to_string(list_sort(list_distinct(
+          string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))), ' ')""")),
+
+    // exact jaccard >= 0.5 pairs, prefix-filtered — oracle is brute force
+    QueryDef(
+      "dedup_jaccard_pairs",
+      (s, dir) => jaccardPairs(s, dir, 0.5),
+      Some("""
+        SELECT * FROM (
+          WITH t AS (SELECT doc_id, list_distinct(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
+          FROM t a, t b WHERE a.doc_id < b.doc_id) sub
+        WHERE jac >= 0.5""")),
+
+    // MinHash/LSH near-dup candidates (probabilistic — rows-only check)
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, dir) => minhashCandidates(s, dir, 0.5),
+      None),
+
+    // SimHash near-dup candidates (probabilistic — rows-only check)
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => simhashCandidates(s, dir, 8),
+      None)
+  )
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Murmur3
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, as a 100 TB pipeline needs:
+  *   - brute-force cosine top-k as the exactness baseline: broadcast the
+  *     (small) query set, one pass over the corpus, per-query top-k via
+  *     window rank — no corpus self-shuffle;
+  *   - LSH-bucketed ANN as the scale path: 16 deterministic random
+  *     hyperplanes → 16-bit bucket key, candidates restricted to
+  *     bucket-mates (the shuffle key is the bucket, not the pair).
+  */
+object Similarity {
+  import QueryDef.t
+
+  /** dot/norms in double; single-pass fold keeps determinism per engine. */
+  private def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast(DoubleType))
+    val bd = transform(b, x => x.cast(DoubleType))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact top-k neighbors for the query vectors (vec_id < nQueries). */
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(queries))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rn").cast(IntegerType).as("rn"))
+  }
+
+  /** Multi-table random-hyperplane LSH: L tables of k planes each (higher
+    * recall at the same bucket sparsity). Planes are deterministic from the
+    * spec murmur3.
+    */
+  private val Tables = 4
+  private val PlanesPerTable = 4
+  private val planeVals: Array[Array[Double]] =
+    Array.tabulate(Tables * PlanesPerTable, 64) { (h, d) =>
+      Murmur3.hashLong(h.toLong * 64 + d).toDouble / Int.MaxValue
+    }
+
+  /** One signed-projection bucket per table → Array(L buckets). */
+  private val lshBucketsUdf = udf { (vec: Seq[Float]) =>
+    Array.tabulate(Tables) { t =>
+      var bucket = 0
+      var h = 0
+      while (h < PlanesPerTable) {
+        val plane = planeVals(t * PlanesPerTable + h)
+        var dotv = 0.0
+        var d = 0
+        while (d < vec.length && d < 64) { dotv += vec(d) * plane(d); d += 1 }
+        if (dotv >= 0) bucket |= (1 << h)
+        h += 1
+      }
+      bucket
+    }.toSeq
+  }
+
+  /** ANN via multi-table LSH: neighbors searched only among bucket-mates of
+    * any table (probabilistic recall — rows-only check). The shuffle key is
+    * (table, bucket); the corpus is never self-joined all-pairs.
+    */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .withColumn("buckets", lshBucketsUdf(col("embedding")))
+    val banded = emb.select(col("vec_id"), col("embedding"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val queries = banded.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    banded.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("tbl"), col("bucket"))
+      .join(broadcast(queries), col("tbl") === col("qtbl") &&
+        col("bucket") === col("qbucket") && col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "qvec", "embedding").distinct()
+      .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+  }
+
+  /** Label centroid distances: per-label mean vector, then each vector's
+    * cosine to its label centroid — a typical embedding-quality signal.
+    */
+  def labelCentroidStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .withColumn("vd", transform(col("embedding"), x => x.cast(DoubleType)))
+    val agg = emb.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        array((0 until 64).map(i => sum(element_at(col("vd"), i + 1))): _*).as("sumvec"))
+      .select(col("label"), col("n_vectors"),
+        transform(col("sumvec"), s => s / col("n_vectors")).as("centroid"))
+    emb.join(broadcast(agg), "label")
+      .withColumn("cos_c", cosine(col("vd"), col("centroid")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("cos_c")), 3).as("avg_cos_to_centroid"))
+      .select("label", "n_vectors", "avg_cos_to_centroid")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sim_bruteforce_topk",
+      (s, dir) => bruteForceTopK(s, dir, 5, 10),
+      Some("""
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rn
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id) sub
+        WHERE rn <= 10""")),
+
+    QueryDef("sim_ann_lsh", (s, dir) => lshTopK(s, dir, 5, 10), None),
+
+    QueryDef("sim_label_centroids", (s, dir) => labelCentroidStats(s, dir), None)
+  )
+}

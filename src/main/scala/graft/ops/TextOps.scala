@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -23,7 +24,81 @@ object TextOps {
     (length(txt) - length(regexp_replace(txt, lit(" "), lit(""))) + lit(1)).cast(LongType)
   }
 
+  /** Occurrences of a marker in padded lowercase text, via the portable
+    * replace-length identity (identical semantics in Spark and DuckDB).
+    */
+  private def occurrences(padded: Column, marker: String): Column =
+    (length(padded) - length(replace(padded, lit(marker), lit("")))) / lit(marker.length)
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " los ", " y "))
+
+  /** Stopword-count language-ID heuristic with a deterministic argmax
+    * (CJK check first, then en>de>fr>es tie order).
+    */
+  private def langIdPred: Column = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => occurrences(padded, m)).reduce(_ + _)
+    }.toMap
+    val Seq(en, de, fr, es) = Seq("en", "de", "fr", "es").map(scores)
+    when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("unk")
+  }
+
+  private val langIdOracle = """
+    SELECT doc_id, lang, pred_lang FROM (
+      SELECT doc_id, lang,
+        CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+          WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+          WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+          WHEN fr >= es AND fr > 0 THEN 'fr'
+          WHEN es > 0 THEN 'es' ELSE 'unk' END AS pred_lang
+      FROM (
+        SELECT doc_id, lang, text,
+          (length(p) - length(replace(p, ' the ', ''))) / 5
+            + (length(p) - length(replace(p, ' and ', ''))) / 5 AS en,
+          (length(p) - length(replace(p, ' der ', ''))) / 5
+            + (length(p) - length(replace(p, ' und ', ''))) / 5
+            + (length(p) - length(replace(p, ' die ', ''))) / 5 AS de,
+          (length(p) - length(replace(p, ' le ', ''))) / 4
+            + (length(p) - length(replace(p, ' et ', ''))) / 4
+            + (length(p) - length(replace(p, ' les ', ''))) / 5 AS fr,
+          (length(p) - length(replace(p, ' el ', ''))) / 4
+            + (length(p) - length(replace(p, ' los ', ''))) / 5
+            + (length(p) - length(replace(p, ' y ', ''))) / 3 AS es
+        FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p
+              FROM documents) t1) t2) t3"""
+
   val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------- language id
+    QueryDef(
+      "text_lang_id",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), langIdPred.as("pred_lang")),
+      Some(langIdOracle)),
+
+    // ------------------------------------------------------- fingerprint
+    QueryDef(
+      "text_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            substring(md5(regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))
+              .cast(BinaryType)), 1, 16).as("fingerprint")),
+      Some("""
+        SELECT doc_id,
+          substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint
+        FROM documents""")),
+
     // ------------------------------------------------------- exact dedup
     QueryDef(
       "dedup_exact",
