@@ -11,7 +11,8 @@ import graft.ops._
 object SparkEntry {
 
   private def all: Seq[QueryDef] =
-    Relational.defs ++ TextOps.defs ++ IceQueries.defs ++ Dedup.defs ++ Similarity.defs
+    Relational.defs ++ TextOps.defs ++ IceQueries.defs ++ Dedup.defs ++
+      Similarity.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

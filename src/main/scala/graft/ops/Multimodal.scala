@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with a
+  * typed metadata struct, processed batch-wise with `mapPartitions`.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * a deterministic fake (byte histogram) stands in for pixel decoding. The
+  * Spark-side plumbing is real and tested: schema (binary + struct), typed
+  * Dataset boundary, per-partition batching, fixed-size feature vectors.
+  * At 100 TB this shape holds: payloads stay columnar-compressed at rest,
+  * the decode UDF is a narrow map (no shuffle), and features feed the
+  * Similarity operators downstream.
+  */
+object Multimodal {
+  import QueryDef.t
+
+  val FeatureDim = 16
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
+      width: Int, height: Int, n_frames: Int)
+  final case class FeatureRow(doc_id: Long, format: String, n_bytes: Long,
+      features: Array[Float])
+
+  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of the
+    * text (deterministic fake for a real image/audio blob), metadata derived
+    * from doc_id.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        element_at(typedLit(Seq("jpeg", "png", "wav", "mp4")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast(IntegerType)).as("format"),
+        (lit(64) + pmod(col("doc_id"), lit(8)) * 32).cast(IntegerType).as("width"),
+        (lit(64) + pmod(col("doc_id") * 7, lit(8)) * 32).cast(IntegerType).as("height"),
+        when(pmod(col("doc_id"), lit(4)) === 3, pmod(col("doc_id"), lit(100)) + 1)
+          .otherwise(1).cast(IntegerType).as("n_frames")).as("media_meta"))
+
+  /** STUB decoder: a real deployment would decode pixels/samples here; this
+    * deterministic byte histogram keeps the batch shape and signature honest.
+    */
+  private def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    payload.foreach(b => hist((b & 0xff) % FeatureDim) += 1f)
+    val n = math.max(1, payload.length)
+    hist.map(_ / n)
+  }
+
+  /** Batch feature extraction over the binary column: typed mapPartitions
+    * (one decoder init per partition, rows streamed through it).
+    */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[FeatureRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"), col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+        col("media_meta.n_frames").as("n_frames"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (model load, codec init)
+        rows.map(r => FeatureRow(r.doc_id, r.format, r.payload.length.toLong,
+          decodeToFeatures(r.payload)))
+      }
+  }
+
+  /** Deterministic frame sampling for "video" rows: evenly-spaced frame
+    * indices, capped at `maxFrames` — metadata-only arithmetic.
+    */
+  def sampleFrames(spark: SparkSession, dir: String, maxFrames: Int): DataFrame =
+    mediaTable(spark, dir)
+      .where(col("media_meta.format") === "mp4")
+      .select(col("doc_id"), col("media_meta.n_frames").as("n_frames"),
+        sequence(lit(0), col("media_meta.n_frames") - 1,
+          greatest(lit(1), ((col("media_meta.n_frames") + maxFrames - 1) / maxFrames)
+            .cast(IntegerType))).as("frame_indices"))
+
+  val defs: Seq[QueryDef] = Seq(
+    // metadata + payload size round-trip — fully oracle-checkable
+    QueryDef(
+      "multimodal_meta",
+      (s, dir) =>
+        mediaTable(s, dir).select(
+          col("doc_id"),
+          length(col("payload")).cast(LongType).as("n_bytes"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height")),
+      Some("""
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+          CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+          CAST(64 + ((doc_id * 7) % 8) * 32 AS INTEGER) AS height
+        FROM documents""")),
+
+    // stubbed decode → fixed-size features (rows-only: decode is a fake)
+    QueryDef(
+      "multimodal_features",
+      (s, dir) => extractFeatures(s, dir).toDF(), None),
+
+    QueryDef(
+      "multimodal_frame_sample",
+      (s, dir) => sampleFrames(s, dir, 8), None)
+  )
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.meta.ManifestIO
+import graft.table.IceTable
+
+/** Streaming surface (reference §2.9: append-stream ingest +
+  * incremental snapshot consumption).
+  *
+  * Ingest is Structured Streaming's micro-batch model composed with the
+  * table's transactional append: each micro-batch commits one snapshot
+  * (exactly-once per batch via the checkpoint + idempotent CAS commit).
+  * The read side exposes "changes since snapshot S" by planning only
+  * manifests with a later sequence number — no data rewrite, no full scan.
+  */
+object Ingest {
+
+  /** foreachBatch append: every micro-batch becomes one table snapshot. */
+  def appendStream(stream: DataFrame, table: IceTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { table.append(batch); () }
+      }
+      .start()
+
+  /** Rows added after `sinceSnapshotId` (exclusive): plans only manifests
+    * whose sequence number is beyond that snapshot's.
+    */
+  def changesSince(spark: SparkSession, table: IceTable, sinceSnapshotId: Long): DataFrame = {
+    val meta = table.metadata
+    val sinceSeq = meta.snapshotById(sinceSnapshotId)
+      .map(_.sequenceNumber)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $sinceSnapshotId"))
+    val current = meta.currentSnapshot.getOrElse(
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        table.schema.toSpark))
+    val newFiles = ManifestIO.readManifestList(current.manifestList)
+      .filter(m => m.content == 0 && m.sequenceNumber > sinceSeq)
+      .flatMap { m =>
+        ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
+          .filter(_.status != graft.meta.ManifestEntryStatus.Deleted)
+          .map(_.dataFile.filePath)
+      }
+    if (newFiles.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        table.schema.toSpark)
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      spark.read.schema(table.schema.toSpark).parquet(newFiles: _*)
+    }
+  }
+}

@@ -55,12 +55,13 @@ final class IceTable private (
       asOfTimestampMs: Option[Long] = None,
       limit: Option[Int] = None,
       caseSensitive: Boolean = true): IceScan = {
+    val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
     val snap = snapshotId.map(id => meta.snapshotById(id).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $id")))
       .orElse(asOfTimestampMs.map(ts => meta.snapshotAsOf(ts).getOrElse(
         throw new IllegalArgumentException(s"no snapshot as of $ts"))))
       .orElse(meta.currentSnapshot)
-    new IceScan(this, snap, filter, selected, limit, caseSensitive)
+    new IceScan(this, snap, filter, selected, limit, caseSensitive, timeTravel)
   }
 
   /** Convenience: filtered + projected DataFrame of the current snapshot. */
@@ -214,6 +215,48 @@ final class IceTable private (
       addedRecords = stamped.map(_.addedRowsCount).sum)
   }
 
+  // -------------------------------------------------------- schema evolution
+  /** Metadata-only schema evolution (reference `update_schema.go:134-944`):
+    * adds append a fresh field ID, renames keep the ID (ID-based parquet
+    * resolution serves old files), drops hide the column, promotions must
+    * be legal per `IceType.canPromote`. Readers of old snapshots still see
+    * that snapshot's schema (schema-id pinning).
+    */
+  def updateSchema(): SchemaUpdate = new SchemaUpdate(this)
+
+  private[table] def commitNewSchema(fields: Seq[NestedField], newLastColumnId: Int): Unit =
+    synchronized {
+      val newSchema = IceSchema(meta.currentSchemaId + 1, fields,
+        meta.currentSchema.identifierFieldIds)
+      val newMeta = meta.copy(
+        currentSchemaId = newSchema.schemaId,
+        schemas = meta.schemas :+ newSchema,
+        lastColumnId = math.max(meta.lastColumnId, newLastColumnId),
+        lastUpdatedMs = System.currentTimeMillis())
+      version = catalog.commit(name, version, newMeta)
+      meta = newMeta
+    }
+
+  /** Partition evolution (reference `update_spec.go:57-411`): install a new
+    * default spec built against the current schema; existing manifests keep
+    * their spec id and are planned with it.
+    */
+  def updateSpec(fields: (String, Transform, String)*): Unit = synchronized {
+    val newSpecId = meta.specs.map(_.specId).max + 1
+    val base = PartitionSpec.of(newSpecId, fields: _*)(schema)
+    // partition field IDs continue from the table's last assigned
+    val renumbered = base.copy(fields = base.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(fieldId = meta.lastPartitionId + 1 + i)
+    })
+    val newMeta = meta.copy(
+      defaultSpecId = newSpecId,
+      specs = meta.specs :+ renumbered,
+      lastPartitionId = renumbered.lastAssignedFieldId,
+      lastUpdatedMs = System.currentTimeMillis())
+    version = catalog.commit(name, version, newMeta)
+    meta = newMeta
+  }
+
   // -------------------------------------------------------- metadata views
   def snapshotsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -332,11 +375,16 @@ final class IceScan(
     filter: IcePredicate,
     selected: Option[Seq[String]],
     limit: Option[Int],
-    caseSensitive: Boolean) {
+    caseSensitive: Boolean,
+    timeTravel: Boolean = false) {
 
   private def meta = table.metadata
-  private def scanSchema: IceSchema = snapshot
-    .flatMap(s => meta.schemaById(s.schemaId)).getOrElse(meta.currentSchema)
+  // time travel pins the snapshot's schema; current scans read with the
+  // current schema (evolution applies to old files via field-ID resolution)
+  private def scanSchema: IceSchema =
+    if (timeTravel)
+      snapshot.flatMap(s => meta.schemaById(s.schemaId)).getOrElse(meta.currentSchema)
+    else meta.currentSchema
 
   /** Driver-side file planning with manifest/partition/stats pruning. */
   def planFiles(): Seq[FileScanTask] = snapshot match {
@@ -424,6 +472,7 @@ final class IceScan(
     // files written by us carry field IDs (ID-based resolution); externally
     // added files may not — fall back to by-name for those (the reference's
     // name-mapping behavior, `name_mapping.go:30-80`)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     var df = spark.read.schema(readSchema.toSpark).parquet(paths: _*)
 

@@ -1,0 +1,55 @@
+package graft.table
+
+import graft.core._
+
+/** Fluent schema-evolution builder (reference `table/update_schema.go`):
+  * accumulates adds/renames/drops/promotions against the current schema and
+  * commits them as one new schema version.
+  */
+final class SchemaUpdate private[table] (table: IceTable) {
+  private var fields: Seq[NestedField] = table.schema.fields
+  private var lastColumnId: Int = table.metadata.lastColumnId
+
+  def addColumn(name: String, tpe: IceType, doc: Option[String] = None): SchemaUpdate = {
+    require(!fields.exists(_.name == name), s"column $name already exists")
+    lastColumnId += 1
+    fields = fields :+ NestedField(lastColumnId, name, tpe, required = false, doc)
+    this
+  }
+
+  def renameColumn(from: String, to: String): SchemaUpdate = {
+    require(fields.exists(_.name == from), s"no column $from")
+    require(!fields.exists(_.name == to), s"column $to already exists")
+    fields = fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    this
+  }
+
+  def dropColumn(name: String): SchemaUpdate = {
+    require(fields.exists(_.name == name), s"no column $name")
+    fields = fields.filterNot(_.name == name)
+    this
+  }
+
+  /** Widen a column's type; only spec-legal promotions are allowed. */
+  def updateColumnType(name: String, to: IceType): SchemaUpdate = {
+    val f = fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name"))
+    require(IceType.canPromote(f.tpe, to), s"cannot promote ${f.tpe} to $to")
+    fields = fields.map(x => if (x.name == name) x.copy(tpe = to) else x)
+    this
+  }
+
+  def makeOptional(name: String): SchemaUpdate = {
+    fields = fields.map(f => if (f.name == name) f.copy(required = false) else f)
+    this
+  }
+
+  def moveFirst(name: String): SchemaUpdate = {
+    val (m, rest) = fields.partition(_.name == name)
+    require(m.nonEmpty, s"no column $name")
+    fields = m ++ rest
+    this
+  }
+
+  def commit(): Unit = table.commitNewSchema(fields, lastColumnId)
+}
