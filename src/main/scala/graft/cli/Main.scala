@@ -1,0 +1,69 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.SchemaConv
+import graft.meta.{FileCatalog, TableMetadataJson}
+import graft.table.IceTable
+
+/** CLI verb surface (reference `cmd/iceberg/main.go:39-93`):
+  *
+  *   graft.cli.Main <warehouse> list
+  *   graft.cli.Main <warehouse> describe|schema|spec|uuid|location|properties <table>
+  *   graft.cli.Main <warehouse> files|snapshots <table>
+  *   graft.cli.Main <warehouse> create <table> <parquetPath>
+  *   graft.cli.Main <warehouse> drop <table>
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { println(usage); sys.exit(2) }
+    val catalog = new FileCatalog(args(0))
+    def table = IceTable.load(catalog, args(2))
+
+    args(1) match {
+      case "list" => catalog.listTables().foreach(println)
+      case "describe" =>
+        val m = table.metadata
+        println(s"table:    ${args(2)}")
+        println(s"uuid:     ${m.tableUuid}")
+        println(s"location: ${m.location}")
+        println(s"format:   v${m.formatVersion}")
+        println(s"schema:   ${m.currentSchema.fields.map(f => s"${f.name}:${graft.core.IceType.toSpecString(f.tpe)}").mkString(", ")}")
+        println(s"spec:     ${m.defaultSpec.fields.map(f => s"${f.name}=${f.transform.name}").mkString(", ")}")
+        println(s"snapshot: ${m.currentSnapshotId.getOrElse("none")}")
+      case "schema" =>
+        println(TableMetadataJson.schemaToJson(table.schema).toPrettyString)
+      case "spec" =>
+        println(TableMetadataJson.specToJson(table.spec).toPrettyString)
+      case "uuid" => println(table.metadata.tableUuid)
+      case "location" => println(table.location)
+      case "properties" =>
+        table.metadata.properties.foreach { case (k, v) => println(s"$k=$v") }
+      case "files" =>
+        table.newScan().planFiles().foreach(t =>
+          println(s"${t.file.filePath}\t${t.file.recordCount} rows\t${t.file.fileSizeInBytes} bytes\t${t.deletes.size} deletes"))
+      case "snapshots" =>
+        table.metadata.snapshots.foreach(s =>
+          println(s"${s.snapshotId}\tseq=${s.sequenceNumber}\t${new java.sql.Timestamp(s.timestampMs)}\t${s.summary.getOrElse("operation", "")}"))
+      case "create" =>
+        val spark = SparkSession.builder().master("local[4]")
+          .config("spark.ui.enabled", "false").getOrCreate()
+        try {
+          val df = spark.read.parquet(args(3))
+          val t = IceTable.create(catalog, args(2), SchemaConv.fromSpark(df.schema))
+          t.append(df)
+          println(s"created ${args(2)} with ${t.currentSnapshot.map(_.summary("added-records")).getOrElse("0")} rows")
+        } finally spark.stop()
+      case "drop" =>
+        catalog.dropTable(args(2))
+        println(s"dropped ${args(2)}")
+      case other =>
+        println(s"unknown verb: $other\n$usage"); sys.exit(2)
+    }
+  }
+
+  private val usage =
+    """usage: graft.cli.Main <warehouse> <verb> [args]
+      |  list | describe <t> | schema <t> | spec <t> | uuid <t> | location <t>
+      |  properties <t> | files <t> | snapshots <t> | create <t> <parquet> | drop <t>""".stripMargin
+}

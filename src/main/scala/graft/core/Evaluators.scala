@@ -126,6 +126,54 @@ object Evaluators {
     case _: Pred => true
   }
 
+  /** Strict metrics evaluator (reference `strictMetricsEval`
+    * `table/evaluators.go:1200-1565`): true only when EVERY row of the file
+    * provably matches — used for metadata-only deletes/overwrites.
+    */
+  def fileMustMatch(filter: IcePredicate, f: DataFile): Boolean = filter match {
+    case AlwaysTrue => true
+    case AlwaysFalse => false
+    case And(l, r) => fileMustMatch(l, f) && fileMustMatch(r, f)
+    case Or(l, r) => fileMustMatch(l, f) || fileMustMatch(r, f)
+    case Not(c) => !fileMayMatch(c, f)
+    case BoundPred(op, id, _, t, _, lits) => statsMustMatch(op, id, t, lits, f)
+    case _: Pred => false
+  }
+
+  private def statsMustMatch(op: Op, id: Int, t: IceType, lits: Seq[Any], f: DataFile): Boolean = {
+    val valueCount = f.valueCounts.get(id)
+    val nullCount = f.nullValueCounts.get(id)
+    def noNulls = nullCount.contains(0L)
+    def allNull = (valueCount, nullCount) match {
+      case (Some(v), Some(n)) => v == n
+      case _ => false
+    }
+    lazy val lower = f.lowerBounds.get(id).map(Bounds.decode(t, _)).filterNot(Bounds.isNaN)
+    lazy val upper = f.upperBounds.get(id).map(Bounds.decode(t, _)).filterNot(Bounds.isNaN)
+    op match {
+      case Op.IsNull => allNull
+      case Op.NotNull => noNulls
+      case Op.IsNan | Op.NotNan => false // NaN counts are not collected
+      case Op.Lt => noNulls && upper.exists(up => Bounds.compare(t, up, lits.head) < 0)
+      case Op.LtEq => noNulls && upper.exists(up => Bounds.compare(t, up, lits.head) <= 0)
+      case Op.Gt => noNulls && lower.exists(lo => Bounds.compare(t, lo, lits.head) > 0)
+      case Op.GtEq => noNulls && lower.exists(lo => Bounds.compare(t, lo, lits.head) >= 0)
+      case Op.Eq => noNulls && lower.isDefined && upper.isDefined &&
+        Bounds.compare(t, lower.get, lits.head) == 0 &&
+        Bounds.compare(t, upper.get, lits.head) == 0
+      case Op.NotEq => noNulls && (
+        lower.exists(lo => Bounds.compare(t, lo, lits.head) > 0) ||
+          upper.exists(up => Bounds.compare(t, up, lits.head) < 0))
+      case Op.In => noNulls && lower.isDefined && upper.isDefined &&
+        Bounds.compare(t, lower.get, upper.get) == 0 &&
+        lits.exists(v => Bounds.compare(t, lower.get, v) == 0)
+      case Op.NotIn => noNulls && lits.forall(v =>
+        lower.exists(lo => Bounds.compare(t, lo, v) > 0) ||
+          upper.exists(up => Bounds.compare(t, up, v) < 0))
+      case Op.StartsWith | Op.NotStartsWith => false
+    }
+  }
+
   private def statsMayMatch(op: Op, id: Int, t: IceType, lits: Seq[Any], f: DataFile): Boolean = {
     val valueCount = f.valueCounts.get(id)
     val nullCount = f.nullValueCounts.get(id)

@@ -34,16 +34,19 @@ object Dedup {
   private val BandCount = 16 // 16 bands x 4 rows
   private val Prime = 2305843009213693951L // 2^61 - 1
 
+  // deterministic per-permutation coefficients, derived once from the spec hash
+  private val coeffA: Array[Long] =
+    Array.tabulate(NumHashes)(i => 2L * (Murmur3.hashLong(i.toLong * 2 + 1).toLong & 0xffffffffL) + 1)
+  private val coeffB: Array[Long] =
+    Array.tabulate(NumHashes)(i => Murmur3.hashLong(i.toLong * 2 + 2).toLong & 0xffffffffL)
+
   private val minhashUdf = udf { (tokens: Seq[String]) =>
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     tokens.foreach { tok =>
       val x = Murmur3.hashString(tok).toLong & 0xffffffffL
       var i = 0
       while (i < NumHashes) {
-        // deterministic per-i coefficients from the spec hash
-        val a = 2L * (Murmur3.hashLong(i.toLong * 2 + 1).toLong & 0xffffffffL) + 1
-        val b = Murmur3.hashLong(i.toLong * 2 + 2).toLong & 0xffffffffL
-        val h = (a * x + b) % Prime
+        val h = (coeffA(i) * x + coeffB(i)) % Prime
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -51,11 +54,11 @@ object Dedup {
     sig.toSeq
   }
 
-  /** Documents → (doc_id, band, band_hash) for LSH bucketing. */
+  /** Documents → (doc_id, source, band, band_hash) for LSH bucketing. */
   def minhashBands(docs: DataFrame): DataFrame = {
     val rows = NumHashes / BandCount
-    docs.select(col("doc_id"), minhashUdf(wordSet(col("text"))).as("sig"))
-      .select(col("doc_id"), posexplode(
+    docs.select(col("doc_id"), col("source"), minhashUdf(wordSet(col("text"))).as("sig"))
+      .select(col("doc_id"), col("source"), posexplode(
         array((0 until BandCount).map(b =>
           hash((0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -72,6 +75,7 @@ object Dedup {
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
+        col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -108,12 +112,15 @@ object Dedup {
     * from 4 x 16-bit band buckets (pigeonhole: dist<=3 shares a band).
     */
   def simhashCandidates(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
-    val sh = simhashes(t(spark, dir, "documents"))
-    val banded = sh.select(col("doc_id"), col("simhash"), posexplode(
+    val docsWithSource = t(spark, dir, "documents")
+    val sh = docsWithSource.select(col("doc_id"), col("source"),
+      simhashUdf(wordSet(col("text"))).as("simhash"))
+    val banded = sh.select(col("doc_id"), col("source"), col("simhash"), posexplode(
       array((0 until 4).map(b => shiftrightunsigned(col("simhash"), b * 16) % 65536): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+        col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
@@ -130,18 +137,22 @@ object Dedup {
     * prefixes — exact results without an all-pairs join.
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // blocked by `source`: the standard blocking-key pattern — near-dups
+    // are sought within a corpus shard, bounding candidate fan-out
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
       .withColumn("sz", size(col("ws")))
-    val tokens = docs.select(col("doc_id"), col("sz"), explode(col("ws")).as("tok"))
+    val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("ws")).as("tok"))
     val tokenDf = tokens.groupBy("tok").agg(count(lit(1)).as("tok_df"))
     val ranked = tokens.join(tokenDf, "tok")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("tok_df"), col("tok"))))
       .where(col("rn") <= col("sz") - ceil(col("sz") * threshold) + lit(1))
-      .select("doc_id", "tok")
+      .select("doc_id", "source", "tok")
     val cand = ranked.as("a").join(ranked.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val left = docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a"))
@@ -175,12 +186,12 @@ object Dedup {
       (s, dir) => jaccardPairs(s, dir, 0.5),
       Some("""
         SELECT * FROM (
-          WITH t AS (SELECT doc_id, list_distinct(string_split(
+          WITH t AS (SELECT doc_id, source, list_distinct(string_split(
             regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
-          FROM t a, t b WHERE a.doc_id < b.doc_id) sub
+          FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source) sub
         WHERE jac >= 0.5""")),
 
     // MinHash/LSH near-dup candidates (probabilistic — rows-only check)

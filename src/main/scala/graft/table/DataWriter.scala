@@ -9,7 +9,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 import graft.core._
-import graft.meta.{DataFile, PartitionSpec}
+import graft.meta.{DataFile, PartitionSpec, SortOrder}
 
 /** The append data plane: write a DataFrame as Parquet data files and derive
   * `DataFile` entries (stats from footers).
@@ -32,12 +32,29 @@ object DataWriter {
   private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 
   def write(df: DataFrame, location: String, schema: IceSchema,
-      spec: PartitionSpec): Seq[DataFile] = {
+      spec: PartitionSpec, sortOrder: SortOrder = SortOrder.Unsorted): Seq[DataFile] = {
     val staging = s"$location/data/${UUID.randomUUID()}"
     // attach parquet.field.id metadata so Spark's writer stamps Iceberg
     // field IDs into the files (ID-based column resolution on read)
-    val aligned = df.select(schema.fields.map(f =>
+    val withIds = df.select(schema.fields.map(f =>
       col(f.name).as(f.name, SchemaConv.toSparkField(f).metadata)): _*)
+    // honor the table sort order at write (reference applies SortOrder at
+    // write, `table/sorting.go` + writer): range-partition on the sort key
+    // so files hold disjoint ranges, then sort within each — that is what
+    // tightens per-file min/max bounds and makes stats pruning bite
+    val sortCols = sortOrder.fields.map { sf =>
+      val src = schema.findById(sf.sourceId).get
+      val c = sf.transform.toColumn(col(src.name), src.tpe)
+      (sf.ascending, sf.nullsFirst) match {
+        case (true, true) => c.asc_nulls_first
+        case (true, false) => c.asc_nulls_last
+        case (false, true) => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }
+    val aligned =
+      if (sortOrder.isUnsorted) withIds
+      else withIds.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     if (spec.isUnpartitioned) {
       aligned.write.parquet(staging)
       listParquet(staging).par.map { case (p, len) =>

@@ -38,6 +38,8 @@ final class IceTable private (
   def metadata: TableMetadata = meta
   def schema: IceSchema = meta.currentSchema
   def spec: PartitionSpec = meta.defaultSpec
+  def sortOrder: SortOrder = meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
+    .getOrElse(SortOrder.Unsorted)
   def location: String = meta.location
   def currentSnapshot: Option[Snapshot] = meta.currentSnapshot
 
@@ -75,7 +77,7 @@ final class IceTable private (
     * carry parent manifests forward, CAS-commit with retry.
     */
   def append(df: DataFrame): Snapshot = {
-    val files = DataWriter.write(df, location, schema, spec)
+    val files = DataWriter.write(df, location, schema, spec, sortOrder)
     commitAddedFiles(files, retries = 3)
   }
 
@@ -121,8 +123,33 @@ final class IceTable private (
     val parent = meta.currentSnapshot
     val parentManifests =
       parent.map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
+    val assembled = newManifests ++ parentManifests
+    // merge-append (reference `snapshot_producers.go:245-418`): when the
+    // data-manifest count crosses the threshold, pack them into one
+    // manifest (entries become Existing, original sequence numbers kept)
+    val minCountToMerge = meta.properties
+      .getOrElse("commit.manifest.min-count-to-merge", "100").toInt
+    val dataManifests = assembled.filter(_.content == 0)
+    // a manifest holds one spec's partition tuples — only merge same-spec
+    val finalManifests =
+      if (dataManifests.size < minCountToMerge ||
+          dataManifests.exists(_.specId != spec.specId)) assembled
+      else {
+        val entries = dataManifests.flatMap { m =>
+          ManifestIO.readManifest(m.path, meta.specs, schema)._2
+            .filter(_.status != ManifestEntryStatus.Deleted)
+            .map(e => e.copy(status = ManifestEntryStatus.Existing,
+              sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+        }
+        val mergedPath = s"$location/metadata/$commitUuid-merged.avro"
+        val merged = ManifestIO.writeManifest(mergedPath, entries, spec, schema)
+          .copy(sequenceNumber = seq,
+            minSequenceNumber = entries.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+            addedSnapshotId = snapId)
+        merged +: assembled.filter(_.content == 1)
+      }
     val listPath = s"$location/metadata/snap-$snapId-$attempt-$commitUuid.avro"
-    ManifestIO.writeManifestList(listPath, newManifests ++ parentManifests)
+    ManifestIO.writeManifestList(listPath, finalManifests)
     val now = System.currentTimeMillis()
     val totalRecords =
       parent.flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L) + addedRecords
@@ -134,6 +161,115 @@ final class IceTable private (
       "added-records" -> addedRecords.toString,
       "total-records" -> totalRecords.toString,
       "total-data-files" -> totalFiles.toString)
+    val snap = Snapshot(snapId, meta.currentSnapshotId, seq, now, listPath, summary,
+      meta.currentSchemaId)
+    val newMeta = meta.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapId),
+      snapshots = meta.snapshots :+ snap,
+      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
+      refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")))
+    version = catalog.commit(name, version, newMeta)
+    meta = newMeta
+    snap
+  }
+
+  // ------------------------------------------------- overwrite / compaction
+  /** ReplaceDataFiles (reference `Transaction.ReplaceDataFiles`
+    * `transaction.go:408-497`): one rewrite manifest holds Deleted entries
+    * for the removed files, Existing entries (original sequence numbers) for
+    * survivors, and Added entries for the new files; parent manifests are
+    * not carried forward.
+    */
+  def replaceDataFiles(deletePaths: Set[String], added: Seq[DataFile],
+      operation: String = "replace"): Snapshot = synchronized {
+    val snapId = meta.reserveSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val commitUuid = UUID.randomUUID().toString
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot replace files in an empty table"))
+    val existing = ManifestIO.readManifestList(current.manifestList)
+      .filter(_.content == 0)
+      .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, schema)._2
+        .filter(_.status != ManifestEntryStatus.Deleted)
+        .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber)))))
+    val (toDelete, toKeep) = existing.partition(e => deletePaths.contains(e.dataFile.filePath))
+    val entries =
+      added.map(f => ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f)) ++
+      toKeep.map(_.copy(status = ManifestEntryStatus.Existing)) ++
+      toDelete.map(_.copy(status = ManifestEntryStatus.Deleted, snapshotId = snapId))
+    val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+    val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema)
+      .copy(sequenceNumber = seq,
+        minSequenceNumber = toKeep.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+        addedSnapshotId = snapId)
+    // deletes manifests still apply to surviving files — carry them forward
+    val deleteManifests = ManifestIO.readManifestList(current.manifestList)
+      .filter(_.content == 1)
+    commitManifestList(Seq(mf) ++ deleteManifests, snapId, seq, operation,
+      addedFiles = added.size, addedRecords = added.map(_.recordCount).sum,
+      removedFiles = toDelete.size, removedRecords = toDelete.map(_.dataFile.recordCount).sum)
+  }
+
+  /** Compaction: coalesce the current data files into `targetFileCount`
+    * files (bin-packing via repartition), then swap atomically.
+    */
+  def compact(spark: SparkSession, targetFileCount: Int): Snapshot = {
+    val tasks = newScan().planFiles()
+    val oldPaths = tasks.map(_.file.filePath).toSet
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    val df = spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
+      .repartition(targetFileCount)
+    val newFiles = DataWriter.write(df, location, schema, PartitionSpec.Unpartitioned)
+    replaceDataFiles(oldPaths, newFiles, operation = "replace")
+  }
+
+  /** Predicate overwrite (reference `newOverwriteFilesProducer`
+    * `snapshot_producers.go:104-243`): files whose rows ALL match the filter
+    * (strict metrics) are dropped whole; files that MAY contain matches are
+    * rewritten with only the surviving rows; the replacement data appends.
+    */
+  def overwriteWhere(spark: SparkSession, filter: IcePredicate, replacement: DataFrame)
+      : Snapshot = {
+    val bound = Predicates.bind(filter, schema)
+    val tasks = newScan().planFiles()
+    val fullMatch = tasks.filter(t => Evaluators.fileMustMatch(bound, t.file))
+    val partial = tasks.filter(t => !Evaluators.fileMustMatch(bound, t.file) &&
+      Evaluators.fileMayMatch(bound, t.file))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    val survivors =
+      if (partial.isEmpty) Nil
+      else DataWriter.write(
+        spark.read.schema(schema.toSpark).parquet(partial.map(_.file.filePath): _*)
+          .where(!Predicates.toColumn(bound)),
+        location, schema, spec)
+    val addedNew = DataWriter.write(replacement, location, schema, spec)
+    replaceDataFiles((fullMatch ++ partial).map(_.file.filePath).toSet,
+      survivors ++ addedNew, operation = "overwrite")
+  }
+
+  private def commitManifestList(manifests: Seq[ManifestFile], snapId: Long, seq: Long,
+      operation: String, addedFiles: Long, addedRecords: Long,
+      removedFiles: Long, removedRecords: Long): Snapshot = {
+    val now = System.currentTimeMillis()
+    val parent = meta.currentSnapshot
+    val listPath = s"$location/metadata/snap-$snapId-1-${UUID.randomUUID()}.avro"
+    ManifestIO.writeManifestList(listPath, manifests)
+    val prevTotalRecords =
+      parent.flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
+    val prevTotalFiles =
+      parent.flatMap(_.summary.get("total-data-files")).map(_.toLong).getOrElse(0L)
+    val summary = Map(
+      "operation" -> operation,
+      "added-data-files" -> addedFiles.toString,
+      "added-records" -> addedRecords.toString,
+      "deleted-data-files" -> removedFiles.toString,
+      "deleted-records" -> removedRecords.toString,
+      "total-records" -> (prevTotalRecords + addedRecords - removedRecords).toString,
+      "total-data-files" -> (prevTotalFiles + addedFiles - removedFiles).toString)
     val snap = Snapshot(snapId, meta.currentSnapshotId, seq, now, listPath, summary,
       meta.currentSchemaId)
     val newMeta = meta.copy(
@@ -325,7 +461,10 @@ final class IceTable private (
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath.toUri.getPath
-      if (!referenced.contains(p) && st.getModificationTime < olderThanMs) orphans += p
+      val base = st.getPath.getName
+      // hidden/marker files (_SUCCESS, .crc) are committer artifacts, not data
+      if (!base.startsWith("_") && !base.startsWith(".") &&
+          !referenced.contains(p) && st.getModificationTime < olderThanMs) orphans += p
     }
     val result = orphans.result()
     if (!dryRun) result.foreach(p =>
@@ -337,7 +476,8 @@ final class IceTable private (
 object IceTable {
   def create(catalog: FileCatalog, name: String, schema: IceSchema,
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
-      properties: Map[String, String] = Map.empty): IceTable = {
+      properties: Map[String, String] = Map.empty,
+      sortOrder: SortOrder = SortOrder.Unsorted): IceTable = {
     val location = catalog.tableLocation(name)
     val m = TableMetadata(
       formatVersion = 2,
@@ -351,8 +491,8 @@ object IceTable {
       defaultSpecId = spec.specId,
       specs = Seq(spec),
       lastPartitionId = spec.lastAssignedFieldId,
-      defaultSortOrderId = 0,
-      sortOrders = Seq(SortOrder.Unsorted),
+      defaultSortOrderId = sortOrder.orderId,
+      sortOrders = Seq(sortOrder),
       properties = properties,
       currentSnapshotId = None,
       snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty)

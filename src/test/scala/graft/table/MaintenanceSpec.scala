@@ -1,0 +1,152 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Predicates => P, _}
+import graft.meta._
+
+/** Overwrite/replace/compaction, merge-append packing, sort-order writes,
+  * the strict metrics evaluator, orphan cleanup, views, and the CLI verbs.
+  */
+class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var catalog: FileCatalog = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("maintenance-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = new FileCatalog(Files.createTempDirectory("graft-maint").toString)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("compaction: many files become few, data identical, old files orphaned") {
+    val t = IceTable.create(catalog, "li_compact",
+      SchemaConv.fromSpark(lineitem.schema))
+    (0 until 4).foreach(i => t.append(lineitem.where(s"pmod(l_orderkey, 4) = $i")))
+    val before = t.newScan().planFiles().size
+    assert(before >= 4)
+    val snap = t.compact(spark, targetFileCount = 2)
+    assert(snap.summary("operation") == "replace")
+    assert(t.newScan().planFiles().size == 2)
+    assert(t.scan(spark).count() == lineitem.count())
+    // every live file is referenced (replaced files stay referenced through
+    // the rewrite manifest's Deleted entries) → nothing to collect
+    assert(t.deleteOrphanFiles(System.currentTimeMillis() + 1000, dryRun = true).isEmpty)
+    // a stray file no manifest knows about IS an orphan
+    val stray = java.nio.file.Paths.get(
+      t.location.stripPrefix("file:"), "data", "stray-abandoned.parquet")
+    java.nio.file.Files.write(stray, Array[Byte](1, 2, 3))
+    val orphans = t.deleteOrphanFiles(System.currentTimeMillis() + 1000)
+    assert(orphans == Seq(stray.toString))
+    assert(!java.nio.file.Files.exists(stray))
+    assert(t.scan(spark).count() == lineitem.count())
+  }
+
+  test("overwriteWhere: full-match files dropped, partial files rewritten") {
+    val t = IceTable.create(catalog, "li_overwrite",
+      SchemaConv.fromSpark(lineitem.schema))
+    // one file per returnflag → 'R' is a full-match file for the filter
+    Seq("A", "N", "R").foreach(f =>
+      t.append(lineitem.where(s"l_returnflag = '$f'").coalesce(1)))
+    t.append(lineitem.limit(0).coalesce(1)) // empty append exercises 0-file commit
+    val replacement = lineitem.where("l_returnflag = 'A'").limit(100)
+      .withColumn("l_returnflag", org.apache.spark.sql.functions.lit("R"))
+    val snap = t.overwriteWhere(spark, P.equalTo("l_returnflag", "R"), replacement)
+    assert(snap.summary("operation") == "overwrite")
+    assert(t.scan(spark, P.equalTo("l_returnflag", "R")).count() == 100)
+    assert(t.scan(spark, P.equalTo("l_returnflag", "A")).count() ==
+      lineitem.where("l_returnflag = 'A'").count())
+  }
+
+  test("strict metrics evaluator: file-drop decisions") {
+    val t = IceTable.load(catalog, "li_compact")
+    val schema = t.schema
+    val tasks = t.newScan().planFiles()
+    val f = tasks.head.file
+    // every row satisfies a tautology over a stats-covered column
+    val lo = Bounds.decode(IceDouble, f.lowerBounds(schema.idByName("l_quantity")))
+    val bound = P.bind(P.gtEq("l_quantity", lo), schema)
+    assert(Evaluators.fileMustMatch(bound, f))
+    val boundNo = P.bind(P.gt("l_quantity", 100.0), schema)
+    assert(!Evaluators.fileMustMatch(boundNo, f))
+    val boundNull = P.bind(P.isNull("l_comment_missing_ok"),
+      IceSchema(0, schema.fields :+ NestedField(99, "l_comment_missing_ok", IceString)))
+    assert(!Evaluators.fileMustMatch(boundNull, f))
+  }
+
+  test("merge-append packs manifests past the threshold") {
+    val t = IceTable.create(catalog, "li_merge",
+      SchemaConv.fromSpark(lineitem.schema),
+      properties = Map("commit.manifest.min-count-to-merge" -> "3"))
+    t.append(lineitem.where("l_linenumber = 1").coalesce(1))
+    t.append(lineitem.where("l_linenumber = 2").coalesce(1))
+    assert(t.manifestsDF(spark).count() == 2)
+    t.append(lineitem.where("l_linenumber >= 3").coalesce(1))
+    // third commit crossed the threshold → one merged manifest
+    assert(t.manifestsDF(spark).count() == 1)
+    assert(t.scan(spark).count() == lineitem.count())
+    // merged entries kept their sequence numbers → time travel intact
+    val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)
+    assert(t.newScan(snapshotId = Some(snaps.head.snapshotId)).toDF(spark).count() ==
+      lineitem.where("l_linenumber = 1").count())
+  }
+
+  test("sort-order write tightens per-file bounds") {
+    val schema = SchemaConv.fromSpark(lineitem.schema)
+    val okId = schema.idByName("l_orderkey")
+    val order = SortOrder(1, Seq(SortField(okId, IdentityTransform)))
+    val t = IceTable.create(catalog, "li_sorted", schema, sortOrder = order)
+    // repartition to many tasks first so the sort has something to do
+    t.append(lineitem.repartition(4))
+    val files = t.newScan().planFiles().map(_.file)
+    // sorted-within-partitions files: bounds are narrow, so an orderkey
+    // point-lookup prunes to at most half the files
+    val target = lineitem.select("l_orderkey").first().getLong(0)
+    val planned = t.newScan(P.equalTo("l_orderkey", target)).planFiles()
+    assert(planned.size <= math.max(1, files.size / 2 + 1))
+  }
+
+  test("views: versioned SQL metadata + execution") {
+    val views = new ViewCatalog(catalog.warehouse)
+    spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("nation_src")
+    views.createOrReplace("asia_nations",
+      "SELECT n_nationkey, n_name FROM nation_src WHERE n_regionkey = 2")
+    val v2 = views.createOrReplace("asia_nations",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation_src WHERE n_regionkey = 2")
+    assert(v2.versionId == 2)
+    assert(views.load("asia_nations").size == 2)
+    val df = views.run(spark, "asia_nations")
+    assert(df.columns.length == 3)
+    assert(df.count() ==
+      spark.sql("SELECT 1 FROM nation_src WHERE n_regionkey = 2").count())
+  }
+
+  test("CLI verbs: list/describe/files/snapshots run against a real table") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) {
+      graft.cli.Main.main(Array(catalog.warehouse, "list"))
+      graft.cli.Main.main(Array(catalog.warehouse, "describe", "li_compact"))
+      graft.cli.Main.main(Array(catalog.warehouse, "files", "li_compact"))
+      graft.cli.Main.main(Array(catalog.warehouse, "snapshots", "li_compact"))
+      graft.cli.Main.main(Array(catalog.warehouse, "uuid", "li_compact"))
+    }
+    val s = out.toString
+    assert(s.contains("li_compact") && s.contains("uuid:") && s.contains("rows"))
+    assert(s.contains("replace")) // snapshot log shows the compaction
+  }
+}
