@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of registered queries —
+  * used to keep scans pruned (PushedFilters/ReadSchema), dimension joins
+  * broadcast, and hot paths inside WholeStageCodegen.
+  *
+  * usage: runMain graft.Explain <sfDir> [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        println(s"\n========== $name ==========")
+        try println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+      }
+    }
+    spark.stop()
+  }
+}

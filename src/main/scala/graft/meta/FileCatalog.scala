@@ -109,6 +109,14 @@ final class FileCatalog(val warehouse: String) {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Remove metadata JSON versions strictly below `beforeVersion` (the
+    * delete-after-commit maintenance hook).
+    */
+  def deleteMetadataBefore(name: String, beforeVersion: Int): Unit =
+    (1 until beforeVersion).foreach { v =>
+      Files.deleteIfExists(Paths.get(stripScheme(versionFile(name, v))))
+    }
+
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
 }

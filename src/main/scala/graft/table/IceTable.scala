@@ -172,6 +172,7 @@ final class IceTable private (
       refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")))
     version = catalog.commit(name, version, newMeta)
     meta = newMeta
+    maintainMetadata()
     snap
   }
 
@@ -281,6 +282,7 @@ final class IceTable private (
       refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")))
     version = catalog.commit(name, version, newMeta)
     meta = newMeta
+    maintainMetadata()
     snap
   }
 
@@ -350,6 +352,51 @@ final class IceTable private (
       addedFiles = stamped.map(_.addedFilesCount.toLong).sum,
       addedRecords = stamped.map(_.addedRowsCount).sum)
   }
+
+  // ------------------------------------------------------------ transaction
+  def newTransaction(): IceTransaction = new IceTransaction(this)
+
+  private[table] def commitTransaction(files: Seq[DataFile],
+      setProps: Map[String, String], removeProps: Seq[String]): Unit = synchronized {
+    // property changes ride the same metadata commit as the new snapshot
+    val before = meta
+    meta = meta.copy(properties = meta.properties -- removeProps ++ setProps)
+    try {
+      if (files.nonEmpty) { commitAddedFiles(files, retries = 3); () }
+      else {
+        val newMeta = meta.copy(lastUpdatedMs = System.currentTimeMillis())
+        version = catalog.commit(name, version, newMeta)
+        meta = newMeta
+      }
+    } catch {
+      case e: Throwable => meta = before; throw e
+    }
+  }
+
+  // ------------------------------------------------------------- properties
+  /** Set/remove table properties as one metadata commit (reference updates
+    * `set-properties`/`remove-properties`, `table/updates.go`).
+    */
+  def updateProperties(set: Map[String, String] = Map.empty,
+      remove: Seq[String] = Nil): Unit = synchronized {
+    val newMeta = meta.copy(
+      properties = meta.properties -- remove ++ set,
+      lastUpdatedMs = System.currentTimeMillis())
+    version = catalog.commit(name, version, newMeta)
+    meta = newMeta
+    maintainMetadata()
+  }
+
+  /** Delete superseded metadata JSON versions when
+    * `write.metadata.delete-after-commit.enabled` (reference
+    * `deleteOldMetadata` `table/table.go:263-279`).
+    */
+  private[table] def maintainMetadata(): Unit =
+    if (meta.properties.get("write.metadata.delete-after-commit.enabled").contains("true")) {
+      val keep = meta.properties
+        .getOrElse("write.metadata.previous-versions-max", "100").toInt
+      catalog.deleteMetadataBefore(name, version - keep)
+    }
 
   // -------------------------------------------------------- schema evolution
   /** Metadata-only schema evolution (reference `update_schema.go:134-944`):

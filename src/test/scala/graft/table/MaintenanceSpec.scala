@@ -121,6 +121,39 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned.size <= math.max(1, files.size / 2 + 1))
   }
 
+  test("transaction: staged appends + property changes land in one commit") {
+    val t = IceTable.create(catalog, "li_txn", SchemaConv.fromSpark(lineitem.schema))
+    val versionsBefore = catalog.currentVersion("li_txn")
+    t.newTransaction()
+      .append(lineitem.where("l_linenumber = 1"))
+      .append(lineitem.where("l_linenumber = 2"))
+      .setProperties(Map("owner" -> "graft", "commit.manifest.min-count-to-merge" -> "50"))
+      .commit()
+    assert(t.scan(spark).count() == lineitem.where("l_linenumber <= 2").count())
+    assert(t.metadata.properties("owner") == "graft")
+    // both appends + props = ONE snapshot, one metadata version
+    assert(t.metadata.snapshots.size == 1)
+    assert(catalog.currentVersion("li_txn") == versionsBefore + 1)
+    val txn2 = t.newTransaction().removeProperties("owner")
+    txn2.commit()
+    assert(!t.metadata.properties.contains("owner"))
+  }
+
+  test("metadata delete-after-commit prunes old versions") {
+    val t = IceTable.create(catalog, "li_meta_gc",
+      SchemaConv.fromSpark(lineitem.schema),
+      properties = Map(
+        "write.metadata.delete-after-commit.enabled" -> "true",
+        "write.metadata.previous-versions-max" -> "2"))
+    (1 to 4).foreach(_ => t.append(lineitem.limit(10)))
+    val metaDir = java.nio.file.Paths.get(
+      t.location.stripPrefix("file:"), "metadata")
+    val versions = java.nio.file.Files.list(metaDir).toArray.map(_.toString)
+      .filter(_.endsWith(".metadata.json")).sorted
+    assert(versions.length <= 3, versions.mkString(", "))
+    assert(t.scan(spark).count() == 40)
+  }
+
   test("views: versioned SQL metadata + execution") {
     val views = new ViewCatalog(catalog.warehouse)
     spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("nation_src")
