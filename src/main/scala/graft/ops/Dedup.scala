@@ -136,12 +136,30 @@ object Dedup {
     * globally-rarest tokens, so the inverted index is built only on those
     * prefixes — exact results without an all-pairs join.
     */
-  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    jaccardPairsOver(spark, dir, threshold, wordSet(col("text")))
+
+  /** 3-gram variant: shingles are consecutive word triples. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val ws = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val grams = when(size(ws) >= 3,
+      array_distinct(expr(
+        """transform(sequence(0, size(split(regexp_replace(lower(text), '\\s+', ' '), ' ')) - 3),
+           i -> concat(element_at(split(regexp_replace(lower(text), '\\s+', ' '), ' '), i + 1), ' ',
+                       element_at(split(regexp_replace(lower(text), '\\s+', ' '), ' '), i + 2), ' ',
+                       element_at(split(regexp_replace(lower(text), '\\s+', ' '), ' '), i + 3)))""")))
+      .otherwise(array().cast("array<string>"))
+    jaccardPairsOver(spark, dir, threshold, grams)
+  }
+
+  private def jaccardPairsOver(spark: SparkSession, dir: String, threshold: Double,
+      tokenSet: Column): DataFrame = {
     // blocked by `source`: the standard blocking-key pattern — near-dups
     // are sought within a corpus shard, bounding candidate fan-out
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"), tokenSet.as("ws"))
       .withColumn("sz", size(col("ws")))
+      .where(col("sz") > 0)
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
     val tokenDf = tokens.groupBy("tok").agg(count(lit(1)).as("tok_df"))
@@ -192,6 +210,25 @@ object Dedup {
             CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
           FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source) sub
+        WHERE jac >= 0.5""")),
+
+    // exact 3-gram-shingle jaccard >= 0.5 pairs — same prefix filter
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, dir) => ngramJaccardPairs(s, dir, 0.5),
+      Some("""
+        SELECT * FROM (
+          WITH w AS (SELECT doc_id, source, string_split(
+              regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+          t AS (SELECT doc_id, source, list_distinct(list_transform(
+              generate_series(1, len(ws) - 2),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs FROM w)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+              (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac
+          FROM t a, t b
+          WHERE a.doc_id < b.doc_id AND a.source = b.source
+            AND len(a.gs) > 0 AND len(b.gs) > 0) sub
         WHERE jac >= 0.5""")),
 
     // MinHash/LSH near-dup candidates (probabilistic — rows-only check)

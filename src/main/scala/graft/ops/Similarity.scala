@@ -136,6 +136,29 @@ object Similarity {
 
     QueryDef("sim_ann_lsh", (s, dir) => lshTopK(s, dir, 5, 10), None),
 
+    // embedding-cosine near-dup pairs, blocked by label (exact within block)
+    QueryDef(
+      "dedup_embedding_cosine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val a = emb.select(col("vec_id").as("vec_a"), col("label"),
+          col("embedding").as("ea"))
+        val b = emb.select(col("vec_id").as("vec_b"), col("label"),
+          col("embedding").as("eb"))
+        a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
+          .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
+          .where(col("cos_sim") >= 0.2)
+          .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM embeddings a, embeddings b
+          WHERE a.label = b.label AND a.vec_id < b.vec_id) sub
+        WHERE cos_sim >= 0.2""")),
+
     QueryDef("sim_label_centroids", (s, dir) => labelCentroidStats(s, dir), None)
   )
 }

@@ -86,6 +86,21 @@ object TextOps {
           .select(col("doc_id"), col("lang"), langIdPred.as("pred_lang")),
       Some(langIdOracle)),
 
+    // ---------------------------------------------- BPE-ish tokenization
+    QueryDef(
+      "text_regex_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)")
+              .as("n_subword_tokens"),
+            tokenCount.as("n_ws_tokens")),
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subword_tokens,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens
+        FROM documents""")),
+
     // ------------------------------------------------------- fingerprint
     QueryDef(
       "text_fingerprint",
