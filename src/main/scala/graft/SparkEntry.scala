@@ -11,7 +11,7 @@ import graft.ops._
 object SparkEntry {
 
   private def all: Seq[QueryDef] =
-    Relational.defs ++ TextOps.defs ++ IceQueries.defs ++ Dedup.defs ++
+    Relational.defs ++ Relational2.defs ++ TextOps.defs ++ IceQueries.defs ++ Dedup.defs ++
       Similarity.defs ++ Multimodal.defs ++ StreamingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
