@@ -6,7 +6,7 @@ import scala.collection.parallel.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path, RemoteIterator}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 import graft.core._
 import graft.meta.{DataFile, PartitionSpec, SortOrder}
@@ -32,8 +32,13 @@ object DataWriter {
   private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 
   def write(df: DataFrame, location: String, schema: IceSchema,
-      spec: PartitionSpec, sortOrder: SortOrder = SortOrder.Unsorted): Seq[DataFile] = {
+      spec: PartitionSpec, sortOrder: SortOrder = SortOrder.Unsorted,
+      properties: Map[String, String] = Map.empty): Seq[DataFile] = {
     val staging = s"$location/data/${UUID.randomUUID()}"
+    // reference write defaults (`parquet_files.go:46-64`): zstd compression,
+    // bounded rows per file (the rolling-writer equivalent)
+    val compression = properties.getOrElse("write.parquet.compression-codec", "zstd")
+    val maxRecords = properties.getOrElse("write.max-records-per-file", "1048576").toLong
     // attach parquet.field.id metadata so Spark's writer stamps Iceberg
     // field IDs into the files (ID-based column resolution on read)
     val withIds = df.select(schema.fields.map(f =>
@@ -56,7 +61,10 @@ object DataWriter {
       if (sortOrder.isUnsorted) withIds
       else withIds.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     if (spec.isUnpartitioned) {
-      aligned.write.parquet(staging)
+      aligned.write
+        .option("compression", compression)
+        .option("maxRecordsPerFile", maxRecords)
+        .parquet(staging)
       listParquet(staging).par.map { case (p, len) =>
         ParquetStats.toDataFile(p, len, schema, Nil)
       }.seq.toSeq
@@ -66,9 +74,20 @@ object DataWriter {
         pf.transform.toColumn(col(src.name), src.tpe).as(PartPrefix + pf.name)
       }
       val partNames = spec.fields.map(PartPrefix + _.name)
+      // fanout shuffle on the partition tuple; tasks-per-partition > 1
+      // salts the shuffle so one giant partition value cannot pin a single
+      // reducer (the skew escape hatch at 100 TB)
+      val fanout = properties.getOrElse("write.fanout.tasks-per-partition", "1").toInt
+      val shuffleKeys =
+        if (fanout <= 1) partNames.map(col)
+        else partNames.map(col) :+ pmod(hash(schema.fields.map(f => col(f.name)): _*),
+          lit(fanout))
       aligned.select(schema.fields.map(f => col(f.name)) ++ partCols: _*)
-        .repartition(partNames.map(col): _*)
-        .write.partitionBy(partNames: _*).parquet(staging)
+        .repartition(shuffleKeys: _*)
+        .write
+        .option("compression", compression)
+        .option("maxRecordsPerFile", maxRecords)
+        .partitionBy(partNames: _*).parquet(staging)
       val partType = spec.partitionType(schema)
       listParquet(staging).par.map { case (p, len) =>
         val tuple = parsePartitionPath(p, staging, partType)

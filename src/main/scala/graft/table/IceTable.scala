@@ -77,7 +77,7 @@ final class IceTable private (
     * carry parent manifests forward, CAS-commit with retry.
     */
   def append(df: DataFrame): Snapshot = {
-    val files = DataWriter.write(df, location, schema, spec, sortOrder)
+    val files = DataWriter.write(df, location, schema, spec, sortOrder, meta.properties)
     commitAddedFiles(files, retries = 3)
   }
 

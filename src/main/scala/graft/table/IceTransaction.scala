@@ -32,7 +32,8 @@ final class IceTransaction private[table] (table: IceTable) {
     require(!committed, "transaction already committed")
     committed = true
     val files: Seq[DataFile] = stagedFrames.flatMap(df =>
-      DataWriter.write(df, table.location, table.schema, table.spec, table.sortOrder)).toSeq
+      DataWriter.write(df, table.location, table.schema, table.spec, table.sortOrder,
+        table.metadata.properties)).toSeq
     table.commitTransaction(files, setProps, removeProps)
   }
 }
