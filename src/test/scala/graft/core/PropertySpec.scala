@@ -1,0 +1,150 @@
+package graft.core
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests (SURVEY §5: transform/literal round-trip
+  * invariants) over seeded random samples: codec round-trips, truncate
+  * laws, bucket range/promotion stability, time-transform floor alignment,
+  * and NOT-rewrite semantic preservation.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val N = 500
+
+  test("bounds codec round-trips arbitrary ints/longs/doubles/strings") {
+    val rnd = new Random(42)
+    (1 to N).foreach { _ =>
+      val i = rnd.nextInt()
+      assert(Bounds.decode(IceInt, Bounds.encode(IceInt, i)) == i)
+      val l = rnd.nextLong()
+      assert(Bounds.decode(IceLong, Bounds.encode(IceLong, l)) == l)
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!d.isNaN)
+        assert(Bounds.decode(IceDouble, Bounds.encode(IceDouble, d)) == d)
+      val s = rnd.alphanumeric.take(rnd.nextInt(30)).mkString
+      assert(Bounds.decode(IceString, Bounds.encode(IceString, s)) == s)
+      val bd = java.math.BigDecimal.valueOf(rnd.nextLong() % 1000000000L, 2)
+      assert(Bounds.decode(IceDecimal(18, 2), Bounds.encode(IceDecimal(18, 2), bd)) == bd)
+    }
+  }
+
+  test("truncate law: result <= value, value - result < width, idempotent") {
+    val rnd = new Random(43)
+    (1 to N).foreach { _ =>
+      val w = 1 + rnd.nextInt(1000)
+      val v = rnd.nextInt(Int.MaxValue - 2000) - (Int.MaxValue / 2)
+      val t = TruncateTransform(w)
+      val r = t.apply(IceInt, v).asInstanceOf[Int]
+      assert(r <= v && v.toLong - r < w)
+      assert(Math.floorMod(r, w) == 0)
+      assert(t.apply(IceInt, r) == r)
+    }
+  }
+
+  test("bucket stays in [0, N) and is stable across int/long promotion") {
+    val rnd = new Random(44)
+    (1 to N).foreach { _ =>
+      val n = 1 + rnd.nextInt(512)
+      val v = rnd.nextInt()
+      val b = BucketTransform(n)
+      val r = b.apply(IceInt, v).asInstanceOf[Int]
+      assert(r >= 0 && r < n)
+      assert(b.apply(IceLong, v.toLong) == r) // spec: int hashes as int64
+      // date buckets identically to its int day count
+      assert(b.apply(IceDate, v) == r)
+    }
+  }
+
+  test("hour/day floor alignment across ±130 years") {
+    val rnd = new Random(45)
+    (1 to N).foreach { _ =>
+      val micros = rnd.nextLong() % 4102444800000000L
+      val h = HourTransform.apply(IceTimestamp, micros).asInstanceOf[Int]
+      val d = DayTransform.apply(IceTimestamp, micros).asInstanceOf[Int]
+      assert(h.toLong * 3600000000L <= micros && micros < (h + 1).toLong * 3600000000L)
+      assert(d.toLong * 86400000000L <= micros && micros < (d + 1).toLong * 86400000000L)
+      assert(Math.floorDiv(h.toLong, 24L) == d.toLong)
+      // year/month agree with java.time on the same instant
+      val ld = java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      assert(YearTransform.apply(IceTimestamp, micros) == ld.getYear - 1970)
+      assert(MonthTransform.apply(IceTimestamp, micros) ==
+        (ld.getYear - 1970) * 12 + ld.getMonthValue - 1)
+    }
+  }
+
+  test("rewriteNot preserves semantics under evaluation") {
+    val schema = IceSchema(0, Seq(NestedField(1, "x", IceInt)))
+    val rnd = new Random(46)
+    val ops = Seq(Op.Lt, Op.LtEq, Op.Gt, Op.GtEq, Op.Eq, Op.NotEq)
+    def randPred(): IcePredicate = Pred(ops(rnd.nextInt(ops.size)), "x",
+      Seq(rnd.nextInt(21) - 10))
+    def randTree(depth: Int): IcePredicate =
+      if (depth == 0) randPred()
+      else rnd.nextInt(4) match {
+        case 0 => And(randTree(depth - 1), randTree(depth - 1))
+        case 1 => Or(randTree(depth - 1), randTree(depth - 1))
+        case 2 => Not(randTree(depth - 1))
+        case _ => randPred()
+      }
+    def naive(q: IcePredicate, x: Int): Boolean = q match {
+      case Not(c) => !naive(c, x)
+      case And(l, r) => naive(l, x) && naive(r, x)
+      case Or(l, r) => naive(l, x) || naive(r, x)
+      case AlwaysTrue => true
+      case AlwaysFalse => false
+      case Pred(op, _, lits) =>
+        val v = lits.head.asInstanceOf[Int]
+        op match {
+          case Op.Lt => x < v
+          case Op.LtEq => x <= v
+          case Op.Gt => x > v
+          case Op.GtEq => x >= v
+          case Op.Eq => x == v
+          case Op.NotEq => x != v
+          case _ => false
+        }
+      case other => throw new IllegalStateException(other.toString)
+    }
+    def hasNot(q: IcePredicate): Boolean = q match {
+      case Not(_) => true
+      case And(l, r) => hasNot(l) || hasNot(r)
+      case Or(l, r) => hasNot(l) || hasNot(r)
+      case _ => false
+    }
+    (1 to N).foreach { _ =>
+      val p = randTree(3)
+      val x = rnd.nextInt(25) - 12
+      assert(!hasNot(Predicates.rewriteNot(p)))
+      val bound = Predicates.bind(p, schema)
+      assert(Predicates.evaluate(bound, id => if (id == 1) Some(x) else None) ==
+        naive(p, x), s"$p at x=$x")
+    }
+  }
+
+  test("manifest summary bounds agree with row-level evaluation decisions") {
+    // inclusive evaluator soundness: if a value matches the predicate and
+    // lies within [lower, upper], the summary evaluator must keep the file
+    val rnd = new Random(47)
+    val pSchema = IceSchema(-1, Seq(NestedField(1000, "p", IceInt)))
+    (1 to N).foreach { _ =>
+      val lo = rnd.nextInt(1000) - 500
+      val hi = lo + rnd.nextInt(100)
+      val v = lo + rnd.nextInt(hi - lo + 1) // inside the range
+      val summary = graft.meta.FieldSummary(containsNull = false, Some(false),
+        Some(Bounds.encode(IceInt, lo)), Some(Bounds.encode(IceInt, hi)))
+      val m = graft.meta.ManifestFile("m", 1, 0, 0, 1, 1, 1, 1, 0, 0, 1, 0, 0,
+        Seq(summary))
+      val ops = Seq(P.ltEq("p", v), P.gtEq("p", v), P.equalTo("p", v),
+        P.in("p", Seq(v, v + 5000)))
+      ops.foreach { pred =>
+        assert(Evaluators.manifestMayMatch(P.bind(pred, pSchema), pSchema, m),
+          s"$pred vs [$lo,$hi] v=$v")
+      }
+    }
+  }
+
+  private val P = Predicates
+}
