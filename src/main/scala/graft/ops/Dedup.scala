@@ -71,6 +71,7 @@ object Dedup {
   def minhashCandidates(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
     val docs = t(spark, dir, "documents")
     val sigs = docs.select(col("doc_id"), minhashUdf(wordSet(col("text"))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(docs)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -137,29 +138,62 @@ object Dedup {
     * prefixes — exact results without an all-pairs join.
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
-    jaccardPairsOver(spark, dir, threshold, wordSet(col("text")))
+    jaccardPairsOver(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")),
+      threshold)
 
-  /** 3-gram variant: shingles are consecutive word triples. */
+  /** 3-gram variant: shingles are consecutive word triples. The word array
+    * is materialized ONCE per row before the gram lambda — higher-order
+    * functions get no common-subexpression elimination, so inlining the
+    * split would recompute it per gram element.
+    *
+    * Exact algorithm: inverted-index COUNT-join — |A∩B| is counted by
+    * joining token streams on (gram, source) and grouping by pair, so full
+    * gram arrays never travel through the shuffle. This is the right exact
+    * plan for LOW-document-frequency tokens (shingles): joined rows are
+    * Σ_tok C(df,2), tiny when dfs are small. The word-set variant keeps
+    * prefix filtering instead, which is the right plan when dfs are large.
+    */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val ws = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
-    val grams = when(size(ws) >= 3,
-      array_distinct(expr(
-        """transform(sequence(0, size(split(regexp_replace(lower(text), '\\s+', ' '), ' ')) - 3),
-           i -> concat(element_at(split(regexp_replace(lower(text), '\\s+', ' '), ' '), i + 1), ' ',
-                       element_at(split(regexp_replace(lower(text), '\\s+', ' '), ' '), i + 2), ' ',
-                       element_at(split(regexp_replace(lower(text), '\\s+', ' '), ' '), i + 3)))""")))
+    val withWords = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("words"))
+    val w = col("words")
+    val grams = when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
+        concat(element_at(w, i + 1), lit(" "),
+          element_at(w, i + 2), lit(" "), element_at(w, i + 3)))))
       .otherwise(array().cast("array<string>"))
-    jaccardPairsOver(spark, dir, threshold, grams)
+    // Persist the shingle table: it feeds both sides of the self-join, and
+    // the barrier stops Catalyst from inlining the (interpreted,
+    // non-codegen) higher-order gram lambda into the Generate/filter above,
+    // which re-evaluates it per emitted element. At cluster scale this is
+    // the materialized signature table (MEMORY_AND_DISK).
+    val docs = withWords.select(col("doc_id"), col("source"), grams.as("ws"))
+      .withColumn("sz", size(col("ws")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("ws")).as("tok"))
+    tokens.as("a").join(tokens.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
+      .where(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
   }
 
-  private def jaccardPairsOver(spark: SparkSession, dir: String, threshold: Double,
-      tokenSet: Column): DataFrame = {
+  private def jaccardPairsOver(docsWithTokens: DataFrame, threshold: Double): DataFrame = {
     // blocked by `source`: the standard blocking-key pattern — near-dups
     // are sought within a corpus shard, bounding candidate fan-out
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), tokenSet.as("ws"))
+    val docs = docsWithTokens
       .withColumn("sz", size(col("ws")))
       .where(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
     val tokenDf = tokens.groupBy("tok").agg(count(lit(1)).as("tok_df"))
