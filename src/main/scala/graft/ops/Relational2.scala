@@ -113,6 +113,50 @@ object Relational2 {
           (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10) OR
           (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))""")),
 
+    // ---------------------- q17: decorrelated scalar-subquery aggregate
+    QueryDef(
+      "q17_small_quantity",
+      (s, dir) => {
+        // per-part threshold = 0.5 * avg(quantity), computed as exact
+        // decimal sum → one IEEE division → deterministic across engines
+        val li = t(s, dir, "lineitem")
+        val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+          .agg(((sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType) /
+            count(lit(1))) * 0.5).as("threshold"))
+        li.join(broadcast(t(s, dir, "part").where(col("p_brand") === "Brand#5")),
+            col("l_partkey") === col("p_partkey"))
+          .join(thresholds, col("l_partkey") === col("t_partkey"))
+          .where(col("l_quantity") < col("threshold"))
+          .agg(
+            sum(col("l_extendedprice").cast(DecimalType(14, 2)))
+              .cast(DecimalType(38, 2)).as("total_price"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS total_price,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem, part,
+          (SELECT l_partkey AS t_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) * 0.5 AS threshold
+           FROM lineitem GROUP BY l_partkey) th
+        WHERE l_partkey = p_partkey AND p_brand = 'Brand#5'
+          AND l_partkey = th.t_partkey AND l_quantity < th.threshold""")),
+
+    // -------------------------------------------- ROLLUP / grouping sets
+    QueryDef(
+      "q_rollup_returns",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast(DecimalType(12, 2)))
+              .cast(DecimalType(38, 2)).as("sum_qty"))
+          .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty"),
+      Some("""
+        SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
     // --------------------------------------------------- SQL-text surface
     QueryDef(
       "q_sql_interface",

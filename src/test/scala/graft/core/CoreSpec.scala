@@ -135,6 +135,29 @@ class CoreSpec extends AnyFunSuite {
     assert(IceType.canPromote(IceFixed(16), IceUUID))
   }
 
+  test("nested list/map types: JSON and Spark conversion round-trip") {
+    import graft.meta.TableMetadataJson
+    val nested = IceSchema(3, Seq(
+      NestedField(1, "id", IceLong, required = true),
+      NestedField(2, "tags", IceListType(5, IceString, elementRequired = false)),
+      NestedField(3, "attrs", IceMapType(6, IceString, 7, IceDouble, valueRequired = true)),
+      NestedField(4, "loc", IceStructType(Seq(
+        NestedField(8, "lat", IceDouble), NestedField(9, "lon", IceDouble))))))
+    val json = TableMetadataJson.schemaToJson(nested).toString
+    val back = TableMetadataJson.schemaFromJson(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+    assert(back == nested)
+    // Spark StructType shape (containsNull/valueContainsNull honored)
+    val st = nested.toSpark
+    assert(st("tags").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, true))
+    assert(st("attrs").dataType == org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.DoubleType, false))
+    // nested IDs indexed
+    assert(nested.findById(9).map(_.name).contains("lon"))
+    assert(nested.findByName("loc.lat").map(_.id).contains(8))
+  }
+
   test("type spec-string round-trip") {
     for (t <- Seq(IceBoolean, IceInt, IceLong, IceFloat, IceDouble, IceDate, IceTime,
         IceTimestamp, IceTimestampTz, IceString, IceUUID, IceBinary,
