@@ -26,45 +26,62 @@ object IceQueries {
 
   private def fixture(spark: SparkSession, dir: String): Fixture =
     fixtures.getOrElseUpdate(dir, synchronized {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val wh = Files.createTempDirectory("graft-ice").toString
       val catalog = new FileCatalog(wh)
       val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
       val liSchema = SchemaConv.fromSpark(lineitem.schema)
 
-      // two appends → a time-travel point after the first
-      val li = IceTable.create(catalog, "lineitem", liSchema)
-      val snap1 = li.append(lineitem.where("l_quantity <= 25"))
-      li.append(lineitem.where("l_quantity > 25"))
-
-      // partitioned by year(l_shipdate) + bucket(4, l_orderkey)
-      val spec = PartitionSpec.of(0,
-        ("l_shipdate", YearTransform, "ship_year"),
-        ("l_orderkey", BucketTransform(4), "ok_bucket"))(liSchema)
-      val liPart = IceTable.create(catalog, "lineitem_part", liSchema, spec)
-      liPart.append(lineitem)
-
-      // MOR: delete all returned items positionally
-      val liMor = IceTable.create(catalog, "lineitem_mor", liSchema)
-      liMor.append(lineitem.coalesce(4))
-      liMor.deleteWhere(spark, P.equalTo("l_returnflag", "R"))
-
-      // nation committed through the explicit distributed-snapshot protocol
-      val nation = spark.read.parquet(s"$dir/nation.parquet")
-      val nSchema = SchemaConv.fromSpark(nation.schema)
-      val nationDist = IceTable.create(catalog, "nation_dist", nSchema)
-      val ds = nationDist.beginDistributedSnapshot()
-      val manifests = (0 until 2).map { w =>
-        val files = DataWriter.write(nation.where(s"pmod(n_nationkey, 2) = $w"),
-          nationDist.location, nSchema, nationDist.spec)
-        val entries = files.map(f => ManifestEntry(ManifestEntryStatus.Added,
-          ds.snapshotId, None, None, f))
-        ManifestIO.writeManifest(
-          s"${nationDist.location}/metadata/${ds.commitUuid}-m$w.avro",
-          entries, nationDist.spec, nSchema)
+      // the four tables are independent — build them as concurrent Spark
+      // jobs (the scheduler interleaves their stages across the executors)
+      val fLi = Future {
+        // two appends → a time-travel point after the first
+        val li = IceTable.create(catalog, "lineitem", liSchema)
+        val snap1 = li.append(lineitem.where("l_quantity <= 25"))
+        li.append(lineitem.where("l_quantity > 25"))
+        (li, snap1.snapshotId)
       }
-      nationDist.commitDistributedSnapshot(ds, manifests)
-
-      Fixture(li, snap1.snapshotId, liPart, liMor, nationDist)
+      val fPart = Future {
+        // partitioned by year(l_shipdate) + bucket(4, l_orderkey)
+        val spec = PartitionSpec.of(0,
+          ("l_shipdate", YearTransform, "ship_year"),
+          ("l_orderkey", BucketTransform(4), "ok_bucket"))(liSchema)
+        val liPart = IceTable.create(catalog, "lineitem_part", liSchema, spec)
+        liPart.append(lineitem)
+        liPart
+      }
+      val fMor = Future {
+        // MOR: delete all returned items positionally
+        val liMor = IceTable.create(catalog, "lineitem_mor", liSchema)
+        liMor.append(lineitem.coalesce(4))
+        liMor.deleteWhere(spark, P.equalTo("l_returnflag", "R"))
+        liMor
+      }
+      val fDist = Future {
+        // nation committed through the explicit distributed-snapshot protocol
+        val nation = spark.read.parquet(s"$dir/nation.parquet")
+        val nSchema = SchemaConv.fromSpark(nation.schema)
+        val nationDist = IceTable.create(catalog, "nation_dist", nSchema)
+        val ds = nationDist.beginDistributedSnapshot()
+        val manifests = (0 until 2).map { w =>
+          val files = DataWriter.write(nation.where(s"pmod(n_nationkey, 2) = $w"),
+            nationDist.location, nSchema, nationDist.spec)
+          val entries = files.map(f => ManifestEntry(ManifestEntryStatus.Added,
+            ds.snapshotId, None, None, f))
+          ManifestIO.writeManifest(
+            s"${nationDist.location}/metadata/${ds.commitUuid}-m$w.avro",
+            entries, nationDist.spec, nSchema)
+        }
+        nationDist.commitDistributedSnapshot(ds, manifests)
+        nationDist
+      }
+      val (li, snap1Id) = Await.result(fLi, Duration.Inf)
+      Fixture(li, snap1Id,
+        Await.result(fPart, Duration.Inf),
+        Await.result(fMor, Duration.Inf),
+        Await.result(fDist, Duration.Inf))
     })
 
   val defs: Seq[QueryDef] = Seq(
