@@ -55,15 +55,43 @@ final class IceTable private (
       selected: Option[Seq[String]] = None,
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
+      ref: Option[String] = None,
       limit: Option[Int] = None,
       caseSensitive: Boolean = true): IceScan = {
-    val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
+    val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined || ref.isDefined
     val snap = snapshotId.map(id => meta.snapshotById(id).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $id")))
+      .orElse(ref.map(r => meta.refs.get(r).flatMap(x => meta.snapshotById(x.snapshotId))
+        .getOrElse(throw new IllegalArgumentException(s"no ref $r"))))
       .orElse(asOfTimestampMs.map(ts => meta.snapshotAsOf(ts).getOrElse(
         throw new IllegalArgumentException(s"no snapshot as of $ts"))))
       .orElse(meta.currentSnapshot)
     new IceScan(this, snap, filter, selected, limit, caseSensitive, timeTravel)
+  }
+
+  // ------------------------------------------------------------------- refs
+  /** Tag/branch a snapshot (reference `table/refs.go`): tags are immutable
+    * pointers, branches move on commit (only `main` is advanced by commits
+    * here). Referenced snapshots survive expiry.
+    */
+  def createTag(tagName: String, snapshotId: Long): Unit = setRef(tagName, snapshotId, "tag")
+  def createBranch(branchName: String, snapshotId: Long): Unit =
+    setRef(branchName, snapshotId, "branch")
+
+  def removeRef(refName: String): Unit = synchronized {
+    require(refName != "main", "cannot remove main")
+    val newMeta = meta.copy(refs = meta.refs - refName,
+      lastUpdatedMs = System.currentTimeMillis())
+    version = catalog.commit(name, version, newMeta)
+    meta = newMeta
+  }
+
+  private def setRef(refName: String, snapshotId: Long, refType: String): Unit = synchronized {
+    require(meta.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
+    val newMeta = meta.copy(refs = meta.refs + (refName -> SnapshotRef(snapshotId, refType)),
+      lastUpdatedMs = System.currentTimeMillis())
+    version = catalog.commit(name, version, newMeta)
+    meta = newMeta
   }
 
   /** Convenience: filtered + projected DataFrame of the current snapshot. */

@@ -167,6 +167,24 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("refs: tags pin snapshots through expiry, scans resolve by ref") {
+    val t = IceTable.create(catalog, "li_refs", lineitemSchema)
+    val snap1 = t.append(lineitem.where("l_quantity <= 10"))
+    t.append(lineitem.where("l_quantity > 10"))
+    t.createTag("v1", snap1.snapshotId)
+    assert(t.newScan(ref = Some("v1")).toDF(spark).count() ==
+      lineitem.where("l_quantity <= 10").count())
+    assert(t.newScan(ref = Some("main")).toDF(spark).count() == lineitem.count())
+    // tagged snapshot survives expiry of everything old
+    t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(t.metadata.snapshots.exists(_.snapshotId == snap1.snapshotId))
+    assert(t.newScan(ref = Some("v1")).toDF(spark).count() ==
+      lineitem.where("l_quantity <= 10").count())
+    t.removeRef("v1")
+    intercept[IllegalArgumentException] { t.newScan(ref = Some("v1")) }
+    intercept[IllegalArgumentException] { t.removeRef("main") }
+  }
+
   test("snapshot expiry keeps current, drops old") {
     val t = IceTable.load(catalog, "li_pruned")
     val before = t.metadata.snapshots.size
