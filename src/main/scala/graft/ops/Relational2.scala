@@ -173,6 +173,45 @@ object Relational2 {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name""")),
 
+    // ---------------------- sessionization (gap-based, window functions)
+    QueryDef(
+      "q_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // a 30-minute silence starts a new session; session index is the
+        // running count of boundaries — one shuffle on user_id, all window
+        val events = t(s, dir, "events")
+        events
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum("new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("session_start"),
+            max("ts").as("session_end"))
+          .select("user_id", "session_idx", "n_events", "session_start", "session_end")
+      },
+      Some("""
+        SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+          CAST(MAX(ts) AS TIMESTAMP) AS session_end
+        FROM (
+          SELECT user_id, ts,
+            SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM (
+            SELECT user_id, event_id, ts,
+              lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events) t1) t2
+        GROUP BY user_id, session_idx""")),
+
     // ------------------------- salted two-stage aggregation (skew pattern)
     QueryDef(
       "q_salted_user_totals",
