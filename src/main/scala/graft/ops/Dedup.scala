@@ -131,17 +131,52 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  // ------------------------------------------------- exact jaccard (PPJoin)
-  /** Exact word-set jaccard pairs >= threshold via prefix filtering: any
-    * pair with J >= t shares a token among each doc's (|d| - ceil(t*|d|) + 1)
-    * globally-rarest tokens, so the inverted index is built only on those
-    * prefixes — exact results without an all-pairs join.
+  // ---------------------------------------------------- exact jaccard
+  /** Exact word-set jaccard pairs >= threshold via the inverted-index
+    * count-join (see countJoinJaccard). `jaccardPairsPrefix` is the
+    * PPJoin-style alternative; DedupSpec proves both return identical sets.
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    countJoinJaccard(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")),
+      threshold)
+
+  /** PPJoin-style exact jaccard: any pair with J >= t shares a token among
+    * each doc's (|d| - ceil(t*|d|) + 1) globally-rarest tokens, so the
+    * inverted index holds only those prefixes — bounds candidate pairs when
+    * the corpus has rare tokens, at the cost of shipping token arrays to
+    * verify candidates.
+    */
+  def jaccardPairsPrefix(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     jaccardPairsOver(
       t(spark, dir, "documents")
         .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")),
       threshold)
+
+  /** Inverted-index count-join: count shared tokens per pair by joining the
+    * exploded token streams on (token, source) — no array payloads through
+    * the shuffle, cost Σ_tok C(df,2). The exact plan of choice when token
+    * document frequencies are modest; pair it with blocking keys (source)
+    * and stop-token capping at larger scale.
+    */
+  private def countJoinJaccard(docsWithTokens: DataFrame, threshold: Double): DataFrame = {
+    val docs = docsWithTokens
+      .withColumn("sz", size(col("ws")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("ws")).as("tok"))
+    tokens.as("a").join(tokens.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
+      .where(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+  }
 
   /** 3-gram variant: shingles are consecutive word triples. The word array
     * is materialized ONCE per row before the gram lambda — higher-order
@@ -165,26 +200,11 @@ object Dedup {
         concat(element_at(w, i + 1), lit(" "),
           element_at(w, i + 2), lit(" "), element_at(w, i + 3)))))
       .otherwise(array().cast("array<string>"))
-    // Persist the shingle table: it feeds both sides of the self-join, and
-    // the barrier stops Catalyst from inlining the (interpreted,
-    // non-codegen) higher-order gram lambda into the Generate/filter above,
-    // which re-evaluates it per emitted element. At cluster scale this is
-    // the materialized signature table (MEMORY_AND_DISK).
-    val docs = withWords.select(col("doc_id"), col("source"), grams.as("ws"))
-      .withColumn("sz", size(col("ws")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
-      explode(col("ws")).as("tok"))
-    tokens.as("a").join(tokens.as("b"),
-        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jac", col("inter").cast(DoubleType) /
-        (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
-      .where(col("jac") >= threshold)
-      .select("doc_a", "doc_b", "jac")
+    // the persist inside countJoinJaccard doubles as the materialization
+    // barrier that keeps the interpreted gram lambda from being re-inlined
+    // through the Generate (it would re-evaluate per emitted element)
+    countJoinJaccard(withWords.select(col("doc_id"), col("source"), grams.as("ws")),
+      threshold)
   }
 
   private def jaccardPairsOver(docsWithTokens: DataFrame, threshold: Double): DataFrame = {

@@ -20,7 +20,8 @@ import graft.table._
 object IceQueries {
 
   private case class Fixture(li: IceTable, firstSnapshotId: Long,
-      liPart: IceTable, liMor: IceTable, nationDist: IceTable)
+      liPart: IceTable, liMor: IceTable, nationDist: IceTable,
+      liCompact: IceTable)
 
   private val fixtures = TrieMap[String, Fixture]()
 
@@ -59,6 +60,14 @@ object IceQueries {
         liMor.deleteWhere(spark, P.equalTo("l_returnflag", "R"))
         liMor
       }
+      val fCompact = Future {
+        // three small appends, then bin-pack into two files via the
+        // replace-files compaction primitive
+        val lc = IceTable.create(catalog, "lineitem_compact", liSchema)
+        (1 to 3).foreach(i => lc.append(lineitem.where(s"pmod(l_orderkey, 3) = ${i - 1}")))
+        lc.compact(spark, targetFileCount = 2)
+        lc
+      }
       val fDist = Future {
         // nation committed through the explicit distributed-snapshot protocol
         val nation = spark.read.parquet(s"$dir/nation.parquet")
@@ -81,7 +90,8 @@ object IceQueries {
       Fixture(li, snap1Id,
         Await.result(fPart, Duration.Inf),
         Await.result(fMor, Duration.Inf),
-        Await.result(fDist, Duration.Inf))
+        Await.result(fDist, Duration.Inf),
+        Await.result(fCompact, Duration.Inf))
     })
 
   val defs: Seq[QueryDef] = Seq(
@@ -121,6 +131,15 @@ object IceQueries {
       Some("""
         SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
         WHERE l_returnflag <> 'R'""")),
+
+    QueryDef(
+      "ice_compacted_scan",
+      (s, dir) => fixture(s, dir).liCompact.scan(s,
+        P.gtEq("l_quantity", 30.0),
+        Some(Seq("l_orderkey", "l_linenumber", "l_quantity"))),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity >= 30""")),
 
     QueryDef(
       "ice_distributed_commit",

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks the two exact jaccard algorithms (inverted-index count-join
+  * vs PPJoin prefix filtering) — identical result sets — and basic
+  * dedup/similarity determinism.
+  */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("dedup-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("count-join and prefix-filtered jaccard agree exactly") {
+    val a = Dedup.jaccardPairs(spark, sfDir, 0.5)
+      .select("doc_a", "doc_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.jaccardPairsPrefix(spark, sfDir, 0.5)
+      .select("doc_a", "doc_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
+  test("minhash LSH recall against exact jaccard at high threshold") {
+    val exact = Dedup.jaccardPairs(spark, sfDir, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashCandidates(spark, sfDir, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 bands x 4 rows at j>=0.9: detection probability ≈ 1 - (1-0.9^4)^16 ≈ 0.999
+    val recalled = exact.count(lsh.contains).toDouble
+    assert(exact.isEmpty || recalled / exact.size >= 0.9,
+      s"recall ${recalled / exact.size} over ${exact.size} true pairs")
+  }
+
+  test("simhash is deterministic and identical docs collide") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+    val hashes = Dedup.simhashes(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(3L))
+  }
+}
