@@ -65,7 +65,7 @@ object DataWriter {
         .option("compression", compression)
         .option("maxRecordsPerFile", maxRecords)
         .parquet(staging)
-      listParquet(staging).par.map { case (p, len) =>
+      renameToIceberg(listParquet(staging)).par.map { case (p, len) =>
         ParquetStats.toDataFile(p, len, schema, Nil)
       }.seq.toSeq
     } else {
@@ -89,10 +89,23 @@ object DataWriter {
         .option("maxRecordsPerFile", maxRecords)
         .partitionBy(partNames: _*).parquet(staging)
       val partType = spec.partitionType(schema)
-      listParquet(staging).par.map { case (p, len) =>
+      renameToIceberg(listParquet(staging)).par.map { case (p, len) =>
         val tuple = parsePartitionPath(p, staging, partType)
         ParquetStats.toDataFile(p, len, schema, tuple)
       }.seq.toSeq
+    }
+  }
+
+  /** Rename staged part-files to the reference's data-file convention
+    * `%05d-{task}-{uuid}.parquet` (reference `table/writer.go:41-45`),
+    * keeping partition directories intact. Metadata-only (FS rename).
+    */
+  private def renameToIceberg(files: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val fs = FileSystem.get(new java.net.URI(files.headOption.map(_._1).getOrElse("/")), conf)
+    files.zipWithIndex.map { case ((p, len), i) =>
+      val dir = p.substring(0, p.lastIndexOf('/'))
+      val target = f"$dir/$i%05d-$i-${UUID.randomUUID()}.parquet"
+      if (fs.rename(new Path(p), new Path(target))) (target, len) else (p, len)
     }
   }
 
