@@ -198,32 +198,35 @@ object Predicates {
       case Pred(op, name, lits) =>
         val f = schema.findByName(name, caseSensitive).getOrElse(
           throw new IllegalArgumentException(s"cannot bind: no field $name in schema ${schema.schemaId}"))
-        bindPred(op, f, lits)
+        bindPred(op, name, f, lits)
       case b: BoundPred => b
       case Not(_) => throw new IllegalStateException("rewriteNot left a Not")
     }
 
-  private def bindPred(op: Op, f: NestedField, lits: Seq[Any]): IcePredicate = {
+  /** `name` is the reference as queried (dotted for nested fields) so the
+    * Catalyst conversion resolves the full path, not just the leaf.
+    */
+  private def bindPred(op: Op, name: String, f: NestedField, lits: Seq[Any]): IcePredicate = {
     val isFloating = f.tpe == IceFloat || f.tpe == IceDouble
     op match {
-      case Op.IsNull => if (f.required) AlwaysFalse else BoundPred(op, f.id, f.name, f.tpe, f.required)
-      case Op.NotNull => if (f.required) AlwaysTrue else BoundPred(op, f.id, f.name, f.tpe, f.required)
+      case Op.IsNull => if (f.required) AlwaysFalse else BoundPred(op, f.id, name, f.tpe, f.required)
+      case Op.NotNull => if (f.required) AlwaysTrue else BoundPred(op, f.id, name, f.tpe, f.required)
       case Op.IsNan =>
-        if (!isFloating) AlwaysFalse else BoundPred(op, f.id, f.name, f.tpe, f.required)
+        if (!isFloating) AlwaysFalse else BoundPred(op, f.id, name, f.tpe, f.required)
       case Op.NotNan =>
-        if (!isFloating) AlwaysTrue else BoundPred(op, f.id, f.name, f.tpe, f.required)
+        if (!isFloating) AlwaysTrue else BoundPred(op, f.id, name, f.tpe, f.required)
       case Op.In | Op.NotIn =>
         val cast = lits.flatMap(v => castLiteral(f.tpe, v)).distinct
         (op, cast) match {
           case (Op.In, Nil) => AlwaysFalse
           case (Op.NotIn, Nil) => AlwaysTrue
-          case (Op.In, Seq(one)) => BoundPred(Op.Eq, f.id, f.name, f.tpe, f.required, Seq(one))
-          case (Op.NotIn, Seq(one)) => BoundPred(Op.NotEq, f.id, f.name, f.tpe, f.required, Seq(one))
-          case _ => BoundPred(op, f.id, f.name, f.tpe, f.required, cast)
+          case (Op.In, Seq(one)) => BoundPred(Op.Eq, f.id, name, f.tpe, f.required, Seq(one))
+          case (Op.NotIn, Seq(one)) => BoundPred(Op.NotEq, f.id, name, f.tpe, f.required, Seq(one))
+          case _ => BoundPred(op, f.id, name, f.tpe, f.required, cast)
         }
       case _ =>
         castLiteral(f.tpe, lits.head) match {
-          case Some(v) => BoundPred(op, f.id, f.name, f.tpe, f.required, Seq(v))
+          case Some(v) => BoundPred(op, f.id, name, f.tpe, f.required, Seq(v))
           case None =>
             // literal does not fit the column type (e.g. long > int range or
             // decimal scale mismatch): comparison folds by op

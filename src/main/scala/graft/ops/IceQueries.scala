@@ -142,6 +142,17 @@ object IceQueries {
         WHERE l_quantity >= 30""")),
 
     QueryDef(
+      "ice_incremental_read",
+      (s, dir) => {
+        val f = fixture(s, dir)
+        graft.streaming.Ingest.changesSince(s, f.li, f.firstSnapshotId)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity > 25""")),
+
+    QueryDef(
       "ice_distributed_commit",
       (s, dir) => fixture(s, dir).nationDist.scan(s,
         selected = Some(Seq("n_nationkey", "n_name", "n_regionkey"))),

@@ -40,9 +40,14 @@ object DataWriter {
     val compression = properties.getOrElse("write.parquet.compression-codec", "zstd")
     val maxRecords = properties.getOrElse("write.max-records-per-file", "1048576").toLong
     // attach parquet.field.id metadata so Spark's writer stamps Iceberg
-    // field IDs into the files (ID-based column resolution on read)
-    val withIds = df.select(schema.fields.map(f =>
-      col(f.name).as(f.name, SchemaConv.toSparkField(f).metadata)): _*)
+    // field IDs into the files (ID-based column resolution on read); the
+    // cast to the Iceberg-derived Spark type carries NESTED field IDs too
+    // (they live on the StructFields inside the DataType tree)
+    val withIds = df.select(schema.fields.map { f =>
+      val sf = SchemaConv.toSparkField(f)
+      (if (f.tpe.isPrimitive) col(f.name) else col(f.name).cast(sf.dataType))
+        .as(f.name, sf.metadata)
+    }: _*)
     // honor the table sort order at write (reference applies SortOrder at
     // write, `table/sorting.go` + writer): range-partition on the sort key
     // so files hold disjoint ranges, then sort within each — that is what

@@ -679,8 +679,11 @@ final class IceScan(
     // read schema = projection ∪ filter-referenced columns (column pruning
     // at the scan; extra filter columns dropped after the residual applies)
     val filterNames = Predicates.referencedNames(bound)
+    // nested refs ("loc.lat") resolve to their top-level root column
+    val filterRoots = filterNames.map(_.takeWhile(_ != '.'))
     val readNames = (projected.fields.map(_.name) ++
-      schema.fields.map(_.name).filter(filterNames.contains)).distinct
+      schema.fields.map(_.name).filter(n =>
+        filterNames.contains(n) || filterRoots.contains(n))).distinct
     val readSchema = schema.select(readNames, caseSensitive)
 
     val paths = tasks.map(_.file.filePath)

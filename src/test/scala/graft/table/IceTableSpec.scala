@@ -212,6 +212,29 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 0)
   }
 
+  test("nested struct columns: create/append/scan with nested filters and stats") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(100).toDF("id")
+      .withColumn("loc", struct(
+        (col("id") % 10).cast("double").as("lat"),
+        (col("id") % 7).cast("double").as("lon")))
+      .withColumn("tags", array(concat(lit("t"), col("id") % 3), lit("x")))
+    val schema = SchemaConv.fromSpark(base.schema)
+    assert(schema.findByName("loc.lat").isDefined)
+    val t = IceTable.create(catalog, "nested", schema)
+    t.append(base)
+    assert(t.scan(spark).count() == 100)
+    // filter on a nested field through the predicate ADT
+    val hit = t.scan(spark, P.equalTo("loc.lat", 3.0))
+    assert(hit.count() == base.where("loc.lat = 3.0").count())
+    // nested leaf stats were collected from footers (dotted column paths)
+    val file = t.newScan().planFiles().head.file
+    val latId = t.schema.idByName("loc.lat")
+    assert(file.lowerBounds.contains(latId) && file.upperBounds.contains(latId))
+    // stats prune a nested-field predicate outside the value range
+    assert(t.newScan(P.gt("loc.lat", 99.0)).planFiles().isEmpty)
+  }
+
   test("catalog CAS: stale writer loses the race") {
     val t1 = IceTable.load(catalog, "li_basic")
     val t2 = IceTable.load(catalog, "li_basic")
