@@ -47,6 +47,7 @@ object Main {
           println(s"${s.snapshotId}\tseq=${s.sequenceNumber}\t${new java.sql.Timestamp(s.timestampMs)}\t${s.summary.getOrElse("operation", "")}"))
       case "create" =>
         val spark = SparkSession.builder().master("local[4]")
+          .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false").getOrCreate()
         try {
           val df = spark.read.parquet(args(3))

@@ -161,8 +161,10 @@ object Predicates {
         case s: String => // ISO date or date-time → epoch micros (UTC)
           val micros =
             if (s.length <= 10) java.time.LocalDate.parse(s).toEpochDay * 86400000000L
-            else java.time.Instant.parse(if (s.endsWith("Z")) s else s + "Z")
-              .toEpochMilli * 1000L
+            else { // full-fraction epoch micros: toEpochMilli would truncate
+              val i = java.time.Instant.parse(if (s.endsWith("Z")) s else s + "Z")
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }
           Some(micros)
         case _ => Some(v.asInstanceOf[Number].longValue())
       }

@@ -98,13 +98,29 @@ object Multimodal {
           CAST(64 + ((doc_id * 7) % 8) * 32 AS INTEGER) AS height
         FROM documents""")),
 
-    // stubbed decode → fixed-size features (rows-only: decode is a fake)
+    // stubbed decode → fixed-size features (rows-only: decode is a fake).
+    // The feature vector is emitted as a CSV string: the checker sorts rows
+    // by every column and raw array cells are unhashable on the pandas side.
     QueryDef(
       "multimodal_features",
-      (s, dir) => extractFeatures(s, dir).toDF(), None),
+      (s, dir) =>
+        extractFeatures(s, dir).toDF()
+          .withColumn("features",
+            concat_ws(",", col("features").cast(ArrayType(StringType)))),
+      None),
 
+    // frame sampling is metadata-only integer arithmetic → fully
+    // SQL-expressible; indices emitted as CSV for the same sortability reason
     QueryDef(
       "multimodal_frame_sample",
-      (s, dir) => sampleFrames(s, dir, 8), None)
+      (s, dir) =>
+        sampleFrames(s, dir, 8)
+          .withColumn("frame_indices",
+            concat_ws(",", col("frame_indices").cast(ArrayType(StringType)))),
+      Some("""
+        SELECT doc_id, CAST(doc_id % 100 + 1 AS INTEGER) AS n_frames,
+          array_to_string(range(0, CAST(doc_id % 100 + 1 AS BIGINT),
+            GREATEST(1, (CAST(doc_id % 100 + 1 AS BIGINT) + 7) // 8)), ',') AS frame_indices
+        FROM documents WHERE doc_id % 4 = 3"""))
   )
 }

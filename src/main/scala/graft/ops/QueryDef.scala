@@ -12,7 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - averages/ratios are a single IEEE double division of two exact values;
   *   - top-n queries always carry a unique tiebreak key in the ORDER BY;
   *   - every aggregate/computed column is cast to an identical type and
-  *     aliased to an identical name on both sides.
+  *     aliased to an identical name on both sides;
+  *   - NO final output column may be DECIMAL (or DuckDB HUGEINT): the
+  *     driver renders Spark parquet decimals as python Decimal ('253942.00')
+  *     but DuckDB results as float64 ('253942.0'), so trailing-zero scale
+  *     hash-mismatches even when values are bit-exact. Keep the internal
+  *     math decimal-exact, then CAST the final column to DOUBLE (or BIGINT
+  *     for integral window/count results) on BOTH engines.
   */
 final case class QueryDef(
     name: String,

@@ -39,9 +39,11 @@ object Relational {
         t(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_quantity").cast(DecimalType(12, 2))).cast(d38_2).as("sum_qty"),
-            sum(col("l_extendedprice").cast(DecimalType(14, 2))).cast(d38_2).as("sum_base_price"),
-            sum(discPrice).cast(d38_6).as("sum_disc_price"),
+            sum(col("l_quantity").cast(DecimalType(12, 2))).cast(d38_2)
+              .cast(DoubleType).as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(14, 2))).cast(d38_2)
+              .cast(DoubleType).as("sum_base_price"),
+            sum(discPrice).cast(d38_6).cast(DoubleType).as("sum_disc_price"),
             count(lit(1)).as("count_order"),
             (sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType) /
               count(lit(1))).cast(DoubleType).as("avg_qty"))
@@ -49,9 +51,9 @@ object Relational {
             "sum_disc_price", "count_order", "avg_qty"),
       Some("""
         SELECT l_returnflag, l_linestatus,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_base_price,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS sum_disc_price,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
           CAST(COUNT(*) AS BIGINT) AS count_order,
           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty
         FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
@@ -65,9 +67,10 @@ object Relational {
             col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
             col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
           .agg(sum(col("l_extendedprice").cast(DecimalType(14, 2)) *
-            col("l_discount").cast(DecimalType(8, 4))).cast(d38_6).as("revenue")),
+            col("l_discount").cast(DecimalType(8, 4))).cast(d38_6)
+            .cast(DoubleType).as("revenue")),
       Some("""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS revenue
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""")),
@@ -84,14 +87,14 @@ object Relational {
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-          .agg(sum(discPrice).cast(d38_6).as("revenue"))
+          .agg(sum(discPrice).cast(d38_6).cast(DoubleType).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
           .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       },
       Some("""
         SELECT l_orderkey,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS revenue,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
           o_orderdate, o_orderpriority
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -118,11 +121,11 @@ object Relational {
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(sum(discPrice).cast(d38_6).as("revenue"))
+          .agg(sum(discPrice).cast(d38_6).cast(DoubleType).as("revenue"))
       },
       Some("""
         SELECT n_name,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS revenue
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
           AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -163,14 +166,14 @@ object Relational {
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-          .agg(sum(discPrice).cast(d38_6).as("revenue"))
+          .agg(sum(discPrice).cast(d38_6).cast(DoubleType).as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
           .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
       },
       Some("""
         SELECT c_custkey, c_name,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS revenue,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
           c_acctbal, n_name
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -191,11 +194,11 @@ object Relational {
           .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .groupBy("n_name", "p_brand")
-          .agg(sum(discPrice).cast(d38_6).as("revenue"))
+          .agg(sum(discPrice).cast(d38_6).cast(DoubleType).as("revenue"))
       },
       Some("""
         SELECT n_name, p_brand,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS revenue
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM lineitem, part, supplier, nation
         WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
           AND p_size <= 10
@@ -254,12 +257,13 @@ object Relational {
           .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),
-            sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("total_value"))
+            sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+              .cast(DoubleType).as("total_value"))
           .select("hour", "event_type", "n_events", "total_value"),
       Some("""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
           CAST(COUNT(*) AS BIGINT) AS n_events,
-          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+          CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2""")),
 
     // ---------------------------------------------------------------- events: sessionless per-user stats

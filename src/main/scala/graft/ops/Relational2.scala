@@ -52,16 +52,17 @@ object Relational2 {
           .join(broadcast(part), col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type").startsWith("PROMO"), discPrice)
-              .otherwise(lit(0).cast(DecimalType(14, 2)))).cast(d38_6).as("promo_revenue"),
-            sum(discPrice).cast(d38_6).as("total_revenue"))
+              .otherwise(lit(0).cast(DecimalType(14, 2)))).cast(d38_6)
+              .cast(DoubleType).as("promo_revenue"),
+            sum(discPrice).cast(d38_6).cast(DoubleType).as("total_revenue"))
           .select("promo_revenue", "total_revenue")
       },
       Some("""
         SELECT
-          CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+          CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
             THEN CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))
-            ELSE CAST(0 AS DECIMAL(14,2)) END) AS DECIMAL(38,6)) AS promo_revenue,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS total_revenue
+            ELSE CAST(0 AS DECIMAL(14,2)) END) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
         FROM lineitem, part
         WHERE l_partkey = p_partkey
           AND l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'""")),
@@ -79,11 +80,11 @@ object Relational2 {
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
             col("o_orderdate"), col("o_totalprice"),
-            col("sum_qty").cast(DecimalType(38, 2)).as("total_qty"))
+            col("sum_qty").cast(DecimalType(38, 2)).cast(DoubleType).as("total_qty"))
       },
       Some("""
         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-          CAST(sub.sum_qty AS DECIMAL(38,2)) AS total_qty
+          CAST(CAST(sub.sum_qty AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
         FROM orders, customer,
           (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
            FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) sub
@@ -103,10 +104,10 @@ object Relational2 {
               col("p_size").between(1, 10)) ||
             (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
               col("p_size").between(1, 15)))
-          .agg(sum(discPrice).cast(d38_6).as("revenue"))
+          .agg(sum(discPrice).cast(d38_6).cast(DoubleType).as("revenue"))
       },
       Some("""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS revenue
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM lineitem, part
         WHERE l_partkey = p_partkey AND (
           (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5) OR
@@ -129,11 +130,11 @@ object Relational2 {
           .where(col("l_quantity") < col("threshold"))
           .agg(
             sum(col("l_extendedprice").cast(DecimalType(14, 2)))
-              .cast(DecimalType(38, 2)).as("total_price"),
+              .cast(DecimalType(38, 2)).cast(DoubleType).as("total_price"),
             count(lit(1)).as("n_rows"))
       },
       Some("""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS total_price,
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
           CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM lineitem, part,
           (SELECT l_partkey AS t_partkey,
@@ -150,11 +151,11 @@ object Relational2 {
           .rollup("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n_rows"),
             sum(col("l_quantity").cast(DecimalType(12, 2)))
-              .cast(DecimalType(38, 2)).as("sum_qty"))
+              .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_qty"))
           .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty"),
       Some("""
         SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
     // --------------------------------------------------- SQL-text surface
@@ -197,7 +198,8 @@ object Relational2 {
           .select("user_id", "session_idx", "n_events", "session_start", "session_end")
       },
       Some("""
-        SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
           CAST(MAX(ts) AS TIMESTAMP) AS session_end
         FROM (
@@ -226,12 +228,12 @@ object Relational2 {
             sum(col("value").cast(DecimalType(18, 4))).as("pv"))
         salted.groupBy("user_id")
           .agg(sum(col("pn")).as("n_events"),
-            sum(col("pv")).cast(DecimalType(38, 4)).as("total_value"))
+            sum(col("pv")).cast(DecimalType(38, 4)).cast(DoubleType).as("total_value"))
           .select("user_id", "n_events", "total_value")
       },
       Some("""
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+          CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
         FROM events GROUP BY user_id"""))
   )
 }

@@ -29,8 +29,15 @@ object Ingest {
       }
       .start()
 
-  /** Rows added after `sinceSnapshotId` (exclusive): plans only manifests
-    * whose sequence number is beyond that snapshot's.
+  /** Rows appended after `sinceSnapshotId` (exclusive) — the reference's
+    * incremental APPEND scan semantics. Three guards keep this exact:
+    * entries must have status Added (a merge-append or compaction writes a
+    * NEW-sequence manifest full of Existing entries for old rows, which a
+    * manifest-level filter alone would re-emit); the entry-level sequence
+    * number must be past `sinceSeq`; and the snapshot that added the entry
+    * must be an `append` (compaction re-Adds old rows under a `replace`
+    * snapshot). Snapshots that logically changed rows (`overwrite`/`delete`)
+    * cannot be represented as appends → abort.
     */
   def changesSince(spark: SparkSession, table: IceTable, sinceSnapshotId: Long): DataFrame = {
     val meta = table.metadata
@@ -40,11 +47,21 @@ object Ingest {
     val current = meta.currentSnapshot.getOrElse(
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         table.schema.toSpark))
+    val opOf: Map[Long, String] =
+      meta.snapshots.map(s => s.snapshotId -> s.summary.getOrElse("operation", "append")).toMap
+    val rowChanging = meta.snapshots.filter(s => s.sequenceNumber > sinceSeq &&
+      Set("overwrite", "delete").contains(opOf(s.snapshotId)))
+    if (rowChanging.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot read incrementally across row-changing snapshots: " +
+          rowChanging.map(s => s"${s.snapshotId}(${opOf(s.snapshotId)})").mkString(", "))
     val newFiles = ManifestIO.readManifestList(current.manifestList)
       .filter(m => m.content == 0 && m.sequenceNumber > sinceSeq)
       .flatMap { m =>
         ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
-          .filter(_.status != graft.meta.ManifestEntryStatus.Deleted)
+          .filter(e => e.status == graft.meta.ManifestEntryStatus.Added &&
+            e.sequenceNumber.getOrElse(m.sequenceNumber) > sinceSeq &&
+            opOf.get(e.snapshotId).forall(_ == "append"))
           .map(_.dataFile.filePath)
       }
     if (newFiles.isEmpty)

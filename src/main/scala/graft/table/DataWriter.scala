@@ -152,8 +152,10 @@ object DataWriter {
       else java.time.LocalDate.parse(s).toEpochDay.toInt
     case IceTimestamp | IceTimestampTz =>
       val norm = s.replace(' ', 'T')
-      java.time.Instant.parse(if (norm.endsWith("Z")) norm else norm + "Z")
-        .toEpochMilli * 1000L
+      // full-fraction epoch micros: toEpochMilli would truncate sub-ms values
+      // and the manifest partition tuple would disagree with the true value
+      val i = java.time.Instant.parse(if (norm.endsWith("Z")) norm else norm + "Z")
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
     case IceString | IceUUID => s
     case IceDouble => s.toDouble
     case IceFloat => s.toFloat

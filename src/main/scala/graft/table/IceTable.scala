@@ -123,7 +123,9 @@ final class IceTable private (
     commitAddedFiles(files, retries = 3)
   }
 
-  private def commitAddedFiles(files: Seq[DataFile], retries: Int): Snapshot = synchronized {
+  private def commitAddedFiles(files: Seq[DataFile], retries: Int,
+      setProps: Map[String, String] = Map.empty,
+      removeProps: Seq[String] = Nil): Snapshot = synchronized {
     try {
       val snapId = meta.reserveSnapshotId()
       val seq = meta.lastSequenceNumber + 1
@@ -134,11 +136,15 @@ final class IceTable private (
       val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       commitManifests(Seq(mf), snapId, seq, commitUuid, "append",
-        addedFiles = files.size, addedRecords = files.map(_.recordCount).sum)
+        addedFiles = files.size, addedRecords = files.map(_.recordCount).sum,
+        setProps = setProps, removeProps = removeProps)
     } catch {
       case _: CommitConflictException if retries > 0 =>
+        // refresh() reloads meta from the catalog, so any staged property
+        // delta must ride the retry as explicit arguments, not a pre-mutated
+        // meta (which the reload would silently discard)
         refresh()
-        commitAddedFiles(files, retries - 1)
+        commitAddedFiles(files, retries - 1, setProps, removeProps)
     }
   }
 
@@ -147,7 +153,8 @@ final class IceTable private (
     */
   private def commitManifests(newManifests: Seq[ManifestFile], snapId: Long, seq: Long,
       commitUuid: String, operation: String, addedFiles: Long, addedRecords: Long,
-      attempt: Int = 1): Snapshot = {
+      attempt: Int = 1, setProps: Map[String, String] = Map.empty,
+      removeProps: Seq[String] = Nil): Snapshot = {
     val parent = meta.currentSnapshot
     val parentManifests =
       parent.map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
@@ -197,6 +204,7 @@ final class IceTable private (
       currentSnapshotId = Some(snapId),
       snapshots = meta.snapshots :+ snap,
       snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
+      properties = meta.properties -- removeProps ++ setProps,
       refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")))
     version = catalog.commit(name, version, newMeta)
     meta = newMeta
@@ -269,11 +277,15 @@ final class IceTable private (
       Evaluators.fileMayMatch(bound, t.file))
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    // survivors = rows where the filter is NOT TRUE. Under SQL three-valued
+    // logic `!c` is NULL (not true) when c is NULL, so a bare negation would
+    // silently drop rows with null filter columns from the rewritten file —
+    // data loss. Coalesce NULL to "keep".
     val survivors =
       if (partial.isEmpty) Nil
       else DataWriter.write(
         spark.read.schema(schema.toSpark).parquet(partial.map(_.file.filePath): _*)
-          .where(!Predicates.toColumn(bound)),
+          .where(!coalesce(Predicates.toColumn(bound), lit(false))),
         location, schema, spec)
     val addedNew = DataWriter.write(replacement, location, schema, spec)
     replaceDataFiles((fullMatch ++ partial).map(_.file.filePath).toSet,
@@ -334,14 +346,19 @@ final class IceTable private (
       .where(Predicates.toColumn(bound))
       .select("file_path", "pos")
     val stagingDir = s"$location/data/deletes-${UUID.randomUUID()}"
-    matches.repartition(1).sortWithinPartitions("file_path", "pos")
+    // range-partition by file_path so (a) a broad predicate fans out over
+    // many writers instead of funnelling every matched row through one task,
+    // and (b) each delete file covers a narrow file_path range, which the
+    // planner's bounds matching then uses to skip it for unrelated data files
+    matches.repartitionByRange(col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
       .write.parquet(stagingDir)
     val deleteSchema = IceSchema(-1, Seq(
       NestedField(2147483546, "file_path", IceString, required = true),
       NestedField(2147483545, "pos", IceLong, required = true)))
     val files = DataWriter.listParquet(stagingDir).map { case (p, len) =>
       ParquetStats.toDataFile(p, len, deleteSchema, Nil, content = 1)
-    }
+    }.filter(_.recordCount > 0)
     val snapId = meta.reserveSnapshotId()
     val seq = meta.lastSequenceNumber + 1
     val commitUuid = UUID.randomUUID().toString
@@ -386,18 +403,16 @@ final class IceTable private (
 
   private[table] def commitTransaction(files: Seq[DataFile],
       setProps: Map[String, String], removeProps: Seq[String]): Unit = synchronized {
-    // property changes ride the same metadata commit as the new snapshot
-    val before = meta
-    meta = meta.copy(properties = meta.properties -- removeProps ++ setProps)
-    try {
-      if (files.nonEmpty) { commitAddedFiles(files, retries = 3); () }
-      else {
-        val newMeta = meta.copy(lastUpdatedMs = System.currentTimeMillis())
-        version = catalog.commit(name, version, newMeta)
-        meta = newMeta
-      }
-    } catch {
-      case e: Throwable => meta = before; throw e
+    // property changes ride the same metadata commit as the new snapshot;
+    // passed as a delta so the conflict-retry path re-applies them after
+    // its refresh() instead of losing them with the reloaded meta
+    if (files.nonEmpty) { commitAddedFiles(files, retries = 3, setProps, removeProps); () }
+    else {
+      val newMeta = meta.copy(
+        properties = meta.properties -- removeProps ++ setProps,
+        lastUpdatedMs = System.currentTimeMillis())
+      version = catalog.commit(name, version, newMeta)
+      meta = newMeta
     }
   }
 
@@ -694,14 +709,20 @@ final class IceScan(
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     var df = spark.read.schema(readSchema.toSpark).parquet(paths: _*)
 
-    val deleteFiles = tasks.flatMap(_.deletes).map(_.filePath).distinct
-    if (deleteFiles.nonEmpty) {
-      val deletes = spark.read.parquet(deleteFiles: _*)
+    val deleteDataFiles = tasks.flatMap(_.deletes).distinctBy(_.filePath)
+    if (deleteDataFiles.nonEmpty) {
+      val deletes = spark.read.parquet(deleteDataFiles.map(_.filePath): _*)
         .select(col("file_path"), col("pos"))
+      // broadcast only while the accumulated positional deletes are small;
+      // past the threshold a broadcast OOMs the driver at scale, so fall
+      // back to a shuffled anti-join on (path, pos)
+      val deleteBytes = deleteDataFiles.map(_.fileSizeInBytes).sum
+      val deletesSide =
+        if (deleteBytes <= IceScan.DeleteBroadcastMaxBytes) broadcast(deletes) else deletes
       df = df
         .withColumn("__path", IceScan.normalizedMetaPath)
         .withColumn("__pos", col("_metadata.row_index"))
-        .join(broadcast(deletes),
+        .join(deletesSide,
           col("__path") === col("file_path") && col("__pos") === col("pos"), "left_anti")
         .drop("__path", "__pos")
     }
@@ -712,6 +733,12 @@ final class IceScan(
 }
 
 object IceScan {
+  /** Positional-delete sets up to this many bytes are broadcast on the MOR
+    * read path; larger sets use a shuffled anti-join (a driver-side
+    * broadcast of an unbounded delete set is a scale-killer).
+    */
+  val DeleteBroadcastMaxBytes: Long = 64L * 1024 * 1024
+
   /** `_metadata.file_path` is a file: URI; normalize to a bare absolute path
     * so it compares equal to the paths recorded in manifests.
     */

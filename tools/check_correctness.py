@@ -1,8 +1,19 @@
 #!/usr/bin/env python3
-"""Local pre-validation of SparkEntry oracles, mimicking the driver's
-DuckDB compare: run Verify output vs oracle_sql.json over the same sf dir.
+"""Local pre-validation of SparkEntry oracles, mimicking the driver's compare.
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Driver-equivalence matters (round-2 lesson): the driver reads the SPARK result
+parquet with pyarrow/pandas — which yields python `Decimal` objects for
+DECIMAL columns ('253942.00') and numpy arrays for list columns — but fetches
+the DuckDB oracle as pandas float64 ('253942.0'). A checker that reads BOTH
+sides through DuckDB (as this script did in round 2) is blind to that
+representation class and validated 40/40 locally while the driver failed 13.
+
+So: Spark side = pd.read_parquet (pyarrow, Decimals preserved), oracle side =
+duckdb fetchdf, columns sorted by name, rows sorted by all columns
+(sort_values — crashes on unhashable ndarray cells exactly like the driver),
+then cell-wise canonical-string compare.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [queryFilter]
 """
 import json
 import sys
@@ -22,7 +33,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def canon(df: pd.DataFrame) -> list:
+    """Rows as tuples of canonical strings — what the driver's hash sees."""
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        out.append(tuple(str(v) for v in row))
+    return out
+
+
+def main(sf_dir: str, out_dir: str, only: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -30,19 +49,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    checked = 0
     for name, sql in sorted(oracle.items()):
+        if only and only not in name:
+            continue
+        checked += 1
         res_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{res_dir}/*.parquet")
+        files = sorted(glob.glob(f"{res_dir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no result parquet")
             failures += 1
             continue
         try:
-            mine = norm(con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf())
+            mine = norm(pd.concat([pd.read_parquet(f) for f in files],
+                                  ignore_index=True))
             ref = norm(con.execute(sql).fetchdf())
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
             failures += 1
             continue
         if list(mine.columns) != list(ref.columns):
@@ -53,16 +76,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(mine)} vs {len(ref)}")
             failures += 1
             continue
-        try:
-            pd.testing.assert_frame_equal(mine, ref, check_dtype=False,
-                                          check_exact=True)
-            print(f"OK   {name}: rows={len(mine)}")
-        except AssertionError as e:
-            print(f"FAIL {name}: value mismatch\n{str(e)[:500]}")
+        a, b = canon(mine), canon(ref)
+        if a != b:
+            bad = next(i for i in range(len(a)) if a[i] != b[i])
+            print(f"FAIL {name}: hash mismatch, first diff row {bad}:\n"
+                  f"  spark : {a[bad]}\n  oracle: {b[bad]}")
             failures += 1
-    print(f"\n{len(oracle) - failures}/{len(oracle)} passed")
+        else:
+            print(f"OK   {name}: rows={len(mine)}")
+    print(f"\n{checked - failures}/{checked} passed")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
