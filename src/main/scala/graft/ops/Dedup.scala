@@ -252,10 +252,15 @@ object Dedup {
         GROUP BY array_to_string(list_sort(list_distinct(
           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))), ' ')""")),
 
-    // exact jaccard >= 0.5 pairs, prefix-filtered — oracle is brute force
+    // exact jaccard >= 0.5 pairs — oracle is brute force. The REGISTERED
+    // plan is the prefix-filtered PPJoin variant: the count-join's cost is
+    // Σ_tok C(df,2), quadratic in document frequency, so one stopword-like
+    // token with df=10⁹ sinks it at 100 TB; prefix filtering indexes only
+    // each doc's rarest tokens, bounding candidates by construction.
+    // DedupSpec proves both algorithms return identical pair sets.
     QueryDef(
       "dedup_jaccard_pairs",
-      (s, dir) => jaccardPairs(s, dir, 0.5),
+      (s, dir) => jaccardPairsPrefix(s, dir, 0.5),
       Some("""
         SELECT * FROM (
           WITH t AS (SELECT doc_id, source, list_distinct(string_split(

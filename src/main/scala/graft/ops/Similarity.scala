@@ -99,6 +99,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rn")
   }
 
+  /** Embedding near-dup via LSH pre-candidates + exact cosine verify — the
+    * 100 TB plan: the only shuffle keys are (table, bucket, label), so cost
+    * is Σ_bucket C(n,2) over bucket populations instead of C(n,2) over whole
+    * label blocks. Probabilistic recall (a pair must share ≥1 of the 4 table
+    * buckets); every emitted pair is exactly verified. SimilaritySpec pins
+    * the recall against the exact blocked join.
+    */
+  def embeddingNearDupLSH(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .withColumn("buckets", lshBucketsUdf(col("embedding")))
+    val banded = emb.select(col("vec_id"), col("label"), col("embedding"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), col("a.embedding").as("ea"),
+        col("b.embedding").as("eb"))
+      .distinct()
+      .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
+      .where(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "label", "cos_sim")
+  }
+
+  /** Exact near-dup pairs blocked by label — all-pairs WITHIN a block, so
+    * only safe when block populations are bounded; kept as the exactness
+    * baseline the oracle can check and the recall yardstick for the LSH
+    * variant above.
+    */
+  def embeddingNearDupExact(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
+      .where(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim"))
+  }
+
   /** Label centroid distances: per-label mean vector, then each vector's
     * cosine to its label centroid — a typical embedding-quality signal.
     */
@@ -136,20 +177,11 @@ object Similarity {
 
     QueryDef("sim_ann_lsh", (s, dir) => lshTopK(s, dir, 5, 10), None),
 
-    // embedding-cosine near-dup pairs, blocked by label (exact within block)
+    // embedding-cosine near-dup pairs, blocked by label (exact within block;
+    // the oracle-checkable baseline — dedup_embedding_lsh is the scale path)
     QueryDef(
       "dedup_embedding_cosine",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val a = emb.select(col("vec_id").as("vec_a"), col("label"),
-          col("embedding").as("ea"))
-        val b = emb.select(col("vec_id").as("vec_b"), col("label"),
-          col("embedding").as("eb"))
-        a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
-          .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
-          .where(col("cos_sim") >= 0.2)
-          .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim"))
-      },
+      (s, dir) => embeddingNearDupExact(s, dir, 0.2),
       Some("""
         SELECT * FROM (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
@@ -158,6 +190,11 @@ object Similarity {
           FROM embeddings a, embeddings b
           WHERE a.label = b.label AND a.vec_id < b.vec_id) sub
         WHERE cos_sim >= 0.2""")),
+
+    // LSH-candidate near-dup (probabilistic recall, exact verify — the
+    // shape that survives unbounded label blocks; rows-only check)
+    QueryDef("dedup_embedding_lsh",
+      (s, dir) => embeddingNearDupLSH(s, dir, 0.2), None),
 
     QueryDef("sim_label_centroids", (s, dir) => labelCentroidStats(s, dir), None)
   )

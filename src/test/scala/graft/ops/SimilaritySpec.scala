@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks the embedding near-dup algorithms: the LSH-candidate plan
+  * (registered scale path) must emit a subset of the exact label-blocked
+  * join at the same threshold (its verify step is exact), with recall above
+  * the analytic floor for 4 tables x 4 hyperplanes. All inputs and the
+  * hyperplanes are deterministic, so the measured recall is a constant.
+  */
+final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("similarity-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("LSH near-dup pairs are an exactly-verified subset of the blocked join") {
+    val exact = Similarity.embeddingNearDupExact(spark, sfDir, 0.2)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingNearDupLSH(spark, sfDir, 0.2)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs at cos >= 0.2")
+    assert(lsh.subsetOf(exact), s"LSH emitted unverified pairs: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    // analytic floor: a cos=0.2 pair shares a 4-plane bucket in >=1 of 4
+    // tables with p ≈ 1-(1-(1-acos(0.2)/π)^4)^4 ≈ 0.35; higher-cos pairs
+    // collide more often, so corpus recall sits above that
+    assert(recall >= 0.25, s"LSH recall $recall below floor (|lsh|=${lsh.size}, |exact|=${exact.size})")
+  }
+}
