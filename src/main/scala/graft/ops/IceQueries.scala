@@ -21,7 +21,7 @@ object IceQueries {
 
   private case class Fixture(li: IceTable, firstSnapshotId: Long,
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
-      liCompact: IceTable)
+      liCompact: IceTable, ordersExt: IceTable)
 
   private val fixtures = TrieMap[String, Fixture]()
 
@@ -86,12 +86,23 @@ object IceQueries {
         nationDist.commitDistributedSnapshot(ds, manifests)
         nationDist
       }
+      val fExt = Future {
+        // foreign-file registration: the driver's raw orders.parquet (no
+        // parquet field IDs) added by reference, stats from its footers,
+        // field resolution through the default name mapping
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val ordersExt = IceTable.create(catalog, "orders_ext",
+          SchemaConv.fromSpark(orders.schema))
+        ordersExt.addFiles(Seq(s"$dir/orders.parquet"))
+        ordersExt
+      }
       val (li, snap1Id) = Await.result(fLi, Duration.Inf)
       Fixture(li, snap1Id,
         Await.result(fPart, Duration.Inf),
         Await.result(fMor, Duration.Inf),
         Await.result(fDist, Duration.Inf),
-        Await.result(fCompact, Duration.Inf))
+        Await.result(fCompact, Duration.Inf),
+        Await.result(fExt, Duration.Inf))
     })
 
   val defs: Seq[QueryDef] = Seq(
@@ -156,6 +167,15 @@ object IceQueries {
       "ice_distributed_commit",
       (s, dir) => fixture(s, dir).nationDist.scan(s,
         selected = Some(Seq("n_nationkey", "n_name", "n_regionkey"))),
-      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
+    QueryDef(
+      "ice_add_files",
+      (s, dir) => fixture(s, dir).ordersExt.scan(s,
+        P.gtEq("o_totalprice", 200000.0),
+        Some(Seq("o_orderkey", "o_custkey", "o_totalprice"))),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice >= 200000"""))
   )
 }

@@ -110,18 +110,37 @@ final class IceTable private (
   }
 
   /** Register already-written Parquet files (reference `AddFiles`
-    * `transaction.go:499-564`): stats from footers, no data copy.
+    * `transaction.go:499-564`): stats from footers, no data copy. Foreign
+    * files typically carry no parquet field IDs, so footer columns resolve
+    * to field IDs through the table's name mapping
+    * (`schema.name-mapping.default`, reference `name_mapping.go:30-80`),
+    * defaulting to the schema's own names.
     */
   def addFiles(paths: Seq[String]): Snapshot = {
     require(spec.isUnpartitioned, "addFiles supports unpartitioned tables")
+    val nameToId = NameMapping.index(nameMapping)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), new org.apache.hadoop.conf.Configuration())
     val files = paths.par.map { p =>
       val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
-      ParquetStats.toDataFile(p, len, schema, Nil)
+      ParquetStats.toDataFile(p, len, schema, Nil, nameToId = Some(nameToId))
     }.seq.toSeq
-    commitAddedFiles(files, retries = 3)
+    // an ID-less file read through a field-ID schema silently null-fills, so
+    // flag the table: scans then footer-sniff the planned files and read
+    // ID-less ones by (mapped) name
+    val anyIdLess = paths.par.exists(p => !ParquetStats.hasFieldIds(p))
+    commitAddedFiles(files, retries = 3,
+      setProps = if (anyIdLess) Map(IceTable.HasIdLessFilesProp -> "true") else Map.empty)
   }
+
+  /** The table's effective name mapping: the explicit
+    * `schema.name-mapping.default` property when set, else the schema's
+    * identity mapping.
+    */
+  def nameMapping: Seq[MappedField] =
+    meta.properties.get(NameMapping.PropertyKey)
+      .map(NameMapping.parse)
+      .getOrElse(NameMapping.default(schema))
 
   private def commitAddedFiles(files: Seq[DataFile], retries: Int,
       setProps: Map[String, String] = Map.empty,
@@ -564,6 +583,12 @@ final class IceTable private (
 }
 
 object IceTable {
+  /** Set when `addFiles` registered at least one file without parquet field
+    * IDs — tells scans to footer-sniff and route those files through
+    * by-name resolution.
+    */
+  val HasIdLessFilesProp = "graft.external.id-less-files"
+
   def create(catalog: FileCatalog, name: String, schema: IceSchema,
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
       properties: Map[String, String] = Map.empty,
@@ -702,15 +727,59 @@ final class IceScan(
     val readSchema = schema.select(readNames, caseSensitive)
 
     val paths = tasks.map(_.file.filePath)
-    // files written by us carry field IDs (ID-based resolution); externally
-    // added files may not — fall back to by-name for those (the reference's
-    // name-mapping behavior, `name_mapping.go:30-80`)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    var df = spark.read.schema(readSchema.toSpark).parquet(paths: _*)
-
     val deleteDataFiles = tasks.flatMap(_.deletes).distinctBy(_.filePath)
-    if (deleteDataFiles.nonEmpty) {
+    val needDeletes = deleteDataFiles.nonEmpty
+
+    // files written by us carry parquet field IDs → ID-based resolution.
+    // With an explicit name mapping (`schema.name-mapping.default`,
+    // reference `name_mapping.go:30-80`), externally-added files without
+    // field IDs are read by NAME under their mapped aliases (a field-ID
+    // schema would silently null-fill them) and renamed to the canonical
+    // schema; footer-sniffing the split costs one footer read per planned
+    // file, paid only by mapping-enabled tables.
+    val aliasOf: Map[Int, String] = meta.properties.get(NameMapping.PropertyKey)
+      .map(j => NameMapping.aliasById(NameMapping.parse(j))).getOrElse(Map.empty)
+    def aliasName(f: NestedField): String = aliasOf.getOrElse(f.id, f.name)
+    val mayHaveIdLess = aliasOf.nonEmpty ||
+      meta.properties.get(IceTable.HasIdLessFilesProp).contains("true")
+    val (idPaths, foreignPaths) =
+      if (!mayHaveIdLess) (paths, Nil)
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        val (a, b) = paths.par.partition(ParquetStats.hasFieldIds)
+        (a.seq.toSeq, b.seq.toSeq)
+      }
+
+    def readBranch(ps: Seq[String], schema: org.apache.spark.sql.types.StructType,
+        renames: Option[Seq[(String, String)]]): DataFrame = {
+      var d = spark.read.schema(schema).parquet(ps: _*)
+      // per-file row positions must be stamped before any union hides the
+      // per-file _metadata column
+      if (needDeletes) d = d
+        .withColumn("__path", IceScan.normalizedMetaPath)
+        .withColumn("__pos", col("_metadata.row_index"))
+      renames.foreach { rs =>
+        val keep = rs.map { case (alias, canon) => col(alias).as(canon) } ++
+          (if (needDeletes) Seq(col("__path"), col("__pos")) else Nil)
+        d = d.select(keep: _*)
+      }
+      d
+    }
+    // foreign files read with an ID-free alias schema: pure by-name matching
+    val foreignSchema = org.apache.spark.sql.types.StructType(readSchema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(aliasName(f),
+        IceType.toSpark(f.tpe), nullable = !f.required)))
+    val branches =
+      (if (idPaths.nonEmpty) Seq(readBranch(idPaths, readSchema.toSpark, None)) else Nil) ++
+      (if (foreignPaths.nonEmpty)
+        Seq(readBranch(foreignPaths, foreignSchema,
+          Some(readSchema.fields.map(f => aliasName(f) -> f.name))))
+      else Nil)
+    var df = branches.reduce(_.unionByName(_))
+
+    if (needDeletes) {
       val deletes = spark.read.parquet(deleteDataFiles.map(_.filePath): _*)
         .select(col("file_path"), col("pos"))
       // broadcast only while the accumulated positional deletes are small;
@@ -720,8 +789,6 @@ final class IceScan(
       val deletesSide =
         if (deleteBytes <= IceScan.DeleteBroadcastMaxBytes) broadcast(deletes) else deletes
       df = df
-        .withColumn("__path", IceScan.normalizedMetaPath)
-        .withColumn("__pos", col("_metadata.row_index"))
         .join(deletesSide,
           col("__path") === col("file_path") && col("__pos") === col("pos"), "left_anti")
         .drop("__path", "__pos")

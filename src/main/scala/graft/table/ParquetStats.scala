@@ -25,12 +25,17 @@ object ParquetStats {
   private val conf = new Configuration()
   val TruncateWidth = 16
 
+  /** `nameToId` overrides footer-column → field-ID resolution (the table's
+    * name mapping, for foreign files whose column names differ from the
+    * canonical schema); default is the schema's own name index.
+    */
   def toDataFile(
       filePath: String,
       fileSize: Long,
       schema: IceSchema,
       partition: Seq[Any],
-      content: Int = 0): DataFile = {
+      content: Int = 0,
+      nameToId: Option[Map[String, Int]] = None): DataFile = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(filePath), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -43,9 +48,11 @@ object ParquetStats {
       val statsValid = collection.mutable.Map[Int, Boolean]().withDefaultValue(true)
       val splitOffsets = blocks.map(_.getStartingPos).sorted
 
+      val resolve: String => Option[Int] =
+        nameToId.map(m => (n: String) => m.get(n)).getOrElse(schema.idByName.get _)
       for (block <- blocks; col <- block.getColumns.asScala) {
         val name = col.getPath.toDotString
-        schema.idByName.get(name).foreach { id =>
+        resolve(name).filter(schema.byId.contains).foreach { id =>
           val t = schema.byId(id).tpe
           colSizes(id) = colSizes.getOrElse(id, 0L) + col.getTotalSize
           valueCounts(id) = valueCounts.getOrElse(id, 0L) + col.getValueCount
@@ -98,6 +105,18 @@ object ParquetStats {
         lowerBounds = lowerBounds,
         upperBounds = upperBounds,
         splitOffsets = splitOffsets)
+    } finally reader.close()
+  }
+
+  /** Whether every top-level column of the file carries a parquet field ID
+    * (files we write always do; foreign files typically don't). Used to
+    * route scan reads between ID-based and name-mapped resolution.
+    */
+  def hasFieldIds(filePath: String): Boolean = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(filePath), conf))
+    try {
+      val fields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      fields.nonEmpty && fields.forall(_.getId != null)
     } finally reader.close()
   }
 

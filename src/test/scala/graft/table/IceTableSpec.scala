@@ -235,6 +235,36 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan(P.gt("loc.lat", 99.0)).planFiles().isEmpty)
   }
 
+  test("addFiles: foreign parquet without field ids registers and scans via name mapping") {
+    // a foreign file with NO parquet field ids and DIFFERENT column names
+    val foreignDir = Files.createTempDirectory("graft-foreign").toString
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .selectExpr("r_regionkey AS regionkey", "r_name AS name")
+      .coalesce(1).write.mode("overwrite").parquet(foreignDir)
+    val foreignPath = DataWriter.listParquet(foreignDir).head._1
+
+    val canonical = SchemaConv.fromSpark(spark.read.parquet(s"$sfDir/region.parquet").schema)
+    val t = IceTable.create(catalog, "region_ext", canonical)
+    val mapping = Seq(
+      MappedField(Some(canonical.idByName("r_regionkey")), Seq("regionkey")),
+      MappedField(Some(canonical.idByName("r_name")), Seq("name")))
+    t.updateProperties(set = Map(NameMapping.PropertyKey -> NameMapping.toJson(mapping)))
+    t.addFiles(Seq(foreignPath))
+
+    // footer stats keyed to the table's field IDs through the mapping
+    val file = t.newScan().planFiles().head.file
+    val keyId = canonical.idByName("r_regionkey")
+    assert(file.lowerBounds.contains(keyId) && file.upperBounds.contains(keyId))
+    // scan returns canonical names and exact rows, filter included
+    val mine = t.scan(spark, P.gtEq("r_regionkey", 2), Some(Seq("r_regionkey", "r_name")))
+    val direct = spark.read.parquet(s"$sfDir/region.parquet")
+      .where("r_regionkey >= 2").select("r_regionkey", "r_name")
+    assert(mine.schema.fieldNames.toSeq == Seq("r_regionkey", "r_name"))
+    assert(mine.exceptAll(direct).isEmpty && direct.exceptAll(mine).isEmpty)
+    // stats prune through the mapping: predicate outside the value range
+    assert(t.newScan(P.gt("r_regionkey", 1000)).planFiles().isEmpty)
+  }
+
   test("catalog CAS: stale writer loses the race") {
     val t1 = IceTable.load(catalog, "li_basic")
     val t2 = IceTable.load(catalog, "li_basic")
