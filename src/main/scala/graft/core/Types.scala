@@ -36,12 +36,18 @@ case object IceUUID extends IceType
 final case class IceFixed(length: Int) extends IceType
 case object IceBinary extends IceType
 
+/** `initialDefault` is returned for this field by files written BEFORE the
+  * field existed; `writeDefault` fills the field when a writer omits the
+  * column (reference `types.go:182-191`, spec v3 column defaults).
+  */
 final case class NestedField(
     id: Int,
     name: String,
     tpe: IceType,
     required: Boolean = false,
-    doc: Option[String] = None)
+    doc: Option[String] = None,
+    initialDefault: Option[Any] = None,
+    writeDefault: Option[Any] = None)
 
 final case class IceStructType(fields: Seq[NestedField]) extends IceType
 final case class IceListType(elementId: Int, element: IceType, elementRequired: Boolean)

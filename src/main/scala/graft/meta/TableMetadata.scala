@@ -131,6 +131,8 @@ object TableMetadataJson {
         fo.put("required", f.required)
         fo.set[JsonNode]("type", typeToJson(f.tpe))
         f.doc.foreach(fo.put("doc", _))
+        f.initialDefault.foreach(v => fo.set[JsonNode]("initial-default", literalToJson(v)))
+        f.writeDefault.foreach(v => fo.set[JsonNode]("write-default", literalToJson(v)))
         fo
       }))
       o
@@ -151,6 +153,32 @@ object TableMetadataJson {
       o.put("value-required", vreq)
       o
     case prim => mapper.getNodeFactory.textNode(IceType.toSpecString(prim))
+  }
+
+  /** Single-value JSON for column defaults (spec v3 defaults encoding). */
+  private def literalToJson(v: Any): JsonNode = {
+    val nf = mapper.getNodeFactory
+    v match {
+      case b: Boolean => nf.booleanNode(b)
+      case i: Int => nf.numberNode(i)
+      case l: Long => nf.numberNode(l)
+      case f: Float => nf.numberNode(f)
+      case d: Double => nf.numberNode(d)
+      case d: java.math.BigDecimal => nf.textNode(d.toPlainString)
+      case s: String => nf.textNode(s)
+      case other => nf.textNode(other.toString)
+    }
+  }
+
+  private def literalFromJson(t: graft.core.IceType, n: JsonNode): Any = t match {
+    case graft.core.IceBoolean => n.asBoolean()
+    case graft.core.IceInt | graft.core.IceDate => n.asInt()
+    case graft.core.IceLong | graft.core.IceTime |
+         graft.core.IceTimestamp | graft.core.IceTimestampTz => n.asLong()
+    case graft.core.IceFloat => n.asDouble().toFloat
+    case graft.core.IceDouble => n.asDouble()
+    case graft.core.IceDecimal(_, s) => new java.math.BigDecimal(n.asText()).setScale(s)
+    case _ => n.asText()
   }
 
   def specToJson(s: PartitionSpec): ObjectNode = {
@@ -267,12 +295,15 @@ object TableMetadataJson {
     else n.get("type").asText() match {
       case "struct" =>
         IceStructType(iter(n.get("fields")).map { f =>
+          val tpe = typeFromJson(f.get("type"))
           NestedField(
             f.get("id").asInt(),
             f.get("name").asText(),
-            typeFromJson(f.get("type")),
+            tpe,
             f.get("required").asBoolean(),
-            opt(f, "doc").map(_.asText()))
+            opt(f, "doc").map(_.asText()),
+            opt(f, "initial-default").map(literalFromJson(tpe, _)),
+            opt(f, "write-default").map(literalFromJson(tpe, _)))
         })
       case "list" =>
         IceListType(n.get("element-id").asInt(), typeFromJson(n.get("element")),

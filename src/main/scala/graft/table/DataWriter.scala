@@ -43,10 +43,19 @@ object DataWriter {
     // field IDs into the files (ID-based column resolution on read); the
     // cast to the Iceberg-derived Spark type carries NESTED field IDs too
     // (they live on the StructFields inside the DataType tree)
+    val dfCols = df.columns.toSet
     val withIds = df.select(schema.fields.map { f =>
       val sf = SchemaConv.toSparkField(f)
-      (if (f.tpe.isPrimitive) col(f.name) else col(f.name).cast(sf.dataType))
-        .as(f.name, sf.metadata)
+      val value =
+        if (dfCols.contains(f.name))
+          if (f.tpe.isPrimitive) col(f.name) else col(f.name).cast(sf.dataType)
+        else {
+          // writer omitted the column → its write-default (null if optional)
+          require(!f.required || f.writeDefault.isDefined,
+            s"missing required column ${f.name}")
+          lit(f.writeDefault.orNull).cast(sf.dataType)
+        }
+      value.as(f.name, sf.metadata)
     }: _*)
     // honor the table sort order at write (reference applies SortOrder at
     // write, `table/sorting.go` + writer): range-partition on the sort key
@@ -106,7 +115,10 @@ object DataWriter {
     * keeping partition directories intact. Metadata-only (FS rename).
     */
   private def renameToIceberg(files: Seq[(String, Long)]): Seq[(String, Long)] = {
-    val fs = FileSystem.get(new java.net.URI(files.headOption.map(_._1).getOrElse("/")), conf)
+    // Path.toUri escapes characters a raw URI constructor rejects (identity
+    // timestamp partition dirs contain spaces)
+    val fs = FileSystem.get(
+      new Path(files.headOption.map(_._1).getOrElse("/")).toUri, conf)
     files.zipWithIndex.map { case ((p, len), i) =>
       val dir = p.substring(0, p.lastIndexOf('/'))
       val target = f"$dir/$i%05d-$i-${UUID.randomUUID()}.parquet"

@@ -49,6 +49,34 @@ final class IceTable private (
     this
   }
 
+  /** Requirement-validated optimistic commit (reference
+    * `transaction.go:608-635` + `requirements.go`): validate `reqs` against
+    * the current metadata, apply the update function, CAS. On a CAS conflict
+    * the commit REBASES — refresh, re-validate the requirements against the
+    * winner's metadata, re-apply — so changes that don't semantically
+    * conflict (schema change over a concurrent append) compose, and ones
+    * that do fail with [[RequirementFailedException]] instead of a spurious
+    * whole-version race.
+    */
+  private def commitWithRequirements(reqs: Seq[TableRequirement],
+      update: TableMetadata => TableMetadata, retries: Int = 3): Unit = synchronized {
+    reqs.flatMap(_.validate(meta)) match {
+      case Nil =>
+        val newMeta = update(meta)
+        try {
+          version = catalog.commit(name, version, newMeta)
+          meta = newMeta
+          maintainMetadata()
+        } catch {
+          case _: CommitConflictException if retries > 0 =>
+            refresh()
+            commitWithRequirements(reqs, update, retries - 1)
+        }
+      case errs =>
+        throw new RequirementFailedException(errs.mkString("; "))
+    }
+  }
+
   // ------------------------------------------------------------------ scan
   def newScan(
       filter: IcePredicate = AlwaysTrue,
@@ -78,21 +106,18 @@ final class IceTable private (
   def createBranch(branchName: String, snapshotId: Long): Unit =
     setRef(branchName, snapshotId, "branch")
 
-  def removeRef(refName: String): Unit = synchronized {
+  def removeRef(refName: String): Unit = {
     require(refName != "main", "cannot remove main")
-    val newMeta = meta.copy(refs = meta.refs - refName,
-      lastUpdatedMs = System.currentTimeMillis())
-    version = catalog.commit(name, version, newMeta)
-    meta = newMeta
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), m =>
+      m.copy(refs = m.refs - refName, lastUpdatedMs = System.currentTimeMillis()))
   }
 
-  private def setRef(refName: String, snapshotId: Long, refType: String): Unit = synchronized {
-    require(meta.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
-    val newMeta = meta.copy(refs = meta.refs + (refName -> SnapshotRef(snapshotId, refType)),
-      lastUpdatedMs = System.currentTimeMillis())
-    version = catalog.commit(name, version, newMeta)
-    meta = newMeta
-  }
+  private def setRef(refName: String, snapshotId: Long, refType: String): Unit =
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), { m =>
+      require(m.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
+      m.copy(refs = m.refs + (refName -> SnapshotRef(snapshotId, refType)),
+        lastUpdatedMs = System.currentTimeMillis())
+    })
 
   /** Convenience: filtered + projected DataFrame of the current snapshot. */
   def scan(spark: SparkSession, filter: IcePredicate = AlwaysTrue,
@@ -426,13 +451,9 @@ final class IceTable private (
     // passed as a delta so the conflict-retry path re-applies them after
     // its refresh() instead of losing them with the reloaded meta
     if (files.nonEmpty) { commitAddedFiles(files, retries = 3, setProps, removeProps); () }
-    else {
-      val newMeta = meta.copy(
-        properties = meta.properties -- removeProps ++ setProps,
-        lastUpdatedMs = System.currentTimeMillis())
-      version = catalog.commit(name, version, newMeta)
-      meta = newMeta
-    }
+    else commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), m =>
+      m.copy(properties = m.properties -- removeProps ++ setProps,
+        lastUpdatedMs = System.currentTimeMillis()))
   }
 
   // ------------------------------------------------------------- properties
@@ -440,14 +461,11 @@ final class IceTable private (
     * `set-properties`/`remove-properties`, `table/updates.go`).
     */
   def updateProperties(set: Map[String, String] = Map.empty,
-      remove: Seq[String] = Nil): Unit = synchronized {
-    val newMeta = meta.copy(
-      properties = meta.properties -- remove ++ set,
-      lastUpdatedMs = System.currentTimeMillis())
-    version = catalog.commit(name, version, newMeta)
-    meta = newMeta
-    maintainMetadata()
-  }
+      remove: Seq[String] = Nil): Unit =
+    // a property delta carries no preconditions — it rebases over anything
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), m =>
+      m.copy(properties = m.properties -- remove ++ set,
+        lastUpdatedMs = System.currentTimeMillis()))
 
   /** Delete superseded metadata JSON versions when
     * `write.metadata.delete-after-commit.enabled` (reference
@@ -469,37 +487,43 @@ final class IceTable private (
     */
   def updateSchema(): SchemaUpdate = new SchemaUpdate(this)
 
-  private[table] def commitNewSchema(fields: Seq[NestedField], newLastColumnId: Int): Unit =
-    synchronized {
-      val newSchema = IceSchema(meta.currentSchemaId + 1, fields,
-        meta.currentSchema.identifierFieldIds)
-      val newMeta = meta.copy(
-        currentSchemaId = newSchema.schemaId,
-        schemas = meta.schemas :+ newSchema,
-        lastColumnId = math.max(meta.lastColumnId, newLastColumnId),
-        lastUpdatedMs = System.currentTimeMillis())
-      version = catalog.commit(name, version, newMeta)
-      meta = newMeta
-    }
+  private[table] def commitNewSchema(fields: Seq[NestedField], newLastColumnId: Int,
+      identifierFieldIds: Option[Seq[Int]] = None): Unit = {
+    // the update was built against this schema; a concurrent schema change
+    // invalidates it (semantic conflict), while appends/properties rebase
+    val baseSchemaId = meta.currentSchemaId
+    commitWithRequirements(
+      Seq(AssertTableUUID(meta.tableUuid), AssertCurrentSchemaID(baseSchemaId)), { m =>
+        val newSchema = IceSchema(m.schemas.map(_.schemaId).max + 1, fields,
+          identifierFieldIds.getOrElse(m.currentSchema.identifierFieldIds))
+        m.copy(
+          currentSchemaId = newSchema.schemaId,
+          schemas = m.schemas :+ newSchema,
+          lastColumnId = math.max(m.lastColumnId, newLastColumnId),
+          lastUpdatedMs = System.currentTimeMillis())
+      })
+  }
 
   /** Partition evolution (reference `update_spec.go:57-411`): install a new
     * default spec built against the current schema; existing manifests keep
     * their spec id and are planned with it.
     */
-  def updateSpec(fields: (String, Transform, String)*): Unit = synchronized {
-    val newSpecId = meta.specs.map(_.specId).max + 1
-    val base = PartitionSpec.of(newSpecId, fields: _*)(schema)
-    // partition field IDs continue from the table's last assigned
-    val renumbered = base.copy(fields = base.fields.zipWithIndex.map { case (f, i) =>
-      f.copy(fieldId = meta.lastPartitionId + 1 + i)
-    })
-    val newMeta = meta.copy(
-      defaultSpecId = newSpecId,
-      specs = meta.specs :+ renumbered,
-      lastPartitionId = renumbered.lastAssignedFieldId,
-      lastUpdatedMs = System.currentTimeMillis())
-    version = catalog.commit(name, version, newMeta)
-    meta = newMeta
+  def updateSpec(fields: (String, Transform, String)*): Unit = {
+    val baseSpecId = meta.defaultSpecId
+    commitWithRequirements(
+      Seq(AssertTableUUID(meta.tableUuid), AssertDefaultSpecID(baseSpecId)), { m =>
+        val newSpecId = m.specs.map(_.specId).max + 1
+        val base = PartitionSpec.of(newSpecId, fields: _*)(m.currentSchema)
+        // partition field IDs continue from the table's last assigned
+        val renumbered = base.copy(fields = base.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(fieldId = m.lastPartitionId + 1 + i)
+        })
+        m.copy(
+          defaultSpecId = newSpecId,
+          specs = m.specs :+ renumbered,
+          lastPartitionId = renumbered.lastAssignedFieldId,
+          lastUpdatedMs = System.currentTimeMillis())
+      })
   }
 
   // -------------------------------------------------------- metadata views
@@ -552,8 +576,12 @@ final class IceTable private (
     meta = newMeta
   }
 
-  /** Delete files under the table location that no snapshot references
-    * (reference `DeleteOrphanFiles` `orphan_cleanup.go:164-430`).
+  /** Delete files under the table location that no LIVE snapshot references
+    * (reference `DeleteOrphanFiles` `orphan_cleanup.go:164-430`,
+    * `getReferencedFiles` `:229`). Walks both `data/` and `metadata/`, so
+    * expired snapshots' manifest lists and manifests are reclaimed; catalog
+    * metadata JSON versions and the version hint are governed by
+    * delete-after-commit, never by orphan cleanup.
     */
   def deleteOrphanFiles(olderThanMs: Long, dryRun: Boolean = false): Seq[String] = {
     val referenced: Set[String] = (for {
@@ -566,15 +594,24 @@ final class IceTable private (
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), new org.apache.hadoop.conf.Configuration())
     val orphans = Seq.newBuilder[String]
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$location/data"), true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath.toUri.getPath
-      val base = st.getPath.getName
-      // hidden/marker files (_SUCCESS, .crc) are committer artifacts, not data
-      if (!base.startsWith("_") && !base.startsWith(".") &&
-          !referenced.contains(p) && st.getModificationTime < olderThanMs) orphans += p
+    def walk(dir: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(path)) return
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath.toUri.getPath
+        val base = st.getPath.getName
+        // hidden/marker files (_SUCCESS, .crc) are committer artifacts; the
+        // catalog's own files are out of scope
+        val isCatalogFile = base.endsWith(".metadata.json") ||
+          base.endsWith(".metadata.json.gz") || base == "version-hint.text"
+        if (!base.startsWith("_") && !base.startsWith(".") && !isCatalogFile &&
+            !referenced.contains(p) && st.getModificationTime < olderThanMs) orphans += p
+      }
     }
+    walk(s"$location/data")
+    walk(s"$location/metadata")
     val result = orphans.result()
     if (!dryRun) result.foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), false))
@@ -744,12 +781,21 @@ final class IceScan(
     def aliasName(f: NestedField): String = aliasOf.getOrElse(f.id, f.name)
     val mayHaveIdLess = aliasOf.nonEmpty ||
       meta.properties.get(IceTable.HasIdLessFilesProp).contains("true")
-    val (idPaths, foreignPaths) =
-      if (!mayHaveIdLess) (paths, Nil)
+    // columns added with an initial-default: files that predate the column
+    // must return the default instead of the null Spark fills in
+    val defaultedFields = readSchema.fields.filter(_.initialDefault.isDefined)
+    // footer-sniffing is paid only by tables that can contain ID-less files
+    // or defaulted columns; groups: (file carries IDs, defaulted IDs absent)
+    val needSniff = mayHaveIdLess || defaultedFields.nonEmpty
+    val defaultedIds = defaultedFields.map(_.id).toSet
+    val groups: Seq[((Boolean, Set[Int]), Seq[String])] =
+      if (!needSniff) Seq((true, Set.empty[Int]) -> paths)
       else {
         import scala.collection.parallel.CollectionConverters._
-        val (a, b) = paths.par.partition(ParquetStats.hasFieldIds)
-        (a.seq.toSeq, b.seq.toSeq)
+        val nameToId = NameMapping.index(table.nameMapping)
+        paths.par.map(p => p -> ParquetStats.fileColumns(p, nameToId)).seq
+          .groupBy { case (_, (hasIds, present)) => (hasIds, defaultedIds -- present) }
+          .view.mapValues(_.map(_._1).toSeq).toSeq
       }
 
     def readBranch(ps: Seq[String], schema: org.apache.spark.sql.types.StructType,
@@ -767,16 +813,20 @@ final class IceScan(
       }
       d
     }
-    // foreign files read with an ID-free alias schema: pure by-name matching
+    // ID-less files read with an ID-free alias schema: pure by-name matching
     val foreignSchema = org.apache.spark.sql.types.StructType(readSchema.fields.map(f =>
       org.apache.spark.sql.types.StructField(aliasName(f),
         IceType.toSpark(f.tpe), nullable = !f.required)))
-    val branches =
-      (if (idPaths.nonEmpty) Seq(readBranch(idPaths, readSchema.toSpark, None)) else Nil) ++
-      (if (foreignPaths.nonEmpty)
-        Seq(readBranch(foreignPaths, foreignSchema,
-          Some(readSchema.fields.map(f => aliasName(f) -> f.name))))
-      else Nil)
+    val branches = groups.map { case ((hasIds, absentDefaulted), ps) =>
+      var d =
+        if (hasIds) readBranch(ps, readSchema.toSpark, None)
+        else readBranch(ps, foreignSchema,
+          Some(readSchema.fields.map(f => aliasName(f) -> f.name)))
+      defaultedFields.filter(f => absentDefaulted.contains(f.id)).foreach { f =>
+        d = d.withColumn(f.name, lit(f.initialDefault.get).cast(IceType.toSpark(f.tpe)))
+      }
+      d
+    }
     var df = branches.reduce(_.unionByName(_))
 
     if (needDeletes) {

@@ -112,11 +112,22 @@ object ParquetStats {
     * (files we write always do; foreign files typically don't). Used to
     * route scan reads between ID-based and name-mapped resolution.
     */
-  def hasFieldIds(filePath: String): Boolean = {
+  def hasFieldIds(filePath: String): Boolean = fileColumns(filePath)._1
+
+  /** (file carries field IDs, table field IDs present among its top-level
+    * columns) — IDs matched directly when present, else resolved through the
+    * name-mapping index. Drives scan-read routing and initial-default fill.
+    */
+  def fileColumns(filePath: String,
+      nameToId: Map[String, Int] = Map.empty): (Boolean, Set[Int]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(filePath), conf))
     try {
-      val fields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-      fields.nonEmpty && fields.forall(_.getId != null)
+      val fields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+      val hasIds = fields.nonEmpty && fields.forall(_.getId != null)
+      val present =
+        if (hasIds) fields.map(_.getId.intValue).toSet
+        else fields.flatMap(f => nameToId.get(f.getName)).toSet
+      (hasIds, present)
     } finally reader.close()
   }
 

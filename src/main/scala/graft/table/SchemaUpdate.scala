@@ -9,11 +9,57 @@ import graft.core._
 final class SchemaUpdate private[table] (table: IceTable) {
   private var fields: Seq[NestedField] = table.schema.fields
   private var lastColumnId: Int = table.metadata.lastColumnId
+  private var identifierIds: Option[Seq[Int]] = None
 
   def addColumn(name: String, tpe: IceType, doc: Option[String] = None): SchemaUpdate = {
     require(!fields.exists(_.name == name), s"column $name already exists")
     lastColumnId += 1
     fields = fields :+ NestedField(lastColumnId, name, tpe, required = false, doc)
+    this
+  }
+
+  /** Add an optional column with a default: files written before this
+    * column return `default` (initial-default), and writers that omit the
+    * column fill it with `default` (write-default). Reference
+    * `update_schema.go` AddColumn + `types.go:182-191`.
+    */
+  def addColumnWithDefault(name: String, tpe: IceType, default: Any): SchemaUpdate = {
+    require(!fields.exists(_.name == name), s"column $name already exists")
+    lastColumnId += 1
+    fields = fields :+ NestedField(lastColumnId, name, tpe, required = false,
+      doc = None, initialDefault = Some(default), writeDefault = Some(default))
+    this
+  }
+
+  /** Reorder `name` to sit immediately before `anchor`. */
+  def moveBefore(name: String, anchor: String): SchemaUpdate = move(name, anchor, after = false)
+
+  /** Reorder `name` to sit immediately after `anchor`. */
+  def moveAfter(name: String, anchor: String): SchemaUpdate = move(name, anchor, after = true)
+
+  private def move(name: String, anchor: String, after: Boolean): SchemaUpdate = {
+    require(name != anchor, "cannot move a column relative to itself")
+    val moving = fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name"))
+    val rest = fields.filterNot(_.name == name)
+    val i = rest.indexWhere(_.name == anchor)
+    require(i >= 0, s"no column $anchor")
+    val at = if (after) i + 1 else i
+    fields = (rest.take(at) :+ moving) ++ rest.drop(at)
+    this
+  }
+
+  /** Declare the row-identifier columns (reference SetIdentifierFields):
+    * each must exist and be required.
+    */
+  def setIdentifierFields(names: String*): SchemaUpdate = {
+    val ids = names.map { n =>
+      val f = fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n"))
+      require(f.required, s"identifier field $n must be required")
+      f.id
+    }
+    identifierIds = Some(ids)
     this
   }
 
@@ -51,5 +97,5 @@ final class SchemaUpdate private[table] (table: IceTable) {
     this
   }
 
-  def commit(): Unit = table.commitNewSchema(fields, lastColumnId)
+  def commit(): Unit = table.commitNewSchema(fields, lastColumnId, identifierIds)
 }

@@ -83,6 +83,76 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cnt == li.where("l_shipdate >= TIMESTAMP '2001-01-01'").count())
   }
 
+  test("moveBefore/moveAfter reorder columns; identifier fields are recorded") {
+    val t = IceTable.create(catalog, "nation_move", SchemaConv.fromSpark(nation.schema))
+    t.append(nation)
+    t.updateSchema().moveBefore("n_regionkey", "n_name").commit()
+    assert(t.schema.fields.map(_.name).take(3) == Seq("n_nationkey", "n_regionkey", "n_name"))
+    t.updateSchema().moveAfter("n_regionkey", "n_name").commit()
+    assert(t.schema.fields.map(_.name).take(3) == Seq("n_nationkey", "n_name", "n_regionkey"))
+    // reorders are metadata-only: data still reads correctly by field ID
+    assert(t.scan(spark).select("n_nationkey", "n_name").count() == nation.count())
+
+    // identifier fields: must exist and be required
+    val keyId = t.schema.idByName("n_nationkey")
+    val required = t.schema.fields.map(f =>
+      if (f.id == keyId) f.copy(required = true) else f)
+    t.commitNewSchema(required, t.metadata.lastColumnId)
+    t.updateSchema().setIdentifierFields("n_nationkey").commit()
+    assert(t.schema.identifierFieldIds == Seq(keyId))
+    // round-trips through metadata JSON
+    assert(IceTable.load(catalog, "nation_move").schema.identifierFieldIds == Seq(keyId))
+    assertThrows[IllegalArgumentException] {
+      t.updateSchema().setIdentifierFields("n_name")
+    }
+  }
+
+  test("column defaults: initial-default fills pre-existing files, write-default fills omitted columns") {
+    val t = IceTable.create(catalog, "nation_defaults", SchemaConv.fromSpark(nation.schema))
+    t.append(nation) // written BEFORE the column exists
+    t.updateSchema().addColumnWithDefault("quality", IceDouble, 0.5).commit()
+    // defaults survive the metadata JSON round-trip
+    val reloaded = IceTable.load(catalog, "nation_defaults")
+    assert(reloaded.schema.findByName("quality")
+      .exists(f => f.initialDefault.contains(0.5) && f.writeDefault.contains(0.5)))
+    // append WITHOUT the column → write-default fills it in the file
+    t.append(nation)
+    // append WITH explicit values
+    t.append(nation.withColumn("quality",
+      org.apache.spark.sql.functions.lit(0.9)))
+    val byVal = t.scan(spark).groupBy("quality").count()
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // first append (pre-column file) reads the initial-default, second the
+    // write-default, third its explicit value
+    assert(byVal == Map(0.5 -> nation.count() * 2, 0.9 -> nation.count()))
+    // filters see the defaulted values (residual applies after the fill)
+    assert(t.scan(spark, P.gt("quality", 0.6)).count() == nation.count())
+  }
+
+  test("concurrent commits: non-conflicting changes rebase, semantic conflicts fail") {
+    val t1 = IceTable.create(catalog, "nation_conc", SchemaConv.fromSpark(nation.schema))
+    t1.append(nation)
+    // a second stale handle
+    val t2 = IceTable.load(catalog, "nation_conc")
+    t1.append(nation) // t2 is now one version behind
+    // stale schema change still lands: the current schema is unchanged, so
+    // the requirement holds and the commit rebases over the append
+    t2.updateSchema().addColumn("note", IceString).commit()
+    val reloaded = IceTable.load(catalog, "nation_conc")
+    assert(reloaded.schema.findByName("note").isDefined)
+    assert(reloaded.metadata.snapshots.size == 2)
+
+    // two racing schema changes: the loser fails semantically
+    val t3 = IceTable.load(catalog, "nation_conc")
+    reloaded.updateSchema().addColumn("a1", IceLong).commit()
+    assertThrows[RequirementFailedException] {
+      t3.updateSchema().addColumn("a2", IceLong).commit()
+    }
+    // properties carry no preconditions → always rebase
+    t3.updateProperties(set = Map("owner" -> "test"))
+    assert(IceTable.load(catalog, "nation_conc").metadata.properties("owner") == "test")
+  }
+
   test("streaming ingest commits one snapshot per micro-batch; incremental read sees only new rows") {
     val src = Files.createTempDirectory("stream-src").toString
     val ckpt = Files.createTempDirectory("stream-ckpt").toString

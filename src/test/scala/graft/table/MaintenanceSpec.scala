@@ -57,6 +57,27 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(spark).count() == lineitem.count())
   }
 
+  test("orphan cleanup reclaims expired snapshots' manifest lists under metadata/") {
+    val t = IceTable.create(catalog, "li_orphan_meta",
+      SchemaConv.fromSpark(lineitem.schema))
+    t.append(lineitem.where("pmod(l_orderkey, 2) = 0"))
+    val expiredList = t.currentSnapshot.get.manifestList
+    t.append(lineitem.where("pmod(l_orderkey, 2) = 1"))
+    val liveList = t.currentSnapshot.get.manifestList
+    t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(t.metadata.snapshots.size == 1)
+    val exists = (p: String) =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p.stripPrefix("file:")))
+    assert(exists(expiredList)) // expiry is metadata-only; the file lingers...
+    val orphans = t.deleteOrphanFiles(System.currentTimeMillis() + 1000)
+    assert(orphans.exists(_.endsWith(expiredList.split('/').last)),
+      s"expired manifest list not collected: $orphans")
+    assert(!exists(expiredList) && exists(liveList))
+    // data + manifests of the first snapshot are carried forward by the
+    // second's manifest list → still referenced, still scannable
+    assert(t.scan(spark).count() == lineitem.count())
+  }
+
   test("overwriteWhere: full-match files dropped, partial files rewritten") {
     val t = IceTable.create(catalog, "li_overwrite",
       SchemaConv.fromSpark(lineitem.schema))
