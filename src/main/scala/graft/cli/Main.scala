@@ -55,6 +55,9 @@ object Main {
           t.append(df)
           println(s"created ${args(2)} with ${t.currentSnapshot.map(_.summary("added-records")).getOrElse("0")} rows")
         } finally spark.stop()
+      case "rename" =>
+        catalog.renameTable(args(2), args(3))
+        println(s"renamed ${args(2)} -> ${args(3)}")
       case "drop" =>
         catalog.dropTable(args(2))
         println(s"dropped ${args(2)}")
@@ -66,5 +69,6 @@ object Main {
   private val usage =
     """usage: graft.cli.Main <warehouse> <verb> [args]
       |  list | describe <t> | schema <t> | spec <t> | uuid <t> | location <t>
-      |  properties <t> | files <t> | snapshots <t> | create <t> <parquet> | drop <t>""".stripMargin
+      |  properties <t> | files <t> | snapshots <t> | create <t> <parquet>
+      |  rename <t> <newName> | drop <t>""".stripMargin
 }

@@ -249,4 +249,38 @@ object SchemaConv {
     }
     IceSchema(schemaId, st.fields.toSeq.map(convField))
   }
+
+  /** Avro-compatible column name (reference `schema.go:1466-1520`): keep
+    * letters/digits/underscore, prefix a leading digit with `_`, replace any
+    * other character with `_x` + uppercase hex of its code point.
+    */
+  def makeCompatibleName(n: String): String = {
+    def ok(c: Char, first: Boolean): Boolean =
+      c == '_' || Character.isLetter(c) || (!first && Character.isDigit(c))
+    if (n.nonEmpty && n.zipWithIndex.forall { case (c, i) => ok(c, i == 0) }) n
+    else {
+      val b = new StringBuilder
+      n.zipWithIndex.foreach { case (c, i) =>
+        if (ok(c, i == 0)) b.append(c)
+        else if (i == 0 && Character.isDigit(c)) b.append('_').append(c)
+        else b.append("_x").append(Integer.toHexString(c.toInt).toUpperCase)
+      }
+      b.toString
+    }
+  }
+
+  /** File-side schema with every (nested) field name made Avro/Parquet
+    * compatible; field IDs unchanged, so ID-based reads still resolve
+    * (reference `SanitizeColumnNames` via `table/writer.go:106`).
+    */
+  def sanitizeColumnNames(s: IceSchema): IceSchema = {
+    def fix(fs: Seq[NestedField]): Seq[NestedField] = fs.map { f =>
+      val t = f.tpe match {
+        case IceStructType(children) => IceStructType(fix(children))
+        case o => o
+      }
+      f.copy(name = makeCompatibleName(f.name), tpe = t)
+    }
+    IceSchema(s.schemaId, fix(s.fields), s.identifierFieldIds)
+  }
 }

@@ -8,32 +8,84 @@ import java.util.zip.GZIPInputStream
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
+/** The catalog service-provider interface (reference
+  * `catalog/catalog.go:89-126`): identifier → table-metadata mapping with a
+  * compare-and-swap commit. `FileCatalog` is the warehouse-directory
+  * implementation; a REST/JDBC catalog slots in behind the same trait.
+  */
+trait Catalog {
+  def tableLocation(name: String): String
+  def tableExists(name: String): Boolean
+  def listTables(): Seq[String]
+  def create(name: String, metadata: TableMetadata): TableMetadata
+  def load(name: String): TableMetadata
+  def currentVersion(name: String): Int
+
+  /** CAS commit: succeeds only if `expectedVersion` is still current. */
+  def commit(name: String, expectedVersion: Int, metadata: TableMetadata): Int
+  def dropTable(name: String): Unit
+
+  /** Rename the catalog identifier; the table location and its files do not
+    * move (REST-catalog rename semantics).
+    */
+  def renameTable(from: String, to: String): Unit
+  def readMetadataFile(path: String): String
+  def deleteMetadataBefore(name: String, beforeVersion: Int): Unit
+}
+
 /** Warehouse-directory catalog with optimistic-CAS commits (reference
   * `catalog/catalog.go:89-126` interface, local `version-hint.text`
   * convention). Metadata files are `metadata/v{N}.metadata.json`; a commit
   * at version N+1 succeeds for exactly one writer (atomic hard-link create
   * on the local FS — POSIX link(2) fails with EEXIST), which is the CAS.
+  * Renames are identifier-level: a `{name}.ptr` file redirects to the
+  * original location and a `renamed-away.text` tombstone retires the old
+  * identifier, so absolute file paths in manifests stay valid.
   */
-final class FileCatalog(val warehouse: String) {
+final class FileCatalog(val warehouse: String) extends Catalog {
   private val conf = new Configuration()
 
-  def tableLocation(name: String): String = s"$warehouse/$name"
+  private def ptrFile(name: String) = s"$warehouse/$name.ptr"
+  private def tombstone(location: String) = s"$location/metadata/renamed-away.text"
+
+  def tableLocation(name: String): String = {
+    val ptr = Paths.get(stripScheme(ptrFile(name)))
+    if (Files.exists(ptr))
+      new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim
+    else s"$warehouse/$name"
+  }
   private def metadataDir(name: String) = s"${tableLocation(name)}/metadata"
   private def versionFile(name: String, v: Int) = s"${metadataDir(name)}/v$v.metadata.json"
   private def hintFile(name: String) = s"${metadataDir(name)}/version-hint.text"
 
   def tableExists(name: String): Boolean =
-    Files.exists(Paths.get(stripScheme(hintFile(name))))
+    Files.exists(Paths.get(stripScheme(hintFile(name)))) &&
+      (Files.exists(Paths.get(stripScheme(ptrFile(name)))) ||
+        !Files.exists(Paths.get(stripScheme(tombstone(s"$warehouse/$name")))))
 
   def listTables(): Seq[String] = {
     val w = Paths.get(stripScheme(warehouse))
     if (!Files.exists(w)) Nil
     else {
       val out = Seq.newBuilder[String]
-      Files.list(w).forEach(p => if (tableExists(p.getFileName.toString))
-        out += p.getFileName.toString)
-      out.result()
+      Files.list(w).forEach { p =>
+        val n = p.getFileName.toString
+        val name = if (n.endsWith(".ptr")) n.stripSuffix(".ptr") else n
+        if (tableExists(name)) out += name
+      }
+      out.result().distinct.sorted
     }
+  }
+
+  def renameTable(from: String, to: String): Unit = {
+    require(tableExists(from), s"no such table: $from")
+    require(!tableExists(to), s"table $to already exists")
+    val location = tableLocation(from)
+    Files.write(Paths.get(stripScheme(ptrFile(to))),
+      location.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(stripScheme(tombstone(location))),
+      to.getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(Paths.get(stripScheme(ptrFile(from))))
   }
 
   def dropTable(name: String): Unit = {

@@ -224,14 +224,39 @@ object TableMetadataJson {
   }
 
   // ------------------------------------------------------------------ read
+  /** Parse metadata JSON: v2 is the native form; v1 single-`schema` and
+    * flat `partition-spec` are upgraded on read (reference
+    * `table/metadata.go` v1/v2 parsing + the invalid-metadata test matrix in
+    * `table/metadata_internal_test.go`).
+    */
   def read(json: String): TableMetadata = {
     val n = mapper.readTree(json)
+    def fail(msg: String) = throw new IllegalArgumentException(s"invalid metadata: $msg")
+    if (!n.has("format-version")) fail("missing format-version")
     val formatVersion = n.get("format-version").asInt()
+    if (formatVersion < 1 || formatVersion > 3)
+      fail(s"unsupported format-version $formatVersion")
+    if (!n.has("location") || n.get("location").asText().isEmpty) fail("missing location")
+    if (!n.has("schemas") && !n.has("schema")) fail("missing schema")
+    if (formatVersion >= 2) {
+      if (!n.has("schemas") || !n.has("current-schema-id"))
+        fail("v2 metadata requires schemas + current-schema-id")
+      if (!n.has("last-sequence-number")) fail("v2 metadata requires last-sequence-number")
+      if (!n.has("table-uuid")) fail("v2 metadata requires table-uuid")
+    }
     val schemas =
       if (n.has("schemas")) iter(n.get("schemas")).map(schemaFromJson)
       else Seq(schemaFromJson(n.get("schema"))) // v1 single-schema form
+    val csId = opt(n, "current-schema-id").map(_.asInt()).getOrElse(schemas.head.schemaId)
+    if (!schemas.exists(_.schemaId == csId)) fail(s"current-schema-id $csId not in schemas")
     val specs =
       if (n.has("partition-specs")) iter(n.get("partition-specs")).map(specFromJson)
+      else if (n.has("partition-spec")) // v1 flat field list, ids assigned from 1000
+        Seq(PartitionSpec(0, iter(n.get("partition-spec")).zipWithIndex.map { case (f, i) =>
+          PartitionField(f.get("source-id").asInt(),
+            opt(f, "field-id").map(_.asInt()).getOrElse(1000 + i),
+            f.get("name").asText(), Transform.fromString(f.get("transform").asText()))
+        }))
       else Seq(PartitionSpec.Unpartitioned)
     val sortOrders =
       if (n.has("sort-orders")) iter(n.get("sort-orders")).map(sortOrderFromJson)
@@ -244,8 +269,7 @@ object TableMetadataJson {
       lastUpdatedMs = opt(n, "last-updated-ms").map(_.asLong()).getOrElse(0L),
       lastColumnId = opt(n, "last-column-id").map(_.asInt()).getOrElse(
         schemas.map(_.highestFieldId).maxOption.getOrElse(0)),
-      currentSchemaId = opt(n, "current-schema-id").map(_.asInt())
-        .getOrElse(schemas.head.schemaId),
+      currentSchemaId = csId,
       schemas = schemas,
       defaultSpecId = opt(n, "default-spec-id").map(_.asInt()).getOrElse(0),
       specs = specs,

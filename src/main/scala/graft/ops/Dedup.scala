@@ -142,6 +142,33 @@ object Dedup {
         .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")),
       threshold)
 
+  /** Count-join joined-row budget: Σ_(tok,src) C(df,2) above this bound
+    * means a token's document frequency makes the count-join quadratic, and
+    * the prefix-filtered plan takes over.
+    */
+  val CountJoinMaxPairs: Double = 2e8
+
+  /** Cost-based exact jaccard — the registered plan. The count-join's cost
+    * is EXACTLY the number of joined rows, Σ over (token, source) of
+    * C(df, 2); one cheap aggregation computes it up front, and the plan is
+    * chosen on that statistic: low-df corpora use the count-join (no array
+    * payloads through the shuffle), while a single stopword-like token past
+    * the budget flips to the PPJoin prefix plan whose candidates stay
+    * bounded by construction. Both plans are exact and proven equivalent in
+    * DedupSpec, so the choice affects cost only.
+    */
+  def jaccardPairsAdaptive(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
+    val joinedRows = Option(
+      docs.select(col("source"), explode(col("ws")).as("tok"))
+        .groupBy("tok", "source").agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * (col("df") - 1) / 2.0)).first().get(0))
+      .map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0)
+    if (joinedRows <= CountJoinMaxPairs) countJoinJaccard(docs, threshold)
+    else jaccardPairsOver(docs, threshold)
+  }
+
   /** PPJoin-style exact jaccard: any pair with J >= t shares a token among
     * each doc's (|d| - ceil(t*|d|) + 1) globally-rarest tokens, so the
     * inverted index holds only those prefixes — bounds candidate pairs when
@@ -253,14 +280,13 @@ object Dedup {
           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))), ' ')""")),
 
     // exact jaccard >= 0.5 pairs — oracle is brute force. The REGISTERED
-    // plan is the prefix-filtered PPJoin variant: the count-join's cost is
-    // Σ_tok C(df,2), quadratic in document frequency, so one stopword-like
-    // token with df=10⁹ sinks it at 100 TB; prefix filtering indexes only
-    // each doc's rarest tokens, bounding candidates by construction.
-    // DedupSpec proves both algorithms return identical pair sets.
+    // plan is cost-based (see jaccardPairsAdaptive): the count-join when its
+    // exact joined-row bound Σ C(df,2) fits the budget, the PPJoin prefix
+    // plan when a high-df token would make the count-join quadratic — one
+    // stopword with df=10⁹ at 100 TB. Both exact, proven equal in DedupSpec.
     QueryDef(
       "dedup_jaccard_pairs",
-      (s, dir) => jaccardPairsPrefix(s, dir, 0.5),
+      (s, dir) => jaccardPairsAdaptive(s, dir, 0.5),
       Some("""
         SELECT * FROM (
           WITH t AS (SELECT doc_id, source, list_distinct(string_split(

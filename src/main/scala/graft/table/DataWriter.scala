@@ -43,9 +43,13 @@ object DataWriter {
     // field IDs into the files (ID-based column resolution on read); the
     // cast to the Iceberg-derived Spark type carries NESTED field IDs too
     // (they live on the StructFields inside the DataType tree)
+    // the FILE schema uses Avro-compatible names (reference sanitizes at
+    // write, `table/writer.go:106`); reads resolve by field ID, so the
+    // table-visible names are untouched
+    val writeSchema = SchemaConv.sanitizeColumnNames(schema)
     val dfCols = df.columns.toSet
-    val withIds = df.select(schema.fields.map { f =>
-      val sf = SchemaConv.toSparkField(f)
+    val withIds = df.select(schema.fields.zip(writeSchema.fields).map { case (f, wf) =>
+      val sf = SchemaConv.toSparkField(wf)
       val value =
         if (dfCols.contains(f.name))
           if (f.tpe.isPrimitive) col(f.name) else col(f.name).cast(sf.dataType)
@@ -55,14 +59,14 @@ object DataWriter {
             s"missing required column ${f.name}")
           lit(f.writeDefault.orNull).cast(sf.dataType)
         }
-      value.as(f.name, sf.metadata)
+      value.as(wf.name, sf.metadata)
     }: _*)
     // honor the table sort order at write (reference applies SortOrder at
     // write, `table/sorting.go` + writer): range-partition on the sort key
     // so files hold disjoint ranges, then sort within each — that is what
     // tightens per-file min/max bounds and makes stats pruning bite
     val sortCols = sortOrder.fields.map { sf =>
-      val src = schema.findById(sf.sourceId).get
+      val src = writeSchema.findById(sf.sourceId).get
       val c = sf.transform.toColumn(col(src.name), src.tpe)
       (sf.ascending, sf.nullsFirst) match {
         case (true, true) => c.asc_nulls_first
@@ -80,11 +84,12 @@ object DataWriter {
         .option("maxRecordsPerFile", maxRecords)
         .parquet(staging)
       renameToIceberg(listParquet(staging)).par.map { case (p, len) =>
-        ParquetStats.toDataFile(p, len, schema, Nil)
+        ParquetStats.toDataFile(p, len, schema, Nil,
+          nameToId = Some(writeSchema.idByName))
       }.seq.toSeq
     } else {
       val partCols = spec.fields.map { pf =>
-        val src = schema.findById(pf.sourceId).get
+        val src = writeSchema.findById(pf.sourceId).get
         pf.transform.toColumn(col(src.name), src.tpe).as(PartPrefix + pf.name)
       }
       val partNames = spec.fields.map(PartPrefix + _.name)
@@ -96,7 +101,7 @@ object DataWriter {
         if (fanout <= 1) partNames.map(col)
         else partNames.map(col) :+ pmod(hash(schema.fields.map(f => col(f.name)): _*),
           lit(fanout))
-      aligned.select(schema.fields.map(f => col(f.name)) ++ partCols: _*)
+      aligned.select(writeSchema.fields.map(f => col(f.name)) ++ partCols: _*)
         .repartition(shuffleKeys: _*)
         .write
         .option("compression", compression)
@@ -105,7 +110,8 @@ object DataWriter {
       val partType = spec.partitionType(schema)
       renameToIceberg(listParquet(staging)).par.map { case (p, len) =>
         val tuple = parsePartitionPath(p, staging, partType)
-        ParquetStats.toDataFile(p, len, schema, tuple)
+        ParquetStats.toDataFile(p, len, schema, tuple,
+          nameToId = Some(writeSchema.idByName))
       }.seq.toSeq
     }
   }

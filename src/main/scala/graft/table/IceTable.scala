@@ -30,7 +30,7 @@ final case class DistributedSnapshot(
   * residuals). Reference `table/table.go:49-379`.
   */
 final class IceTable private (
-    val catalog: FileCatalog,
+    val catalog: Catalog,
     val name: String,
     @volatile private var meta: TableMetadata,
     @volatile private var version: Int) {
@@ -626,7 +626,7 @@ object IceTable {
     */
   val HasIdLessFilesProp = "graft.external.id-less-files"
 
-  def create(catalog: FileCatalog, name: String, schema: IceSchema,
+  def create(catalog: Catalog, name: String, schema: IceSchema,
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
       properties: Map[String, String] = Map.empty,
       sortOrder: SortOrder = SortOrder.Unsorted): IceTable = {
@@ -652,7 +652,7 @@ object IceTable {
     new IceTable(catalog, name, m, 1)
   }
 
-  def load(catalog: FileCatalog, name: String): IceTable =
+  def load(catalog: Catalog, name: String): IceTable =
     new IceTable(catalog, name, catalog.load(name), catalog.currentVersion(name))
 }
 

@@ -1,0 +1,89 @@
+package graft.meta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Metadata JSON parse matrix re-derived from the reference's golden-file
+  * tests (`table/metadata_internal_test.go`, fixtures
+  * `table/testdata/TableMetadataV2Valid.json` + invalid variants): a valid
+  * v1 document (single `schema`, flat `partition-spec`) upgrades on read,
+  * and each structurally-invalid variant fails with a diagnostic instead of
+  * a null-pointer surprise.
+  */
+class MetadataJsonSpec extends AnyFunSuite {
+
+  private val v1Json = """{
+    "format-version": 1,
+    "table-uuid": "9c12d441-03fe-4693-9a96-a0705ddf69c1",
+    "location": "/wh/t1",
+    "last-updated-ms": 1602638573874,
+    "last-column-id": 3,
+    "schema": {"type": "struct", "fields": [
+      {"id": 1, "name": "x", "required": true, "type": "long"},
+      {"id": 2, "name": "y", "required": true, "type": "long", "doc": "comment"},
+      {"id": 3, "name": "z", "required": false, "type": "string"}]},
+    "partition-spec": [{"name": "x", "transform": "identity", "source-id": 1, "field-id": 1000}],
+    "properties": {},
+    "current-snapshot-id": -1,
+    "snapshots": []
+  }"""
+
+  test("v1 metadata: single schema and flat partition-spec upgrade on read") {
+    val m = TableMetadataJson.read(v1Json)
+    assert(m.formatVersion == 1)
+    assert(m.currentSchema.fields.map(_.name) == Seq("x", "y", "z"))
+    assert(m.currentSchema.findByName("y").flatMap(_.doc).contains("comment"))
+    assert(m.defaultSpec.fields == Seq(
+      PartitionField(1, 1000, "x", IdentityTransform)))
+    assert(m.currentSnapshotId.isEmpty) // -1 sentinel means no snapshot
+    assert(m.lastColumnId == 3)
+  }
+
+  test("v1 flat partition-spec without field-ids assigns from 1000") {
+    val m = TableMetadataJson.read(v1Json.replace(""", "field-id": 1000""", ""))
+    assert(m.defaultSpec.fields.head.fieldId == 1000)
+  }
+
+  private def invalid(mutate: String => String): String = mutate(v1Json)
+
+  test("invalid variants fail with diagnostics") {
+    val cases: Seq[(String, String => String)] = Seq(
+      ("missing format-version", _.replace("\"format-version\": 1,", "")),
+      ("unsupported format-version", _.replace("\"format-version\": 1", "\"format-version\": 9")),
+      ("missing location", _.replace(""""location": "/wh/t1",""", "")),
+      ("missing schema", _.replace("\"schema\":", "\"not-schema\":")))
+    cases.foreach { case (tag, mutate) =>
+      val ex = intercept[IllegalArgumentException](TableMetadataJson.read(invalid(mutate)))
+      assert(ex.getMessage.startsWith("invalid metadata"), s"$tag: ${ex.getMessage}")
+    }
+  }
+
+  test("v2 metadata requires schemas, current-schema-id, last-sequence-number, uuid") {
+    val v2Base = v1Json.replace("\"format-version\": 1", "\"format-version\": 2")
+    // still v1-shaped → every v2 requirement trips
+    val ex = intercept[IllegalArgumentException](TableMetadataJson.read(v2Base))
+    assert(ex.getMessage.contains("v2 metadata requires"))
+  }
+
+  test("current-schema-id must resolve into the schema list") {
+    val bad = v1Json
+      .replace("\"format-version\": 1,", "\"format-version\": 1, \"current-schema-id\": 42,")
+    val ex = intercept[IllegalArgumentException](TableMetadataJson.read(bad))
+    assert(ex.getMessage.contains("current-schema-id 42"))
+  }
+
+  test("gzip metadata round-trips through the catalog reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz")
+    val plain = dir.resolve("v7.metadata.json")
+    val gz = java.nio.file.Files.newOutputStream(dir.resolve("v8.metadata.json.gz"))
+    val zipped = new java.util.zip.GZIPOutputStream(gz)
+    zipped.write(v1Json.getBytes("UTF-8")); zipped.close()
+    java.nio.file.Files.write(plain, v1Json.getBytes("UTF-8"))
+    val cat = new FileCatalog(dir.toString)
+    // plain path, and the .gz fallback when the plain file is absent
+    assert(TableMetadataJson.read(cat.readMetadataFile(plain.toString)).formatVersion == 1)
+    assert(TableMetadataJson.read(
+      cat.readMetadataFile(dir.resolve("v8.metadata.json").toString)).formatVersion == 1)
+  }
+}

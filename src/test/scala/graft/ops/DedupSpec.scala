@@ -35,6 +35,11 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(a.nonEmpty)
     assert(a == b)
+    // the cost-based chooser returns the same exact set whichever plan wins
+    val c = Dedup.jaccardPairsAdaptive(spark, sfDir, 0.5)
+      .select("doc_a", "doc_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c == a)
   }
 
   test("minhash LSH recall against exact jaccard at high threshold") {

@@ -78,6 +78,48 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(spark).count() == lineitem.count())
   }
 
+  test("column names invalid in Avro are sanitized in the file, not the table") {
+    val df = spark.range(10).toDF("id")
+      .withColumn("letter/abc", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("v"), org.apache.spark.sql.functions.col("id")))
+    val t = IceTable.create(catalog, "sanitized", SchemaConv.fromSpark(df.schema))
+    t.append(df)
+    // table-visible name is the original; scan resolves by field ID
+    val back = t.scan(spark)
+    assert(back.columns.toSeq == Seq("id", "letter/abc"))
+    assert(back.count() == 10)
+    // the parquet FILE carries the sanitized name (reference `_x%X` encoding)
+    val file = t.newScan().planFiles().head.file
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.filePath), new org.apache.hadoop.conf.Configuration()))
+    val names = try reader.getFooter.getFileMetaData.getSchema.getFields
+      .asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
+      .toArray.map(_.asInstanceOf[org.apache.parquet.schema.Type].getName).toSeq
+    finally reader.close()
+    assert(names == Seq("id", "letter_x2Fabc"))
+    // footer stats still key to the table's field IDs through the rename
+    val colId = t.schema.idByName("letter/abc")
+    assert(file.lowerBounds.contains(colId) && file.upperBounds.contains(colId))
+  }
+
+  test("renameTable: identifier moves, location and data stay") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(catalog, "rn_before", SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    val loc = t.location
+    catalog.renameTable("rn_before", "rn_after")
+    assert(!catalog.tableExists("rn_before"))
+    assert(catalog.tableExists("rn_after"))
+    assert(catalog.listTables().contains("rn_after"))
+    val renamed = IceTable.load(catalog, "rn_after")
+    assert(renamed.location == loc) // files did not move
+    assert(renamed.scan(spark).count() == region.count())
+    // the renamed handle keeps committing (CAS via the redirected location)
+    renamed.append(region.limit(1))
+    assert(IceTable.load(catalog, "rn_after").scan(spark).count() == region.count() + 1)
+  }
+
   test("overwriteWhere: full-match files dropped, partial files rewritten") {
     val t = IceTable.create(catalog, "li_overwrite",
       SchemaConv.fromSpark(lineitem.schema))
