@@ -158,8 +158,12 @@ object Dedup {
     * DedupSpec, so the choice affects cost only.
     */
   def jaccardPairsAdaptive(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // tokenize ONCE and cache: the split/array_distinct lambda is an
+    // interpreted higher-order function, so both the stats pass and the
+    // chosen plan must read the materialized arrays, not recompute them
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joinedRows = Option(
       docs.select(col("source"), explode(col("ws")).as("tok"))
         .groupBy("tok", "source").agg(count(lit(1)).as("df"))

@@ -108,16 +108,22 @@ object Similarity {
     */
   def embeddingNearDupLSH(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-      .withColumn("buckets", lshBucketsUdf(col("embedding")))
-    val banded = emb.select(col("vec_id"), col("label"), col("embedding"),
-      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    banded.as("a").join(banded.as("b"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate generation is ID-only: a pair surfaces once per shared
+    // bucket, so dedup BEFORE attaching the 64-float vectors — the distinct
+    // then shuffles slim (id, id, label) rows, not array payloads
+    val banded = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(lshBucketsUdf(col("embedding"))).as(Seq("tbl", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"), col("a.embedding").as("ea"),
-        col("b.embedding").as("eb"))
+        col("a.label").as("label"))
       .distinct()
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
       .where(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "label", "cos_sim")
