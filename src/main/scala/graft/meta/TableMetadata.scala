@@ -8,6 +8,9 @@ import graft.core._
 /** Iceberg table-metadata tree + JSON v1/v2 serialization (reference
   * `table/metadata.go:65-156`, format per the Iceberg table spec).
   */
+/** `firstRowId` is v3 row lineage (reference `table/snapshots.go:249-258`):
+  * the first row ID assigned to rows added by this snapshot.
+  */
 final case class Snapshot(
     snapshotId: Long,
     parentSnapshotId: Option[Long],
@@ -15,7 +18,8 @@ final case class Snapshot(
     timestampMs: Long,
     manifestList: String,
     summary: Map[String, String],
-    schemaId: Int)
+    schemaId: Int,
+    firstRowId: Option[Long] = None)
 
 final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
@@ -40,7 +44,8 @@ final case class TableMetadata(
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[SnapshotLogEntry],
     metadataLog: Seq[MetadataLogEntry],
-    refs: Map[String, SnapshotRef]) {
+    refs: Map[String, SnapshotRef],
+    nextRowId: Option[Long] = None) { // v3 row-lineage counter
 
   def currentSchema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
   def defaultSpec: PartitionSpec = specs.find(_.specId == defaultSpecId).get
@@ -102,6 +107,7 @@ object TableMetadataJson {
       refs.set[JsonNode](name, o)
     }
     root.set[JsonNode]("refs", refs)
+    m.nextRowId.foreach(root.put("next-row-id", _)) // v3 row lineage
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -220,6 +226,7 @@ object TableMetadataJson {
     s.summary.foreach { case (k, v) => sum.put(k, v) }
     o.set[JsonNode]("summary", sum)
     o.put("schema-id", s.schemaId)
+    s.firstRowId.foreach(o.put("first-row-id", _)) // v3 row lineage
     o
   }
 
@@ -289,7 +296,8 @@ object TableMetadataJson {
         .getOrElse(Nil),
       refs = opt(n, "refs").map(r => iterFields(r).map { case (name, v) =>
         name -> SnapshotRef(v.get("snapshot-id").asLong(), v.get("type").asText())
-      }.toMap).getOrElse(Map.empty))
+      }.toMap).getOrElse(Map.empty),
+      nextRowId = opt(n, "next-row-id").map(_.asLong()))
   }
 
   private def opt(n: JsonNode, field: String): Option[JsonNode] =
@@ -361,5 +369,6 @@ object TableMetadataJson {
       n.get("manifest-list").asText(),
       opt(n, "summary").map(s => iterFields(s).map { case (k, v) => k -> v.asText() }.toMap)
         .getOrElse(Map.empty),
-      opt(n, "schema-id").map(_.asInt()).getOrElse(0))
+      opt(n, "schema-id").map(_.asInt()).getOrElse(0),
+      opt(n, "first-row-id").map(_.asLong()))
 }

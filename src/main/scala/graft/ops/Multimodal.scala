@@ -68,6 +68,24 @@ object Multimodal {
       }
   }
 
+  /** Aspect-fit resize planning for image rows: target dims + output byte
+    * size are pure integer arithmetic over the metadata (the pixel resample
+    * itself would live in the decode stub); fully oracle-checkable.
+    */
+  def resizePlan(spark: SparkSession, dir: String, target: Int): DataFrame = {
+    val w = col("media_meta.width")
+    val h = col("media_meta.height")
+    val outW = when(w >= h, lit(target))
+      .otherwise(expr(s"(media_meta.width * $target) div media_meta.height"))
+    val outH = when(w >= h, expr(s"(media_meta.height * $target) div media_meta.width"))
+      .otherwise(lit(target))
+    mediaTable(spark, dir)
+      .where(col("media_meta.format").isin("jpeg", "png"))
+      .select(col("doc_id"), w.as("width"), h.as("height"),
+        outW.cast(IntegerType).as("out_w"), outH.cast(IntegerType).as("out_h"),
+        (outW * outH * 3).cast(LongType).as("resized_n_bytes"))
+  }
+
   /** Deterministic frame sampling for "video" rows: evenly-spaced frame
     * indices, capped at `maxFrames` — metadata-only arithmetic.
     */
@@ -108,6 +126,21 @@ object Multimodal {
           .withColumn("features",
             concat_ws(",", col("features").cast(ArrayType(StringType)))),
       None),
+
+    // aspect-fit resize planning over image rows — integer math, exact oracle
+    QueryDef(
+      "multimodal_resize",
+      (s, dir) => resizePlan(s, dir, 224),
+      Some("""
+        SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+          CAST(CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS INTEGER) AS out_w,
+          CAST(CASE WHEN w >= h THEN (h * 224) // w ELSE 224 END AS INTEGER) AS out_h,
+          CAST(CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END *
+               CASE WHEN w >= h THEN (h * 224) // w ELSE 224 END * 3 AS BIGINT)
+            AS resized_n_bytes
+        FROM (SELECT doc_id, 64 + (doc_id % 8) * 32 AS w,
+                64 + ((doc_id * 7) % 8) * 32 AS h
+              FROM documents WHERE doc_id % 4 IN (0, 1)) dims""")),
 
     // frame sampling is metadata-only integer arithmetic → fully
     // SQL-expressible; indices emitted as CSV for the same sortability reason

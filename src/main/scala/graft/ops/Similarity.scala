@@ -146,6 +146,49 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim"))
   }
 
+  /** IVF-Flat ANN: a KMeans codebook (deterministic seed) partitions the
+    * corpus into cells; each query probes its `nProbe` nearest cells and
+    * re-ranks candidates with exact cosine. The 100 TB shape: the corpus is
+    * scanned once for assignment, candidates shuffle on the cell id (never
+    * all-pairs), and the codebook is tiny driver/broadcast state — the
+    * classic inverted-file trade of recall for a nCells/nProbe cost bound.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = t(spark, dir, "embeddings")
+      .withColumn("features", toVec(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probeUdf = udf { (v: MlVector) =>
+      val q = v.toArray
+      def cos(c: Array[Double]): Double = {
+        var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+        while (i < q.length) { dot += q(i) * c(i); nq += q(i) * q(i); nc += c(i) * c(i); i += 1 }
+        dot / (math.sqrt(nq) * math.sqrt(nc) + 1e-12)
+      }
+      centroids.zipWithIndex.sortBy { case (c, i) => (-cos(c), i) }.take(nProbe).map(_._2)
+    }
+    val queries = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        explode(probeUdf(col("features"))).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    // each corpus vector lives in exactly one cell → no candidate dedup
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+      .join(broadcast(queries), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rn").cast(IntegerType).as("rn"))
+  }
+
   /** Label centroid distances: per-label mean vector, then each vector's
     * cosine to its label centroid — a typical embedding-quality signal.
     */
@@ -182,6 +225,10 @@ object Similarity {
         WHERE rn <= 10""")),
 
     QueryDef("sim_ann_lsh", (s, dir) => lshTopK(s, dir, 5, 10), None),
+
+    // IVF-Flat ANN (probabilistic recall — rows-only; recall pinned vs the
+    // exact top-k in SimilaritySpec)
+    QueryDef("sim_ann_ivf", (s, dir) => ivfTopK(s, dir, 5, 10), None),
 
     // embedding-cosine near-dup pairs, blocked by label (exact within block;
     // the oracle-checkable baseline — dedup_embedding_lsh is the scale path)

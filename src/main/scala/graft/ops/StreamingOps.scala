@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming operators registered in the correctness gate: the
   * query fn runs a REAL streaming job (file source → watermark → windowed
@@ -40,6 +40,51 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
   }
 
+  final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Gap-based per-user session stats computed by a STATEFUL streaming job:
+    * `flatMapGroupsWithState` holds per-user state across micro-batches (the
+    * custom-state surface of Structured Streaming). With AvailableNow over
+    * one input file all events arrive in a single batch, so the emitted
+    * session counts are deterministic and batch-SQL checkable.
+    */
+  def streamedSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-sess")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    import spark.implicits._
+    val typed = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
+      .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
+      .as[Ev]
+    val sessions = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserSessions](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state) =>
+          val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var n = state.getOption.getOrElse(0L)
+          var prev = Long.MinValue
+          sorted.foreach { e =>
+            if (prev == Long.MinValue || e.ts_us - prev > 1800000000L) n += 1
+            prev = e.ts_us
+          }
+          state.update(n)
+          Iterator.single(UserSessions(uid, n, sorted.length.toLong))
+      }
+    val sinkName = s"stream_sessions_${math.abs(dir.hashCode)}"
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(sinkName)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "stream_events_hourly",
@@ -47,6 +92,24 @@ object StreamingOps {
       Some("""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
           CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    QueryDef(
+      "stream_sessionize",
+      (s, dir) => streamedSessionStats(s, dir),
+      Some("""
+        SELECT user_id, CAST(COUNT(DISTINCT session_idx) AS BIGINT) AS n_sessions,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+          SELECT user_id,
+            SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM (
+            SELECT user_id, event_id, ts,
+              lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events) t1) t2
+        GROUP BY user_id"""))
   )
 }

@@ -445,6 +445,18 @@ final class IceTable private (
   // ------------------------------------------------------------ transaction
   def newTransaction(): IceTransaction = new IceTransaction(this)
 
+  /** Apply typed metadata updates as ONE requirement-validated commit
+    * (reference `Transaction.Commit` over the update/requirement lists,
+    * `transaction.go:608-635`): the update fold re-applies cleanly after a
+    * conflict-triggered refresh, so commits rebase when their requirements
+    * still hold.
+    */
+  def commitUpdates(requirements: Seq[TableRequirement],
+      updates: Seq[TableUpdate]): Unit =
+    commitWithRequirements(requirements, m =>
+      updates.foldLeft(m)((acc, u) => u(acc))
+        .copy(lastUpdatedMs = System.currentTimeMillis()))
+
   private[table] def commitTransaction(files: Seq[DataFile],
       setProps: Map[String, String], removeProps: Seq[String]): Unit = synchronized {
     // property changes ride the same metadata commit as the new snapshot;

@@ -73,6 +73,26 @@ class MetadataJsonSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("current-schema-id 42"))
   }
 
+  test("v3 row-lineage fields (next-row-id / first-row-id) round-trip") {
+    val schema = IceSchema(0, Seq(NestedField(1, "x", IceLong, required = true)))
+    val m = TableMetadata(
+      formatVersion = 3, tableUuid = "u-1", location = "/wh/t3",
+      lastSequenceNumber = 1L, lastUpdatedMs = 1L, lastColumnId = 1,
+      currentSchemaId = 0, schemas = Seq(schema),
+      defaultSpecId = 0, specs = Seq(PartitionSpec.Unpartitioned),
+      lastPartitionId = 999, defaultSortOrderId = 0,
+      sortOrders = Seq(SortOrder.Unsorted), properties = Map.empty,
+      currentSnapshotId = Some(7L),
+      snapshots = Seq(Snapshot(7L, None, 1L, 1L, "/wh/t3/metadata/snap.avro",
+        Map("operation" -> "append"), 0, firstRowId = Some(100L))),
+      snapshotLog = Nil, metadataLog = Nil, refs = Map.empty,
+      nextRowId = Some(250L))
+    val back = TableMetadataJson.read(TableMetadataJson.write(m))
+    assert(back.formatVersion == 3)
+    assert(back.nextRowId.contains(250L))
+    assert(back.snapshots.head.firstRowId.contains(100L))
+  }
+
   test("gzip metadata round-trips through the catalog reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gz")
     val plain = dir.resolve("v7.metadata.json")

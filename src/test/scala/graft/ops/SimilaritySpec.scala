@@ -40,4 +40,18 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // collide more often, so corpus recall sits above that
     assert(recall >= 0.25, s"LSH recall $recall below floor (|lsh|=${lsh.size}, |exact|=${exact.size})")
   }
+
+  test("IVF-Flat ANN recall against the exact top-k") {
+    val exact = Similarity.bruteForceTopK(spark, sfDir, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir, 5, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty && ivf.size <= exact.size)
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // deterministic (fixed KMeans seed + fixed data): probing 4 of 16 cells
+    // must recover a substantial share of the true top-10 neighbors
+    assert(recall >= 0.3, s"IVF recall $recall (|ivf|=${ivf.size}, |exact|=${exact.size})")
+  }
 }
