@@ -219,10 +219,20 @@ sealed abstract class TimeTransform extends Transform {
     }
   }
 
-  /** floorDiv on the µs value, exact in Catalyst long arithmetic. */
-  protected def microsFloorDiv(c: Column, unitMicros: Long): Column = {
+  /** floorDiv on the µs value, exact in Catalyst long arithmetic.
+    * `unix_micros` accepts only TIMESTAMP, so a TIMESTAMP_NTZ source first
+    * goes through a Cast with an EXPLICIT UTC zone — wall-clock-preserving
+    * (micros unchanged) and independent of the session time zone.
+    */
+  protected def microsFloorDiv(c: Column, source: IceType, unitMicros: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Literal => CLit, Pmod, Subtract}
-    val micros = GraftShim.expression(unix_micros(c))
+    import org.apache.spark.sql.types.TimestampType
+    val instant = source match {
+      case IceTimestamp =>
+        GraftShim.column(Cast(GraftShim.expression(c), TimestampType, Some("UTC")))
+      case _ => c
+    }
+    val micros = GraftShim.expression(unix_micros(instant))
     val unit = CLit(unitMicros)
     val floored = IntegralDivide(Subtract(micros, Pmod(micros, unit)), unit)
     GraftShim.column(Cast(floored, IntegerType))
@@ -235,7 +245,13 @@ case object YearTransform extends TimeTransform {
     LocalDate.ofEpochDay(days.toLong).getYear - 1970
   protected def fromMicros(micros: Long): Int =
     Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L)).atZone(ZoneOffset.UTC).getYear - 1970
-  def toColumn(c: Column, source: IceType): Column = (year(c) - lit(1970)).cast(IntegerType)
+  def toColumn(c: Column, source: IceType): Column = source match {
+    case IceDate => (year(c) - lit(1970)).cast(IntegerType)
+    case _ => // via the UTC epoch day: year() on a timestamp would apply the
+      // SESSION time zone and disagree with apply()/project() near boundaries
+      (year(date_from_unix_date(microsFloorDiv(c, source, 86400000000L))) - lit(1970))
+        .cast(IntegerType)
+  }
   override def toHumanString(source: IceType, v: Any): String =
     if (v == null) "null" else (v.asInstanceOf[Number].intValue() + 1970).toString
 }
@@ -250,8 +266,14 @@ case object MonthTransform extends TimeTransform {
     val d = Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L)).atZone(ZoneOffset.UTC)
     (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
   }
-  def toColumn(c: Column, source: IceType): Column =
-    ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast(IntegerType)
+  def toColumn(c: Column, source: IceType): Column = {
+    // timestamps go through the UTC epoch day (session-tz independent)
+    val d = source match {
+      case IceDate => c
+      case _ => date_from_unix_date(microsFloorDiv(c, source, 86400000000L))
+    }
+    ((year(d) - lit(1970)) * lit(12) + month(d) - lit(1)).cast(IntegerType)
+  }
   override def toHumanString(source: IceType, v: Any): String =
     if (v == null) "null"
     else {
@@ -268,7 +290,7 @@ case object DayTransform extends TimeTransform {
     Math.floorDiv(micros, 86400000000L).toInt
   def toColumn(c: Column, source: IceType): Column = source match {
     case IceDate => datediff(c, lit(java.sql.Date.valueOf("1970-01-01")))
-    case _ => microsFloorDiv(c, 86400000000L)
+    case _ => microsFloorDiv(c, source, 86400000000L)
   }
   override def toHumanString(source: IceType, v: Any): String =
     if (v == null) "null"
@@ -281,7 +303,7 @@ case object HourTransform extends TimeTransform {
     throw new IllegalArgumentException("hour transform does not accept date")
   protected def fromMicros(micros: Long): Int =
     Math.floorDiv(micros, 3600000000L).toInt
-  def toColumn(c: Column, source: IceType): Column = microsFloorDiv(c, 3600000000L)
+  def toColumn(c: Column, source: IceType): Column = microsFloorDiv(c, source, 3600000000L)
   override def toHumanString(source: IceType, v: Any): String =
     if (v == null) "null"
     else {

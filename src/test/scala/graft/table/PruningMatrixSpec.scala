@@ -108,6 +108,29 @@ class PruningMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertTasks(t, P.gtEq("number", 5), 6)
   }
 
+  test("time transforms agree with driver-side apply() under a non-UTC session zone") {
+    // year()/month() on timestamps evaluate in the SESSION zone; the write
+    // path must keep UTC semantics or partition tuples disagree with
+    // apply()/project() near year boundaries
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // 1999-12-31T23:30:00 UTC = 1999 in UTC but already 2000-? no — NY is
+      // behind UTC, so pick 2000-01-01T01:00:00 UTC (= 1999-12-31 20:00 NY)
+      val microsBoundary = 946688400000000L // 2000-01-01T01:00:00Z
+      val df = spark.sql(s"SELECT timestamp_micros(${microsBoundary}L) AS ts")
+      val sparkYear = df.select(
+        YearTransform.toColumn(org.apache.spark.sql.functions.col("ts"), IceTimestampTz))
+        .collect().head.getInt(0)
+      val sparkMonth = df.select(
+        MonthTransform.toColumn(org.apache.spark.sql.functions.col("ts"), IceTimestampTz))
+        .collect().head.getInt(0)
+      assert(sparkYear == YearTransform.apply(IceTimestampTz, microsBoundary))
+      assert(sparkMonth == MonthTransform.apply(IceTimestampTz, microsBoundary))
+      assert(sparkYear == 30) // 2000 - 1970: the UTC year, not New York's 1999
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
+
   test("unpartitioned int identity: all-types-style counts") {
     // mirrors test_all_types (5 single-value files partitioned by intCol)
     val df = spark.range(0, 5).selectExpr("CAST(id AS INT) AS intCol",
