@@ -728,7 +728,15 @@ final class IceScan(
       val deleteEntries = deleteManifests.par.flatMap { m =>
         val (_, entries) = ManifestIO.readManifest(m.path, meta.specs, schema)
         entries.filter(_.status != ManifestEntryStatus.Deleted)
-          .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+          .map { e =>
+            // silently ignoring an unsupported delete type would return
+            // rows that were logically deleted (reference rejects too,
+            // `table/scanner.go:389-390`)
+            if (e.dataFile.content == 2)
+              throw new UnsupportedOperationException(
+                s"equality deletes are not supported: ${e.dataFile.filePath}")
+            e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber)))
+          }
       }.seq.sortBy(_.sequenceNumber.getOrElse(0L))
 
       dataEntries.map { e =>

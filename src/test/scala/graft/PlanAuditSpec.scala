@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the properties the engine is designed
+  * around — not just "the query returns rows" but "Catalyst produced the
+  * plan we want": filters and projections reach the Parquet scan, small
+  * dimensions broadcast instead of shuffling the fact table, aggregates
+  * keep a partial (map-side) phase, and relational hot paths run inside
+  * WholeStageCodegen.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-audit-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan+filter+project pushes the predicate and prunes columns") {
+    val p = plan("q_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double"),
+      s"columns not pruned:\n$p")
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  test("star join broadcasts every dimension — the fact table never shuffles for them") {
+    val p = plan("q9_brand_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected fact-side shuffle join:\n$p")
+  }
+
+  test("aggregation is partial before the exchange and runs in codegen") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    val initial = df.queryExecution.executedPlan.toString
+    // partial-then-final: partial_sum below the exchange, final above
+    assert(initial.contains("partial_sum"), s"no map-side combine:\n$initial")
+    assert("HashAggregate".r.findAllIn(initial).size >= 2, s"no two-phase agg:\n$initial")
+    df.collect() // AQE finalizes the plan; codegen spans only show after
+    val fin = df.queryExecution.executedPlan.toString
+    // compact plan strings mark WholeStageCodegen stages as `*(n)`
+    assert(fin.contains("*(1)") || fin.contains("WholeStageCodegen"), s"not codegen'd:\n$fin")
+  }
+
+  test("iceberg scan residual reaches Spark's parquet pushdown") {
+    val p = plan("ice_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"residual did not reach the scan:\n$p")
+  }
+}
