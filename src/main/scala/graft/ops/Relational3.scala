@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third relational batch — the TPC-H shapes the first two batches don't
+  * cover: outer-join distributions (q13), NOT-IN anti semantics (q16),
+  * bi-directional multi-dimension join conditions (q7), and a scalar
+  * subquery threshold combined with an anti join (q22). All follow the
+  * QueryDef determinism contract (no DECIMAL outputs, BIGINT counts,
+  * decimal-exact sums cast to DOUBLE).
+  */
+object Relational3 {
+  import QueryDef.t
+
+  private val d38_6 = DecimalType(38, 6)
+
+  private def discPrice =
+    col("l_extendedprice").cast(DecimalType(14, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(8, 4))
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------- q13: LEFT OUTER JOIN + two-level aggregation
+    QueryDef(
+      "q13_customer_distribution",
+      (s, dir) => {
+        val perCustomer = t(s, dir, "customer")
+          .join(t(s, dir, "orders")
+              .where(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count")) // count() skips nulls
+        perCustomer.groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .select("c_count", "custdist")
+      },
+      Some("""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+          SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) per_cust
+        GROUP BY c_count""")),
+
+    // ---------------------- q16-ish: NOT IN subquery (anti join) +
+    // count-distinct per group (no partsupp table; lineitem links them)
+    QueryDef(
+      "q16_supplier_variety",
+      (s, dir) => {
+        val badSuppliers = t(s, dir, "supplier")
+          .where(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").where(col("p_brand") =!= "Brand#1")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(badSuppliers),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .select("p_brand", "p_size", "supplier_cnt")
+      },
+      Some("""
+        SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size""")),
+
+    // -------------- q7: volume shipping between two nations, either way
+    QueryDef(
+      "q7_volume_shipping",
+      (s, dir) => {
+        val sn = t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val cn = t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+          .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(discPrice).cast(d38_6).cast(DoubleType).as("revenue"))
+          .select("supp_nation", "cust_nation", "l_year", "revenue")
+      },
+      Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INTEGER) AS l_year,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+               (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3""")),
+
+    // ------- q22-ish: scalar-subquery threshold + anti join (no orders)
+    QueryDef(
+      "q22_idle_balances",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        // exact decimal sum → one IEEE division = deterministic threshold
+        val threshold = cust.where(col("c_acctbal") > 0)
+          .agg((sum(col("c_acctbal").cast(DecimalType(14, 2))).cast(DoubleType) /
+            count(lit(1))).as("thr"))
+        cust.crossJoin(broadcast(threshold))
+          .where(col("c_acctbal") > col("thr"))
+          .join(t(s, dir, "orders")
+              .where(col("o_orderdate") >= lit("1998-09-01").cast(TimestampType)),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast(DecimalType(14, 2)))
+              .cast(DecimalType(38, 2)).cast(DoubleType).as("totacctbal"))
+          .select("c_mktsegment", "numcust", "totacctbal")
+      },
+      Some("""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+          CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1998-09-01')
+        GROUP BY c_mktsegment"""))
+  )
+}
