@@ -126,6 +126,40 @@ object TextOps {
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY md5(text)""")),
 
+    // -------------------------------------- the composed cleaning pipeline
+    // exact-dedup (canonical representative) → quality gate (length +
+    // punctuation ratio) → language filter → per-(source, lang) corpus
+    // stats: the end-to-end shape of a training-data preparation job, in
+    // one declarative plan (each stage is one shuffle; the dedup semi-join
+    // keys on the content hash, so no array/text payloads re-shuffle)
+    QueryDef(
+      "pipeline_corpus_stats",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val canonical = docs
+          .groupBy(md5(col("text").cast(BinaryType)).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+          .select(col("keep_id"))
+        val punct = length(regexp_replace(col("text"), lit("[A-Za-z0-9 ]"), lit("")))
+        docs.join(canonical, docs("doc_id") === canonical("keep_id"), "left_semi")
+          .where(length(col("text")) >= 100 &&
+            punct.cast(DoubleType) / col("n_chars").cast(DoubleType) <= 0.1 &&
+            col("lang").isin("en", "de", "fr", "es"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("total_tokens"))
+          .select("source", "lang", "n_docs", "total_tokens")
+      },
+      Some("""
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
+        FROM documents
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+          AND length(text) >= 100
+          AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+            / CAST(n_chars AS DOUBLE) <= 0.1
+          AND lang IN ('en', 'de', 'fr', 'es')
+        GROUP BY source, lang""")),
+
     // ------------------------------------------------------- per-language stats
     QueryDef(
       "text_lang_stats",
