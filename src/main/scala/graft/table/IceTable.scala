@@ -569,6 +569,21 @@ final class IceTable private (
       "delete_file_count")
   }
 
+  /** Per-partition file/record/byte rollup of the current snapshot (the
+    * `partitions` metadata table).
+    */
+  def partitionsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    newScan().planFiles()
+      .groupBy(_.file.partition.map(v => if (v == null) "null" else v.toString)
+        .mkString("/"))
+      .map { case (p, ts) =>
+        (p, ts.size.toLong, ts.map(_.file.recordCount).sum,
+          ts.map(_.file.fileSizeInBytes).sum)
+      }.toSeq
+      .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
+  }
+
   // ---------------------------------------------------------- maintenance
   /** Expire snapshots older than the timestamp, always retaining the current
     * one (reference `Transaction.ExpireSnapshots` `transaction.go:256-363`).

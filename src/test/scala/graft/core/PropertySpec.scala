@@ -146,5 +146,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("makeCompatibleName produces valid names, is idempotent, keeps valid ones") {
+    val rnd = new Random(46)
+    def valid(n: String): Boolean = n.nonEmpty &&
+      (n.head == '_' || Character.isLetter(n.head)) &&
+      n.tail.forall(c => c == '_' || Character.isLetterOrDigit(c))
+    (1 to N).foreach { _ =>
+      val raw = (1 to 1 + rnd.nextInt(12))
+        .map(_ => "ab1_/ -%.:#漢".charAt(rnd.nextInt(12))).mkString
+      val fixed = SchemaConv.makeCompatibleName(raw)
+      assert(valid(fixed), s"'$raw' -> '$fixed'")
+      assert(SchemaConv.makeCompatibleName(fixed) == fixed, s"not idempotent: '$fixed'")
+      if (valid(raw)) assert(fixed == raw, s"valid name changed: '$raw'")
+    }
+  }
+
+  test("name mapping JSON round-trips arbitrary alias trees") {
+    import graft.meta.{MappedField, NameMapping}
+    val rnd = new Random(47)
+    def randField(depth: Int): MappedField = MappedField(
+      fieldId = if (rnd.nextBoolean()) Some(rnd.nextInt(10000)) else None,
+      names = (1 to 1 + rnd.nextInt(3)).map(_ => rnd.alphanumeric.take(5).mkString),
+      fields = if (depth <= 0 || rnd.nextInt(3) > 0) Nil
+        else (1 to rnd.nextInt(3)).map(_ => randField(depth - 1)))
+    (1 to 100).foreach { _ =>
+      val mapping = (1 to 1 + rnd.nextInt(5)).map(_ => randField(2))
+      val back = NameMapping.parse(NameMapping.toJson(mapping))
+      assert(back == mapping)
+      // every (alias path -> id) in the index resolves consistently
+      NameMapping.index(back).foreach { case (path, id) =>
+        assert(path.nonEmpty && id >= 0)
+      }
+    }
+  }
+
   private val P = Predicates
 }

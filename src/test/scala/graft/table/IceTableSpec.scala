@@ -203,6 +203,12 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val files = t.filesDF(spark)
     assert(files.count() >= 1)
     assert(files.columns.contains("record_count"))
+    // partition rollup: counts reconcile with the live files
+    val parts = t.partitionsDF(spark).collect()
+    assert(parts.map(_.getLong(2)).sum ==
+      files.select("record_count").collect().map(_.getLong(0)).sum)
+    val tp = IceTable.load(catalog, "li_part")
+    assert(tp.partitionsDF(spark).count() > 1) // one row per partition tuple
   }
 
   test("limit 0 yields empty frame with the projected schema") {
