@@ -97,5 +97,28 @@ final class SchemaUpdate private[table] (table: IceTable) {
     this
   }
 
+  /** Merge another schema's fields by name (reference union-by-name,
+    * `update_schema.go`): unknown names are added as optional columns with
+    * fresh IDs, known names whose incoming type is a legal widening are
+    * promoted, identical fields are left alone. Incompatible type changes
+    * fail rather than silently narrowing.
+    */
+  def unionByName(incoming: IceSchema): SchemaUpdate = {
+    incoming.fields.foreach { in =>
+      fields.find(_.name == in.name) match {
+        case None =>
+          lastColumnId += 1
+          fields = fields :+ NestedField(lastColumnId, in.name, in.tpe, required = false)
+        case Some(existing) if existing.tpe == in.tpe => ()
+        case Some(existing) if IceType.canPromote(existing.tpe, in.tpe) =>
+          fields = fields.map(f => if (f.name == in.name) f.copy(tpe = in.tpe) else f)
+        case Some(existing) =>
+          throw new IllegalArgumentException(
+            s"cannot union ${in.name}: ${existing.tpe} is not promotable to ${in.tpe}")
+      }
+    }
+    this
+  }
+
   def commit(): Unit = table.commitNewSchema(fields, lastColumnId, identifierIds)
 }

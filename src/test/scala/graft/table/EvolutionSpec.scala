@@ -129,6 +129,28 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(spark, P.gt("quality", 0.6)).count() == nation.count())
   }
 
+  test("unionByName merges incoming fields: add, promote, reject narrowing") {
+    val t = IceTable.create(catalog, "nation_union", SchemaConv.fromSpark(nation.schema))
+    t.append(nation)
+    val incoming = IceSchema(0, Seq(
+      NestedField(1, "n_nationkey", IceLong),   // identical type → untouched
+      NestedField(2, "score", IceDouble),       // new column → added optional
+      NestedField(3, "n_name", IceString)))     // identical type → untouched
+    t.updateSchema().unionByName(incoming).commit()
+    val r = IceTable.load(catalog, "nation_union")
+    assert(r.schema.findByName("score").exists(f => f.tpe == IceDouble && !f.required))
+    // data written before the union still reads; the new column is null
+    assert(r.scan(spark).where("score IS NULL").count() == nation.count())
+    // appending a frame WITH the merged schema works
+    t.append(nation.withColumn("score",
+      org.apache.spark.sql.functions.lit(1.5)))
+    assert(t.scan(spark).where("score = 1.5").count() == nation.count())
+    // narrowing (string → long) is rejected
+    assertThrows[IllegalArgumentException] {
+      t.updateSchema().unionByName(IceSchema(0, Seq(NestedField(1, "n_name", IceLong))))
+    }
+  }
+
   test("concurrent commits: non-conflicting changes rebase, semantic conflicts fail") {
     val t1 = IceTable.create(catalog, "nation_conc", SchemaConv.fromSpark(nation.schema))
     t1.append(nation)
