@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine similarity over embedding arrays as a NATIVE codegen expression.
+  *
+  * The `transform`/`zip_with`/`aggregate` formulation is a chain of
+  * interpreted higher-order functions (CodegenFallback, no common-
+  * subexpression elimination), which dominates the embedding operators'
+  * runtime. This expression evaluates one fused loop inside whole-stage
+  * codegen, accumulating in double in ascending index order — bit-identical
+  * to the sequential HOF fold it replaces, so oracle hashes are unchanged.
+  * Assumes non-null elements (the embeddings data contract).
+  */
+final case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"cosine_sim over $other")
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs float/double arrays, got ${left.dataType} and ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getX = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val getY = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = (double) $a.$getX($i);
+          double $yv = (double) $b.$getY($i);
+          $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column form: cosine similarity of two float/double array columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftShim.column(CosineSimExpr(GraftShim.expression(a), GraftShim.expression(b)))
+}

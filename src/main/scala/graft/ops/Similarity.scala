@@ -20,14 +20,13 @@ import graft.core.Murmur3
 object Similarity {
   import QueryDef.t
 
-  /** dot/norms in double; single-pass fold keeps determinism per engine. */
-  private def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast(DoubleType))
-    val bd = transform(b, x => x.cast(DoubleType))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  /** Cosine as a native codegen expression (`graft.functions.CosineSimExpr`):
+    * one fused loop in whole-stage codegen, accumulating in double in index
+    * order — bit-identical to the interpreted HOF fold it replaced, which
+    * was the hot path of every embedding operator.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Exact top-k neighbors for the query vectors (vec_id < nQueries). */
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
