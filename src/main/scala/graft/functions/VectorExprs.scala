@@ -78,8 +78,59 @@ final case class CosineSimExpr(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Fraction of pairwise-equal components of two long arrays (the MinHash
+  * signature-agreement estimator) — replaces an interpreted
+  * `zip_with`/`filter`/`size` chain with one codegen loop.
+  */
+final case class EqualFracExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "equal_frac"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"equal_frac needs long arrays, got ${left.dataType} and ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val eq = ctx.freshName("eq"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $eq = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getLong($i) == $b.getLong($i)) $eq++;
+        }
+        ${ev.value} = $n == 0 ? 0.0 : ((double) $eq) / $n;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column form: cosine similarity of two float/double array columns. */
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.column(CosineSimExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Column form: fraction of equal components of two long-array columns. */
+  def equalFrac(a: Column, b: Column): Column =
+    GraftShim.column(EqualFracExpr(GraftShim.expression(a), GraftShim.expression(b)))
 }

@@ -82,8 +82,10 @@ object Dedup {
       .distinct()
     pairs.join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      // signature agreement via the codegen expression (the zip_with/filter
+      // chain it replaces is interpreted per candidate pair)
       .withColumn("est_jaccard",
-        expr(s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) AS DOUBLE) / $NumHashes"))
+        graft.functions.VectorExprs.equalFrac(col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= estThreshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
