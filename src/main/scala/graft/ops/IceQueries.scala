@@ -170,6 +170,28 @@ object IceQueries {
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
 
     QueryDef(
+      "ice_stream_source",
+      (s, dir) => {
+        // the table as a STREAMING SOURCE: its committed snapshots replay as
+        // micro-batches through IceTableSourceProvider (offsets = sequence
+        // numbers); the sink table must equal a batch scan of the same data
+        val f = fixture(s, dir)
+        val wh = f.li.catalog.asInstanceOf[FileCatalog].warehouse
+        val sink = s"ice_stream_${math.abs(dir.hashCode)}"
+        val q = s.readStream
+          .format("graft.streaming.IceTableSourceProvider")
+          .option("warehouse", wh).option("table", "lineitem").load()
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        s.table(sink)
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem")),
+
+    QueryDef(
       "ice_add_files",
       (s, dir) => fixture(s, dir).ordersExt.scan(s,
         P.gtEq("o_totalprice", 200000.0),

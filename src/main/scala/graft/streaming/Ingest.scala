@@ -40,28 +40,43 @@ object Ingest {
     * cannot be represented as appends → abort.
     */
   def changesSince(spark: SparkSession, table: IceTable, sinceSnapshotId: Long): DataFrame = {
-    val meta = table.metadata
-    val sinceSeq = meta.snapshotById(sinceSnapshotId)
+    val sinceSeq = table.metadata.snapshotById(sinceSnapshotId)
       .map(_.sequenceNumber)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $sinceSnapshotId"))
-    val current = meta.currentSnapshot.getOrElse(
-      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        table.schema.toSpark))
+    changesBetween(spark, table, sinceSeq, Long.MaxValue)
+  }
+
+  /** Rows appended by snapshots with sequence number in (sinceSeq, untilSeq]
+    * — the offset-range form consumed by the streaming source, planned
+    * against the manifest list of the snapshot AT `untilSeq` so a batch is
+    * stable even when later commits land mid-read.
+    */
+  def changesBetween(spark: SparkSession, table: IceTable,
+      sinceSeq: Long, untilSeq: Long): DataFrame = {
+    val meta = table.metadata
+    val until = meta.snapshots.filter(_.sequenceNumber <= untilSeq)
+      .maxByOption(_.sequenceNumber)
+      .getOrElse(return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema.toSpark))
     val opOf: Map[Long, String] =
       meta.snapshots.map(s => s.snapshotId -> s.summary.getOrElse("operation", "append")).toMap
     val rowChanging = meta.snapshots.filter(s => s.sequenceNumber > sinceSeq &&
+      s.sequenceNumber <= until.sequenceNumber &&
       Set("overwrite", "delete").contains(opOf(s.snapshotId)))
     if (rowChanging.nonEmpty)
       throw new IllegalStateException(
         s"cannot read incrementally across row-changing snapshots: " +
           rowChanging.map(s => s"${s.snapshotId}(${opOf(s.snapshotId)})").mkString(", "))
-    val newFiles = ManifestIO.readManifestList(current.manifestList)
+    val newFiles = ManifestIO.readManifestList(until.manifestList)
       .filter(m => m.content == 0 && m.sequenceNumber > sinceSeq)
       .flatMap { m =>
         ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
-          .filter(e => e.status == graft.meta.ManifestEntryStatus.Added &&
-            e.sequenceNumber.getOrElse(m.sequenceNumber) > sinceSeq &&
-            opOf.get(e.snapshotId).forall(_ == "append"))
+          .filter { e =>
+            val seq = e.sequenceNumber.getOrElse(m.sequenceNumber)
+            e.status == graft.meta.ManifestEntryStatus.Added &&
+              seq > sinceSeq && seq <= until.sequenceNumber &&
+              opOf.get(e.snapshotId).forall(_ == "append")
+          }
           .map(_.dataFile.filePath)
       }
     if (newFiles.isEmpty)

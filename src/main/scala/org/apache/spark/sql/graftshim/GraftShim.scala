@@ -11,4 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-tag a batch DataFrame as streaming input: V1 `Source.getBatch` must
+    * return a frame with isStreaming=true, which only
+    * `internalCreateDataFrame` can produce (the same hop Spark's own V1
+    * sources take).
+    */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

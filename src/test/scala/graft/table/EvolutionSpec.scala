@@ -175,6 +175,37 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceTable.load(catalog, "nation_conc").metadata.properties("owner") == "test")
   }
 
+  test("IceTable as a streaming SOURCE: snapshots become batches, checkpoint resumes") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(catalog, "region_src", SchemaConv.fromSpark(region.schema))
+    t.append(region.where("r_regionkey < 2"))
+    val ckpt = Files.createTempDirectory("src-ckpt").toString
+    val outDir = Files.createTempDirectory("src-out").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .format("graft.streaming.IceTableSourceProvider")
+        .option("warehouse", catalog.warehouse)
+        .option("table", "region_src")
+        .load()
+      // parquet sink: supports checkpoint RECOVERY (memory sink does not)
+      val q = stream.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.read.parquet(outDir).count() == region.where("r_regionkey < 2").count())
+    t.append(region.where("r_regionkey >= 2"))
+    run()
+    // same checkpoint → the second run consumed ONLY the new snapshot
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == region.count())
+    assert(out.select("r_regionkey").exceptAll(region.select("r_regionkey")).isEmpty)
+  }
+
   test("streaming ingest commits one snapshot per micro-batch; incremental read sees only new rows") {
     val src = Files.createTempDirectory("stream-src").toString
     val ckpt = Files.createTempDirectory("stream-ckpt").toString
