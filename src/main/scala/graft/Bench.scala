@@ -16,12 +16,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // builder-internal caches are per-query scratch; holding them across
+      // ~60 queries accumulates MEMORY_AND_DISK blocks in one session
+      graft.ops.CacheRegistry.releaseAll()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness captures only a ~2KB tail of stdout: keep this line compact
+    // (2-decimal seconds, short sf label) and emit it after spark.stop() so no
+    // shutdown logging can land between it and process exit. At ~60 queries the
+    // line is ~1.7KB — full-precision doubles overflowed the tail in round 3
+    // and the driver recorded parsed:null.
+    def f3(v: Double): String = "%.2f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfLabel = sfDir.split('/').lastOption.getOrElse(sfDir)
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}""")
   }
 }

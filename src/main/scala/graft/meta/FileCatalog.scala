@@ -77,15 +77,53 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     }
   }
 
+  private def renameIntent(from: String) = s"$warehouse/rename-$from.intent"
+
+  /** The COMMIT POINT is a per-`from` intent file in the warehouse root,
+    * created atomically-exclusive (`CREATE_NEW`): exactly one concurrent
+    * rename of `from` ever wins, and a rename to a different target finds
+    * the winner's intent and conflicts. The intent records both the target
+    * name and the table location, so a crashed rename is resumable without
+    * consulting `from`'s (possibly already-deleted) pointer. Step order
+    * after the intent — retire the original identifier (tombstone), delete
+    * `from.ptr`, write `to.ptr` — means a crash leaves either `from` alive
+    * (before the tombstone/ptr-delete) or NEITHER name alive (resumable via
+    * the intent); no window has both identifiers resolving. Re-running
+    * `renameTable(from, to)` for the recorded pair completes idempotently.
+    */
   def renameTable(from: String, to: String): Unit = {
+    val intent = Paths.get(stripScheme(renameIntent(from)))
+    val recorded: Option[Array[String]] =
+      if (Files.exists(intent))
+        Some(new String(Files.readAllBytes(intent), StandardCharsets.UTF_8).split('\n'))
+      else None
+    if (recorded.exists(_.headOption.contains(to))) {
+      // resume: finish the remaining steps for the recorded pair
+      val location = recorded.get(1)
+      Files.write(Paths.get(stripScheme(tombstone(location))),
+        to.getBytes(StandardCharsets.UTF_8))
+      Files.deleteIfExists(Paths.get(stripScheme(ptrFile(from))))
+      Files.write(Paths.get(stripScheme(ptrFile(to))),
+        location.getBytes(StandardCharsets.UTF_8))
+      return
+    }
+    if (recorded.isDefined)
+      throw new CommitConflictException(
+        s"table $from was already renamed to ${recorded.get.headOption.getOrElse("?")}")
     require(tableExists(from), s"no such table: $from")
     require(!tableExists(to), s"table $to already exists")
     val location = tableLocation(from)
-    Files.write(Paths.get(stripScheme(ptrFile(to))),
-      location.getBytes(StandardCharsets.UTF_8))
+    try Files.write(intent, s"$to\n$location".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(s"concurrent rename of table $from")
+    }
     Files.write(Paths.get(stripScheme(tombstone(location))),
       to.getBytes(StandardCharsets.UTF_8))
     Files.deleteIfExists(Paths.get(stripScheme(ptrFile(from))))
+    Files.write(Paths.get(stripScheme(ptrFile(to))),
+      location.getBytes(StandardCharsets.UTF_8))
   }
 
   def dropTable(name: String): Unit = {

@@ -71,7 +71,7 @@ object Dedup {
   def minhashCandidates(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
     val docs = t(spark, dir, "documents")
     val sigs = docs.select(col("doc_id"), minhashUdf(wordSet(col("text"))).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist(_))
     val bands = minhashBands(docs)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -165,7 +165,7 @@ object Dedup {
     // chosen plan must read the materialized arrays, not recompute them
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist(_))
     val joinedRows = Option(
       docs.select(col("source"), explode(col("ws")).as("tok"))
         .groupBy("tok", "source").agg(count(lit(1)).as("df"))
@@ -196,7 +196,7 @@ object Dedup {
   private def countJoinJaccard(docsWithTokens: DataFrame, threshold: Double): DataFrame = {
     val docs = docsWithTokens
       .withColumn("sz", size(col("ws")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist(_))
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
     tokens.as("a").join(tokens.as("b"),
@@ -246,7 +246,7 @@ object Dedup {
     val docs = docsWithTokens
       .withColumn("sz", size(col("ws")))
       .where(col("sz") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist(_))
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
     val tokenDf = tokens.groupBy("tok").agg(count(lit(1)).as("tok_df"))

@@ -186,7 +186,7 @@ object IceQueries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        require(q.awaitTermination(120000), "table-source stream did not finish in 120s")
         s.table(sink)
       },
       Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem")),

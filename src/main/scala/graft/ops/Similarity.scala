@@ -107,7 +107,7 @@ object Similarity {
     */
   def embeddingNearDupLSH(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist(_))
     // candidate generation is ID-only: a pair surfaces once per shared
     // bucket, so dedup BEFORE attaching the 64-float vectors — the distinct
     // then shuffles slim (id, id, label) rows, not array payloads
@@ -159,7 +159,7 @@ object Similarity {
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val feat = t(spark, dir, "embeddings")
       .withColumn("features", toVec(col("embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheRegistry.persist(_))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(feat)
     val assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
     val centroids = model.clusterCenters.map(_.toArray)

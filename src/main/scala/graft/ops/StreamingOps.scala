@@ -35,13 +35,18 @@ object StreamingOps {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    require(q.awaitTermination(120000), "streaming hourly-count job did not finish in 120s")
     spark.table(sinkName)
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
   }
 
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+  /** Per-user state carried ACROSS micro-batches: open-session continuity
+    * needs the last event timestamp, not just the running count — without it
+    * a session spanning a batch boundary double-counts.
+    */
+  final case class SessState(nSessions: Long, lastTsUs: Long, nEvents: Long)
 
   /** Gap-based per-user session stats computed by a STATEFUL streaming job:
     * `flatMapGroupsWithState` holds per-user state across micro-batches (the
@@ -61,18 +66,22 @@ object StreamingOps {
       .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
       .as[Ev]
     val sessions = typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, UserSessions](
+      .flatMapGroupsWithState[SessState, UserSessions](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (uid, evs, state) =>
           val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
-          var n = state.getOption.getOrElse(0L)
-          var prev = Long.MinValue
+          val st0 = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L))
+          var n = st0.nSessions
+          var prev = st0.lastTsUs
           sorted.foreach { e =>
             if (prev == Long.MinValue || e.ts_us - prev > 1800000000L) n += 1
             prev = e.ts_us
           }
-          state.update(n)
-          Iterator.single(UserSessions(uid, n, sorted.length.toLong))
+          val st = SessState(n, prev, st0.nEvents + sorted.length)
+          state.update(st)
+          // cumulative per batch: the reader keeps the per-user MAX, which is
+          // the final value however many batches the source delivered
+          Iterator.single(UserSessions(uid, st.nSessions, st.nEvents))
       }
     val sinkName = s"stream_sessions_${math.abs(dir.hashCode)}"
     val q = sessions.writeStream
@@ -81,8 +90,9 @@ object StreamingOps {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
-    spark.table(sinkName)
+    require(q.awaitTermination(120000), "streaming session job did not finish in 120s")
+    spark.table(sinkName).groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
   }
 
   val defs: Seq[QueryDef] = Seq(

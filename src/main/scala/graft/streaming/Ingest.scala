@@ -50,6 +50,17 @@ object Ingest {
     * — the offset-range form consumed by the streaming source, planned
     * against the manifest list of the snapshot AT `untilSeq` so a batch is
     * stable even when later commits land mid-read.
+    *
+    * `sinceSeq <= 0` means "from before the first snapshot" (a fresh
+    * consumer, streaming offset None): that batch is a FULL REPLAY — the
+    * complete `until` snapshot through the normal scan — not a manifest
+    * diff. A diff would lose compacted history: a `replace` snapshot
+    * rewrites prior appends into files it marks Existing / owns itself, so
+    * the Added-by-an-append filter below can never reconstruct the table
+    * from sequence 0. For the same reason a `replace` INSIDE a genuine
+    * incremental range aborts like overwrite/delete: rows appended after
+    * `sinceSeq` and then compacted vanish from the until-snapshot's
+    * manifest list, so the diff cannot be represented as pure appends.
     */
   def changesBetween(spark: SparkSession, table: IceTable,
       sinceSeq: Long, untilSeq: Long): DataFrame = {
@@ -58,11 +69,13 @@ object Ingest {
       .maxByOption(_.sequenceNumber)
       .getOrElse(return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema.toSpark))
+    if (sinceSeq <= 0L)
+      return table.newScan(snapshotId = Some(until.snapshotId)).toDF(spark)
     val opOf: Map[Long, String] =
       meta.snapshots.map(s => s.snapshotId -> s.summary.getOrElse("operation", "append")).toMap
     val rowChanging = meta.snapshots.filter(s => s.sequenceNumber > sinceSeq &&
       s.sequenceNumber <= until.sequenceNumber &&
-      Set("overwrite", "delete").contains(opOf(s.snapshotId)))
+      Set("overwrite", "delete", "replace").contains(opOf(s.snapshotId)))
     if (rowChanging.nonEmpty)
       throw new IllegalStateException(
         s"cannot read incrementally across row-changing snapshots: " +

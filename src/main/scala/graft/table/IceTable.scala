@@ -632,7 +632,8 @@ final class IceTable private (
         // hidden/marker files (_SUCCESS, .crc) are committer artifacts; the
         // catalog's own files are out of scope
         val isCatalogFile = base.endsWith(".metadata.json") ||
-          base.endsWith(".metadata.json.gz") || base == "version-hint.text"
+          base.endsWith(".metadata.json.gz") || base == "version-hint.text" ||
+          base == "renamed-away.text" // rename tombstone: deleting it would resurrect the retired identifier
         if (!base.startsWith("_") && !base.startsWith(".") && !isCatalogFile &&
             !referenced.contains(p) && st.getModificationTime < olderThanMs) orphans += p
       }

@@ -232,4 +232,26 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val changes = Ingest.changesSince(spark, t, snap1.snapshotId)
     assert(changes.count() == region.where("r_regionkey >= 2").count())
   }
+
+  test("incremental read over compaction: fresh consumer replays in full, mid-range replace aborts") {
+    val nat = nation
+    val t = IceTable.create(catalog, "nation_compact_replay",
+      SchemaConv.fromSpark(nat.schema))
+    t.append(nat.where("n_nationkey < 10"))
+    val snap1 = t.refresh().currentSnapshot.get
+    t.append(nat.where("n_nationkey >= 10"))
+    t.refresh().compact(spark, 1)
+    t.refresh()
+    // offset-None consumer: a manifest diff from seq 0 would miss every
+    // compacted row (they are Existing entries owned by the replace
+    // snapshot); the initial batch must be a full scan of the until snapshot
+    val replay = Ingest.changesBetween(spark, t, 0L, Long.MaxValue)
+    assert(replay.count() == nat.count())
+    // a genuine incremental range that spans the replace snapshot cannot be
+    // represented as pure appends → abort, not partial data
+    val ex = intercept[IllegalStateException] {
+      Ingest.changesSince(spark, t, snap1.snapshotId).count()
+    }
+    assert(ex.getMessage.contains("replace"))
+  }
 }

@@ -120,6 +120,47 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceTable.load(catalog, "rn_after").scan(spark).count() == region.count() + 1)
   }
 
+  test("rename: chains, crash-resume, and concurrent-rename conflict") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(catalog, "rn_a", SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    catalog.renameTable("rn_a", "rn_b")
+    // renaming the renamed identifier again must work (the tombstone is not
+    // the CAS point, so the second rename of the same location is legal)
+    catalog.renameTable("rn_b", "rn_c")
+    assert(!catalog.tableExists("rn_a") && !catalog.tableExists("rn_b"))
+    assert(IceTable.load(catalog, "rn_c").scan(spark).count() == region.count())
+    // re-running a completed rename resumes idempotently
+    catalog.renameTable("rn_b", "rn_c")
+    assert(catalog.tableExists("rn_c"))
+    // the losing side of a concurrent rename (same source, different target)
+    intercept[CommitConflictException] { catalog.renameTable("rn_b", "rn_z") }
+    assert(!catalog.tableExists("rn_z"))
+    // crash simulation: the intent landed but no other step ran; re-running
+    // the same rename completes it
+    val t2 = IceTable.create(catalog, "rn_crash", SchemaConv.fromSpark(region.schema))
+    t2.append(region.limit(3))
+    val loc = catalog.tableLocation("rn_crash")
+    Files.write(java.nio.file.Paths.get(s"${catalog.warehouse}/rename-rn_crash.intent"),
+      s"rn_done\n$loc".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catalog.renameTable("rn_crash", "rn_done")
+    assert(!catalog.tableExists("rn_crash") && catalog.tableExists("rn_done"))
+    assert(IceTable.load(catalog, "rn_done").scan(spark).count() == 3)
+  }
+
+  test("orphan cleanup preserves the rename tombstone") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(catalog, "rn_orph", SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    catalog.renameTable("rn_orph", "rn_orph2")
+    val t2 = IceTable.load(catalog, "rn_orph2")
+    t2.deleteOrphanFiles(System.currentTimeMillis() + 3600000L)
+    // deleting the tombstone would resurrect the retired identifier
+    assert(!catalog.tableExists("rn_orph"))
+    assert(catalog.tableExists("rn_orph2"))
+    assert(t2.scan(spark).count() == region.count())
+  }
+
   test("overwriteWhere: full-match files dropped, partial files rewritten") {
     val t = IceTable.create(catalog, "li_overwrite",
       SchemaConv.fromSpark(lineitem.schema))
