@@ -22,7 +22,7 @@ import graft.core._
   * keys; Iceberg keys by field ID).
   */
 final case class DataFile(
-    content: Int, // 0=data, 1=position deletes
+    content: Int, // 0=data, 1=position deletes, 2=equality deletes
     filePath: String,
     fileFormat: String,
     partition: Seq[Any], // aligned with the spec's fields; JVM literal reps
@@ -35,7 +35,8 @@ final case class DataFile(
     lowerBounds: Map[Int, Array[Byte]] = Map.empty,
     upperBounds: Map[Int, Array[Byte]] = Map.empty,
     splitOffsets: Seq[Long] = Nil,
-    sortOrderId: Option[Int] = None)
+    sortOrderId: Option[Int] = None,
+    equalityIds: Seq[Int] = Nil) // field IDs an equality-delete file matches on (content=2)
 
 object ManifestEntryStatus {
   val Existing = 0
@@ -266,6 +267,8 @@ object ManifestIO {
       df.put("upper_bounds", kvToAvro(dfSchema.getField("upper_bounds").schema(), f.upperBounds))
       df.put("split_offsets",
         if (f.splitOffsets.isEmpty) null else f.splitOffsets.map(Long.box).asJava)
+      df.put("equality_ids",
+        if (f.equalityIds.isEmpty) null else f.equalityIds.map(Int.box).asJava)
       df.put("sort_order_id", f.sortOrderId.map(Int.box).orNull)
       rec.put("data_file", df)
       writer.append(rec)
@@ -393,7 +396,9 @@ object ManifestIO {
           upperBounds = kvFromAvro(df.get("upper_bounds"))(v => bytes(v.asInstanceOf[ByteBuffer])),
           splitOffsets = Option(df.get("split_offsets"))
             .map(_.asInstanceOf[java.util.Collection[Long]].asScala.toSeq).getOrElse(Nil),
-          sortOrderId = Option(df.get("sort_order_id")).map(_.asInstanceOf[Int])))
+          sortOrderId = Option(df.get("sort_order_id")).map(_.asInstanceOf[Int]),
+          equalityIds = Option(df.get("equality_ids"))
+            .map(_.asInstanceOf[java.util.Collection[Int]].asScala.toSeq).getOrElse(Nil)))
     }
     reader.close()
     (specId, entries.result())

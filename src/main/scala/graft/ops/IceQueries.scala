@@ -21,7 +21,7 @@ object IceQueries {
 
   private case class Fixture(li: IceTable, firstSnapshotId: Long,
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
-      liCompact: IceTable, ordersExt: IceTable)
+      liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable)
 
   private val fixtures = TrieMap[String, Fixture]()
 
@@ -96,13 +96,31 @@ object IceQueries {
         ordersExt.addFiles(Seq(s"$dir/orders.parquet"))
         ordersExt
       }
+      val fEq = Future {
+        // equality-delete upsert round-trip: delete urgent orders BY KEY,
+        // re-insert them at a later sequence (strictly-older scoping keeps
+        // the new copies), then a second key-delete that stays live. Final
+        // state must equal `orders` minus status 'P' — any scoping error
+        // (delete hitting the re-insert, or missing batch 1) changes rows
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val ordersEq = IceTable.create(catalog, "orders_eq",
+          SchemaConv.fromSpark(orders.schema))
+        ordersEq.append(orders)
+        val urgent = orders.where("o_orderpriority = '1-URGENT'")
+        ordersEq.equalityDelete(spark, urgent.select("o_orderkey"), Seq("o_orderkey"))
+        ordersEq.append(urgent)
+        ordersEq.equalityDelete(spark,
+          orders.where("o_orderstatus = 'P'").select("o_orderkey"), Seq("o_orderkey"))
+        ordersEq
+      }
       val (li, snap1Id) = Await.result(fLi, Duration.Inf)
       Fixture(li, snap1Id,
         Await.result(fPart, Duration.Inf),
         Await.result(fMor, Duration.Inf),
         Await.result(fDist, Duration.Inf),
         Await.result(fCompact, Duration.Inf),
-        Await.result(fExt, Duration.Inf))
+        Await.result(fExt, Duration.Inf),
+        Await.result(fEq, Duration.Inf))
     })
 
   val defs: Seq[QueryDef] = Seq(
@@ -198,6 +216,14 @@ object IceQueries {
         Some(Seq("o_orderkey", "o_custkey", "o_totalprice"))),
       Some("""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        WHERE o_totalprice >= 200000"""))
+        WHERE o_totalprice >= 200000""")),
+
+    QueryDef(
+      "ice_eq_delete_scan",
+      (s, dir) => fixture(s, dir).ordersEq.scan(s,
+        selected = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice"))),
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus <> 'P'"""))
   )
 }

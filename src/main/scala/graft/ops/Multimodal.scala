@@ -117,15 +117,39 @@ object Multimodal {
         FROM documents""")),
 
     // stubbed decode → fixed-size features (rows-only: decode is a fake).
-    // The feature vector is emitted as a CSV string: the checker sorts rows
-    // by every column and raw array cells are unhashable on the pandas side.
+    // The feature vector is emitted as a CSV of FLOOR(f*1e6) integers: the
+    // checker sorts rows by every column (raw array cells are unhashable on
+    // the pandas side), and integer rendering is identical across engines
+    // where float-to-string notation is not. The float32 division itself is
+    // IEEE-exact on both sides, so the oracle is exact, not approximate.
     QueryDef(
       "multimodal_features",
       (s, dir) =>
         extractFeatures(s, dir).toDF()
           .withColumn("features",
-            concat_ws(",", col("features").cast(ArrayType(StringType)))),
-      None),
+            concat_ws(",", transform(col("features"),
+              x => floor(x.cast(DoubleType) * 1000000).cast(StringType)))),
+      Some("""
+        WITH chars AS (
+          SELECT doc_id, ascii(text[i]) % 16 AS bin
+          FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+        ),
+        counts AS (SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY doc_id, bin),
+        dims AS (SELECT d.doc_id, GREATEST(1, length(d.text)) AS n, b.bin
+                 FROM documents d, UNNEST(range(16)) AS b(bin)),
+        feats AS (
+          SELECT dims.doc_id,
+            CAST(FLOOR(CAST(CAST(COALESCE(counts.c, 0) AS REAL) / CAST(dims.n AS REAL)
+              AS DOUBLE) * 1000000) AS BIGINT) AS fv, dims.bin
+          FROM dims LEFT JOIN counts
+            ON dims.doc_id = counts.doc_id AND dims.bin = counts.bin)
+        SELECT f.doc_id,
+          CASE CAST(f.doc_id % 4 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+          CAST(length(d.text) AS BIGINT) AS n_bytes,
+          string_agg(f.fv, ',' ORDER BY f.bin) AS features
+        FROM feats f JOIN documents d ON f.doc_id = d.doc_id
+        GROUP BY f.doc_id, d.text""")),
 
     // aspect-fit resize planning over image rows — integer math, exact oracle
     QueryDef(

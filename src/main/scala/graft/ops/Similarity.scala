@@ -248,6 +248,24 @@ object Similarity {
     QueryDef("dedup_embedding_lsh",
       (s, dir) => embeddingNearDupLSH(s, dir, 0.2), None),
 
-    QueryDef("sim_label_centroids", (s, dir) => labelCentroidStats(s, dir), None)
+    // exact oracle: per-(label, dim) centroid via UNNEST, cosine re-derived
+    // per vector, avg rounded to 3 decimals (double math both sides; the
+    // rounding absorbs summation-order noise exactly as the other cosine
+    // oracles do)
+    QueryDef("sim_label_centroids", (s, dir) => labelCentroidStats(s, dir),
+      Some("""
+        WITH ex AS (
+          SELECT label, vec_id, u.i AS i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+        ),
+        cent AS (SELECT label, i, SUM(v) / COUNT(*) AS c FROM ex GROUP BY label, i),
+        dots AS (
+          SELECT ex.label, ex.vec_id,
+            SUM(ex.v * cent.c) AS dot, SUM(ex.v * ex.v) AS n1, SUM(cent.c * cent.c) AS n2
+          FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+          GROUP BY ex.label, ex.vec_id)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+          ROUND(AVG(dot / (SQRT(n1) * SQRT(n2))), 3) AS avg_cos_to_centroid
+        FROM dots GROUP BY label"""))
   )
 }

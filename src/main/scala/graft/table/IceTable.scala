@@ -13,7 +13,11 @@ import graft.meta._
 /** One file-scan unit: a data file plus the positional-delete files that
   * apply to it (reference `FileScanTask` `table/scanner.go`).
   */
-final case class FileScanTask(file: DataFile, deletes: Seq[DataFile])
+final case class FileScanTask(
+    file: DataFile,
+    deletes: Seq[DataFile], // positional (content=1)
+    eqDeletes: Seq[(DataFile, Long)] = Nil, // equality (content=2) with their data sequence
+    dataSeq: Long = 0L)
 
 /** Distributed snapshot descriptor (reference
   * `table/distributed_snapshot.go:31-76`): the coordinator reserves the
@@ -285,9 +289,14 @@ final class IceTable private (
       .copy(sequenceNumber = seq,
         minSequenceNumber = toKeep.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
         addedSnapshotId = snapId)
-    // deletes manifests still apply to surviving files — carry them forward
-    val deleteManifests = ManifestIO.readManifestList(current.manifestList)
-      .filter(_.content == 1)
+    // delete manifests still apply to SURVIVING files — carry them forward.
+    // A full rewrite (no survivors) leaves nothing they can match: the
+    // rewritten files carry this commit's sequence number, past every
+    // existing delete (positional: paths gone; equality: strictly-older
+    // scoping) — so drop them, releasing the files for orphan cleanup
+    val deleteManifests =
+      if (toKeep.isEmpty) Nil
+      else ManifestIO.readManifestList(current.manifestList).filter(_.content == 1)
     commitManifestList(Seq(mf) ++ deleteManifests, snapId, seq, operation,
       addedFiles = added.size, addedRecords = added.map(_.recordCount).sum,
       removedFiles = toDelete.size, removedRecords = toDelete.map(_.dataFile.recordCount).sum)
@@ -297,13 +306,20 @@ final class IceTable private (
     * files (bin-packing via repartition), then swap atomically.
     */
   def compact(spark: SparkSession, targetFileCount: Int): Snapshot = {
-    val tasks = newScan().planFiles()
+    val scan = newScan()
+    val tasks = scan.planFiles()
     val oldPaths = tasks.map(_.file.filePath).toSet
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    val df = spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
-      .repartition(targetFileCount)
-    val newFiles = DataWriter.write(df, location, schema, PartitionSpec.Unpartitioned)
+    // a raw parquet read would RESURRECT MOR-deleted rows: the rewrite gets
+    // a new sequence number, so old positional/equality deletes stop
+    // applying. Rewrite through the delete-applying scan when any exist
+    val hasDeletes = tasks.exists(t => t.deletes.nonEmpty || t.eqDeletes.nonEmpty)
+    val source =
+      if (hasDeletes) scan.toDFFor(spark, tasks)
+      else spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
+    val newFiles = DataWriter.write(source.repartition(targetFileCount),
+      location, schema, PartitionSpec.Unpartitioned)
     replaceDataFiles(oldPaths, newFiles, operation = "replace")
   }
 
@@ -315,7 +331,8 @@ final class IceTable private (
   def overwriteWhere(spark: SparkSession, filter: IcePredicate, replacement: DataFrame)
       : Snapshot = {
     val bound = Predicates.bind(filter, schema)
-    val tasks = newScan().planFiles()
+    val scan = newScan()
+    val tasks = scan.planFiles()
     val fullMatch = tasks.filter(t => Evaluators.fileMustMatch(bound, t.file))
     val partial = tasks.filter(t => !Evaluators.fileMustMatch(bound, t.file) &&
       Evaluators.fileMayMatch(bound, t.file))
@@ -324,11 +341,12 @@ final class IceTable private (
     // survivors = rows where the filter is NOT TRUE. Under SQL three-valued
     // logic `!c` is NULL (not true) when c is NULL, so a bare negation would
     // silently drop rows with null filter columns from the rewritten file —
-    // data loss. Coalesce NULL to "keep".
+    // data loss. Coalesce NULL to "keep". Read through the delete-applying
+    // scan: a raw read would resurrect MOR-deleted rows into the rewrite
     val survivors =
       if (partial.isEmpty) Nil
       else DataWriter.write(
-        spark.read.schema(schema.toSpark).parquet(partial.map(_.file.filePath): _*)
+        scan.toDFFor(spark, partial)
           .where(!coalesce(Predicates.toColumn(bound), lit(false))),
         location, schema, spec)
     val addedNew = DataWriter.write(replacement, location, schema, spec)
@@ -414,6 +432,44 @@ final class IceTable private (
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
     Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
       addedFiles = 0, addedRecords = 0))
+  }
+
+  /** Equality-delete (merge-on-read): record the KEY VALUES of rows to
+    * delete instead of scanning for their positions. Goes beyond the
+    * reference, which rejects equality deletes on read
+    * (`table/scanner.go:389-390`); write semantics follow the Iceberg spec:
+    * a content=2 delete file whose rows are values of `columns`
+    * (`equality_ids`), deleting every data row with matching values in data
+    * files with a STRICTLY OLDER data sequence number.
+    *
+    * This is the scale path for upsert/CDC ingestion: no scan of existing
+    * data at write time (deleteWhere reads every candidate file to find
+    * positions); the cost moves to the read-side anti-join.
+    */
+  def equalityDelete(spark: SparkSession, keys: DataFrame,
+      columns: Seq[String]): Snapshot = synchronized {
+    require(columns.nonEmpty, "equality delete needs at least one column")
+    val schemaNow = schema
+    val eqIds = columns.map(c => schemaNow.idByName.getOrElse(c,
+      throw new IllegalArgumentException(s"no such column: $c")))
+    val eqSchema = IceSchema(-1, eqIds.map(schemaNow.byId(_).copy(required = false)))
+    // distinct: delete keys are a set; duplicates only grow the file
+    val files = DataWriter.write(
+      keys.select(columns.map(col): _*).distinct(),
+      location, eqSchema, PartitionSpec.Unpartitioned)
+      .map(_.copy(content = 2, equalityIds = eqIds))
+      .filter(_.recordCount > 0)
+    val snapId = meta.reserveSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val commitUuid = UUID.randomUUID().toString
+    val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+    val entries = files.map(f =>
+      ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+    val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
+        schemaNow, content = 1)
+      .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+    commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
+      addedFiles = 0, addedRecords = 0)
   }
 
   // -------------------------------------------------- distributed snapshot
@@ -744,23 +800,17 @@ final class IceScan(
       val deleteEntries = deleteManifests.par.flatMap { m =>
         val (_, entries) = ManifestIO.readManifest(m.path, meta.specs, schema)
         entries.filter(_.status != ManifestEntryStatus.Deleted)
-          .map { e =>
-            // silently ignoring an unsupported delete type would return
-            // rows that were logically deleted (reference rejects too,
-            // `table/scanner.go:389-390`)
-            if (e.dataFile.content == 2)
-              throw new UnsupportedOperationException(
-                s"equality deletes are not supported: ${e.dataFile.filePath}")
-            e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber)))
-          }
+          .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
       }.seq.sortBy(_.sequenceNumber.getOrElse(0L))
+      val (eqDeleteEntries, posDeleteEntries) =
+        deleteEntries.partition(_.dataFile.content == 2)
 
       dataEntries.map { e =>
         // positional deletes apply when delete.seq >= data.seq and the
         // delete file's file_path bounds admit this data file
         // (reference `matchDeletesToData` `table/scanner.go:285-309`)
         val dseq = e.sequenceNumber.getOrElse(0L)
-        val applicable = deleteEntries.filter { d =>
+        val applicable = posDeleteEntries.filter { d =>
           d.sequenceNumber.getOrElse(0L) >= dseq && {
             val lo = d.dataFile.lowerBounds.get(2147483546).map(new String(_, "UTF-8"))
             val hi = d.dataFile.upperBounds.get(2147483546).map(new String(_, "UTF-8"))
@@ -768,7 +818,14 @@ final class IceScan(
               hi.forall(h => e.dataFile.filePath <= h || e.dataFile.filePath.startsWith(h))
           }
         }
-        FileScanTask(e.dataFile, applicable.map(_.dataFile))
+        // equality deletes apply only to STRICTLY OLDER data files (Iceberg
+        // spec): rows (re)written in the same or a later commit — e.g. the
+        // upsert's own inserts, or a compaction that already applied the
+        // delete — must not be re-deleted
+        val eqApplicable = eqDeleteEntries
+          .filter(d => d.sequenceNumber.getOrElse(0L) > dseq)
+          .map(d => (d.dataFile, d.sequenceNumber.getOrElse(0L)))
+        FileScanTask(e.dataFile, applicable.map(_.dataFile), eqApplicable, dseq)
       }.toSeq
   }
 
@@ -776,19 +833,28 @@ final class IceScan(
     * deletes applied via broadcast anti-join on (file_path, row position),
     * residual filter + projection pushed to Catalyst.
     */
-  def toDF(spark: SparkSession): DataFrame = {
+  def toDF(spark: SparkSession): DataFrame = toDFFor(spark, planFiles())
+
+  /** Execute over an explicit task subset — rewrite paths (compaction,
+    * predicate overwrite) use this to read WITH deletes applied while
+    * scoping to the files they rewrite.
+    */
+  private[table] def toDFFor(spark: SparkSession, tasks: Seq[FileScanTask]): DataFrame = {
     val schema = scanSchema
     val projected: IceSchema =
       selected.map(s => schema.select(s, caseSensitive)).getOrElse(schema)
     if (limit.contains(0))
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         projected.toSpark)
-    val tasks = planFiles()
     if (tasks.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         projected.toSpark)
 
     val bound = Predicates.bind(filter, schema, caseSensitive)
+    // equality-delete key columns must be scanned even when projected away:
+    // the anti-join needs them before the final projection
+    val eqColNames = tasks.flatMap(_.eqDeletes).flatMap(_._1.equalityIds).distinct
+      .flatMap(id => schema.byId.get(id).map(_.name))
     // read schema = projection ∪ filter-referenced columns (column pruning
     // at the scan; extra filter columns dropped after the residual applies)
     val filterNames = Predicates.referencedNames(bound)
@@ -796,14 +862,18 @@ final class IceScan(
     val filterRoots = filterNames.map(_.takeWhile(_ != '.'))
     val readNames = (projected.fields.map(_.name) ++
       schema.fields.map(_.name).filter(n =>
-        filterNames.contains(n) || filterRoots.contains(n))).distinct
+        filterNames.contains(n) || filterRoots.contains(n) ||
+          eqColNames.contains(n))).distinct
     val readSchema = schema.select(readNames, caseSensitive)
 
     val paths = tasks.map(_.file.filePath)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     val deleteDataFiles = tasks.flatMap(_.deletes).distinctBy(_.filePath)
-    val needDeletes = deleteDataFiles.nonEmpty
+    val eqDeletePairs = tasks.flatMap(_.eqDeletes).distinctBy(_._1.filePath)
+    val needPosDeletes = deleteDataFiles.nonEmpty
+    val needEqDeletes = eqDeletePairs.nonEmpty
+    val needDeletes = needPosDeletes || needEqDeletes
 
     // files written by us carry parquet field IDs → ID-based resolution.
     // With an explicit name mapping (`schema.name-mapping.default`,
@@ -865,7 +935,7 @@ final class IceScan(
     }
     var df = branches.reduce(_.unionByName(_))
 
-    if (needDeletes) {
+    if (needPosDeletes) {
       val deletes = spark.read.parquet(deleteDataFiles.map(_.filePath): _*)
         .select(col("file_path"), col("pos"))
       // broadcast only while the accumulated positional deletes are small;
@@ -874,11 +944,44 @@ final class IceScan(
       val deleteBytes = deleteDataFiles.map(_.fileSizeInBytes).sum
       val deletesSide =
         if (deleteBytes <= IceScan.DeleteBroadcastMaxBytes) broadcast(deletes) else deletes
-      df = df
-        .join(deletesSide,
-          col("__path") === col("file_path") && col("__pos") === col("pos"), "left_anti")
-        .drop("__path", "__pos")
+      df = df.join(deletesSide,
+        col("__path") === col("file_path") && col("__pos") === col("pos"), "left_anti")
     }
+    if (needEqDeletes) {
+      // per-row data sequence number, via a metadata-sized (path → seq) map
+      // joined broadcast on the stamped file path — the sequence scoping
+      // cannot be a static filter because one scan unions files of many
+      // sequences
+      val seqRows = new java.util.ArrayList[org.apache.spark.sql.Row](tasks.size)
+      tasks.foreach(t => seqRows.add(org.apache.spark.sql.Row(t.file.filePath, t.dataSeq)))
+      val seqMap = spark.createDataFrame(seqRows, StructType(Seq(
+        StructField("__sp", StringType, nullable = false),
+        StructField("__seq", LongType, nullable = false))))
+      df = df.join(broadcast(seqMap), col("__path") === col("__sp"), "left").drop("__sp")
+      // one anti-join per distinct equality-column set; delete rows carry
+      // their file's sequence so a row deletes only strictly older data.
+      // Null-safe equality: a null key value matches null (Iceberg spec)
+      eqDeletePairs.groupBy(_._1.equalityIds).toSeq.sortBy(_._1.mkString(","))
+        .foreach { case (ids, files) =>
+          val fields = ids.map(schema.byId(_))
+          val names = fields.map(_.name)
+          val reqSchema = StructType(fields.map(SchemaConv.toSparkField))
+          val delRows = files.map { case (f, seq) =>
+            spark.read.schema(reqSchema).parquet(f.filePath)
+              .withColumn("__dseq", lit(seq))
+          }.reduce(_.unionByName(_))
+          val renamed = delRows.select(
+            names.map(n => col(n).as(s"__d_$n")) :+ col("__dseq"): _*)
+          val bytes = files.map(_._1.fileSizeInBytes).sum
+          val side =
+            if (bytes <= IceScan.DeleteBroadcastMaxBytes) broadcast(renamed) else renamed
+          val cond = names.map(n => col(n) <=> col(s"__d_$n")).reduce(_ && _) &&
+            col("__dseq") > col("__seq")
+          df = df.join(side, cond, "left_anti")
+        }
+      df = df.drop("__seq")
+    }
+    if (needDeletes) df = df.drop("__path", "__pos")
     if (bound != AlwaysTrue) df = df.where(Predicates.toColumn(bound))
     df = df.select(projected.fields.map(f => col(f.name)): _*)
     limit.map(df.limit).getOrElse(df)

@@ -142,6 +142,47 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       lineitem.where("l_returnflag = 'N'").count())
   }
 
+  test("MOR equality deletes: key-matched rows vanish, later appends survive") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val t = IceTable.create(catalog, "ord_eqdel",
+      SchemaConv.fromSpark(orders.schema))
+    val batch1 = orders.where("o_orderkey % 2 = 0")
+    val batch2 = orders.where("o_orderkey % 2 = 1")
+    t.append(batch1)
+    // delete by KEY VALUES — no scan of existing data at write time
+    val delKeys = batch1.where("o_orderstatus = 'F'").select("o_orderkey")
+    val nDel = delKeys.count()
+    assert(nDel > 0)
+    val snap = t.equalityDelete(spark, delKeys, Seq("o_orderkey"))
+    assert(snap.summary("operation") == "delete")
+    t.refresh()
+    assert(t.scan(spark).count() == batch1.count() - nDel)
+    // the upsert pattern: re-append some deleted keys at a LATER sequence —
+    // strictly-older scoping must keep the new versions
+    val reinserted = batch1.where("o_orderstatus = 'F'").limit(50)
+    t.append(reinserted.unionAll(batch2))
+    t.refresh()
+    val expected = batch1.count() - nDel + 50 + batch2.count()
+    assert(t.scan(spark).count() == expected)
+    // filtered scans see the delete too, and the filter still pushes down
+    assert(t.scan(spark, P.equalTo("o_orderstatus", "O")).count() ==
+      orders.where("o_orderstatus = 'O'").count())
+    // a second equality delete on a two-column key
+    val dk2 = t.scan(spark).where("o_orderpriority = '1-URGENT'")
+      .select("o_orderkey", "o_custkey")
+    val n2 = dk2.count()
+    t.equalityDelete(spark, dk2, Seq("o_orderkey", "o_custkey"))
+    t.refresh()
+    assert(t.scan(spark).count() == expected - n2)
+    // compaction applies accumulated equality deletes and drops them
+    val compacted = t.compact(spark, 2)
+    assert(compacted.summary("operation") == "replace")
+    t.refresh()
+    assert(t.scan(spark).count() == expected - n2)
+    // projection that excludes the key columns still honors the delete
+    assert(t.newScan(selected = Some(Seq("o_totalprice"))).toDF(spark).count() == expected - n2)
+  }
+
   test("distributed snapshot: begin/worker-manifests/commit, conflict loses") {
     val t = IceTable.create(catalog, "li_dist", lineitemSchema)
     t.append(lineitem.where("l_quantity <= 25"))
