@@ -66,4 +66,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
       s"residual did not reach the scan:\n$p")
   }
+
+  test("equality-delete scan: anti-joins stay broadcast, never a fact shuffle") {
+    val p = plan("ice_eq_delete_scan")
+    // the (path → sequence) map and each delete-key set are metadata/KB
+    // sized; at 100 TB a shuffled anti-join here would dominate the scan
+    assert(!p.contains("SortMergeJoin"), s"delete application shuffled the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast delete application:\n$p")
+  }
+
+  test("q8 market share: dimension filters broadcast, one shuffle for the year agg") {
+    val p = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
+  test("q21 exists/not-exists: semi and anti joins keyed on the order, no cartesian") {
+    val p = plan("q21_sole_blame")
+    assert(p.contains("LeftSemi"), s"missing semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"missing anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+  }
 }
