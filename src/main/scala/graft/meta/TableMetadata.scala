@@ -25,6 +25,35 @@ final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
 final case class SnapshotRef(snapshotId: Long, refType: String) // "branch" | "tag"
 
+/** Metadata of one blob inside a statistics file (reference
+  * `table/statistics.go:71-78`). Statistics are informational — readers may
+  * ignore them; they are never required for correct reads.
+  */
+final case class BlobMetadata(
+    blobType: String,
+    snapshotId: Long,
+    sequenceNumber: Long,
+    fields: Seq[Int],
+    properties: Map[String, String] = Map.empty)
+
+/** A per-snapshot table statistics file (reference
+  * `table/statistics.go:56-68`; metadata JSON `statistics` array).
+  */
+final case class StatisticsFile(
+    snapshotId: Long,
+    statisticsPath: String,
+    fileSizeInBytes: Long,
+    fileFooterSizeInBytes: Long,
+    blobMetadata: Seq[BlobMetadata])
+
+/** A per-snapshot partition statistics file (reference
+  * `table/statistics.go:79-85`; metadata JSON `partition-statistics`).
+  */
+final case class PartitionStatisticsFile(
+    snapshotId: Long,
+    statisticsPath: String,
+    fileSizeInBytes: Long)
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -45,7 +74,9 @@ final case class TableMetadata(
     snapshotLog: Seq[SnapshotLogEntry],
     metadataLog: Seq[MetadataLogEntry],
     refs: Map[String, SnapshotRef],
-    nextRowId: Option[Long] = None) { // v3 row-lineage counter
+    nextRowId: Option[Long] = None, // v3 row-lineage counter
+    statistics: Seq[StatisticsFile] = Nil,
+    partitionStatistics: Seq[PartitionStatisticsFile] = Nil) {
 
   def currentSchema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
   def defaultSpec: PartitionSpec = specs.find(_.specId == defaultSpecId).get
@@ -108,6 +139,37 @@ object TableMetadataJson {
     }
     root.set[JsonNode]("refs", refs)
     m.nextRowId.foreach(root.put("next-row-id", _)) // v3 row lineage
+    if (m.statistics.nonEmpty)
+      root.set[JsonNode]("statistics", arr(m.statistics.map { sf =>
+        val o = mapper.createObjectNode()
+        o.put("snapshot-id", sf.snapshotId)
+        o.put("statistics-path", sf.statisticsPath)
+        o.put("file-size-in-bytes", sf.fileSizeInBytes)
+        o.put("file-footer-size-in-bytes", sf.fileFooterSizeInBytes)
+        o.set[JsonNode]("blob-metadata", arr(sf.blobMetadata.map { b =>
+          val bo = mapper.createObjectNode()
+          bo.put("type", b.blobType)
+          bo.put("snapshot-id", b.snapshotId)
+          bo.put("sequence-number", b.sequenceNumber)
+          bo.set[JsonNode]("fields",
+            arr(b.fields.map(i => mapper.getNodeFactory.numberNode(i))))
+          if (b.properties.nonEmpty) {
+            val po = mapper.createObjectNode()
+            b.properties.foreach { case (k, v) => po.put(k, v) }
+            bo.set[JsonNode]("properties", po)
+          }
+          bo
+        }))
+        o
+      }))
+    if (m.partitionStatistics.nonEmpty)
+      root.set[JsonNode]("partition-statistics", arr(m.partitionStatistics.map { pf =>
+        val o = mapper.createObjectNode()
+        o.put("snapshot-id", pf.snapshotId)
+        o.put("statistics-path", pf.statisticsPath)
+        o.put("file-size-in-bytes", pf.fileSizeInBytes)
+        o
+      }))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -297,7 +359,30 @@ object TableMetadataJson {
       refs = opt(n, "refs").map(r => iterFields(r).map { case (name, v) =>
         name -> SnapshotRef(v.get("snapshot-id").asLong(), v.get("type").asText())
       }.toMap).getOrElse(Map.empty),
-      nextRowId = opt(n, "next-row-id").map(_.asLong()))
+      nextRowId = opt(n, "next-row-id").map(_.asLong()),
+      statistics = opt(n, "statistics").map(s => iter(s).map { sf =>
+        StatisticsFile(
+          sf.get("snapshot-id").asLong(),
+          sf.get("statistics-path").asText(),
+          sf.get("file-size-in-bytes").asLong(),
+          sf.get("file-footer-size-in-bytes").asLong(),
+          opt(sf, "blob-metadata").map(bs => iter(bs).map { b =>
+            BlobMetadata(
+              b.get("type").asText(),
+              b.get("snapshot-id").asLong(),
+              b.get("sequence-number").asLong(),
+              opt(b, "fields").map(f => iter(f).map(_.asInt())).getOrElse(Nil),
+              opt(b, "properties").map(p =>
+                iterFields(p).map { case (k, v) => k -> v.asText() }.toMap)
+                .getOrElse(Map.empty))
+          }).getOrElse(Nil))
+      }).getOrElse(Nil),
+      partitionStatistics = opt(n, "partition-statistics").map(s => iter(s).map { pf =>
+        PartitionStatisticsFile(
+          pf.get("snapshot-id").asLong(),
+          pf.get("statistics-path").asText(),
+          pf.get("file-size-in-bytes").asLong())
+      }).getOrElse(Nil))
   }
 
   private def opt(n: JsonNode, field: String): Option[JsonNode] =

@@ -524,6 +524,74 @@ final class IceTable private (
         lastUpdatedMs = System.currentTimeMillis()))
   }
 
+  // ------------------------------------------------------------- statistics
+  /** Record a statistics file for a snapshot (reference `StatisticsFile`
+    * `table/statistics.go:56-78`; metadata JSON `statistics` array). At most
+    * one file per snapshot — setting replaces the previous entry, whose file
+    * becomes reclaimable by orphan cleanup.
+    */
+  def setStatistics(sf: StatisticsFile): Unit =
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), m =>
+      m.copy(statistics = m.statistics.filterNot(_.snapshotId == sf.snapshotId) :+ sf,
+        lastUpdatedMs = System.currentTimeMillis()))
+
+  def removeStatistics(snapshotId: Long): Unit =
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), m =>
+      m.copy(statistics = m.statistics.filterNot(_.snapshotId == snapshotId),
+        lastUpdatedMs = System.currentTimeMillis()))
+
+  def setPartitionStatistics(pf: PartitionStatisticsFile): Unit =
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), m =>
+      m.copy(partitionStatistics =
+          m.partitionStatistics.filterNot(_.snapshotId == pf.snapshotId) :+ pf,
+        lastUpdatedMs = System.currentTimeMillis()))
+
+  def removePartitionStatistics(snapshotId: Long): Unit =
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), m =>
+      m.copy(partitionStatistics =
+          m.partitionStatistics.filterNot(_.snapshotId == snapshotId),
+        lastUpdatedMs = System.currentTimeMillis()))
+
+  /** ANALYZE: one distributed pass over the current snapshot computing
+    * per-column NDV (HyperLogLog++ via `approx_count_distinct`) and null
+    * counts, written as a JSON statistics file and recorded in table
+    * metadata. The blob type is `graft-ndv-json-v1` — an honest name for
+    * the JSON encoding (a Puffin writer would slot in here); stats are
+    * informational per the spec, so readers that don't know the type skip
+    * it. The single `agg` keeps this one job regardless of column count.
+    */
+  def analyzeTable(spark: SparkSession): StatisticsFile = {
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot analyze an empty table"))
+    val cols = schema.fields.filter(_.tpe.isPrimitive)
+    require(cols.nonEmpty, "no primitive columns to analyze")
+    val aggs = cols.flatMap(f => Seq(
+      approx_count_distinct(col(f.name)).as(s"ndv_${f.id}"),
+      count(when(col(f.name).isNull, lit(1))).as(s"nulls_${f.id}")))
+    val row = newScan(snapshotId = Some(snap.snapshotId)).toDF(spark)
+      .agg(aggs.head, aggs.tail: _*).first()
+    val blobs = cols.map { f =>
+      BlobMetadata("graft-ndv-json-v1", snap.snapshotId, snap.sequenceNumber,
+        Seq(f.id), Map(
+          "ndv" -> row.getAs[Long](s"ndv_${f.id}").toString,
+          "null-count" -> row.getAs[Long](s"nulls_${f.id}").toString))
+    }
+    val json = blobs.map(b =>
+      s"""{"field":${b.fields.head},"ndv":${b.properties("ndv")},""" +
+        s""""null-count":${b.properties("null-count")}}""")
+      .mkString("[", ",", "]")
+    val path = s"$location/metadata/stats-${snap.snapshotId}-${UUID.randomUUID()}.json"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val size = fs.getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen
+    val sf = StatisticsFile(snap.snapshotId, path, size, 0L, blobs)
+    setStatistics(sf)
+    sf
+  }
+
   // ------------------------------------------------------------- properties
   /** Set/remove table properties as one metadata commit (reference updates
     * `set-properties`/`remove-properties`, `table/updates.go`).
@@ -654,6 +722,11 @@ final class IceTable private (
     val newMeta = meta.copy(
       snapshots = kept,
       snapshotLog = meta.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
+      // statistics ride their snapshot's lifetime; dropping the entry here
+      // releases the file to orphan cleanup
+      statistics = meta.statistics.filterNot(s => expiredIds.contains(s.snapshotId)),
+      partitionStatistics =
+        meta.partitionStatistics.filterNot(s => expiredIds.contains(s.snapshotId)),
       lastUpdatedMs = System.currentTimeMillis())
     version = catalog.commit(name, version, newMeta)
     meta = newMeta
@@ -673,7 +746,9 @@ final class IceTable private (
       (_, entries) = ManifestIO.readManifest(mf.path, meta.specs,
         meta.schemaById(s.schemaId).getOrElse(schema))
     } yield entries.map(_.dataFile.filePath) :+ mf.path)
-      .flatten.toSet ++ meta.snapshots.map(_.manifestList).toSet
+      .flatten.toSet ++ meta.snapshots.map(_.manifestList).toSet ++
+      meta.statistics.map(_.statisticsPath).toSet ++
+      meta.partitionStatistics.map(_.statisticsPath).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), new org.apache.hadoop.conf.Configuration())
     val orphans = Seq.newBuilder[String]

@@ -129,3 +129,30 @@ final case class RemoveProperties(keys: Seq[String]) extends TableUpdate {
   def apply(m: TableMetadata): TableMetadata =
     m.copy(properties = m.properties -- keys)
 }
+
+/** `set-statistics` (Iceberg REST update type; at most one file per
+  * snapshot, replace-on-set).
+  */
+final case class SetStatisticsUpdate(file: StatisticsFile) extends TableUpdate {
+  def apply(m: TableMetadata): TableMetadata =
+    m.copy(statistics =
+      m.statistics.filterNot(_.snapshotId == file.snapshotId) :+ file)
+}
+
+final case class RemoveStatisticsUpdate(snapshotId: Long) extends TableUpdate {
+  def apply(m: TableMetadata): TableMetadata =
+    m.copy(statistics = m.statistics.filterNot(_.snapshotId == snapshotId))
+}
+
+final case class SetPartitionStatisticsUpdate(file: PartitionStatisticsFile)
+    extends TableUpdate {
+  def apply(m: TableMetadata): TableMetadata =
+    m.copy(partitionStatistics =
+      m.partitionStatistics.filterNot(_.snapshotId == file.snapshotId) :+ file)
+}
+
+final case class RemovePartitionStatisticsUpdate(snapshotId: Long) extends TableUpdate {
+  def apply(m: TableMetadata): TableMetadata =
+    m.copy(partitionStatistics =
+      m.partitionStatistics.filterNot(_.snapshotId == snapshotId))
+}

@@ -161,6 +161,37 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t2.scan(spark).count() == region.count())
   }
 
+  test("statistics: analyze writes NDV blobs, metadata round-trips, expiry + orphan cleanup reclaim") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(catalog, "stat_t", SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    val snap1 = t.refresh().currentSnapshot.get
+    val sf = t.analyzeTable(spark)
+    assert(sf.snapshotId == snap1.snapshotId)
+    assert(sf.blobMetadata.nonEmpty && sf.blobMetadata.forall(_.blobType == "graft-ndv-json-v1"))
+    // exact NDV expected at this size (HLL++ is exact for tiny cardinalities)
+    val keyBlob = sf.blobMetadata.find(_.fields ==
+      Seq(t.schema.idByName("r_regionkey"))).get
+    assert(keyBlob.properties("ndv").toLong == region.count())
+    assert(keyBlob.properties("null-count").toLong == 0L)
+    // survives a reload through the catalog (JSON round-trip)
+    val reloaded = IceTable.load(catalog, "stat_t")
+    assert(reloaded.metadata.statistics == Seq(sf))
+    // replace-on-set: re-analyzing the same snapshot keeps one entry
+    val sf2 = reloaded.analyzeTable(spark)
+    assert(IceTable.load(catalog, "stat_t").metadata.statistics == Seq(sf2))
+    // live stats files are NOT orphans; the replaced one is reclaimable
+    val t2 = IceTable.load(catalog, "stat_t")
+    val removed = t2.deleteOrphanFiles(System.currentTimeMillis() + 3600000L)
+    assert(removed.exists(_.endsWith(sf.statisticsPath.split('/').last)))
+    assert(!removed.exists(_.endsWith(sf2.statisticsPath.split('/').last)))
+    // expiry drops the stats entry with its snapshot
+    t2.append(region.limit(1))
+    t2.append(region.limit(1))
+    t2.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 1)
+    assert(t2.metadata.statistics.isEmpty)
+  }
+
   test("overwriteWhere: full-match files dropped, partial files rewritten") {
     val t = IceTable.create(catalog, "li_overwrite",
       SchemaConv.fromSpark(lineitem.schema))
