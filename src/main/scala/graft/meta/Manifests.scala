@@ -36,7 +36,14 @@ final case class DataFile(
     upperBounds: Map[Int, Array[Byte]] = Map.empty,
     splitOffsets: Seq[Long] = Nil,
     sortOrderId: Option[Int] = None,
-    equalityIds: Seq[Int] = Nil) // field IDs an equality-delete file matches on (content=2)
+    equalityIds: Seq[Int] = Nil, // field IDs an equality-delete file matches on (content=2)
+    // v3 deletion-vector pointer (reference `internal/avro_schemas.go:501-512`,
+    // field ids 143/144/145): the Puffin file holds one bitmap per data file
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSizeInBytes: Option[Long] = None) {
+  def isDeletionVector: Boolean = referencedDataFile.isDefined
+}
 
 object ManifestEntryStatus {
   val Existing = 0
@@ -130,7 +137,10 @@ object ManifestIO {
         {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
         {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
         {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
-        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
+        {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
       ]}}
     ]}"""
     new Schema.Parser().parse(json)
@@ -270,6 +280,9 @@ object ManifestIO {
       df.put("equality_ids",
         if (f.equalityIds.isEmpty) null else f.equalityIds.map(Int.box).asJava)
       df.put("sort_order_id", f.sortOrderId.map(Int.box).orNull)
+      df.put("referenced_data_file", f.referencedDataFile.orNull)
+      df.put("content_offset", f.contentOffset.map(Long.box).orNull)
+      df.put("content_size_in_bytes", f.contentSizeInBytes.map(Long.box).orNull)
       rec.put("data_file", df)
       writer.append(rec)
     }
@@ -398,7 +411,11 @@ object ManifestIO {
             .map(_.asInstanceOf[java.util.Collection[Long]].asScala.toSeq).getOrElse(Nil),
           sortOrderId = Option(df.get("sort_order_id")).map(_.asInstanceOf[Int]),
           equalityIds = Option(df.get("equality_ids"))
-            .map(_.asInstanceOf[java.util.Collection[Int]].asScala.toSeq).getOrElse(Nil)))
+            .map(_.asInstanceOf[java.util.Collection[Int]].asScala.toSeq).getOrElse(Nil),
+          referencedDataFile = Option(df.get("referenced_data_file")).map(_.toString),
+          contentOffset = Option(df.get("content_offset")).map(_.asInstanceOf[Long]),
+          contentSizeInBytes =
+            Option(df.get("content_size_in_bytes")).map(_.asInstanceOf[Long])))
     }
     reader.close()
     (specId, entries.result())

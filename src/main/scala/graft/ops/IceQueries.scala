@@ -21,7 +21,8 @@ object IceQueries {
 
   private case class Fixture(li: IceTable, firstSnapshotId: Long,
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
-      liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable)
+      liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable,
+      liDv: IceTable)
 
   private val fixtures = TrieMap[String, Fixture]()
 
@@ -113,6 +114,17 @@ object IceQueries {
           orders.where("o_orderstatus = 'P'").select("o_orderkey"), Seq("o_orderkey"))
         ordersEq
       }
+      val fDv = Future {
+        // v3 deletion vectors: a DV delete, then the rewrite maintenance
+        // collapsing to one bitmap per file — both paths in the gate
+        val liDv = IceTable.create(catalog, "lineitem_dv", liSchema)
+        liDv.append(lineitem.coalesce(4))
+        liDv.deleteWhereDV(spark, P.gtEq("l_quantity", 45.0))
+        liDv.refresh()
+        liDv.rewritePositionDeletes(spark)
+        liDv.refresh()
+        liDv
+      }
       val (li, snap1Id) = Await.result(fLi, Duration.Inf)
       Fixture(li, snap1Id,
         Await.result(fPart, Duration.Inf),
@@ -120,7 +132,8 @@ object IceQueries {
         Await.result(fDist, Duration.Inf),
         Await.result(fCompact, Duration.Inf),
         Await.result(fExt, Duration.Inf),
-        Await.result(fEq, Duration.Inf))
+        Await.result(fEq, Duration.Inf),
+        Await.result(fDv, Duration.Inf))
     })
 
   val defs: Seq[QueryDef] = Seq(
@@ -224,6 +237,14 @@ object IceQueries {
         selected = Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice"))),
       Some("""
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        WHERE o_orderstatus <> 'P'"""))
+        WHERE o_orderstatus <> 'P'""")),
+
+    QueryDef(
+      "ice_dv_scan",
+      (s, dir) => fixture(s, dir).liDv.scan(s,
+        selected = Some(Seq("l_orderkey", "l_linenumber", "l_quantity"))),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity < 45"""))
   )
 }

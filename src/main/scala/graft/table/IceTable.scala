@@ -15,9 +15,10 @@ import graft.meta._
   */
 final case class FileScanTask(
     file: DataFile,
-    deletes: Seq[DataFile], // positional (content=1)
+    deletes: Seq[DataFile], // positional parquet (content=1)
     eqDeletes: Seq[(DataFile, Long)] = Nil, // equality (content=2) with their data sequence
-    dataSeq: Long = 0L)
+    dataSeq: Long = 0L,
+    dvDeletes: Seq[DataFile] = Nil) // v3 deletion vectors referencing this file
 
 /** Distributed snapshot descriptor (reference
   * `table/distributed_snapshot.go:31-76`): the coordinator reserves the
@@ -314,7 +315,8 @@ final class IceTable private (
     // a raw parquet read would RESURRECT MOR-deleted rows: the rewrite gets
     // a new sequence number, so old positional/equality deletes stop
     // applying. Rewrite through the delete-applying scan when any exist
-    val hasDeletes = tasks.exists(t => t.deletes.nonEmpty || t.eqDeletes.nonEmpty)
+    val hasDeletes = tasks.exists(t =>
+      t.deletes.nonEmpty || t.eqDeletes.nonEmpty || t.dvDeletes.nonEmpty)
     val source =
       if (hasDeletes) scan.toDFFor(spark, tasks)
       else spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
@@ -432,6 +434,116 @@ final class IceTable private (
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
     Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
       addedFiles = 0, addedRecords = 0))
+  }
+
+  /** Positional delete recorded as v3 DELETION VECTORS: one roaring bitmap
+    * per referenced data file inside a single Puffin file, committed as
+    * delete entries carrying the (path, offset, length) pointer (manifest
+    * fields 143-145 — the reference models the fields,
+    * `internal/avro_schemas.go:501-512`, but never writes or reads the
+    * container). DVs here are ADDITIVE like parquet positional deletes
+    * (read side unions all applicable); `rewritePositionDeletes` collapses
+    * the accumulation to the v3 one-DV-per-file invariant.
+    *
+    * Scale shape: positions aggregate into bitmaps executor-side (one
+    * shuffle on file_path); only compressed bitmap bytes reach the driver,
+    * which writes one sequential Puffin file — metadata-sized IO.
+    */
+  def deleteWhereDV(spark: SparkSession, filter: IcePredicate): Option[Snapshot] =
+    synchronized {
+      val scan = newScan(filter)
+      val tasks = scan.planFiles()
+      if (tasks.isEmpty) return None
+      val schemaNow = schema
+      val bound = Predicates.bind(filter, schemaNow)
+      val paths = tasks.map(_.file.filePath)
+      val matches = spark.read.schema(schemaNow.toSpark).parquet(paths: _*)
+        .withColumn("file_path", IceScan.normalizedMetaPath)
+        .withColumn("pos", col("_metadata.row_index"))
+        .where(Predicates.toColumn(bound))
+        .select("file_path", "pos")
+      import spark.implicits._
+      val bitmaps: Array[(String, Array[Byte], Long)] = matches.as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (path, rows) =>
+          val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+          var n = 0L
+          rows.foreach { r => bm.addLong(r._2); n += 1 }
+          (path, Puffin.encodeDV(bm), n)
+        }.collect()
+      if (bitmaps.isEmpty) return None
+      commitDeletionVectors(bitmaps.toSeq.sortBy(_._1))
+    }
+
+  /** Write one Puffin file holding the given per-data-file bitmaps and
+    * commit them as a delete snapshot.
+    */
+  private def commitDeletionVectors(
+      bitmaps: Seq[(String, Array[Byte], Long)],
+      dropDeleteManifests: Boolean = false): Option[Snapshot] = synchronized {
+    val schemaNow = schema
+    val snapId = meta.reserveSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val commitUuid = UUID.randomUUID().toString
+    val puffinPath = s"$location/data/$commitUuid-deletes.puffin"
+    val descriptors = bitmaps.map { case (ref, bytes, card) =>
+      Puffin.BlobDescriptor("deletion-vector-v1", Nil, snapId, seq, 0L, 0L,
+        Map("referenced-data-file" -> ref, "cardinality" -> card.toString)) -> bytes
+    }
+    val placed = Puffin.write(puffinPath, descriptors)
+    val fileLen = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(puffinPath), new org.apache.hadoop.conf.Configuration())
+      .getFileStatus(new org.apache.hadoop.fs.Path(puffinPath)).getLen
+    val files = placed.zip(bitmaps).map { case (d, (ref, _, card)) =>
+      DataFile(content = 1, filePath = puffinPath, fileFormat = "puffin",
+        partition = Nil, recordCount = card, fileSizeInBytes = fileLen,
+        referencedDataFile = Some(ref), contentOffset = Some(d.offset),
+        contentSizeInBytes = Some(d.length))
+    }
+    val entries = files.map(f =>
+      ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+    val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+    val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
+        schemaNow, content = 1)
+      .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+    if (!dropDeleteManifests)
+      Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
+        addedFiles = 0, addedRecords = 0))
+    else {
+      // rewrite: the new DV manifest replaces the POSITIONAL delete
+      // manifests; equality-delete manifests are value-based and survive
+      val current = meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException("empty table"))
+      val all = ManifestIO.readManifestList(current.manifestList)
+      val kept = all.filter { m =>
+        m.content == 0 || ManifestIO.readManifest(m.path, meta.specs, schemaNow)._2
+          .exists(_.dataFile.content == 2)
+      }
+      Some(commitManifestList(kept :+ mf, snapId, seq, "replace",
+        addedFiles = 0, addedRecords = 0, removedFiles = 0, removedRecords = 0))
+    }
+  }
+
+  /** Maintenance: collapse all accumulated position deletes (parquet files
+    * and deletion vectors) into ONE deletion vector per referenced data
+    * file — the v3 invariant — dropping the superseded delete manifests.
+    * Read-side planning then matches at most one DV per data file.
+    */
+  def rewritePositionDeletes(spark: SparkSession): Option[Snapshot] = synchronized {
+    val tasks = newScan().planFiles()
+    val positions = IceScan.deletePositionsDF(spark, tasks)
+      .getOrElse(return None)
+    import spark.implicits._
+    val bitmaps = positions.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (path, rows) =>
+        val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+        var n = 0L
+        rows.foreach { r => bm.addLong(r._2); n += 1 }
+        (path, Puffin.encodeDV(bm), n)
+      }.collect()
+    if (bitmaps.isEmpty) return None
+    commitDeletionVectors(bitmaps.toSeq.sortBy(_._1), dropDeleteManifests = true)
   }
 
   /** Equality-delete (merge-on-read): record the KEY VALUES of rows to
@@ -877,8 +989,10 @@ final class IceScan(
         entries.filter(_.status != ManifestEntryStatus.Deleted)
           .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
       }.seq.sortBy(_.sequenceNumber.getOrElse(0L))
-      val (eqDeleteEntries, posDeleteEntries) =
+      val (eqDeleteEntries, allPosEntries) =
         deleteEntries.partition(_.dataFile.content == 2)
+      val (dvEntries, posDeleteEntries) =
+        allPosEntries.partition(_.dataFile.isDeletionVector)
 
       dataEntries.map { e =>
         // positional deletes apply when delete.seq >= data.seq and the
@@ -893,6 +1007,12 @@ final class IceScan(
               hi.forall(h => e.dataFile.filePath <= h || e.dataFile.filePath.startsWith(h))
           }
         }
+        // deletion vectors match EXACTLY by referenced path — no bounds
+        // heuristics needed (the pointer is the match)
+        val dvApplicable = dvEntries.filter(d =>
+          d.sequenceNumber.getOrElse(0L) >= dseq &&
+            d.dataFile.referencedDataFile.contains(e.dataFile.filePath))
+          .map(_.dataFile)
         // equality deletes apply only to STRICTLY OLDER data files (Iceberg
         // spec): rows (re)written in the same or a later commit — e.g. the
         // upsert's own inserts, or a compaction that already applied the
@@ -900,7 +1020,8 @@ final class IceScan(
         val eqApplicable = eqDeleteEntries
           .filter(d => d.sequenceNumber.getOrElse(0L) > dseq)
           .map(d => (d.dataFile, d.sequenceNumber.getOrElse(0L)))
-        FileScanTask(e.dataFile, applicable.map(_.dataFile), eqApplicable, dseq)
+        FileScanTask(e.dataFile, applicable.map(_.dataFile), eqApplicable, dseq,
+          dvApplicable)
       }.toSeq
   }
 
@@ -945,8 +1066,10 @@ final class IceScan(
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     val deleteDataFiles = tasks.flatMap(_.deletes).distinctBy(_.filePath)
+    val dvFiles = tasks.flatMap(_.dvDeletes)
+      .distinctBy(f => (f.filePath, f.contentOffset))
     val eqDeletePairs = tasks.flatMap(_.eqDeletes).distinctBy(_._1.filePath)
-    val needPosDeletes = deleteDataFiles.nonEmpty
+    val needPosDeletes = deleteDataFiles.nonEmpty || dvFiles.nonEmpty
     val needEqDeletes = eqDeletePairs.nonEmpty
     val needDeletes = needPosDeletes || needEqDeletes
 
@@ -1011,12 +1134,12 @@ final class IceScan(
     var df = branches.reduce(_.unionByName(_))
 
     if (needPosDeletes) {
-      val deletes = spark.read.parquet(deleteDataFiles.map(_.filePath): _*)
-        .select(col("file_path"), col("pos"))
+      val deletes = IceScan.positionsOf(spark, deleteDataFiles, dvFiles)
       // broadcast only while the accumulated positional deletes are small;
       // past the threshold a broadcast OOMs the driver at scale, so fall
       // back to a shuffled anti-join on (path, pos)
-      val deleteBytes = deleteDataFiles.map(_.fileSizeInBytes).sum
+      val deleteBytes = deleteDataFiles.map(_.fileSizeInBytes).sum +
+        dvFiles.flatMap(_.contentSizeInBytes).sum
       val deletesSide =
         if (deleteBytes <= IceScan.DeleteBroadcastMaxBytes) broadcast(deletes) else deletes
       df = df.join(deletesSide,
@@ -1075,4 +1198,42 @@ object IceScan {
     */
   def normalizedMetaPath: org.apache.spark.sql.Column =
     regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+
+  /** (file_path, pos) rows of parquet positional-delete files plus
+    * deletion-vector blobs. DV bitmaps decode EXECUTOR-side — the driver
+    * ships only (puffin, offset, length, ref) pointers, so a multi-GB
+    * accumulated delete set never materializes on the driver.
+    */
+  def positionsOf(spark: SparkSession, parquetDeletes: Seq[DataFile],
+      dvs: Seq[DataFile]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val parts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    if (parquetDeletes.nonEmpty)
+      parts += spark.read.parquet(parquetDeletes.map(_.filePath).distinct: _*)
+        .select(col("file_path"), col("pos"))
+    if (dvs.nonEmpty) {
+      val refs = dvs.map(f => (f.filePath, f.contentOffset.getOrElse(0L),
+        f.contentSizeInBytes.getOrElse(0L), f.referencedDataFile.getOrElse("")))
+      parts += spark.createDataset(refs)
+        .repartition(math.min(refs.size, spark.sparkContext.defaultParallelism))
+        .flatMap { case (puffin, off, len, ref) =>
+          val bm = Puffin.decodeDV(Puffin.readBlob(puffin, off, len))
+          val out = Seq.newBuilder[(String, Long)]
+          bm.forEach(pos => out += ((ref, pos)))
+          out.result()
+        }.toDF("file_path", "pos")
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
+  /** All position-delete rows applicable to the given tasks, or None when
+    * the tasks carry no positional deletes (used by the DV rewrite).
+    */
+  def deletePositionsDF(spark: SparkSession,
+      tasks: Seq[FileScanTask]): Option[org.apache.spark.sql.DataFrame] = {
+    val parquetDeletes = tasks.flatMap(_.deletes).distinctBy(_.filePath)
+    val dvs = tasks.flatMap(_.dvDeletes).distinctBy(f => (f.filePath, f.contentOffset))
+    if (parquetDeletes.isEmpty && dvs.isEmpty) None
+    else Some(positionsOf(spark, parquetDeletes, dvs))
+  }
 }

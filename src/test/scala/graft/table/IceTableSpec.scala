@@ -183,6 +183,53 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan(selected = Some(Seq("o_totalprice"))).toDF(spark).count() == expected - n2)
   }
 
+  test("v3 deletion vectors: puffin bitmaps delete rows; rewrite collapses to one DV per file") {
+    // puffin + DV blob codec round-trips with CRC validation
+    val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    Seq(0L, 7L, 1L << 33, 999999L).foreach(bm.addLong)
+    val decoded = Puffin.decodeDV(Puffin.encodeDV(bm))
+    assert(decoded.getLongCardinality == 4L && decoded.contains(1L << 33))
+
+    val t = IceTable.create(catalog, "li_dv", lineitemSchema)
+    t.append(lineitem.coalesce(4))
+    val before = t.scan(spark).count()
+    // mix the delete representations: parquet positional, then a DV
+    t.deleteWhere(spark, P.equalTo("l_returnflag", "R"))
+    t.refresh()
+    val dv = t.deleteWhereDV(spark, P.equalTo("l_linestatus", "F"))
+    assert(dv.isDefined && dv.get.summary("operation") == "delete")
+    t.refresh()
+    val expected = lineitem
+      .where("l_returnflag <> 'R' AND l_linestatus <> 'F'").count()
+    assert(t.scan(spark).count() == expected)
+    // filtered scan through the DV path
+    assert(t.scan(spark, P.equalTo("l_returnflag", "A")).count() ==
+      lineitem.where("l_returnflag = 'A' AND l_linestatus <> 'F'").count())
+    // maintenance: collapse parquet + DV deletes into ONE DV per data file
+    val rewritten = t.rewritePositionDeletes(spark)
+    assert(rewritten.isDefined && rewritten.get.summary("operation") == "replace")
+    t.refresh()
+    assert(t.scan(spark).count() == expected)
+    val deleteManifests = ManifestIO
+      .readManifestList(t.currentSnapshot.get.manifestList).filter(_.content == 1)
+    assert(deleteManifests.size == 1)
+    val (_, entries) = ManifestIO.readManifest(deleteManifests.head.path,
+      t.metadata.specs, t.schema)
+    assert(entries.nonEmpty && entries.forall(e =>
+      e.dataFile.fileFormat == "puffin" && e.dataFile.isDeletionVector))
+    // one DV per referenced file, all in one puffin container
+    assert(entries.map(_.dataFile.referencedDataFile.get).distinct.size == entries.size)
+    assert(entries.map(_.dataFile.filePath).distinct.size == 1)
+    // the puffin footer agrees with the manifest pointers
+    val blobs = Puffin.readFooter(entries.head.dataFile.filePath)
+    assert(blobs.size == entries.size &&
+      blobs.forall(_.blobType == "deletion-vector-v1"))
+    // compaction through the DV-applying scan stays exact
+    t.compact(spark, 2)
+    t.refresh()
+    assert(t.scan(spark).count() == expected)
+  }
+
   test("distributed snapshot: begin/worker-manifests/commit, conflict loses") {
     val t = IceTable.create(catalog, "li_dist", lineitemSchema)
     t.append(lineitem.where("l_quantity <= 25"))
