@@ -75,9 +75,12 @@ object Puffin {
     bm
   }
 
-  /** Write a Puffin file; returns the descriptors with final offsets. */
+  /** Write a Puffin file; returns the descriptors with final offsets plus
+    * the footer size in bytes (footer magic + payload + size + flags +
+    * trailing magic — what `StatisticsFile.fileFooterSizeInBytes` records).
+    */
   def write(path: String,
-      blobs: Seq[(BlobDescriptor, Array[Byte])]): Seq[BlobDescriptor] = {
+      blobs: Seq[(BlobDescriptor, Array[Byte])]): (Seq[BlobDescriptor], Long) = {
     val fs = FileSystem.get(new java.net.URI(path), conf)
     val out = fs.create(new Path(path), true)
     out.write(Magic)
@@ -97,7 +100,7 @@ object Puffin {
     out.write(tail.array())
     out.write(Magic)
     out.close()
-    placed
+    (placed, 4L + payload.length + 8L + 4L)
   }
 
   private def esc(s: String): String =

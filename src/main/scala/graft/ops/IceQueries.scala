@@ -39,9 +39,12 @@ object IceQueries {
       // the four tables are independent — build them as concurrent Spark
       // jobs (the scheduler interleaves their stages across the executors)
       val fLi = Future {
-        // two appends → a time-travel point after the first
+        // two appends → a time-travel point after the first; ANALYZE between
+        // them so ice_stats_ndv exercises the incremental sketch-union path
         val li = IceTable.create(catalog, "lineitem", liSchema)
         val snap1 = li.append(lineitem.where("l_quantity <= 25"))
+        li.refresh()
+        li.analyzeTable(spark)
         li.append(lineitem.where("l_quantity > 25"))
         (li, snap1.snapshotId)
       }
@@ -245,6 +248,40 @@ object IceQueries {
         selected = Some(Seq("l_orderkey", "l_linenumber", "l_quantity"))),
       Some("""
         SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        WHERE l_quantity < 45"""))
+        WHERE l_quantity < 45""")),
+
+    QueryDef(
+      "ice_stats_ndv",
+      // Incremental ANALYZE: the fixture wrote theta-sketch stats after the
+      // first append, so this call sketches ONLY the second append's files
+      // and unions — the 100 TB refresh path. Theta sketches are EXACT below
+      // 4096 distinct values, and these columns' cardinalities are bounded
+      // by their domain (flags, 1-50 quantities, ...) — not by row count —
+      // so the estimates equal DuckDB's count(DISTINCT) at every scale.
+      (s, dir) => {
+        val li = fixture(s, dir).li
+        li.refresh()
+        val sf = li.analyzeIncrementally(s)
+        val byId = sf.blobMetadata.map(b => b.fields.head -> b).toMap
+        import s.implicits._
+        Seq("l_discount", "l_linenumber", "l_linestatus", "l_quantity",
+            "l_returnflag", "l_tax").map { c =>
+          val b = byId(li.schema.idByName(c))
+          (c, b.properties("ndv").toLong, b.properties("null-count").toLong)
+        }.toDF("col_name", "ndv", "null_count")
+      },
+      Some("""
+        SELECT 'l_discount' AS col_name, count(DISTINCT l_discount) AS ndv,
+               count(*) - count(l_discount) AS null_count FROM lineitem
+        UNION ALL SELECT 'l_linenumber', count(DISTINCT l_linenumber),
+               count(*) - count(l_linenumber) FROM lineitem
+        UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus),
+               count(*) - count(l_linestatus) FROM lineitem
+        UNION ALL SELECT 'l_quantity', count(DISTINCT l_quantity),
+               count(*) - count(l_quantity) FROM lineitem
+        UNION ALL SELECT 'l_returnflag', count(DISTINCT l_returnflag),
+               count(*) - count(l_returnflag) FROM lineitem
+        UNION ALL SELECT 'l_tax', count(DISTINCT l_tax),
+               count(*) - count(l_tax) FROM lineitem"""))
   )
 }

@@ -490,7 +490,7 @@ final class IceTable private (
       Puffin.BlobDescriptor("deletion-vector-v1", Nil, snapId, seq, 0L, 0L,
         Map("referenced-data-file" -> ref, "cardinality" -> card.toString)) -> bytes
     }
-    val placed = Puffin.write(puffinPath, descriptors)
+    val (placed, _) = Puffin.write(puffinPath, descriptors)
     val fileLen = org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(puffinPath), new org.apache.hadoop.conf.Configuration())
       .getFileStatus(new org.apache.hadoop.fs.Path(puffinPath)).getLen
@@ -664,44 +664,167 @@ final class IceTable private (
           m.partitionStatistics.filterNot(_.snapshotId == snapshotId),
         lastUpdatedMs = System.currentTimeMillis()))
 
-  /** ANALYZE: one distributed pass over the current snapshot computing
-    * per-column NDV (HyperLogLog++ via `approx_count_distinct`) and null
-    * counts, written as a JSON statistics file and recorded in table
-    * metadata. The blob type is `graft-ndv-json-v1` — an honest name for
-    * the JSON encoding (a Puffin writer would slot in here); stats are
-    * informational per the spec, so readers that don't know the type skip
-    * it. The single `agg` keeps this one job regardless of column count.
+  /** ANALYZE: one distributed pass over the current snapshot sketching
+    * every primitive column with Apache DataSketches theta sketches, written
+    * as `apache-datasketches-theta-v1` blobs in a Puffin statistics file
+    * (the standard Iceberg stats encoding) and recorded in table metadata.
+    * Each blob carries `ndv` and `null-count` properties so consumers that
+    * only need the estimate never read blob bytes; consumers that MERGE
+    * stats (see [[analyzeIncrementally]]) union the sketches themselves.
+    * The reference models statistics metadata only (`table/statistics.go:
+    * 56-85`) — the compute, container write, and merge go beyond it.
     */
   def analyzeTable(spark: SparkSession): StatisticsFile = {
     val snap = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot analyze an empty table"))
     val cols = schema.fields.filter(_.tpe.isPrimitive)
     require(cols.nonEmpty, "no primitive columns to analyze")
-    val aggs = cols.flatMap(f => Seq(
-      approx_count_distinct(col(f.name)).as(s"ndv_${f.id}"),
-      count(when(col(f.name).isNull, lit(1))).as(s"nulls_${f.id}")))
-    val row = newScan(snapshotId = Some(snap.snapshotId)).toDF(spark)
-      .agg(aggs.head, aggs.tail: _*).first()
-    val blobs = cols.map { f =>
-      BlobMetadata("graft-ndv-json-v1", snap.snapshotId, snap.sequenceNumber,
-        Seq(f.id), Map(
-          "ndv" -> row.getAs[Long](s"ndv_${f.id}").toString,
-          "null-count" -> row.getAs[Long](s"nulls_${f.id}").toString))
+    val df = newScan(snapshotId = Some(snap.snapshotId),
+      selected = Some(cols.map(_.name))).toDF(spark)
+    val (stats, _) = ThetaStats.sketchColumns(df.select(cols.map(f => col(f.name)): _*))
+    writeStatsFile(snap, cols.map(_.id).zip(stats))
+  }
+
+  /** Incremental ANALYZE: union the previous statistics file's sketches with
+    * sketches over ONLY the data files appended since that snapshot — at
+    * 100 TB this reads the day's delta, not the table. Falls back to a full
+    * [[analyzeTable]] when no prior stats cover an ancestor, when any
+    * intervening snapshot is not a pure append (deletes/compaction change
+    * already-sketched files; theta sketches cannot subtract), or when the
+    * analyzed column set changed.
+    */
+  def analyzeIncrementally(spark: SparkSession): StatisticsFile = {
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot analyze an empty table"))
+    val cols = schema.fields.filter(_.tpe.isPrimitive)
+    // ancestry from the current snapshot back to one with recorded stats
+    val bySnapId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val statsById = meta.statistics.map(s => s.snapshotId -> s).toMap
+    var cursor: Option[Snapshot] = Some(snap)
+    val between = Seq.newBuilder[Snapshot]
+    var prev: Option[(Snapshot, StatisticsFile)] = None
+    while (cursor.isDefined && prev.isEmpty) {
+      val c = cursor.get
+      statsById.get(c.snapshotId) match {
+        case Some(sf) if c.snapshotId != snap.snapshotId => prev = Some((c, sf))
+        case _ =>
+          between += c
+          cursor = c.parentSnapshotId.flatMap(bySnapId.get)
+      }
     }
-    val json = blobs.map(b =>
-      s"""{"field":${b.fields.head},"ndv":${b.properties("ndv")},""" +
-        s""""null-count":${b.properties("null-count")}}""")
-      .mkString("[", ",", "]")
-    val path = s"$location/metadata/stats-${snap.snapshotId}-${UUID.randomUUID()}.json"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
-    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
-    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    val size = fs.getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen
-    val sf = StatisticsFile(snap.snapshotId, path, size, 0L, blobs)
+    val appendOnly = prev.isDefined &&
+      between.result().forall(_.summary.get("operation").contains("append"))
+    val fieldsMatch = prev.exists(_._2.blobMetadata.map(_.fields).toSet ==
+      cols.map(f => Seq(f.id)).toSet)
+    if (!appendOnly || !fieldsMatch) return analyzeTable(spark)
+    val (prevSnap, prevSf) = prev.get
+    val newTasks = newScan(snapshotId = Some(snap.snapshotId)).planFiles()
+      .filter(_.dataSeq > prevSnap.sequenceNumber)
+    val prevBlobs = Puffin.readFooter(prevSf.statisticsPath)
+      .map(d => d.fields.head -> d).toMap
+    val merged: Seq[(Int, ThetaStats.ColumnStats)] =
+      if (newTasks.isEmpty) {
+        cols.map { f =>
+          val d = prevBlobs(f.id)
+          f.id -> ThetaStats.ColumnStats(
+            Puffin.readBlob(prevSf.statisticsPath, d.offset, d.length),
+            d.properties.getOrElse("null-count", "0").toLong)
+        }
+      } else {
+        val df = spark.read.schema(
+            org.apache.spark.sql.types.StructType(
+              schema.toSpark.fields.filter(f => cols.exists(_.name == f.name))))
+          .parquet(newTasks.map(_.file.filePath): _*)
+          .select(cols.map(f => col(f.name)): _*)
+        val (fresh, _) = ThetaStats.sketchColumns(df)
+        cols.zip(fresh).map { case (f, st) =>
+          val d = prevBlobs(f.id)
+          val prevBytes = Puffin.readBlob(prevSf.statisticsPath, d.offset, d.length)
+          f.id -> ThetaStats.ColumnStats(
+            ThetaStats.unionBytes(prevBytes, st.sketch),
+            d.properties.getOrElse("null-count", "0").toLong + st.nullCount)
+        }
+      }
+    writeStatsFile(snap, merged)
+  }
+
+  private def writeStatsFile(snap: Snapshot,
+      stats: Seq[(Int, ThetaStats.ColumnStats)]): StatisticsFile = {
+    val path = s"$location/metadata/stats-${snap.snapshotId}-${UUID.randomUUID()}.puffin"
+    val descriptors = stats.map { case (fieldId, st) =>
+      Puffin.BlobDescriptor("apache-datasketches-theta-v1", Seq(fieldId),
+        snap.snapshotId, snap.sequenceNumber, 0L, 0L,
+        Map("ndv" -> st.ndv.toString, "null-count" -> st.nullCount.toString)) ->
+        st.sketch
+    }
+    val (placed, footerSize) = Puffin.write(path, descriptors)
+    val size = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+      .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen
+    val blobs = placed.map(d => BlobMetadata(d.blobType, d.snapshotId,
+      d.sequenceNumber, d.fields, d.properties))
+    val sf = StatisticsFile(snap.snapshotId, path, size, footerSize, blobs)
     setStatistics(sf)
     sf
+  }
+
+  /** NDV of a column from the LATEST statistics file covering an ancestor
+    * of the current snapshot, if any — the hook cost-based planning reads.
+    */
+  def ndvOf(colName: String): Option[Long] =
+    schema.idByName.get(colName).flatMap { id =>
+      val ancestors = Iterator.iterate(meta.currentSnapshot)(s =>
+        s.flatMap(_.parentSnapshotId).flatMap(p => meta.snapshots.find(_.snapshotId == p)))
+        .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSeq
+      ancestors.iterator
+        .flatMap(sid => meta.statistics.filter(_.snapshotId == sid))
+        .flatMap(_.blobMetadata.find(_.fields == Seq(id)))
+        .flatMap(_.properties.get("ndv").map(_.toLong))
+        .nextOption()
+    }
+
+  /** Write the partition-statistics file for the current snapshot: one row
+    * per partition tuple with file/record/byte and delete rollups (the
+    * Iceberg `partition-statistics` metadata entry; reference models the
+    * pointer only, `table/statistics.go:79-85`). Aggregation happens over
+    * manifest ENTRIES (metadata-sized) — no data files are read.
+    */
+  def writePartitionStatistics(spark: SparkSession): PartitionStatisticsFile = {
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot analyze an empty table"))
+    val tasks = newScan(snapshotId = Some(snap.snapshotId)).planFiles()
+    import spark.implicits._
+    val rows = tasks
+      .groupBy(t => t.file.partition.map(v => if (v == null) "null" else v.toString)
+        .mkString("/"))
+      .map { case (p, ts) =>
+        val posDeletes = ts.flatMap(t => t.deletes ++ t.dvDeletes).distinctBy(f =>
+          (f.filePath, f.contentOffset))
+        val eqDeletes = ts.flatMap(_.eqDeletes.map(_._1)).distinctBy(_.filePath)
+        (p, ts.size.toLong, ts.map(_.file.recordCount).sum,
+          ts.map(_.file.fileSizeInBytes).sum,
+          posDeletes.size.toLong, posDeletes.map(_.recordCount).sum,
+          eqDeletes.size.toLong, eqDeletes.map(_.recordCount).sum,
+          snap.snapshotId)
+      }.toSeq.sortBy(_._1)
+    val df = rows.toDF("partition", "data_file_count", "data_record_count",
+      "total_data_file_size_in_bytes", "position_delete_file_count",
+      "position_delete_record_count", "equality_delete_file_count",
+      "equality_delete_record_count", "last_updated_snapshot_id")
+    val tmpDir = s"$location/metadata/.pstats-${UUID.randomUUID()}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmpDir), new org.apache.hadoop.conf.Configuration())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val dest = new org.apache.hadoop.fs.Path(
+      s"$location/metadata/partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet")
+    fs.rename(part, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    val pf = PartitionStatisticsFile(snap.snapshotId, dest.toUri.getPath,
+      fs.getFileStatus(dest).getLen)
+    setPartitionStatistics(pf)
+    pf
   }
 
   // ------------------------------------------------------------- properties

@@ -168,12 +168,23 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snap1 = t.refresh().currentSnapshot.get
     val sf = t.analyzeTable(spark)
     assert(sf.snapshotId == snap1.snapshotId)
-    assert(sf.blobMetadata.nonEmpty && sf.blobMetadata.forall(_.blobType == "graft-ndv-json-v1"))
-    // exact NDV expected at this size (HLL++ is exact for tiny cardinalities)
+    assert(sf.blobMetadata.nonEmpty &&
+      sf.blobMetadata.forall(_.blobType == "apache-datasketches-theta-v1"))
+    // exact NDV expected at this size (theta sketches are exact below their
+    // nominal entry count)
     val keyBlob = sf.blobMetadata.find(_.fields ==
       Seq(t.schema.idByName("r_regionkey"))).get
     assert(keyBlob.properties("ndv").toLong == region.count())
     assert(keyBlob.properties("null-count").toLong == 0L)
+    // the Puffin footer agrees with the metadata blob list, and the blob
+    // bytes decode to a sketch whose estimate matches the ndv property
+    val foot = graft.meta.Puffin.readFooter(sf.statisticsPath)
+    assert(foot.map(_.fields) == sf.blobMetadata.map(_.fields))
+    val keyDesc = foot.find(_.fields == keyBlob.fields).get
+    val est = ThetaStats.estimate(
+      graft.meta.Puffin.readBlob(sf.statisticsPath, keyDesc.offset, keyDesc.length))
+    assert(math.round(est) == region.count())
+    assert(sf.fileFooterSizeInBytes > 0 && sf.fileSizeInBytes > sf.fileFooterSizeInBytes)
     // survives a reload through the catalog (JSON round-trip)
     val reloaded = IceTable.load(catalog, "stat_t")
     assert(reloaded.metadata.statistics == Seq(sf))
@@ -190,6 +201,62 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t2.append(region.limit(1))
     t2.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 1)
     assert(t2.metadata.statistics.isEmpty)
+  }
+
+  test("statistics: incremental analyze unions sketches over only-appended files") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val half1 = orders.where("o_orderkey % 2 = 0")
+    val half2 = orders.where("o_orderkey % 2 = 1")
+    val t = IceTable.create(catalog, "stat_inc", SchemaConv.fromSpark(orders.schema))
+    t.append(half1)
+    t.analyzeTable(spark)
+    t.refresh()
+    t.append(half2)
+    t.refresh()
+    val sf = t.analyzeIncrementally(spark)
+    assert(sf.snapshotId == t.currentSnapshot.get.snapshotId)
+    // union(first-half sketch, second-half sketch) must agree with a full
+    // recompute — both exact here if under nominal entries, else close
+    val full = IceTable.create(catalog, "stat_full", SchemaConv.fromSpark(orders.schema))
+    full.append(orders)
+    val fullSf = full.analyzeTable(spark)
+    val statusId = t.schema.idByName("o_orderstatus")
+    def ndv(s: graft.meta.StatisticsFile, fid: Int): Long =
+      s.blobMetadata.find(_.fields == Seq(fid)).get.properties("ndv").toLong
+    assert(ndv(sf, statusId) == ndv(fullSf, statusId)) // tiny → exact
+    val keyId = t.schema.idByName("o_orderkey")
+    val exactKeys = orders.count() // o_orderkey is unique
+    assert(math.abs(ndv(sf, keyId) - exactKeys).toDouble / exactKeys < 0.05)
+    // ndvOf reads through ancestry
+    assert(t.ndvOf("o_orderstatus").contains(ndv(sf, statusId)))
+    assert(t.ndvOf("no_such_col").isEmpty)
+    // a delete breaks append-only ancestry → falls back to a full recompute
+    // whose key NDV may differ from the incremental union's estimate path
+    t.deleteWhere(spark, P.equalTo("o_orderstatus", "F"))
+    t.refresh()
+    val afterDelete = t.analyzeIncrementally(spark)
+    val distinctAfter = t.scan(spark).select("o_orderstatus").distinct().count()
+    assert(ndv(afterDelete, statusId) == distinctAfter)
+  }
+
+  test("statistics: partition stats file rolls up manifest entries per partition") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SchemaConv.fromSpark(orders.schema)
+    val spec = PartitionSpec.of(0, ("o_orderstatus", IdentityTransform, "status"))(schema)
+    val t = IceTable.create(catalog, "pstat_t", schema, spec)
+    t.append(orders)
+    t.refresh()
+    val pf = t.writePartitionStatistics(spark)
+    assert(pf.snapshotId == t.currentSnapshot.get.snapshotId)
+    val stats = spark.read.parquet(pf.statisticsPath)
+    val expected = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = stats.collect().map(r =>
+      r.getAs[String]("partition") -> r.getAs[Long]("data_record_count")).toMap
+    assert(got == expected)
+    assert(stats.columns.contains("position_delete_record_count"))
+    // reload round-trips the partition-statistics metadata entry
+    assert(IceTable.load(catalog, "pstat_t").metadata.partitionStatistics == Seq(pf))
   }
 
   test("overwriteWhere: full-match files dropped, partial files rewritten") {
