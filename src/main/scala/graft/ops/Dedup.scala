@@ -152,26 +152,29 @@ object Dedup {
 
   /** Cost-based exact jaccard — the registered plan. The count-join's cost
     * is EXACTLY the number of joined rows, Σ over (token, source) of
-    * C(df, 2); one cheap aggregation computes it up front, and the plan is
-    * chosen on that statistic: low-df corpora use the count-join (no array
-    * payloads through the shuffle), while a single stopword-like token past
-    * the budget flips to the PPJoin prefix plan whose candidates stay
-    * bounded by construction. Both plans are exact and proven equivalent in
-    * DedupSpec, so the choice affects cost only.
+    * C(df, 2), and a document SAMPLE estimates it unbiasedly: a pair of
+    * documents survives an independent p-sample with probability p², so
+    * E[Σ C(df_sample, 2)] = p² · Σ C(df, 2). The stats pass therefore
+    * tokenizes only the sample — at 100 TB the full corpus is neither
+    * scanned twice nor persisted just to CHOOSE a plan — and the estimate
+    * is sharpest exactly when it matters (a stopword-like token past the
+    * budget dominates the sum and is caught by any sample). Low estimates
+    * pick the count-join (no array payloads through the shuffle); high
+    * estimates flip to the PPJoin prefix plan whose candidate count stays
+    * bounded by construction. Both plans are exact and proven equivalent
+    * in DedupSpec, so the choice affects cost only.
     */
   def jaccardPairsAdaptive(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    // tokenize ONCE and cache: the split/array_distinct lambda is an
-    // interpreted higher-order function, so both the stats pass and the
-    // chosen plan must read the materialized arrays, not recompute them
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
-      .transform(CacheRegistry.persist(_))
-    val joinedRows = Option(
-      docs.select(col("source"), explode(col("ws")).as("tok"))
+    val raw = t(spark, dir, "documents")
+    val p = 0.2
+    val joinedRowsEst = Option(
+      raw.sample(withReplacement = false, p, seed = 42)
+        .select(col("source"), explode(wordSet(col("text"))).as("tok"))
         .groupBy("tok", "source").agg(count(lit(1)).as("df"))
         .agg(sum(col("df") * (col("df") - 1) / 2.0)).first().get(0))
-      .map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0)
-    if (joinedRows <= CountJoinMaxPairs) countJoinJaccard(docs, threshold)
+      .map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0) / (p * p)
+    val docs = raw.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
+    if (joinedRowsEst <= CountJoinMaxPairs) countJoinJaccard(docs, threshold)
     else jaccardPairsOver(docs, threshold)
   }
 
