@@ -4,6 +4,7 @@ import java.nio.file.Files
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.core.{Predicates => P, _}
 import graft.meta._
@@ -22,7 +23,7 @@ object IceQueries {
   private case class Fixture(li: IceTable, firstSnapshotId: Long,
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
       liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable,
-      liDv: IceTable)
+      liDv: IceTable, ordersUp: IceTable)
 
   private val fixtures = TrieMap[String, Fixture]()
 
@@ -117,6 +118,21 @@ object IceQueries {
           orders.where("o_orderstatus = 'P'").select("o_orderkey"), Seq("o_orderkey"))
         ordersEq
       }
+      val fUp = Future {
+        // MERGE-by-key as one row-delta snapshot: updated urgent rows retire
+        // their old versions through the same-commit equality delete
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val ordersUp = IceTable.create(catalog, "orders_up",
+          SchemaConv.fromSpark(orders.schema))
+        ordersUp.append(orders)
+        ordersUp.refresh()
+        ordersUp.upsert(spark,
+          orders.where("o_orderpriority = '1-URGENT'")
+            .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0)),
+          Seq("o_orderkey"))
+        ordersUp.refresh()
+        ordersUp
+      }
       val fDv = Future {
         // v3 deletion vectors: a DV delete, then the rewrite maintenance
         // collapsing to one bitmap per file — both paths in the gate
@@ -136,7 +152,8 @@ object IceQueries {
         Await.result(fCompact, Duration.Inf),
         Await.result(fExt, Duration.Inf),
         Await.result(fEq, Duration.Inf),
-        Await.result(fDv, Duration.Inf))
+        Await.result(fDv, Duration.Inf),
+        Await.result(fUp, Duration.Inf))
     })
 
   val defs: Seq[QueryDef] = Seq(
@@ -282,6 +299,17 @@ object IceQueries {
         UNION ALL SELECT 'l_returnflag', count(DISTINCT l_returnflag),
                count(*) - count(l_returnflag) FROM lineitem
         UNION ALL SELECT 'l_tax', count(DISTINCT l_tax),
-               count(*) - count(l_tax) FROM lineitem"""))
+               count(*) - count(l_tax) FROM lineitem""")),
+
+    QueryDef(
+      "ice_upsert_scan",
+      (s, dir) => fixture(s, dir).ordersUp.scan(s,
+        selected = Some(Seq("o_orderkey", "o_orderpriority", "o_totalprice"))),
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice + 100000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders"""))
   )
 }

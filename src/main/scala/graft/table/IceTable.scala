@@ -584,6 +584,85 @@ final class IceTable private (
       addedFiles = 0, addedRecords = 0)
   }
 
+  /** Upsert (MERGE-by-key) as ONE row-delta snapshot: an equality-delete
+    * file over the incoming rows' keys plus the incoming rows as data files,
+    * committed together at the same sequence number. Equality deletes apply
+    * only to STRICTLY OLDER data sequences (Iceberg spec), so the delete
+    * retires prior versions of the keys while this commit's own inserts
+    * survive — no scan of existing data, write cost O(incoming batch).
+    * This is the CDC/merge path at scale: at 100 TB the alternative
+    * (copy-on-write MERGE) rewrites every file a key touches.
+    */
+  def upsert(spark: SparkSession, rows: DataFrame, keyColumns: Seq[String]): Snapshot =
+    synchronized {
+      require(keyColumns.nonEmpty, "upsert needs at least one key column")
+      val schemaNow = schema
+      val eqIds = keyColumns.map(c => schemaNow.idByName.getOrElse(c,
+        throw new IllegalArgumentException(s"no such column: $c")))
+      val eqSchema = IceSchema(-1, eqIds.map(schemaNow.byId(_).copy(required = false)))
+      val deleteFiles = DataWriter.write(
+        rows.select(keyColumns.map(col): _*).distinct(),
+        location, eqSchema, PartitionSpec.Unpartitioned)
+        .map(_.copy(content = 2, equalityIds = eqIds))
+        .filter(_.recordCount > 0)
+      val dataFiles = DataWriter.write(rows, location, schemaNow, spec, sortOrder,
+        meta.properties)
+      val snapId = meta.reserveSnapshotId()
+      val seq = meta.lastSequenceNumber + 1
+      val commitUuid = UUID.randomUUID().toString
+      val dataEntries = dataFiles.map(f =>
+        ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+      val dataMf = ManifestIO.writeManifest(s"$location/metadata/$commitUuid-m0.avro",
+          dataEntries, spec, schemaNow)
+        .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+      val deleteEntries = deleteFiles.map(f =>
+        ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+      val deleteMf = ManifestIO.writeManifest(s"$location/metadata/$commitUuid-m1.avro",
+          deleteEntries, PartitionSpec.Unpartitioned, schemaNow, content = 1)
+        .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+      commitManifests(Seq(dataMf, deleteMf), snapId, seq, commitUuid, "overwrite",
+        addedFiles = dataFiles.size, addedRecords = dataFiles.map(_.recordCount).sum)
+    }
+
+  // ------------------------------------------------- snapshot management
+  /** Roll the table back to an earlier snapshot in the current history —
+    * a metadata-only commit (no data movement): current pointer, `main`
+    * ref, and a new snapshot-log entry. Later snapshots stay in metadata
+    * (time travel still reaches them) until expiry reclaims them.
+    */
+  def rollbackTo(snapshotId: Long): Unit = synchronized {
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), { m =>
+      require(m.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
+      val now = System.currentTimeMillis()
+      m.copy(currentSnapshotId = Some(snapshotId),
+        refs = m.refs + ("main" -> SnapshotRef(snapshotId, "branch")),
+        snapshotLog = m.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
+        lastUpdatedMs = now)
+    })
+  }
+
+  /** Cherry-pick an APPEND snapshot onto the current head: its added files
+    * are re-committed as a new snapshot with a fresh sequence number.
+    * Typical after a rollback orphaned good commits, or to promote a
+    * staged/WAP append. Only `append` snapshots are pickable — overwrite
+    * and delete semantics depend on the sequence position they originally
+    * committed at.
+    */
+  def cherryPick(snapshotId: Long): Snapshot = synchronized {
+    val src = meta.snapshotById(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    require(src.summary.get("operation").contains("append"),
+      s"only append snapshots can be cherry-picked, " +
+        s"got ${src.summary.getOrElse("operation", "?")}")
+    val added = ManifestIO.readManifestList(src.manifestList)
+      .filter(m => m.content == 0 && m.addedSnapshotId == snapshotId)
+      .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, schema)._2)
+      .filter(e => e.status == ManifestEntryStatus.Added && e.snapshotId == snapshotId)
+      .map(_.dataFile)
+    require(added.nonEmpty, s"snapshot $snapshotId added no data files")
+    commitAddedFiles(added, retries = 3)
+  }
+
   // -------------------------------------------------- distributed snapshot
   /** Reserve a snapshot ID + commit UUID for workers (reference
     * `BeginDistributedSnapshot` `distributed_snapshot.go:52-76`).

@@ -183,6 +183,72 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan(selected = Some(Seq("o_totalprice"))).toDF(spark).count() == expected - n2)
   }
 
+  test("upsert: one row-delta snapshot retires old key versions, keeps its own inserts") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val t = IceTable.create(catalog, "ord_upsert", SchemaConv.fromSpark(orders.schema))
+    t.append(orders)
+    // updated versions of the urgent orders + brand-new keys (negated ids)
+    val updates = orders.where("o_orderpriority = '1-URGENT'")
+      .withColumn("o_totalprice", org.apache.spark.sql.functions.lit(0.0))
+    // keys shifted before negation: o_orderkey 0 exists, and -0 would
+    // collide with it (making that "insert" a genuine update)
+    val inserts = orders.orderBy("o_orderkey").limit(25)
+      .withColumn("o_orderkey",
+        -(org.apache.spark.sql.functions.col("o_orderkey") + 1))
+    val batch = updates.unionAll(inserts)
+    val snap = t.upsert(spark, batch, Seq("o_orderkey"))
+    assert(snap.summary("operation") == "overwrite")
+    t.refresh()
+    // row count: every key exists exactly once, plus the 25 new keys
+    assert(t.scan(spark).count() == orders.count() + 25)
+    // updated rows carry the new values (negative keys are inserted COPIES
+    // of source rows — they keep their original price by construction)
+    assert(t.scan(spark, P.equalTo("o_orderpriority", "1-URGENT"))
+      .where("o_orderkey >= 0 AND o_totalprice <> 0.0").count() == 0)
+    // untouched keys keep their original values, bit for bit
+    val untouchedScan = t.scan(spark)
+      .where("o_orderkey >= 0 AND o_orderpriority <> '1-URGENT'")
+    assert(untouchedScan.count() ==
+      orders.where("o_orderpriority <> '1-URGENT'").count())
+    assert(untouchedScan
+      .exceptAll(orders.where("o_orderpriority <> '1-URGENT'")).count() == 0)
+    // a second upsert of the same keys replaces the first's versions
+    t.upsert(spark, updates.withColumn("o_totalprice",
+      org.apache.spark.sql.functions.lit(1.0)), Seq("o_orderkey"))
+    t.refresh()
+    assert(t.scan(spark).count() == orders.count() + 25)
+    assert(t.scan(spark, P.equalTo("o_orderpriority", "1-URGENT"))
+      .where("o_orderkey >= 0 AND o_totalprice <> 1.0").count() == 0)
+  }
+
+  test("rollback and cherry-pick: history surgery is metadata-only") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val t = IceTable.create(catalog, "nat_rb", SchemaConv.fromSpark(nation.schema))
+    val s1 = t.append(nation.where("n_nationkey < 10"))
+    val s2 = t.append(nation.where("n_nationkey >= 10 AND n_nationkey < 20"))
+    val s3 = t.append(nation.where("n_nationkey >= 20"))
+    val fullCount = nation.count()
+    assert(t.scan(spark).count() == fullCount)
+    // rollback to s1: reads see only the first batch; later snapshots remain
+    t.rollbackTo(s1.snapshotId)
+    t.refresh()
+    assert(t.currentSnapshot.get.snapshotId == s1.snapshotId)
+    assert(t.scan(spark).count() == nation.where("n_nationkey < 10").count())
+    assert(t.metadata.snapshotById(s3.snapshotId).isDefined) // still time-travelable
+    // cherry-pick s2's files back onto the rolled-back head
+    val picked = t.cherryPick(s2.snapshotId)
+    t.refresh()
+    assert(picked.parentSnapshotId.contains(s1.snapshotId))
+    assert(t.scan(spark).count() == nation.where("n_nationkey < 20").count())
+    // only append snapshots are pickable
+    t.deleteWhere(spark, P.equalTo("n_nationkey", 3L))
+    t.refresh()
+    val delSnap = t.currentSnapshot.get
+    intercept[IllegalArgumentException] { t.cherryPick(delSnap.snapshotId) }
+    // rollback requires a known snapshot
+    intercept[IllegalArgumentException] { t.rollbackTo(999999L) }
+  }
+
   test("v3 deletion vectors: puffin bitmaps delete rows; rewrite collapses to one DV per file") {
     // puffin + DV blob codec round-trips with CRC validation
     val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
