@@ -32,7 +32,8 @@ object Bench {
     // shutdown logging can land between it and process exit. At ~60 queries the
     // line is ~1.7KB — full-precision doubles overflowed the tail in round 3
     // and the driver recorded parsed:null.
-    def f3(v: Double): String = "%.2f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

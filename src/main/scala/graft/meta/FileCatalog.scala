@@ -90,6 +90,11 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     * (before the tombstone/ptr-delete) or NEITHER name alive (resumable via
     * the intent); no window has both identifiers resolving. Re-running
     * `renameTable(from, to)` for the recorded pair completes idempotently.
+    * The intent is deleted as the FINAL step after `to.ptr` is written, so a
+    * completed rename leaves no residue and `from` is immediately reusable;
+    * the resume path re-validates that the recorded location still hosts the
+    * renamed table before touching any pointer, so a stale intent can never
+    * clobber a live `to` table.
     */
   def renameTable(from: String, to: String): Unit = {
     val intent = Paths.get(stripScheme(renameIntent(from)))
@@ -98,18 +103,37 @@ final class FileCatalog(val warehouse: String) extends Catalog {
         Some(new String(Files.readAllBytes(intent), StandardCharsets.UTF_8).split('\n'))
       else None
     if (recorded.exists(_.headOption.contains(to))) {
-      // resume: finish the remaining steps for the recorded pair
+      // resume: only if the recorded location still hosts the half-renamed
+      // table (metadata present; tombstone absent or already naming `to`)
+      // and `to` has not since come to mean a different table.
       val location = recorded.get(1)
-      Files.write(Paths.get(stripScheme(tombstone(location))),
-        to.getBytes(StandardCharsets.UTF_8))
-      Files.deleteIfExists(Paths.get(stripScheme(ptrFile(from))))
-      Files.write(Paths.get(stripScheme(ptrFile(to))),
-        location.getBytes(StandardCharsets.UTF_8))
+      val hintOk =
+        Files.exists(Paths.get(stripScheme(s"$location/metadata/version-hint.text")))
+      val tombP = Paths.get(stripScheme(tombstone(location)))
+      val tombOk = !Files.exists(tombP) ||
+        new String(Files.readAllBytes(tombP), StandardCharsets.UTF_8).trim == to
+      val toPtrP = Paths.get(stripScheme(ptrFile(to)))
+      val toOk =
+        if (Files.exists(toPtrP))
+          new String(Files.readAllBytes(toPtrP), StandardCharsets.UTF_8).trim == location
+        else {
+          val directLoc = s"$warehouse/$to"
+          !(Files.exists(Paths.get(stripScheme(s"$directLoc/metadata/version-hint.text"))) &&
+            !Files.exists(Paths.get(stripScheme(tombstone(directLoc)))))
+        }
+      if (!(hintOk && tombOk && toOk)) {
+        Files.deleteIfExists(intent) // stale residue; clear and refuse
+        throw new CommitConflictException(
+          s"stale rename intent $from -> $to: recorded location no longer matches")
+      }
+      finishRename(intent, from, to, location)
       return
     }
     if (recorded.isDefined)
       throw new CommitConflictException(
         s"table $from was already renamed to ${recorded.get.headOption.getOrElse("?")}")
+    // a completed rename leaves no intent: re-running it is an idempotent no-op
+    if (!tableExists(from) && tableExists(to)) return
     require(tableExists(from), s"no such table: $from")
     require(!tableExists(to), s"table $to already exists")
     val location = tableLocation(from)
@@ -119,11 +143,20 @@ final class FileCatalog(val warehouse: String) extends Catalog {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(s"concurrent rename of table $from")
     }
+    finishRename(intent, from, to, location)
+  }
+
+  /** Steps after the intent commit point; crash before the final intent
+    * delete resumes via the surviving intent file.
+    */
+  private def finishRename(intent: java.nio.file.Path, from: String, to: String,
+      location: String): Unit = {
     Files.write(Paths.get(stripScheme(tombstone(location))),
       to.getBytes(StandardCharsets.UTF_8))
     Files.deleteIfExists(Paths.get(stripScheme(ptrFile(from))))
     Files.write(Paths.get(stripScheme(ptrFile(to))),
       location.getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(intent)
   }
 
   def dropTable(name: String): Unit = {

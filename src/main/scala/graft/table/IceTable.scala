@@ -651,6 +651,13 @@ final class IceTable private (
   def cherryPick(snapshotId: Long): Snapshot = synchronized {
     val src = meta.snapshotById(snapshotId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    // picking a snapshot already in the head's ancestry would re-commit its
+    // data files and duplicate every row it added (Iceberg cherrypick check)
+    val ancestors = Iterator.iterate(meta.currentSnapshotId.flatMap(meta.snapshotById))(
+        _.flatMap(s => s.parentSnapshotId.flatMap(meta.snapshotById)))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    require(!ancestors.contains(snapshotId),
+      s"snapshot $snapshotId is already an ancestor of the current head")
     require(src.summary.get("operation").contains("append"),
       s"only append snapshots can be cherry-picked, " +
         s"got ${src.summary.getOrElse("operation", "?")}")
@@ -898,9 +905,11 @@ final class IceTable private (
       .map(_.getPath).find(_.getName.startsWith("part-")).get
     val dest = new org.apache.hadoop.fs.Path(
       s"$location/metadata/partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet")
-    fs.rename(part, dest)
+    require(fs.rename(part, dest), s"rename $part -> $dest failed")
     fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
-    val pf = PartitionStatisticsFile(snap.snapshotId, dest.toUri.getPath,
+    // dest.toString keeps scheme/authority so the recorded path resolves on
+    // non-local warehouses (s3a/hdfs), matching StatisticsFile paths
+    val pf = PartitionStatisticsFile(snap.snapshotId, dest.toString,
       fs.getFileStatus(dest).getLen)
     setPartitionStatistics(pf)
     pf

@@ -70,7 +70,13 @@ object ThetaStats {
   def sketchColumns(df: DataFrame): (Seq[ColumnStats], Long) = {
     val n = df.schema.size
     require(n > 0, "no columns to sketch")
-    val reduced = df.rdd
+    val rdd = df.rdd
+    if (rdd.getNumPartitions == 0)
+      // empty table (e.g. ANALYZE after delete-all): record empty sketches
+      // rather than letting treeReduce throw on an empty collection
+      return (Seq.fill(n)(ColumnStats(
+        UpdateSketch.builder().build().compact().toByteArrayCompressed, 0L)), 0L)
+    val reduced = rdd
       .mapPartitions { rows =>
         val sks = Array.fill(n)(UpdateSketch.builder().build(): UpdateSketch)
         val nulls = new Array[Long](n)

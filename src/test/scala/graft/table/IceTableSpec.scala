@@ -240,6 +240,11 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.refresh()
     assert(picked.parentSnapshotId.contains(s1.snapshotId))
     assert(t.scan(spark).count() == nation.where("n_nationkey < 20").count())
+    // re-picking a snapshot already in the head's ancestry would duplicate
+    // its rows — rejected (picked is now an ancestor, as is s1)
+    intercept[IllegalArgumentException] { t.cherryPick(picked.snapshotId) }
+    intercept[IllegalArgumentException] { t.cherryPick(s1.snapshotId) }
+    assert(t.scan(spark).count() == nation.where("n_nationkey < 20").count())
     // only append snapshots are pickable
     t.deleteWhere(spark, P.equalTo("n_nationkey", 3L))
     t.refresh()

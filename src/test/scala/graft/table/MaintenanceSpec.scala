@@ -130,21 +130,39 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     catalog.renameTable("rn_b", "rn_c")
     assert(!catalog.tableExists("rn_a") && !catalog.tableExists("rn_b"))
     assert(IceTable.load(catalog, "rn_c").scan(spark).count() == region.count())
-    // re-running a completed rename resumes idempotently
+    // re-running a completed rename is an idempotent no-op (the intent file
+    // is deleted as the rename's final step, so no residue poisons `rn_b`)
     catalog.renameTable("rn_b", "rn_c")
     assert(catalog.tableExists("rn_c"))
-    // the losing side of a concurrent rename (same source, different target)
-    intercept[CommitConflictException] { catalog.renameTable("rn_b", "rn_z") }
-    assert(!catalog.tableExists("rn_z"))
-    // crash simulation: the intent landed but no other step ran; re-running
-    // the same rename completes it
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"${catalog.warehouse}/rename-rn_b.intent")))
+    // the retired identifier is immediately reusable: a NEW table named rn_b
+    // can be created and renamed without tripping over the old rename's state
+    val tReuse = IceTable.create(catalog, "rn_b", SchemaConv.fromSpark(region.schema))
+    tReuse.append(region.limit(2))
+    catalog.renameTable("rn_b", "rn_b2")
+    assert(IceTable.load(catalog, "rn_b2").scan(spark).count() == 2)
+    assert(IceTable.load(catalog, "rn_c").scan(spark).count() == region.count())
+    // crash simulation: the intent landed but no other step ran
     val t2 = IceTable.create(catalog, "rn_crash", SchemaConv.fromSpark(region.schema))
     t2.append(region.limit(3))
     val loc = catalog.tableLocation("rn_crash")
     Files.write(java.nio.file.Paths.get(s"${catalog.warehouse}/rename-rn_crash.intent"),
       s"rn_done\n$loc".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the losing side of a concurrent rename (same source, different target)
+    intercept[CommitConflictException] { catalog.renameTable("rn_crash", "rn_z") }
+    assert(!catalog.tableExists("rn_z"))
+    // re-running the recorded rename completes it
     catalog.renameTable("rn_crash", "rn_done")
     assert(!catalog.tableExists("rn_crash") && catalog.tableExists("rn_done"))
+    assert(IceTable.load(catalog, "rn_done").scan(spark).count() == 3)
+    // a stale intent whose recorded location no longer hosts the table is
+    // refused (and cleared) instead of clobbering the live target's pointer
+    Files.write(java.nio.file.Paths.get(s"${catalog.warehouse}/rename-rn_stale.intent"),
+      s"rn_done\n${catalog.warehouse}/gone".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[CommitConflictException] { catalog.renameTable("rn_stale", "rn_done") }
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"${catalog.warehouse}/rename-rn_stale.intent")))
     assert(IceTable.load(catalog, "rn_done").scan(spark).count() == 3)
   }
 
@@ -237,6 +255,22 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val afterDelete = t.analyzeIncrementally(spark)
     val distinctAfter = t.scan(spark).select("o_orderstatus").distinct().count()
     assert(ndv(afterDelete, statusId) == distinctAfter)
+  }
+
+  test("statistics: analyze of a snapshot with no live data files records zero stats") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(catalog, "stat_empty", SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    t.refresh()
+    // delete every row: current snapshot exists but plans zero data files,
+    // so the sketch pass sees an empty zero-partition RDD
+    t.deleteWhere(spark, P.greaterThanOrEqual("r_regionkey", 0L))
+    t.refresh()
+    assert(t.scan(spark).count() == 0)
+    val sf = t.analyzeTable(spark)
+    assert(sf.blobMetadata.nonEmpty)
+    assert(sf.blobMetadata.forall(_.properties("ndv").toLong == 0L))
+    assert(sf.blobMetadata.forall(_.properties("null-count").toLong == 0L))
   }
 
   test("statistics: partition stats file rolls up manifest entries per partition") {
