@@ -264,7 +264,7 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.refresh()
     // delete every row: current snapshot exists but plans zero data files,
     // so the sketch pass sees an empty zero-partition RDD
-    t.deleteWhere(spark, P.greaterThanOrEqual("r_regionkey", 0L))
+    t.deleteWhere(spark, P.gtEq("r_regionkey", 0L))
     t.refresh()
     assert(t.scan(spark).count() == 0)
     val sf = t.analyzeTable(spark)
