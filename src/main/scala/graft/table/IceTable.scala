@@ -421,7 +421,8 @@ final class IceTable private (
       NestedField(2147483546, "file_path", IceString, required = true),
       NestedField(2147483545, "pos", IceLong, required = true)))
     val files = DataWriter.listParquet(stagingDir).map { case (p, len) =>
-      ParquetStats.toDataFile(p, len, deleteSchema, Nil, content = 1)
+      ParquetStats.toDataFile(p, len, deleteSchema, Nil, content = 1,
+        fullBoundsFieldIds = Set(DeleteIndex.PathFieldId))
     }.filter(_.recordCount > 0)
     val snapId = meta.reserveSnapshotId()
     val seq = meta.lastSequenceNumber + 1
@@ -1199,40 +1200,18 @@ final class IceScan(
         val (_, entries) = ManifestIO.readManifest(m.path, meta.specs, schema)
         entries.filter(_.status != ManifestEntryStatus.Deleted)
           .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
-      }.seq.sortBy(_.sequenceNumber.getOrElse(0L))
-      val (eqDeleteEntries, allPosEntries) =
-        deleteEntries.partition(_.dataFile.content == 2)
-      val (dvEntries, posDeleteEntries) =
-        allPosEntries.partition(_.dataFile.isDeletionVector)
+      }.seq
+      // indexed matching (hash by path, binary search by sequence number)
+      // instead of the naive dataFiles×deleteFiles nested loop — planning
+      // 10⁵ data × 10⁴ delete files must not stall the driver (reference
+      // `matchDeletesToData` `table/scanner.go:285-309`)
+      val index = new DeleteIndex(deleteEntries)
 
       dataEntries.map { e =>
-        // positional deletes apply when delete.seq >= data.seq and the
-        // delete file's file_path bounds admit this data file
-        // (reference `matchDeletesToData` `table/scanner.go:285-309`)
         val dseq = e.sequenceNumber.getOrElse(0L)
-        val applicable = posDeleteEntries.filter { d =>
-          d.sequenceNumber.getOrElse(0L) >= dseq && {
-            val lo = d.dataFile.lowerBounds.get(2147483546).map(new String(_, "UTF-8"))
-            val hi = d.dataFile.upperBounds.get(2147483546).map(new String(_, "UTF-8"))
-            lo.forall(_ <= e.dataFile.filePath) &&
-              hi.forall(h => e.dataFile.filePath <= h || e.dataFile.filePath.startsWith(h))
-          }
-        }
-        // deletion vectors match EXACTLY by referenced path — no bounds
-        // heuristics needed (the pointer is the match)
-        val dvApplicable = dvEntries.filter(d =>
-          d.sequenceNumber.getOrElse(0L) >= dseq &&
-            d.dataFile.referencedDataFile.contains(e.dataFile.filePath))
-          .map(_.dataFile)
-        // equality deletes apply only to STRICTLY OLDER data files (Iceberg
-        // spec): rows (re)written in the same or a later commit — e.g. the
-        // upsert's own inserts, or a compaction that already applied the
-        // delete — must not be re-deleted
-        val eqApplicable = eqDeleteEntries
-          .filter(d => d.sequenceNumber.getOrElse(0L) > dseq)
-          .map(d => (d.dataFile, d.sequenceNumber.getOrElse(0L)))
-        FileScanTask(e.dataFile, applicable.map(_.dataFile), eqApplicable, dseq,
-          dvApplicable)
+        val path = e.dataFile.filePath
+        FileScanTask(e.dataFile, index.posDeletesFor(path, dseq),
+          index.eqDeletesFor(dseq), dseq, index.dvsFor(path, dseq))
       }.toSeq
   }
 

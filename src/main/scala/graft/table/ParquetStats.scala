@@ -29,13 +29,20 @@ object ParquetStats {
     * name mapping, for foreign files whose column names differ from the
     * canonical schema); default is the schema's own name index.
     */
+  /** `fullBoundsFieldIds`: columns whose bounds are recorded UNtruncated.
+    * Positional-delete files use this for the reserved `file_path` column
+    * (2147483546): exact path bounds let the planner match deletes to data
+    * files precisely — a 16-char prefix of an absolute path is shared by the
+    * whole warehouse and can't discriminate anything.
+    */
   def toDataFile(
       filePath: String,
       fileSize: Long,
       schema: IceSchema,
       partition: Seq[Any],
       content: Int = 0,
-      nameToId: Option[Map[String, Int]] = None): DataFile = {
+      nameToId: Option[Map[String, Int]] = None,
+      fullBoundsFieldIds: Set[Int] = Set.empty): DataFile = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(filePath), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -81,15 +88,17 @@ object ParquetStats {
       }
 
       // drop bounds for columns where any row group lacked usable stats
+      def widthFor(id: Int): Int =
+        if (fullBoundsFieldIds(id)) Int.MaxValue else TruncateWidth
       val lowerBounds = mins.toMap.collect {
         case (id, v) if statsValid(id) =>
           val t = schema.byId(id).tpe
-          id -> Bounds.encode(t, Bounds.truncateLower(t, v, TruncateWidth))
+          id -> Bounds.encode(t, Bounds.truncateLower(t, v, widthFor(id)))
       }
       val upperBounds = maxs.toMap.flatMap {
         case (id, v) if statsValid(id) =>
           val t = schema.byId(id).tpe
-          Bounds.truncateUpper(t, v, TruncateWidth).map(u => id -> Bounds.encode(t, u))
+          Bounds.truncateUpper(t, v, widthFor(id)).map(u => id -> Bounds.encode(t, u))
         case _ => None
       }
       DataFile(

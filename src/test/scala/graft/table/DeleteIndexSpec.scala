@@ -1,0 +1,140 @@
+package graft.table
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.{DataFile, ManifestEntry, ManifestEntryStatus}
+
+/** DeleteIndex must (a) reproduce the naive nested-loop matching exactly,
+  * and (b) never bounds-scan for file-scoped deletes — planning 10k data ×
+  * 1.5k delete entries is O((N+M) log M), not 10⁷ driver comparisons
+  * (reference `matchDeletesToData` `table/scanner.go:285-309`).
+  */
+class DeleteIndexSpec extends AnyFunSuite {
+
+  private def dataFile(path: String, content: Int = 0,
+      lo: Option[String] = None, hi: Option[String] = None,
+      refPath: Option[String] = None, eqIds: Seq[Int] = Nil): DataFile =
+    DataFile(
+      content = content,
+      filePath = path,
+      fileFormat = "PARQUET",
+      partition = Nil,
+      recordCount = 1L,
+      fileSizeInBytes = 1L,
+      lowerBounds = lo.map(s => DeleteIndex.PathFieldId -> s.getBytes("UTF-8")).toMap,
+      upperBounds = hi.map(s => DeleteIndex.PathFieldId -> s.getBytes("UTF-8")).toMap,
+      referencedDataFile = refPath,
+      equalityIds = eqIds)
+
+  private def entry(f: DataFile, seq: Long): ManifestEntry =
+    ManifestEntry(ManifestEntryStatus.Added, 1L, Some(seq), Some(seq), f)
+
+  /** The pre-index nested-loop matcher, kept verbatim as the oracle. */
+  private def naive(deletes: Seq[ManifestEntry], path: String, dseq: Long)
+      : (Seq[DataFile], Seq[DataFile], Seq[(DataFile, Long)]) = {
+    val (eq, allPos) = deletes.partition(_.dataFile.content == 2)
+    val (dv, pos) = allPos.partition(_.dataFile.isDeletionVector)
+    val applicable = pos.filter { d =>
+      d.sequenceNumber.getOrElse(0L) >= dseq && {
+        val lo = d.dataFile.lowerBounds.get(DeleteIndex.PathFieldId).map(new String(_, "UTF-8"))
+        val hi = d.dataFile.upperBounds.get(DeleteIndex.PathFieldId).map(new String(_, "UTF-8"))
+        lo.forall(_ <= path) && hi.forall(h => path <= h || path.startsWith(h))
+      }
+    }.map(_.dataFile)
+    val dvApplicable = dv.filter(d =>
+      d.sequenceNumber.getOrElse(0L) >= dseq &&
+        d.dataFile.referencedDataFile.contains(path)).map(_.dataFile)
+    val eqApplicable = eq.filter(d => d.sequenceNumber.getOrElse(0L) > dseq)
+      .map(d => (d.dataFile, d.sequenceNumber.getOrElse(0L)))
+    (applicable, dvApplicable, eqApplicable)
+  }
+
+  test("indexed matching agrees with the naive nested loop on a random mix") {
+    val rnd = new scala.util.Random(42)
+    val dataPaths = (0 until 40).map(i => f"/w/t/data/d$i%03d.parquet")
+    val deletes = scala.collection.mutable.ArrayBuffer[ManifestEntry]()
+    // file-scoped positional (exact lo==hi)
+    for (i <- 0 until 25) {
+      val target = dataPaths(rnd.nextInt(dataPaths.size))
+      deletes += entry(dataFile(s"/w/t/data/pd$i.parquet", content = 1,
+        lo = Some(target), hi = Some(target)), seq = 1 + rnd.nextInt(10))
+    }
+    // range-scoped positional (lo < hi), some with truncated upper bounds
+    for (i <- 0 until 15) {
+      val a = dataPaths(rnd.nextInt(dataPaths.size))
+      val b = dataPaths(rnd.nextInt(dataPaths.size))
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val hiOut = if (i % 3 == 0) hi.take(12) else hi // truncated prefix case
+      deletes += entry(dataFile(s"/w/t/data/rd$i.parquet", content = 1,
+        lo = Some(lo), hi = Some(hiOut)), seq = 1 + rnd.nextInt(10))
+    }
+    // boundless positional (no path stats at all — must match everything new)
+    deletes += entry(dataFile("/w/t/data/nb.parquet", content = 1), seq = 5)
+    // deletion vectors
+    for (i <- 0 until 10) {
+      val target = dataPaths(rnd.nextInt(dataPaths.size))
+      deletes += entry(dataFile(s"/w/t/data/dv$i.puffin", content = 1,
+        refPath = Some(target)), seq = 1 + rnd.nextInt(10))
+    }
+    // equality deletes
+    for (i <- 0 until 8)
+      deletes += entry(dataFile(s"/w/t/data/eq$i.parquet", content = 2,
+        eqIds = Seq(1)), seq = 1 + rnd.nextInt(10))
+
+    val shuffled = rnd.shuffle(deletes.toSeq)
+    val index = new DeleteIndex(shuffled)
+    for (path <- dataPaths; dseq <- 0L to 11L) {
+      val (nPos, nDv, nEq) = naive(shuffled, path, dseq)
+      assert(index.posDeletesFor(path, dseq).map(_.filePath).sorted ==
+        nPos.map(_.filePath).sorted, s"pos mismatch at $path seq=$dseq")
+      assert(index.dvsFor(path, dseq).map(_.filePath).sorted ==
+        nDv.map(_.filePath).sorted, s"dv mismatch at $path seq=$dseq")
+      assert(index.eqDeletesFor(dseq).map(_._1.filePath).sorted ==
+        nEq.map(_._1.filePath).sorted, s"eq mismatch at seq=$dseq")
+    }
+  }
+
+  test("10k data x 1.5k deletes: file-scoped deletes never bounds-scan") {
+    val n = 10000
+    val dataPaths = (0 until n).map(i => f"/w/big/data/d$i%05d.parquet")
+    val deletes = scala.collection.mutable.ArrayBuffer[ManifestEntry]()
+    for (i <- 0 until 1000) { // file-scoped pos deletes, one per 10th file
+      val target = dataPaths(i * 10)
+      deletes += entry(dataFile(s"/w/big/data/pd$i.parquet", content = 1,
+        lo = Some(target), hi = Some(target)), seq = 100L)
+    }
+    for (i <- 0 until 500) { // DVs on another stripe
+      deletes += entry(dataFile(s"/w/big/data/dv$i.puffin", content = 1,
+        refPath = Some(dataPaths(i * 20 + 1))), seq = 100L)
+    }
+    val index = new DeleteIndex(deletes.toSeq)
+    val t0 = System.nanoTime()
+    var matched = 0
+    for ((p, i) <- dataPaths.zipWithIndex) {
+      val pos = index.posDeletesFor(p, dseq = 1L)
+      val dv = index.dvsFor(p, dseq = 1L)
+      if (i % 10 == 0) assert(pos.size == 1) else assert(pos.isEmpty)
+      if (i % 20 == 1) assert(dv.size == 1) else assert(dv.isEmpty)
+      matched += pos.size + dv.size
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(matched == 1500)
+    // the whole point: zero range scans (naive would do 10k × 1.5k = 1.5e7
+    // bounds evaluations); generous wall-clock bound for CI noise
+    assert(index.rangedBoundsChecks == 0L,
+      s"expected hash-only matching, did ${index.rangedBoundsChecks} range checks")
+    assert(elapsedMs < 2000, s"indexed planning took ${elapsedMs}ms")
+  }
+
+  test("range binary search skips deletes older than the data file") {
+    val deletes = (1 to 100).map(i =>
+      entry(dataFile(s"/w/r/rd$i.parquet", content = 1,
+        lo = Some("/w/r/data/a.parquet"), hi = Some("/w/r/data/z.parquet")),
+        seq = i.toLong))
+    val index = new DeleteIndex(deletes)
+    val hits = index.posDeletesFor("/w/r/data/m.parquet", dseq = 91L)
+    assert(hits.size == 10) // seq 91..100
+    // binary search landed at the suffix: only 10 bounds checks, not 100
+    assert(index.rangedBoundsChecks == 10L)
+  }
+}
