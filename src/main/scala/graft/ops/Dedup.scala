@@ -23,7 +23,11 @@ object Dedup {
   import QueryDef.t
 
   /** Distinct lowercase whitespace tokens of the text. */
-  private def wordSet(c: Column): Column =
+  /** Canonical tokenizer shared by every word-set operator — public so
+    * ANALYZE token-moment stats (TokenMomentSpec) use the SAME tokens the
+    * jaccard plans join on.
+    */
+  def wordSet(c: Column): Column =
     array_distinct(split(regexp_replace(lower(c), "\\s+", " "), " "))
 
   // ---------------------------------------------------------------- minhash
@@ -152,30 +156,56 @@ object Dedup {
 
   /** Cost-based exact jaccard — the registered plan. The count-join's cost
     * is EXACTLY the number of joined rows, Σ over (token, source) of
-    * C(df, 2), and a document SAMPLE estimates it unbiasedly: a pair of
-    * documents survives an independent p-sample with probability p², so
-    * E[Σ C(df_sample, 2)] = p² · Σ C(df, 2). The stats pass therefore
-    * tokenizes only the sample — at 100 TB the full corpus is neither
-    * scanned twice nor persisted just to CHOOSE a plan — and the estimate
-    * is sharpest exactly when it matters (a stopword-like token past the
-    * budget dominates the sum and is caught by any sample). Low estimates
-    * pick the count-join (no array payloads through the shuffle); high
-    * estimates flip to the PPJoin prefix plan whose candidate count stays
-    * bounded by construction. Both plans are exact and proven equivalent
-    * in DedupSpec, so the choice affects cost only.
+    * C(df, 2); the estimate comes from ANALYZE statistics when the corpus
+    * is a managed table (see [[jaccardPairsForTable]]) or from a ROW-CAPPED
+    * sample otherwise — never a fixed fraction, which at 100 TB would
+    * tokenize 20 TB just to choose a plan. Low estimates pick the
+    * count-join (no array payloads through the shuffle); high estimates
+    * flip to the PPJoin prefix plan whose candidate count stays bounded by
+    * construction. Both plans are exact and proven equivalent in DedupSpec,
+    * so the choice affects cost only.
     */
-  def jaccardPairsAdaptive(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val raw = t(spark, dir, "documents")
-    val p = 0.2
-    val joinedRowsEst = Option(
-      raw.sample(withReplacement = false, p, seed = 42)
+  def jaccardPairsAdaptive(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    adaptiveJaccard(t(spark, dir, "documents"), threshold, statsHint = None)
+
+  /** Table-backed adaptive jaccard: plan choice reads the Σ C(df,2) the
+    * last ANALYZE persisted as a token-moment blob
+    * ([[graft.table.IceTable.tokenJoinedRowsOf]]) — ZERO corpus reads at
+    * plan time; falls back to the row-capped sample when the table was
+    * never analyzed with token stats.
+    */
+  def jaccardPairsForTable(spark: SparkSession, table: graft.table.IceTable,
+      threshold: Double): DataFrame =
+    adaptiveJaccard(table.scan(spark), threshold,
+      statsHint = table.tokenJoinedRowsOf("text"))
+
+  private def adaptiveJaccard(raw: DataFrame, threshold: Double,
+      statsHint: Option[Double]): DataFrame = {
+    val joinedRowsEst = statsHint.getOrElse(sampleJoinedRows(raw))
+    val docs = raw.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
+    if (joinedRowsEst <= CountJoinMaxPairs) countJoinJaccard(docs, threshold)
+    else jaccardPairsOver(docs, threshold)
+  }
+
+  /** Row-capped unbiased estimate of Σ C(df,2): a pair of documents
+    * survives an independent p-sample with probability p², so
+    * E[Σ C(df_sample, 2)] = p² · Σ C(df, 2), and p = cap/rowcount keeps the
+    * tokenized sample ≈`cap` documents no matter the corpus size (the
+    * rowcount itself is a column-less parquet count — footer metadata, not
+    * a data scan). The estimate is sharpest exactly when it matters: a
+    * stopword-like token past the budget dominates the sum and is caught by
+    * any sample. With p = 1 (corpus under the cap) the estimate is exact.
+    */
+  private[ops] def sampleJoinedRows(raw: DataFrame, cap: Long = 50000L): Double = {
+    val total = raw.count()
+    if (total == 0L) return 0.0
+    val p = math.min(1.0, cap.toDouble / total)
+    val sampled = if (p >= 1.0) raw else raw.sample(withReplacement = false, p, seed = 42)
+    Option(sampled
         .select(col("source"), explode(wordSet(col("text"))).as("tok"))
         .groupBy("tok", "source").agg(count(lit(1)).as("df"))
         .agg(sum(col("df") * (col("df") - 1) / 2.0)).first().get(0))
       .map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0) / (p * p)
-    val docs = raw.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
-    if (joinedRowsEst <= CountJoinMaxPairs) countJoinJaccard(docs, threshold)
-    else jaccardPairsOver(docs, threshold)
   }
 
   /** PPJoin-style exact jaccard: any pair with J >= t shares a token among

@@ -9,6 +9,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 
 import graft.core._
 import graft.meta._
+import graft.table.IceTable.{ThetaBlobType, TokenMomentsBlobType}
+
+/** ANALYZE-time token-moment request: tokenize `column` with `tokenizer`
+  * (a Column expression producing array<string>), count document frequency
+  * per (token, `groupBy`), persist Σ df / Σ df² — see the token-stats
+  * overload of `IceTable.analyzeTable`.
+  */
+final case class TokenMomentSpec(
+    column: String,
+    tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+    groupBy: Option[String] = None)
 
 /** One file-scan unit: a data file plus the positional-delete files that
   * apply to it (reference `FileScanTask` `table/scanner.go`).
@@ -761,7 +772,18 @@ final class IceTable private (
     * The reference models statistics metadata only (`table/statistics.go:
     * 56-85`) — the compute, container write, and merge go beyond it.
     */
-  def analyzeTable(spark: SparkSession): StatisticsFile = {
+  def analyzeTable(spark: SparkSession): StatisticsFile = analyzeTable(spark, Nil)
+
+  /** ANALYZE with additional token-frequency moment statistics: for each
+    * spec, tokenize `column`, count document frequency per (token, group),
+    * and persist Σ df and Σ df² as a `graft-token-df-moments-v1` Puffin
+    * blob. Σ C(df,2) = (Σdf² − Σdf)/2 is EXACTLY the joined-row count of an
+    * inverted-index count-join on that column, so cost-based plan choice
+    * (exact-jaccard dedup) reads one metadata property instead of scanning
+    * any fraction of a 100 TB corpus at query time.
+    */
+  def analyzeTable(spark: SparkSession,
+      tokenStats: Seq[TokenMomentSpec]): StatisticsFile = {
     val snap = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot analyze an empty table"))
     val cols = schema.fields.filter(_.tpe.isPrimitive)
@@ -769,7 +791,28 @@ final class IceTable private (
     val df = newScan(snapshotId = Some(snap.snapshotId),
       selected = Some(cols.map(_.name))).toDF(spark)
     val (stats, _) = ThetaStats.sketchColumns(df.select(cols.map(f => col(f.name)): _*))
-    writeStatsFile(snap, cols.map(_.id).zip(stats))
+    val tokenBlobs = tokenStats.map { ts =>
+      val fieldId = schema.idByName.getOrElse(ts.column,
+        throw new IllegalArgumentException(s"no such column: ${ts.column}"))
+      val grp = ts.groupBy.map(col).getOrElse(lit(1))
+      val row = df.select(grp.as("grp"),
+          explode(ts.tokenizer(col(ts.column))).as("tok"))
+        .groupBy("tok", "grp").agg(count(lit(1)).as("df"))
+        // Σdf² in double: a df of 10¹⁰ squares past Long range
+        .agg(coalesce(sum(col("df")), lit(0L)).as("s1"),
+          coalesce(sum(col("df").cast("double") * col("df").cast("double")),
+            lit(0.0)).as("s2"))
+        .first()
+      val s1 = row.getLong(0)
+      val s2 = row.getDouble(1)
+      val joinedRows = (s2 - s1) / 2.0
+      (Puffin.BlobDescriptor(TokenMomentsBlobType, Seq(fieldId),
+        snap.snapshotId, snap.sequenceNumber, 0L, 0L,
+        Map("sum-df" -> s1.toString, "sum-df2" -> s2.toString,
+          "joined-rows" -> joinedRows.toString)),
+        s"$s1,$s2".getBytes("UTF-8"))
+    }
+    writeStatsFile(snap, cols.map(_.id).zip(stats), tokenBlobs)
   }
 
   /** Incremental ANALYZE: union the previous statistics file's sketches with
@@ -801,13 +844,18 @@ final class IceTable private (
     }
     val appendOnly = prev.isDefined &&
       between.result().forall(_.summary.get("operation").contains("append"))
-    val fieldsMatch = prev.exists(_._2.blobMetadata.map(_.fields).toSet ==
+    // theta blobs only: token-moment blobs are not union-able (merging Σdf²
+    // needs per-token counts) so incremental ANALYZE neither matches on nor
+    // carries them — recompute via the full analyzeTable overload
+    val fieldsMatch = prev.exists(_._2.blobMetadata
+      .filter(_.blobType == ThetaBlobType).map(_.fields).toSet ==
       cols.map(f => Seq(f.id)).toSet)
     if (!appendOnly || !fieldsMatch) return analyzeTable(spark)
     val (prevSnap, prevSf) = prev.get
     val newTasks = newScan(snapshotId = Some(snap.snapshotId)).planFiles()
       .filter(_.dataSeq > prevSnap.sequenceNumber)
     val prevBlobs = Puffin.readFooter(prevSf.statisticsPath)
+      .filter(_.blobType == ThetaBlobType)
       .map(d => d.fields.head -> d).toMap
     val merged: Seq[(Int, ThetaStats.ColumnStats)] =
       if (newTasks.isEmpty) {
@@ -836,14 +884,15 @@ final class IceTable private (
   }
 
   private def writeStatsFile(snap: Snapshot,
-      stats: Seq[(Int, ThetaStats.ColumnStats)]): StatisticsFile = {
+      stats: Seq[(Int, ThetaStats.ColumnStats)],
+      extraBlobs: Seq[(Puffin.BlobDescriptor, Array[Byte])] = Nil): StatisticsFile = {
     val path = s"$location/metadata/stats-${snap.snapshotId}-${UUID.randomUUID()}.puffin"
     val descriptors = stats.map { case (fieldId, st) =>
-      Puffin.BlobDescriptor("apache-datasketches-theta-v1", Seq(fieldId),
+      Puffin.BlobDescriptor(ThetaBlobType, Seq(fieldId),
         snap.snapshotId, snap.sequenceNumber, 0L, 0L,
         Map("ndv" -> st.ndv.toString, "null-count" -> st.nullCount.toString)) ->
         st.sketch
-    }
+    } ++ extraBlobs
     val (placed, footerSize) = Puffin.write(path, descriptors)
     val size = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
@@ -859,14 +908,30 @@ final class IceTable private (
     * of the current snapshot, if any — the hook cost-based planning reads.
     */
   def ndvOf(colName: String): Option[Long] =
+    statsProperty(colName, ThetaBlobType, "ndv").map(_.toLong)
+
+  /** Σ C(df,2) over (token, group) document frequencies of a column, from
+    * the latest ANALYZE that computed token moments (see
+    * [[TokenMomentSpec]]) — the cost hook exact-jaccard plan choice reads
+    * instead of sampling the corpus at query time.
+    */
+  def tokenJoinedRowsOf(colName: String): Option[Double] =
+    statsProperty(colName, TokenMomentsBlobType, "joined-rows").map(_.toDouble)
+
+  /** A blob property from the LATEST statistics file covering an ancestor
+    * of the current snapshot, for the blob of `blobType` on `colName`.
+    */
+  private def statsProperty(colName: String, blobType: String,
+      property: String): Option[String] =
     schema.idByName.get(colName).flatMap { id =>
       val ancestors = Iterator.iterate(meta.currentSnapshot)(s =>
         s.flatMap(_.parentSnapshotId).flatMap(p => meta.snapshots.find(_.snapshotId == p)))
         .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSeq
       ancestors.iterator
         .flatMap(sid => meta.statistics.filter(_.snapshotId == sid))
-        .flatMap(_.blobMetadata.find(_.fields == Seq(id)))
-        .flatMap(_.properties.get("ndv").map(_.toLong))
+        .flatMap(_.blobMetadata.filter(b =>
+          b.fields == Seq(id) && b.blobType == blobType))
+        .flatMap(_.properties.get(property))
         .nextOption()
     }
 
@@ -1108,6 +1173,14 @@ object IceTable {
     * by-name resolution.
     */
   val HasIdLessFilesProp = "graft.external.id-less-files"
+
+  /** Standard Iceberg Puffin NDV blob (apache/iceberg puffin spec). */
+  val ThetaBlobType = "apache-datasketches-theta-v1"
+
+  /** Our token-frequency moment blob: properties sum-df, sum-df2,
+    * joined-rows over (token, group) document frequencies of one column.
+    */
+  val TokenMomentsBlobType = "graft-token-df-moments-v1"
 
   def create(catalog: Catalog, name: String, schema: IceSchema,
       spec: PartitionSpec = PartitionSpec.Unpartitioned,

@@ -42,6 +42,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c == a)
   }
 
+  test("row-capped joined-rows sampler is exact when the corpus fits the cap") {
+    import org.apache.spark.sql.functions._
+    val raw = QueryDef.t(spark, sfDir, "documents")
+    val exact = raw
+      .select(col("source"), explode(Dedup.wordSet(col("text"))).as("tok"))
+      .groupBy("tok", "source").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2.0)).first().getDouble(0)
+    // corpus (500 docs) is under the cap → p = 1, the estimate IS the sum
+    assert(Dedup.sampleJoinedRows(raw) == exact)
+    // capped run still lands the plan choice on the right side of the
+    // budget (the estimator is unbiased; at this corpus size any 100-doc
+    // sample stays orders of magnitude below CountJoinMaxPairs)
+    val capped = Dedup.sampleJoinedRows(raw, cap = 100L)
+    assert(capped >= 0.0 && capped <= Dedup.CountJoinMaxPairs)
+  }
+
   test("minhash LSH recall against exact jaccard at high threshold") {
     val exact = Dedup.jaccardPairs(spark, sfDir, 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -257,6 +257,41 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ndv(afterDelete, statusId) == distinctAfter)
   }
 
+  test("statistics: token-moment blobs drive jaccard plan choice without a corpus scan") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t = IceTable.create(catalog, "stat_tok", SchemaConv.fromSpark(docs.schema))
+    t.append(docs)
+    t.refresh()
+    val spec = TokenMomentSpec("text", graft.ops.Dedup.wordSet, groupBy = Some("source"))
+    val sf = t.analyzeTable(spark, Seq(spec))
+    // stats file carries BOTH blob kinds; NDV reads are undisturbed
+    assert(sf.blobMetadata.exists(_.blobType == IceTable.ThetaBlobType))
+    val tok = sf.blobMetadata.filter(_.blobType == IceTable.TokenMomentsBlobType)
+    assert(tok.size == 1 && tok.head.fields == Seq(t.schema.idByName("text")))
+    assert(t.ndvOf("doc_id").contains(docs.count()))
+    // persisted Σ C(df,2) equals the directly-computed sum
+    val exact = docs
+      .select(col("source"), explode(graft.ops.Dedup.wordSet(col("text"))).as("tok"))
+      .groupBy("tok", "source").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2.0)).first().getDouble(0)
+    assert(t.tokenJoinedRowsOf("text").contains(exact))
+    assert(t.tokenJoinedRowsOf("source").isEmpty)
+    // the table-backed plan returns the same exact pairs as the raw-dir plan
+    val fromTable = graft.ops.Dedup.jaccardPairsForTable(spark, t, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromDir = graft.ops.Dedup.jaccardPairs(spark, sfDir, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromTable == fromDir && fromTable.nonEmpty)
+    // incremental analyze after an append recomputes theta blobs only (token
+    // moments are not union-able) — and must not be confused by the token blob
+    t.append(docs.limit(1))
+    t.refresh()
+    val inc = t.analyzeIncrementally(spark)
+    assert(inc.blobMetadata.exists(_.blobType == IceTable.ThetaBlobType))
+    assert(!inc.blobMetadata.exists(_.blobType == IceTable.TokenMomentsBlobType))
+  }
+
   test("statistics: analyze of a snapshot with no live data files records zero stats") {
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val t = IceTable.create(catalog, "stat_empty", SchemaConv.fromSpark(region.schema))
