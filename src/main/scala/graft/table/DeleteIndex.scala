@@ -23,7 +23,10 @@ import graft.meta.{DataFile, ManifestEntry}
   *     N data files share at most M distinct suffixes).
   *
   * Driver-side, metadata-sized: entries live in memory already; the index
-  * is one sort + one groupBy over the delete entries.
+  * is one sort + one groupBy over the delete entries. Queries are safe to
+  * issue from parallel planning loops: the equality-suffix memo is a
+  * concurrent map over structurally-shared list tails and the range-check
+  * counter is atomic.
   */
 private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
   import DeleteIndex._
@@ -47,6 +50,13 @@ private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
       d.dataFile.upperBounds.get(PathFieldId).map(new String(_, "UTF-8")),
       seqOf(d), d.dataFile)
   }
+  // lo == hi admits exactly one path ONLY for spec-conforming writers:
+  // `truncateUpper` must increment the last unit when it truncates, so an
+  // equal pair is provably untruncated. A non-conforming writer that
+  // truncates both bounds without the increment would land here and have
+  // its deletes matched to the truncated prefix only; our own writer
+  // records untruncated `file_path` bounds (DataWriter), and foreign
+  // delete files enter only via addFiles, which does not import deletes.
   private val (posExactRaw, posRangedRaw) =
     posDecoded.partition(p => p.lo.isDefined && p.lo == p.hi)
   private val posExactByPath: Map[String, Array[PosEntry]] =
@@ -56,13 +66,17 @@ private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
   private val EmptyEntries = Array.empty[ManifestEntry]
 
   private val eqBySeq: Array[ManifestEntry] = eqRaw.toArray.sortBy(seqOf)
+  // one cons-list, built once: every memoized suffix is a TAIL of this list,
+  // so the memo holds O(distinct start indexes) pointers, not copies
+  private val eqPairsList: List[(DataFile, Long)] =
+    eqBySeq.iterator.map(d => (d.dataFile, seqOf(d))).toList
   private val eqSuffixes =
-    collection.mutable.Map[Int, Seq[(DataFile, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[Int, List[(DataFile, Long)]]()
 
   /** Bounds evaluations against range-scoped delete files — test hook
     * asserting the index short-circuits (file-scoped deletes never scan).
     */
-  var rangedBoundsChecks: Long = 0L
+  val rangedBoundsChecks = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def isEmpty: Boolean = deleteEntries.isEmpty
 
@@ -94,7 +108,7 @@ private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
     var i = from
     while (i < posRanged.length) {
       val p = posRanged(i)
-      rangedBoundsChecks += 1
+      rangedBoundsChecks.incrementAndGet()
       if (p.lo.forall(_ <= path) &&
           p.hi.forall(h => path <= h || path.startsWith(h)))
         ranged += p.file
@@ -112,13 +126,14 @@ private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
 
   /** Equality deletes applying at data sequence `dseq` — STRICTLY newer
     * only (Iceberg spec: rows (re)written in the same or a later commit
-    * must not be re-deleted). Suffix memoized per distinct start index.
+    * must not be re-deleted). Memoized per distinct start index; each memo
+    * entry is a shared tail of [[eqPairsList]] (O(1) extra memory), so the
+    * cache is O(M + distinct data sequences) however many files plan.
     */
   def eqDeletesFor(dseq: Long): Seq[(DataFile, Long)] = {
     if (eqBySeq.isEmpty) return Nil
     val from = lowerBound(eqSeqs, dseq, strict = true)
-    eqSuffixes.getOrElseUpdate(from,
-      eqBySeq.drop(from).toSeq.map(d => (d.dataFile, seqOf(d))))
+    eqSuffixes.computeIfAbsent(from, f => eqPairsList.drop(f))
   }
 }
 

@@ -908,30 +908,56 @@ final class IceTable private (
     * of the current snapshot, if any — the hook cost-based planning reads.
     */
   def ndvOf(colName: String): Option[Long] =
-    statsProperty(colName, ThetaBlobType, "ndv").map(_.toLong)
+    statsProperty(colName, ThetaBlobType, "ndv").map(_._1.toLong)
+
+  /** Past this growth factor since the ANALYZE that produced a token-moment
+    * blob, the quadratic extrapolation is no longer trusted and plan choice
+    * falls back to its row-capped sample.
+    */
+  val TokenStatsMaxGrowth: Double = 8.0
 
   /** Σ C(df,2) over (token, group) document frequencies of a column, from
     * the latest ANALYZE that computed token moments (see
     * [[TokenMomentSpec]]) — the cost hook exact-jaccard plan choice reads
     * instead of sampling the corpus at query time.
+    *
+    * Staleness guard: the blob records the moment AT ITS SNAPSHOT, and the
+    * ancestor walk would happily surface one from a table 100× smaller.
+    * Under proportional growth every df scales with row count, so
+    * Σ C(df,2) ≈ Σ df²/2 scales with its SQUARE — the hint is scaled by
+    * (rows-now / rows-then)². Past [[TokenStatsMaxGrowth]], or when either
+    * row count is unrecorded, returns None so the caller samples instead of
+    * trusting an extrapolation.
     */
   def tokenJoinedRowsOf(colName: String): Option[Double] =
-    statsProperty(colName, TokenMomentsBlobType, "joined-rows").map(_.toDouble)
+    statsProperty(colName, TokenMomentsBlobType, "joined-rows").flatMap {
+      case (v, statsSnapId) =>
+        val rowsAt = (sid: Long) => meta.snapshots.find(_.snapshotId == sid)
+          .flatMap(_.summary.get("total-records")).map(_.toLong)
+        for {
+          thenRows <- rowsAt(statsSnapId).filter(_ > 0L)
+          nowRows <- meta.currentSnapshot.map(_.snapshotId).flatMap(rowsAt)
+          ratio = nowRows.toDouble / thenRows
+          if ratio <= TokenStatsMaxGrowth
+        } yield v.toDouble * ratio * ratio
+    }
 
   /** A blob property from the LATEST statistics file covering an ancestor
-    * of the current snapshot, for the blob of `blobType` on `colName`.
+    * of the current snapshot, for the blob of `blobType` on `colName` —
+    * with the snapshot the statistics were computed at, for staleness
+    * decisions.
     */
   private def statsProperty(colName: String, blobType: String,
-      property: String): Option[String] =
+      property: String): Option[(String, Long)] =
     schema.idByName.get(colName).flatMap { id =>
       val ancestors = Iterator.iterate(meta.currentSnapshot)(s =>
         s.flatMap(_.parentSnapshotId).flatMap(p => meta.snapshots.find(_.snapshotId == p)))
         .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSeq
       ancestors.iterator
         .flatMap(sid => meta.statistics.filter(_.snapshotId == sid))
-        .flatMap(_.blobMetadata.filter(b =>
-          b.fields == Seq(id) && b.blobType == blobType))
-        .flatMap(_.properties.get(property))
+        .flatMap(sf => sf.blobMetadata.filter(b =>
+          b.fields == Seq(id) && b.blobType == blobType)
+          .flatMap(_.properties.get(property)).map(v => (v, sf.snapshotId)))
         .nextOption()
     }
 

@@ -121,8 +121,8 @@ class DeleteIndexSpec extends AnyFunSuite {
     assert(matched == 1500)
     // the whole point: zero range scans (naive would do 10k × 1.5k = 1.5e7
     // bounds evaluations); generous wall-clock bound for CI noise
-    assert(index.rangedBoundsChecks == 0L,
-      s"expected hash-only matching, did ${index.rangedBoundsChecks} range checks")
+    assert(index.rangedBoundsChecks.get() == 0L,
+      s"expected hash-only matching, did ${index.rangedBoundsChecks.get()} range checks")
     assert(elapsedMs < 2000, s"indexed planning took ${elapsedMs}ms")
   }
 
@@ -135,6 +135,6 @@ class DeleteIndexSpec extends AnyFunSuite {
     val hits = index.posDeletesFor("/w/r/data/m.parquet", dseq = 91L)
     assert(hits.size == 10) // seq 91..100
     // binary search landed at the suffix: only 10 bounds checks, not 100
-    assert(index.rangedBoundsChecks == 10L)
+    assert(index.rangedBoundsChecks.get() == 10L)
   }
 }

@@ -292,6 +292,24 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!inc.blobMetadata.exists(_.blobType == IceTable.TokenMomentsBlobType))
   }
 
+  test("statistics: token-moment hint growth-scales and expires past the staleness bound") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t = IceTable.create(catalog, "stat_tok_stale", SchemaConv.fromSpark(docs.schema))
+    t.append(docs)
+    t.refresh()
+    val spec = TokenMomentSpec("text", graft.ops.Dedup.wordSet, groupBy = Some("source"))
+    t.analyzeTable(spark, Seq(spec))
+    val base = t.tokenJoinedRowsOf("text").get
+    // doubling the rows quadruples the hint: Σ C(df,2) scales quadratically
+    t.append(docs)
+    t.refresh()
+    assert(t.tokenJoinedRowsOf("text").contains(4.0 * base))
+    // past TokenStatsMaxGrowth the extrapolation expires → caller samples
+    (1 to 7).foreach { _ => t.append(docs) }
+    t.refresh()
+    assert(t.tokenJoinedRowsOf("text").isEmpty)
+  }
+
   test("statistics: analyze of a snapshot with no live data files records zero stats") {
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val t = IceTable.create(catalog, "stat_empty", SchemaConv.fromSpark(region.schema))
