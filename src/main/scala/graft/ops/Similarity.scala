@@ -145,36 +145,43 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim"))
   }
 
-  /** IVF-Flat ANN: a KMeans codebook (deterministic seed) partitions the
-    * corpus into cells; each query probes its `nProbe` nearest cells and
-    * re-ranks candidates with exact cosine. The 100 TB shape: the corpus is
-    * scanned once for assignment, candidates shuffle on the cell id (never
-    * all-pairs), and the codebook is tiny driver/broadcast state — the
-    * classic inverted-file trade of recall for a nCells/nProbe cost bound.
+  /** Fit an IVF codebook from a DETERMINISTIC row-capped sample: order by
+    * a hash of the id (a pseudo-random but stable permutation), take the
+    * first `sampleCap` (a distributed top-k, one pass, no full sort), run
+    * Lloyd's on the driver. At 100 TB the sample is still `sampleCap` rows —
+    * codebook cost never scales with the corpus.
     */
-  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = t(spark, dir, "embeddings")
-      .withColumn("features", toVec(col("embedding")))
-      .transform(CacheRegistry.persist(_))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(feat)
-    val assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
-    val centroids = model.clusterCenters.map(_.toArray)
-    val probeUdf = udf { (v: MlVector) =>
-      val q = v.toArray
-      def cos(c: Array[Double]): Double = {
-        var dot = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
-        while (i < q.length) { dot += q(i) * c(i); nq += q(i) * q(i); nc += c(i) * c(i); i += 1 }
-        dot / (math.sqrt(nq) * math.sqrt(nc) + 1e-12)
-      }
-      centroids.zipWithIndex.sortBy { case (c, i) => (-cos(c), i) }.take(nProbe).map(_._2)
+  private[ops] def fitCodebook(emb: DataFrame, nCells: Int,
+      sampleCap: Int = 4096): Array[Array[Double]] = {
+    val sample = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    graft.functions.IvfCodebook.fit(sample, nCells)
+  }
+
+  /** IVF-Flat ANN over a given codebook: one corpus pass assigns each
+    * vector to its euclidean-nearest cell; each query probes its `nProbe`
+    * cosine-nearest cells and re-ranks candidates with exact cosine. The
+    * 100 TB shape: candidates shuffle on the cell id (never all-pairs) and
+    * the codebook is tiny broadcast state — the classic inverted-file trade
+    * of recall for a nCells/nProbe cost bound.
+    */
+  private def ivfTopKFrom(emb: DataFrame, centers: Array[Array[Double]],
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val assignUdf = udf { (vec: Seq[Float]) =>
+      graft.functions.IvfCodebook.nearest(centers, vec.map(_.toDouble).toArray)
     }
+    val probeUdf = udf { (vec: Seq[Float]) =>
+      graft.functions.IvfCodebook.probeCells(centers,
+        vec.map(_.toDouble).toArray, nProbe).toSeq
+    }
+    val assigned = emb.withColumn("cell", assignUdf(col("embedding")))
+      .transform(CacheRegistry.persist(_))
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        explode(probeUdf(col("features"))).as("cell"))
+        explode(probeUdf(col("embedding"))).as("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     // each corpus vector lives in exactly one cell → no candidate dedup
@@ -186,6 +193,31 @@ object Similarity {
       .where(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
         col("rn").cast(IntegerType).as("rn"))
+  }
+
+  /** IVF-Flat ANN over a raw parquet dir: fits the sample-capped codebook
+    * inline (no persistence seam to key it on).
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    ivfTopKFrom(emb, fitCodebook(emb, nCells), nQueries, k, nProbe)
+  }
+
+  /** Table-backed IVF ANN: loads the codebook persisted as a Puffin
+    * statistics blob ([[graft.table.IceTable.setIvfCodebook]]), fitting and
+    * persisting it on first use — subsequent invocations read tiny metadata
+    * instead of re-clustering any part of the corpus.
+    */
+  def ivfTopKForTable(spark: SparkSession, table: graft.table.IceTable,
+      nQueries: Int, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = table.scan(spark)
+    val centers = table.ivfCodebookOf("embedding").getOrElse {
+      val fitted = fitCodebook(emb, nCells)
+      table.setIvfCodebook("embedding", fitted)
+      fitted
+    }
+    ivfTopKFrom(emb, centers, nQueries, k, nProbe)
   }
 
   /** Label centroid distances: per-label mean vector, then each vector's

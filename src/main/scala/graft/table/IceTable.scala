@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 
 import graft.core._
 import graft.meta._
-import graft.table.IceTable.{ThetaBlobType, TokenMomentsBlobType}
+import graft.table.IceTable.{IvfCodebookBlobType, ThetaBlobType, TokenMomentsBlobType}
 
 /** ANALYZE-time token-moment request: tokenize `column` with `tokenizer`
   * (a Column expression producing array<string>), count document frequency
@@ -887,12 +887,24 @@ final class IceTable private (
       stats: Seq[(Int, ThetaStats.ColumnStats)],
       extraBlobs: Seq[(Puffin.BlobDescriptor, Array[Byte])] = Nil): StatisticsFile = {
     val path = s"$location/metadata/stats-${snap.snapshotId}-${UUID.randomUUID()}.puffin"
+    // a snapshot gets ONE statistics file (replace-on-set), so a rewrite —
+    // e.g. ANALYZE after a codebook attach — must carry forward codebook
+    // blobs it is not itself replacing or they'd be silently dropped
+    val extraKeys = extraBlobs.map(b => (b._1.blobType, b._1.fields)).toSet
+    val carriedCodebooks = meta.statistics.find(_.snapshotId == snap.snapshotId)
+      .toSeq.flatMap { sf =>
+        Puffin.readFooter(sf.statisticsPath)
+          .filter(d => d.blobType == IvfCodebookBlobType &&
+            !extraKeys.contains((d.blobType, d.fields)))
+          .map(d => d.copy(offset = 0L, length = 0L) ->
+            Puffin.readBlob(sf.statisticsPath, d.offset, d.length))
+      }
     val descriptors = stats.map { case (fieldId, st) =>
       Puffin.BlobDescriptor(ThetaBlobType, Seq(fieldId),
         snap.snapshotId, snap.sequenceNumber, 0L, 0L,
         Map("ndv" -> st.ndv.toString, "null-count" -> st.nullCount.toString)) ->
         st.sketch
-    } ++ extraBlobs
+    } ++ extraBlobs ++ carriedCodebooks
     val (placed, footerSize) = Puffin.write(path, descriptors)
     val size = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
@@ -950,15 +962,66 @@ final class IceTable private (
   private def statsProperty(colName: String, blobType: String,
       property: String): Option[(String, Long)] =
     schema.idByName.get(colName).flatMap { id =>
-      val ancestors = Iterator.iterate(meta.currentSnapshot)(s =>
-        s.flatMap(_.parentSnapshotId).flatMap(p => meta.snapshots.find(_.snapshotId == p)))
-        .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSeq
-      ancestors.iterator
-        .flatMap(sid => meta.statistics.filter(_.snapshotId == sid))
+      ancestorStatsFiles.iterator
         .flatMap(sf => sf.blobMetadata.filter(b =>
           b.fields == Seq(id) && b.blobType == blobType)
           .flatMap(_.properties.get(property)).map(v => (v, sf.snapshotId)))
         .nextOption()
+    }
+
+  /** Statistics files along the current snapshot's ancestry, nearest first. */
+  private def ancestorStatsFiles: Seq[StatisticsFile] = {
+    val ancestors = Iterator.iterate(meta.currentSnapshot)(s =>
+      s.flatMap(_.parentSnapshotId).flatMap(p => meta.snapshots.find(_.snapshotId == p)))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSeq
+    ancestors.flatMap(sid => meta.statistics.filter(_.snapshotId == sid))
+  }
+
+  /** Persist an IVF codebook for `colName` as a Puffin blob on the current
+    * snapshot's statistics file — fit once, probed by every subsequent ANN
+    * scan ([[graft.ops.Similarity.ivfTopKForTable]]) instead of
+    * re-clustering the corpus per invocation. Existing blobs of the
+    * snapshot's stats file (NDV sketches, token moments) are carried into
+    * the rewritten file, since Iceberg allows one statistics file per
+    * snapshot.
+    */
+  def setIvfCodebook(colName: String,
+      centers: Array[Array[Double]]): StatisticsFile = {
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot attach a codebook to an empty table"))
+    val fieldId = schema.idByName.getOrElse(colName,
+      throw new IllegalArgumentException(s"no such column: $colName"))
+    val dim = if (centers.isEmpty) 0 else centers(0).length
+    val codebook = Puffin.BlobDescriptor(IvfCodebookBlobType, Seq(fieldId),
+      snap.snapshotId, snap.sequenceNumber, 0L, 0L,
+      Map("n-cells" -> centers.length.toString, "dim" -> dim.toString)) ->
+      graft.functions.IvfCodebook.serialize(centers)
+    val carried = meta.statistics.find(_.snapshotId == snap.snapshotId).toSeq
+      .flatMap { sf =>
+        Puffin.readFooter(sf.statisticsPath)
+          .filterNot(d => d.blobType == IvfCodebookBlobType && d.fields == Seq(fieldId))
+          .map(d => d.copy(offset = 0L, length = 0L) ->
+            Puffin.readBlob(sf.statisticsPath, d.offset, d.length))
+      }
+    writeStatsFile(snap, Nil, carried :+ codebook)
+  }
+
+  /** The persisted IVF codebook for `colName` from the LATEST statistics
+    * file covering an ancestor of the current snapshot, if any. Staleness is
+    * benign here: an old codebook only shifts cell populations (recall/cost),
+    * never correctness, because every candidate is exactly re-ranked.
+    */
+  def ivfCodebookOf(colName: String): Option[Array[Array[Double]]] =
+    schema.idByName.get(colName).flatMap { id =>
+      ancestorStatsFiles.iterator.flatMap { sf =>
+        sf.blobMetadata.find(b =>
+            b.fields == Seq(id) && b.blobType == IvfCodebookBlobType)
+          .flatMap(_ => Puffin.readFooter(sf.statisticsPath)
+            .find(d => d.fields == Seq(id) && d.blobType == IvfCodebookBlobType))
+          .map(d => graft.functions.IvfCodebook.deserialize(
+            Puffin.readBlob(sf.statisticsPath, d.offset, d.length),
+            d.properties("dim").toInt))
+      }.nextOption()
     }
 
   /** Write the partition-statistics file for the current snapshot: one row
@@ -1207,6 +1270,12 @@ object IceTable {
     * joined-rows over (token, group) document frequencies of one column.
     */
   val TokenMomentsBlobType = "graft-token-df-moments-v1"
+
+  /** Our IVF-codebook blob: row-major big-endian doubles (properties
+    * n-cells, dim) — the KMeans centroids an IVF ANN scan probes, fit once
+    * and persisted instead of re-clustering the corpus per invocation.
+    */
+  val IvfCodebookBlobType = "graft-ivf-codebook-v1"
 
   def create(catalog: Catalog, name: String, schema: IceSchema,
       spec: PartitionSpec = PartitionSpec.Unpartitioned,

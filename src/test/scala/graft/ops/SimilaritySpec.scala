@@ -50,8 +50,20 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty && ivf.size <= exact.size)
     val recall = exact.count(ivf.contains).toDouble / exact.size
-    // deterministic (fixed KMeans seed + fixed data): probing 4 of 16 cells
-    // must recover a substantial share of the true top-10 neighbors
+    // deterministic (hash-ordered sample + even-index init + fixed data):
+    // probing 4 of 16 cells must recover a substantial share of the top-10
     assert(recall >= 0.3, s"IVF recall $recall (|ivf|=${ivf.size}, |exact|=${exact.size})")
+  }
+
+  test("IVF codebook fit is deterministic and sample-capped") {
+    import graft.ops.QueryDef.t
+    val emb = t(spark, sfDir, "embeddings")
+    val a = Similarity.fitCodebook(emb, 16)
+    val b = Similarity.fitCodebook(emb, 16)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 16 && a.forall(_.length == 64))
+    // a cap below the corpus still yields a full codebook (from fewer rows)
+    val capped = Similarity.fitCodebook(emb, 16, sampleCap = 256)
+    assert(capped.length == 16)
   }
 }

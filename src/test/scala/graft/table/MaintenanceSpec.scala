@@ -310,6 +310,34 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.tokenJoinedRowsOf("text").isEmpty)
   }
 
+  test("statistics: IVF codebook persists as a Puffin blob and survives re-ANALYZE") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val t = IceTable.create(catalog, "stat_ivf", SchemaConv.fromSpark(emb.schema))
+    t.append(emb)
+    t.refresh()
+    assert(t.ivfCodebookOf("embedding").isEmpty)
+    // first table-backed invocation fits AND persists the codebook
+    val first = graft.ops.Similarity.ivfTopKForTable(spark, t, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first.nonEmpty)
+    val stored = t.ivfCodebookOf("embedding")
+    assert(stored.exists(_.nonEmpty))
+    // byte-codec round-trip is exact
+    import graft.functions.IvfCodebook
+    val centers = stored.get
+    assert(IvfCodebook.deserialize(IvfCodebook.serialize(centers),
+      centers(0).length).map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq)
+    // second invocation loads the stored codebook → identical results
+    val second = graft.ops.Similarity.ivfTopKForTable(spark, t, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(second == first)
+    // ANALYZE rewrites the snapshot's stats file; the codebook is carried
+    t.analyzeTable(spark)
+    assert(t.ndvOf("vec_id").nonEmpty)
+    assert(t.ivfCodebookOf("embedding").exists(
+      _.map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq))
+  }
+
   test("statistics: analyze of a snapshot with no live data files records zero stats") {
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val t = IceTable.create(catalog, "stat_empty", SchemaConv.fromSpark(region.schema))
