@@ -128,21 +128,51 @@ object Similarity {
       .select("vec_a", "vec_b", "label", "cos_sim")
   }
 
-  /** Exact near-dup pairs blocked by label — all-pairs WITHIN a block, so
-    * only safe when block populations are bounded; kept as the exactness
-    * baseline the oracle can check and the recall yardstick for the LSH
-    * variant above.
+  /** Exact near-dup pairs blocked by label. All-pairs within a block is
+    * inherently C(n,2) COMPARES, but the naive label-keyed join also put a
+    * hot label's entire C(n,2) on ONE shuffle key — the single-task
+    * hotspot that kills the plan at 100×. Triangle grid partitioning fixes
+    * the skew while staying exact: a label with n rows splits into
+    * g = ⌈n / blockCap⌉ hash groups, each row replicates to its g
+    * (min(gid,j), max(gid,j)) group-pair keys, and every unordered row
+    * pair meets on EXACTLY one (label, k1, k2) key — so no shuffle key
+    * holds more than ~2·blockCap rows, the quadratic work spreads over
+    * g(g+1)/2 tasks, and a label under the cap (g = 1) degenerates to the
+    * plain label join. Exactness is untouched (oracle-checked); the LSH
+    * variant above remains the sub-quadratic scale path.
     */
-  def embeddingNearDupExact(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("label"),
-      col("embedding").as("eb"))
-    a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
+  def embeddingNearDupExact(spark: SparkSession, dir: String, threshold: Double,
+      blockCap: Int = 4096): DataFrame = {
+    val keyed = gridKeyed(t(spark, dir, "embeddings"), blockCap)
+    val a = keyed.select(col("label"), col("k1"), col("k2"),
+      col("vec_id").as("vec_a"), col("gid").as("ga"), col("embedding").as("ea"))
+    val b = keyed.select(col("label"), col("k1"), col("k2"),
+      col("vec_id").as("vec_b"), col("gid").as("gb"), col("embedding").as("eb"))
+    a.join(b, Seq("label", "k1", "k2")).where(col("vec_a") < col("vec_b") &&
+        least(col("ga"), col("gb")) === col("k1") &&
+        greatest(col("ga"), col("gb")) === col("k2"))
       .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
       .where(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim"))
+  }
+
+  /** Triangle-grid replication: each row of a label with n > blockCap rows
+    * fans out to its g group-pair keys (g = ⌈n / blockCap⌉); the count per
+    * label is a broadcast-joined aggregate, metadata-sized. Same-group rows
+    * share ALL g of their keys, so consumers must keep a pair only in its
+    * home cell: (least(gid_a, gid_b), greatest(gid_a, gid_b)) == (k1, k2) —
+    * cross-group pairs co-occur on exactly that one key, and the filter
+    * picks the diagonal cell for same-group pairs.
+    */
+  private[ops] def gridKeyed(emb: DataFrame, blockCap: Int): DataFrame = {
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    emb.join(broadcast(counts), "label")
+      .withColumn("g", ceil(col("n") / lit(blockCap.toDouble)).cast(IntegerType))
+      .withColumn("gid", pmod(xxhash64(col("vec_id")), col("g")).cast(IntegerType))
+      .withColumn("j", explode(sequence(lit(0), col("g") - 1)))
+      .select(col("label"), col("vec_id"), col("embedding"), col("gid"),
+        least(col("gid"), col("j")).as("k1"),
+        greatest(col("gid"), col("j")).as("k2"))
   }
 
   /** Fit an IVF codebook from a DETERMINISTIC row-capped sample: order by

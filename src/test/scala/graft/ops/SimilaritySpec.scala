@@ -55,6 +55,43 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"IVF recall $recall (|ivf|=${ivf.size}, |exact|=${exact.size})")
   }
 
+  test("exact near-dup triangle grid bounds shuffle keys on a pathological label") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.QueryDef.t
+    // one hot label holding the whole corpus slice — the naive label join
+    // would put all C(n,2) pairs on a single shuffle key
+    val emb = t(spark, sfDir, "embeddings").limit(300)
+      .withColumn("label", lit("hot"))
+    val n = emb.count()
+    val cap = 50
+    val g = math.ceil(n / cap.toDouble).toInt
+    val keyed = Similarity.gridKeyed(emb, cap)
+    assert(keyed.count() == n * g, "each row replicates to exactly g keys")
+    val maxKey = keyed.groupBy("label", "k1", "k2").count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxKey <= 3L * cap,
+      s"hot-label key population $maxKey not bounded by the grid (cap=$cap)")
+    // every unordered pair meets on exactly one key → grid join == all-pairs
+    val a = keyed.select(col("k1"), col("k2"), col("vec_id").as("vec_a"),
+      col("gid").as("ga"))
+    val b = keyed.select(col("k1"), col("k2"), col("vec_id").as("vec_b"),
+      col("gid").as("gb"))
+    val gridPairs = a.join(b, Seq("k1", "k2")).where(col("vec_a") < col("vec_b") &&
+        least(col("ga"), col("gb")) === col("k1") &&
+        greatest(col("ga"), col("gb")) === col("k2"))
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gridPairs.length == gridPairs.toSet.size, "no pair surfaces twice")
+    assert(gridPairs.length == n * (n - 1) / 2, "all pairs surface")
+  }
+
+  test("exact near-dup results are identical across grid granularities") {
+    val fine = Similarity.embeddingNearDupExact(spark, sfDir, 0.2, blockCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val coarse = Similarity.embeddingNearDupExact(spark, sfDir, 0.2, blockCap = 1 << 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(fine == coarse && fine.nonEmpty)
+  }
+
   test("IVF codebook fit is deterministic and sample-capped") {
     import graft.ops.QueryDef.t
     val emb = t(spark, sfDir, "embeddings")
