@@ -41,7 +41,14 @@ final case class DataFile(
     // field ids 143/144/145): the Puffin file holds one bitmap per data file
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
-    contentSizeInBytes: Option[Long] = None) {
+    contentSizeInBytes: Option[Long] = None,
+    // extension field (optional in Avro, ignored by spec readers): whether
+    // every top-level parquet column carries a field ID, stamped at
+    // write/addFiles time from the footer already open for stats — so scan
+    // planning routes ID-based vs name-mapped reads from manifest metadata
+    // alone instead of re-opening one footer per planned file on the driver.
+    // None = written before this field existed → caller sniffs.
+    hasFieldIds: Option[Boolean] = None) {
   def isDeletionVector: Boolean = referencedDataFile.isDefined
 }
 
@@ -140,7 +147,8 @@ object ManifestIO {
         {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
         {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
         {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
-        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145},
+        {"name":"graft_has_field_ids","type":["null","boolean"],"default":null,"field-id":1000}
       ]}}
     ]}"""
     new Schema.Parser().parse(json)
@@ -283,6 +291,7 @@ object ManifestIO {
       df.put("referenced_data_file", f.referencedDataFile.orNull)
       df.put("content_offset", f.contentOffset.map(Long.box).orNull)
       df.put("content_size_in_bytes", f.contentSizeInBytes.map(Long.box).orNull)
+      df.put("graft_has_field_ids", f.hasFieldIds.map(Boolean.box).orNull)
       rec.put("data_file", df)
       writer.append(rec)
     }
@@ -415,7 +424,11 @@ object ManifestIO {
           referencedDataFile = Option(df.get("referenced_data_file")).map(_.toString),
           contentOffset = Option(df.get("content_offset")).map(_.asInstanceOf[Long]),
           contentSizeInBytes =
-            Option(df.get("content_size_in_bytes")).map(_.asInstanceOf[Long])))
+            Option(df.get("content_size_in_bytes")).map(_.asInstanceOf[Long]),
+          // records from pre-extension manifests have no such field → None
+          hasFieldIds = Option(df.getSchema.getField("graft_has_field_ids"))
+            .flatMap(_ => Option(df.get("graft_has_field_ids")))
+            .map(_.asInstanceOf[Boolean])))
     }
     reader.close()
     (specId, entries.result())

@@ -167,9 +167,9 @@ final class IceTable private (
       ParquetStats.toDataFile(p, len, schema, Nil, nameToId = Some(nameToId))
     }.seq.toSeq
     // an ID-less file read through a field-ID schema silently null-fills, so
-    // flag the table: scans then footer-sniff the planned files and read
-    // ID-less ones by (mapped) name
-    val anyIdLess = paths.par.exists(p => !ParquetStats.hasFieldIds(p))
+    // flag the table: scans then route ID-less files (stamped per entry by
+    // toDataFile from the footer already open for stats) by (mapped) name
+    val anyIdLess = files.exists(_.hasFieldIds.contains(false))
     commitAddedFiles(files, retries = 3,
       setProps = if (anyIdLess) Map(IceTable.HasIdLessFilesProp -> "true") else Map.empty)
   }
@@ -1446,16 +1446,30 @@ final class IceScan(
     // columns added with an initial-default: files that predate the column
     // must return the default instead of the null Spark fills in
     val defaultedFields = readSchema.fields.filter(_.initialDefault.isDefined)
-    // footer-sniffing is paid only by tables that can contain ID-less files
-    // or defaulted columns; groups: (file carries IDs, defaulted IDs absent)
-    val needSniff = mayHaveIdLess || defaultedFields.nonEmpty
+    val needSplit = mayHaveIdLess || defaultedFields.nonEmpty
     val defaultedIds = defaultedFields.map(_.id).toSet
+    // groups: (file carries IDs, defaulted IDs absent). Both facts come
+    // from the MANIFEST — `hasFieldIds` stamped at write/addFiles time and
+    // column presence from the per-column stats keys — so planning opens
+    // ZERO data files. Only legacy entries written before the stamp (or
+    // stat-less files under defaulted columns) pay a footer sniff.
     val groups: Seq[((Boolean, Set[Int]), Seq[String])] =
-      if (!needSniff) Seq((true, Set.empty[Int]) -> paths)
+      if (!needSplit) Seq((true, Set.empty[Int]) -> paths)
       else {
         import scala.collection.parallel.CollectionConverters._
         val nameToId = NameMapping.index(table.nameMapping)
-        paths.par.map(p => p -> ParquetStats.fileColumns(p, nameToId)).seq
+        tasks.par.map { t =>
+          val f = t.file
+          val statsIds = f.columnSizes.keySet ++ f.valueCounts.keySet ++
+            f.nullValueCounts.keySet
+          val fromManifest: Option[(Boolean, Set[Int])] = f.hasFieldIds match {
+            case Some(ids) if statsIds.nonEmpty || defaultedIds.isEmpty =>
+              Some((ids, statsIds))
+            case _ => None
+          }
+          f.filePath -> fromManifest.getOrElse(
+            ParquetStats.fileColumns(f.filePath, nameToId))
+        }.seq
           .groupBy { case (_, (hasIds, present)) => (hasIds, defaultedIds -- present) }
           .view.mapValues(_.map(_._1).toSeq).toSeq
       }

@@ -47,6 +47,10 @@ object ParquetStats {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val recordCount = blocks.map(_.getRowCount).sum
+      // stamp field-ID presence while the footer is open: scan planning
+      // reads it from the manifest instead of re-opening the file
+      val msgFields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+      val fileHasIds = msgFields.nonEmpty && msgFields.forall(_.getId != null)
       val colSizes = collection.mutable.Map[Int, Long]()
       val valueCounts = collection.mutable.Map[Int, Long]()
       val nullCounts = collection.mutable.Map[Int, Long]()
@@ -113,9 +117,16 @@ object ParquetStats {
         nullValueCounts = nullCounts.toMap.filter { case (id, _) => statsValid(id) },
         lowerBounds = lowerBounds,
         upperBounds = upperBounds,
-        splitOffsets = splitOffsets)
+        splitOffsets = splitOffsets,
+        hasFieldIds = Some(fileHasIds))
     } finally reader.close()
   }
+
+  /** Plan-time footer opens via [[fileColumns]] — a test hook: after
+    * manifests stamp `hasFieldIds` and stats keys, planning a scan should
+    * not open any data file.
+    */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Whether every top-level column of the file carries a parquet field ID
     * (files we write always do; foreign files typically don't). Used to
@@ -129,6 +140,7 @@ object ParquetStats {
     */
   def fileColumns(filePath: String,
       nameToId: Map[String, Int] = Map.empty): (Boolean, Set[Int]) = {
+    footerReads.incrementAndGet()
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(filePath), conf))
     try {
       val fields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq

@@ -127,6 +127,12 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byVal == Map(0.5 -> nation.count() * 2, 0.9 -> nation.count()))
     // filters see the defaulted values (residual applies after the fill)
     assert(t.scan(spark, P.gt("quality", 0.6)).count() == nation.count())
+    // the pre/post-column split is decided from manifest stats keys and the
+    // hasFieldIds stamp — planning opens zero data-file footers
+    val before = ParquetStats.footerReads.get()
+    assert(t.scan(spark).groupBy("quality").count().collect().nonEmpty)
+    assert(ParquetStats.footerReads.get() == before,
+      "plan-time footer sniff detected for a stamped table with defaults")
   }
 
   test("unionByName merges incoming fields: add, promote, reject narrowing") {

@@ -428,6 +428,13 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mine.exceptAll(direct).isEmpty && direct.exceptAll(mine).isEmpty)
     // stats prune through the mapping: predicate outside the value range
     assert(t.newScan(P.gt("r_regionkey", 1000)).planFiles().isEmpty)
+    // ID-less routing reads the manifest's hasFieldIds stamp — planning
+    // opens zero data-file footers even for a name-mapped table
+    assert(t.newScan().planFiles().head.file.hasFieldIds.contains(false))
+    val before = ParquetStats.footerReads.get()
+    assert(t.scan(spark, P.gtEq("r_regionkey", 0)).count() == 5)
+    assert(ParquetStats.footerReads.get() == before,
+      "plan-time footer sniff detected for a stamped name-mapped table")
   }
 
   test("catalog CAS: stale writer loses the race") {
