@@ -25,6 +25,20 @@ trait Catalog {
   def commit(name: String, expectedVersion: Int, metadata: TableMetadata): Int
   def dropTable(name: String): Unit
 
+  /** Materialize a STAGED create (reference `StagedTable`,
+    * `table/requirements.go:108-127` AssertCreate): register version 1 iff
+    * the table does not exist, losing as [[CommitConflictException]] so a
+    * racing staged create retries or surrenders like any other commit. The
+    * default rides `create`'s own exactly-one-winner guarantee; REST sends
+    * an `assert-create` requirement instead.
+    */
+  def commitCreate(name: String, metadata: TableMetadata): Unit =
+    try { create(name, metadata); () }
+    catch {
+      case e: IllegalStateException => throw new CommitConflictException(e.getMessage)
+      case e: IllegalArgumentException => throw new CommitConflictException(e.getMessage)
+    }
+
   /** Rename the catalog identifier; the table location and its files do not
     * move (REST-catalog rename semantics).
     */
@@ -177,21 +191,7 @@ final class FileCatalog(val warehouse: String) extends Catalog {
   }
 
   /** Reads plain or gzip metadata JSON (reference `table/table.go:391-452`). */
-  def readMetadataFile(path: String): String = {
-    val p = Paths.get(stripScheme(path))
-    val real =
-      if (Files.exists(p)) p
-      else {
-        val gz = Paths.get(stripScheme(path) + ".gz")
-        if (Files.exists(gz)) gz else throw new FileNotFoundException(path)
-      }
-    val raw = Files.readAllBytes(real)
-    if (real.toString.endsWith(".gz") ||
-        (raw.length > 2 && raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte)) {
-      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw))
-      new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    } else new String(raw, StandardCharsets.UTF_8)
-  }
+  def readMetadataFile(path: String): String = MetadataFiles.read(path)
 
   /** Create a table at version 1; fails if it already exists. */
   def create(name: String, metadata: TableMetadata): TableMetadata = {

@@ -1,0 +1,251 @@
+package graft.meta
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.table.{AssertCreate, AssertRefSnapshotID, AssertTableUUID,
+  TableRequirement}
+
+/** REST catalog client (reference `catalog/rest/rest.go:1-1213`): the
+  * Iceberg REST catalog protocol over JDK HttpClient — config fetch at
+  * construction, table CRUD under `/v1/namespaces/{ns}/tables`, commits as
+  * requirement-guarded POSTs that surface `409` as
+  * [[CommitConflictException]] (the signal the table layer's retry loop
+  * rebases on), identifier rename via `/v1/tables/rename`.
+  *
+  * Metadata files live on the FILESYSTEM (as with a real REST catalog,
+  * where the catalog stores pointers and object storage stores metadata):
+  * the server returns `metadata-location` and the client reads it through
+  * Hadoop FS, so time travel over `metadata-log` works identically to
+  * [[FileCatalog]].
+  *
+  * Two SPI-shaped deviations from the OpenAPI spec, both documented where
+  * they bite: our [[Catalog]] SPI commits WHOLE metadata (the transaction
+  * layer composes typed updates client-side and hands the result down), so
+  * create/commit requests carry the full metadata JSON rather than a
+  * granular update list; and the SPI's integer CAS rides along as
+  * `expected-version`, which the server enforces exactly like
+  * `assert-ref-snapshot-id` — stricter, never looser.
+  */
+final class RestCatalog(baseUri: String, namespace: String = "graft",
+    token: Option[String] = None) extends Catalog {
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  /** Server-advertised config: `defaults` under, `overrides` over ours
+    * (reference `rest.go` config fetch at catalog construction).
+    */
+  val config: Map[String, String] = {
+    val node = parse(send(get(s"$baseUri/v1/config"), expect = 200))
+    def kv(field: String): Map[String, String] = {
+      val n = node.path(field)
+      if (n.isMissingNode || n.isNull) Map.empty
+      else {
+        val b = Map.newBuilder[String, String]
+        n.properties().forEach(e => b += e.getKey -> e.getValue.asText())
+        b.result()
+      }
+    }
+    kv("defaults") ++ kv("overrides")
+  }
+  private val warehouse: String = config.getOrElse("warehouse",
+    throw new IllegalStateException("REST catalog config advertises no warehouse"))
+
+  private def tablesUri = s"$baseUri/v1/namespaces/$namespace/tables"
+  private def tableUri(name: String) =
+    s"$tablesUri/${java.net.URLEncoder.encode(name, "UTF-8")}"
+
+  def tableLocation(name: String): String =
+    if (tableExists(name)) load(name).location else s"$warehouse/$name"
+
+  def tableExists(name: String): Boolean =
+    send(request(tableUri(name)).method("HEAD",
+      HttpRequest.BodyPublishers.noBody()), expectAny = true)._1 == 204
+
+  def listTables(): Seq[String] = {
+    val node = parse(send(get(tablesUri), expect = 200))
+    val out = Seq.newBuilder[String]
+    node.path("identifiers").forEach(id => out += id.path("name").asText())
+    out.result().sorted
+  }
+
+  def create(name: String, metadata: TableMetadata): TableMetadata = {
+    val body = mapper.createObjectNode()
+    body.put("name", name)
+    body.put("location", metadata.location)
+    body.put("stage-create", false)
+    body.set[JsonNode]("metadata", parse(TableMetadataJson.write(metadata)))
+    val (status, resp) = send(post(tablesUri, body.toString), expectAny = true)
+    if (status == 409)
+      throw new IllegalStateException(s"table $name already exists")
+    if (status != 200) throw fail("create", name, status, resp)
+    TableMetadataJson.read(parse(resp).path("metadata").toString)
+  }
+
+  def load(name: String): TableMetadata =
+    TableMetadataJson.read(parse(loadResult(name)).path("metadata").toString)
+
+  def currentVersion(name: String): Int =
+    parse(loadResult(name)).path("version").asInt()
+
+  private def loadResult(name: String): String = {
+    val (status, resp) = send(get(tableUri(name)), expectAny = true)
+    if (status == 404)
+      throw new java.io.FileNotFoundException(s"no such table: $name")
+    if (status != 200) throw fail("load", name, status, resp)
+    resp
+  }
+
+  /** CAS commit with requirements: [[AssertTableUUID]] always rides along
+    * (reference commits always carry it); 409 maps to the conflict type the
+    * table layer's refresh-and-retry loop expects.
+    */
+  def commit(name: String, expectedVersion: Int, metadata: TableMetadata): Int =
+    commitWith(name, expectedVersion, metadata,
+      Seq(AssertTableUUID(metadata.tableUuid)))
+
+  /** Commit with explicit requirements, serialized per the REST spec's
+    * requirement JSON (`assert-create`, `assert-table-uuid`,
+    * `assert-ref-snapshot-id`); the server validates them against ITS
+    * current metadata before applying (reference
+    * `rest.go` commit → 409 CommitFailedException on violation).
+    */
+  def commitWith(name: String, expectedVersion: Int, metadata: TableMetadata,
+      requirements: Seq[TableRequirement]): Int = {
+    val body = mapper.createObjectNode()
+    val ident = mapper.createObjectNode()
+    ident.set[JsonNode]("namespace", mapper.createArrayNode().add(namespace))
+    ident.put("name", name)
+    body.set[JsonNode]("identifier", ident)
+    val reqs = mapper.createArrayNode()
+    requirements.foreach(r => reqs.add(requirementJson(r)))
+    body.set[JsonNode]("requirements", reqs)
+    body.put("expected-version", expectedVersion)
+    body.set[JsonNode]("metadata", parse(TableMetadataJson.write(metadata)))
+    val (status, resp) = send(post(tableUri(name), body.toString), expectAny = true)
+    if (status == 404)
+      throw new java.io.FileNotFoundException(s"no such table: $name")
+    if (status == 409)
+      throw new CommitConflictException(errorMessage(resp))
+    if (status != 200) throw fail("commit", name, status, resp)
+    parse(resp).path("version").asInt()
+  }
+
+  private def requirementJson(r: TableRequirement): JsonNode = {
+    val o = mapper.createObjectNode()
+    r match {
+      case AssertCreate =>
+        o.put("type", "assert-create")
+      case AssertTableUUID(uuid) =>
+        o.put("type", "assert-table-uuid"); o.put("uuid", uuid)
+      case AssertRefSnapshotID(ref, snap) =>
+        o.put("type", "assert-ref-snapshot-id"); o.put("ref", ref)
+        snap.fold[Unit] { o.putNull("snapshot-id"); () } { s => o.put("snapshot-id", s); () }
+      case other =>
+        // remaining assert types gate schema/spec/order ids; same shape
+        o.put("type", "assert-" + other.getClass.getSimpleName
+          .stripPrefix("Assert").replaceAll("([a-z0-9])([A-Z])", "$1-$2")
+          .toLowerCase(java.util.Locale.ROOT))
+    }
+    o
+  }
+
+  /** Staged create materialization: a commit against a not-yet-existing
+    * table carrying `assert-create` — the server registers version 1 iff
+    * the identifier is still free, else 409 → [[CommitConflictException]].
+    */
+  override def commitCreate(name: String, metadata: TableMetadata): Unit = {
+    commitWith(name, 0, metadata, Seq(AssertCreate))
+    ()
+  }
+
+  def dropTable(name: String): Unit = {
+    val (status, resp) =
+      send(request(s"${tableUri(name)}?purgeRequested=true").DELETE(), expectAny = true)
+    if (status != 204 && status != 404) throw fail("drop", name, status, resp)
+  }
+
+  def renameTable(from: String, to: String): Unit = {
+    val body = mapper.createObjectNode()
+    def ident(n: String) = {
+      val o = mapper.createObjectNode()
+      o.set[JsonNode]("namespace", mapper.createArrayNode().add(namespace))
+      o.put("name", n)
+      o
+    }
+    body.set[JsonNode]("source", ident(from))
+    body.set[JsonNode]("destination", ident(to))
+    val (status, resp) =
+      send(post(s"$baseUri/v1/tables/rename", body.toString), expectAny = true)
+    if (status == 404) throw new IllegalArgumentException(s"no such table: $from")
+    if (status == 409) throw new CommitConflictException(errorMessage(resp))
+    if (status != 204 && status != 200) throw fail("rename", from, status, resp)
+  }
+
+  def readMetadataFile(path: String): String = MetadataFiles.read(path)
+
+  def deleteMetadataBefore(name: String, beforeVersion: Int): Unit = {
+    val dir = s"${load(name).location}/metadata"
+    (1 until beforeVersion).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(MetadataFiles.stripScheme(s"$dir/v$v.metadata.json")))
+    }
+  }
+
+  // ------------------------------------------------------------- plumbing
+  private def request(uri: String): HttpRequest.Builder = {
+    val b = HttpRequest.newBuilder(URI.create(uri))
+      .header("Content-Type", "application/json")
+    token.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+  }
+  private def get(uri: String): HttpRequest.Builder = request(uri).GET()
+  private def post(uri: String, body: String): HttpRequest.Builder =
+    request(uri).POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+
+  private def send(b: HttpRequest.Builder, expect: Int): String = {
+    val (status, body) = send(b, expectAny = true)
+    if (status != expect)
+      throw new java.io.IOException(s"REST catalog: HTTP $status: $body")
+    body
+  }
+  private def send(b: HttpRequest.Builder, expectAny: Boolean): (Int, String) = {
+    val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def parse(s: String): JsonNode = mapper.readTree(s)
+  private def errorMessage(body: String): String =
+    try parse(body).path("error").path("message").asText(body)
+    catch { case _: Exception => body }
+  private def fail(op: String, name: String, status: Int, body: String) =
+    new java.io.IOException(s"REST catalog $op($name): HTTP $status: ${errorMessage(body)}")
+}
+
+/** Filesystem metadata-JSON reads shared by catalogs whose metadata files
+  * live on a real FS (plain or gzip, reference `table/table.go:391-452`).
+  */
+object MetadataFiles {
+  def read(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(stripScheme(path))
+    val real =
+      if (Files.exists(p)) p
+      else {
+        val gz = Paths.get(stripScheme(path) + ".gz")
+        if (Files.exists(gz)) gz
+        else throw new java.io.FileNotFoundException(path)
+      }
+    val raw = Files.readAllBytes(real)
+    if (real.toString.endsWith(".gz") ||
+        (raw.length > 2 && raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte)) {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw))
+      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    } else new String(raw, StandardCharsets.UTF_8)
+  }
+
+  def stripScheme(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+}

@@ -1281,11 +1281,32 @@ object IceTable {
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
       properties: Map[String, String] = Map.empty,
       sortOrder: SortOrder = SortOrder.Unsorted): IceTable = {
-    val location = catalog.tableLocation(name)
-    val m = TableMetadata(
+    val m = newTableMetadata(catalog, name, schema, spec, properties, sortOrder)
+    catalog.create(name, m)
+    new IceTable(catalog, name, m, 1)
+  }
+
+  /** Stage a create-table (reference `StagedTable` in `table/transaction.go`
+    * + the AssertCreate requirement `table/requirements.go:108-127`): the
+    * metadata exists only on this client until [[StagedCreate.commit]],
+    * whose assert-create guard lets exactly one of N racing creates win —
+    * the losers see [[graft.meta.CommitConflictException]], never a
+    * half-created table.
+    */
+  def stageCreate(catalog: Catalog, name: String, schema: IceSchema,
+      spec: PartitionSpec = PartitionSpec.Unpartitioned,
+      properties: Map[String, String] = Map.empty,
+      sortOrder: SortOrder = SortOrder.Unsorted): StagedCreate =
+    new StagedCreate(catalog, name,
+      newTableMetadata(catalog, name, schema, spec, properties, sortOrder))
+
+  private def newTableMetadata(catalog: Catalog, name: String, schema: IceSchema,
+      spec: PartitionSpec, properties: Map[String, String],
+      sortOrder: SortOrder): TableMetadata =
+    TableMetadata(
       formatVersion = 2,
       tableUuid = UUID.randomUUID().toString,
-      location = location,
+      location = catalog.tableLocation(name),
       lastSequenceNumber = 0L,
       lastUpdatedMs = System.currentTimeMillis(),
       lastColumnId = schema.highestFieldId,
@@ -1299,12 +1320,13 @@ object IceTable {
       properties = properties,
       currentSnapshotId = None,
       snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty)
-    catalog.create(name, m)
-    new IceTable(catalog, name, m, 1)
-  }
 
   def load(catalog: Catalog, name: String): IceTable =
     new IceTable(catalog, name, catalog.load(name), catalog.currentVersion(name))
+
+  private[table] def fromMetadata(catalog: Catalog, name: String,
+      m: TableMetadata, version: Int): IceTable =
+    new IceTable(catalog, name, m, version)
 }
 
 /** Lazy scan with the four-level pruning pipeline: manifest-list summaries →
@@ -1607,5 +1629,32 @@ object IceScan {
     val dvs = tasks.flatMap(_.dvDeletes).distinctBy(f => (f.filePath, f.contentOffset))
     if (parquetDeletes.isEmpty && dvs.isEmpty) None
     else Some(positionsOf(spark, parquetDeletes, dvs))
+  }
+}
+
+/** A create-table staged client-side (reference `StagedTable`,
+  * `table/transaction.go`): nothing is visible in the catalog until
+  * [[commit]], which materializes version 1 under an AssertCreate guard —
+  * of N racing staged creates exactly one wins, the rest get
+  * [[graft.meta.CommitConflictException]]. Property/metadata adjustments
+  * before the commit stay local.
+  */
+final class StagedCreate private[table] (catalog: Catalog, val name: String,
+    private var staged: TableMetadata) {
+
+  /** The staged (uncommitted) metadata. */
+  def metadata: TableMetadata = staged
+
+  /** Adjust staged properties before the create commits. */
+  def updateProperties(set: Map[String, String] = Map.empty,
+      remove: Seq[String] = Nil): StagedCreate = {
+    staged = staged.copy(properties = staged.properties ++ set -- remove)
+    this
+  }
+
+  /** Materialize: exactly one concurrent commit of `name` succeeds. */
+  def commit(): IceTable = {
+    catalog.commitCreate(name, staged)
+    IceTable.fromMetadata(catalog, name, staged, 1)
   }
 }

@@ -15,6 +15,17 @@ sealed trait TableRequirement {
   def validate(m: TableMetadata): Option[String]
 }
 
+/** The table must not exist yet (reference `table/requirements.go:108-127`):
+  * the guard on the commit that materializes a staged create-table. There
+  * is only current metadata to validate against when the table DOES exist,
+  * so validation of this requirement always fails — exactly one of two
+  * racing creates ever reaches a state with no metadata to validate.
+  */
+case object AssertCreate extends TableRequirement {
+  def validate(m: TableMetadata): Option[String] =
+    Some("requirement assert-create failed: table already exists")
+}
+
 final case class AssertTableUUID(uuid: String) extends TableRequirement {
   def validate(m: TableMetadata): Option[String] =
     if (m.tableUuid == uuid) None

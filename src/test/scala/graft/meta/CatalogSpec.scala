@@ -51,4 +51,83 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("mem_region2")
     assert(cat.listTables().isEmpty)
   }
+
+  test("REST catalog: config/create/load/append/CAS-conflict/rename/drop over HTTP") {
+    val wh = Files.createTempDirectory("graft-rest").toString
+    val server = new RestStubServer(wh)
+    try {
+      val cat = new RestCatalog(server.uri)
+      // config advertised by the server at construction
+      assert(cat.config.get("warehouse").contains(wh))
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      val t = IceTable.create(cat, "rest_region", SchemaConv.fromSpark(region.schema))
+      t.append(region)
+      assert(t.scan(spark).count() == region.count())
+      assert(cat.listTables() == Seq("rest_region"))
+      assert(cat.tableExists("rest_region") && !cat.tableExists("nope"))
+      // duplicate create → 409 AlreadyExists
+      assertThrows[IllegalStateException](
+        IceTable.create(cat, "rest_region", SchemaConv.fromSpark(region.schema)))
+      // load round-trips server JSON + the FS metadata file it persisted
+      val reloaded = IceTable.load(cat, "rest_region")
+      assert(reloaded.metadata.currentSnapshotId == t.metadata.currentSnapshotId)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$wh/rest_region/metadata/v2.metadata.json")))
+      // stale handle: 409 from the server → conflict → refresh → retry
+      val t2 = IceTable.load(cat, "rest_region")
+      t.append(region.limit(2))
+      t2.append(region.limit(1))
+      assert(IceTable.load(cat, "rest_region").scan(spark).count() == region.count() + 3)
+      // a raw stale commit (no retry loop) surfaces the 409 as a conflict
+      assertThrows[CommitConflictException](
+        cat.commit("rest_region", 1, t.metadata))
+      // a violated requirement rejects server-side before any version moves
+      val vBefore = cat.currentVersion("rest_region")
+      assertThrows[CommitConflictException](
+        cat.commitWith("rest_region", vBefore, cat.load("rest_region"),
+          Seq(graft.table.AssertTableUUID("not-the-uuid"))))
+      assert(cat.currentVersion("rest_region") == vBefore)
+      // rename moves the identifier; location and files stay
+      cat.renameTable("rest_region", "rest_region2")
+      assert(!cat.tableExists("rest_region") && cat.tableExists("rest_region2"))
+      assert(IceTable.load(cat, "rest_region2").scan(spark).count() == region.count() + 3)
+      // rename conflicts mirror rest_test.go: missing source / existing destination
+      assertThrows[IllegalArgumentException](cat.renameTable("rest_region", "x"))
+      IceTable.create(cat, "other", SchemaConv.fromSpark(region.schema))
+      assertThrows[CommitConflictException](cat.renameTable("rest_region2", "other"))
+      cat.dropTable("rest_region2")
+      cat.dropTable("other")
+      assert(cat.listTables().isEmpty)
+    } finally server.stop()
+  }
+
+  test("REST catalog: staged create commits via assert-create; one of two racers wins") {
+    val wh = Files.createTempDirectory("graft-rest-staged").toString
+    val server = new RestStubServer(wh)
+    try {
+      val cat = new RestCatalog(server.uri)
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      val schema = SchemaConv.fromSpark(region.schema)
+      val a = IceTable.stageCreate(cat, "staged", schema)
+      val b = IceTable.stageCreate(cat, "staged", schema)
+      assert(!cat.tableExists("staged")) // nothing visible before commit
+      val winner = a.commit()
+      assertThrows[CommitConflictException](b.commit())
+      assert(cat.load("staged").tableUuid == winner.metadata.tableUuid)
+      winner.append(region)
+      assert(winner.scan(spark).count() == region.count())
+    } finally server.stop()
+  }
+
+  test("REST catalog: bearer-token auth is sent and enforced") {
+    val wh = Files.createTempDirectory("graft-rest-auth").toString
+    val server = new RestStubServer(wh, requiredToken = Some("sesame"))
+    try {
+      // missing token: the construction-time config fetch is rejected
+      assertThrows[java.io.IOException](new RestCatalog(server.uri))
+      val cat = new RestCatalog(server.uri, token = Some("sesame"))
+      assert(cat.config.get("warehouse").contains(wh))
+      assert(cat.listTables().isEmpty)
+    } finally server.stop()
+  }
 }

@@ -1,0 +1,258 @@
+package graft.meta
+
+import java.net.{InetAddress, InetSocketAddress}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.table.{AssertCreate, AssertRefSnapshotID, AssertTableUUID,
+  TableRequirement}
+
+/** In-process Iceberg-REST catalog stub for [[RestCatalog]] tests: the
+  * routes the reference client exercises (`catalog/rest/rest_test.go`) —
+  * config, list, create (incl. stage-create), load, HEAD, commit with
+  * requirement validation (409 on violation), drop, rename. The catalog
+  * state (pointer + version per table) lives on the heap; metadata JSON
+  * files are written to the warehouse directory like a real REST catalog
+  * persisting to object storage, so FS reads (time travel, gzip) work
+  * against it unchanged. Zero egress: binds the loopback interface on an
+  * ephemeral port.
+  */
+final class RestStubServer(val warehouse: String,
+    requiredToken: Option[String] = None) {
+
+  private final case class Entry(var versions: Vector[TableMetadata],
+      location: String)
+  private val tables = mutable.Map[String, Entry]()
+  private val mapper = new ObjectMapper()
+
+  private val server =
+    HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+  server.createContext("/v1/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  def uri: String =
+    s"http://${server.getAddress.getHostString}:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+
+  /** Commits that reached requirement validation — test hook. */
+  val commitAttempts = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      if (requiredToken.exists(t =>
+          ex.getRequestHeaders.getFirst("Authorization") != s"Bearer $t")) {
+        respond(ex, 401, error("NotAuthorizedException", "missing or bad token"))
+        return
+      }
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      val segs = path.stripPrefix("/v1/").split("/").toSeq
+      (method, segs) match {
+        case ("GET", Seq("config")) =>
+          val o = mapper.createObjectNode()
+          val defaults = mapper.createObjectNode()
+          defaults.put("warehouse", warehouse)
+          o.set[JsonNode]("defaults", defaults)
+          o.set[JsonNode]("overrides", mapper.createObjectNode())
+          respond(ex, 200, o.toString)
+        case ("GET", Seq("namespaces", _, "tables")) => synchronized {
+          val o = mapper.createObjectNode()
+          val arr = mapper.createArrayNode()
+          tables.keys.toSeq.sorted.foreach { n =>
+            val id = mapper.createObjectNode()
+            id.set[JsonNode]("namespace", mapper.createArrayNode().add("graft"))
+            id.put("name", n)
+            arr.add(id)
+          }
+          o.set[JsonNode]("identifiers", arr)
+          respond(ex, 200, o.toString)
+        }
+        case ("POST", Seq("namespaces", _, "tables")) => create(ex)
+        case ("HEAD", Seq("namespaces", _, "tables", name)) => synchronized {
+          respond(ex, if (tables.contains(dec(name))) 204 else 404, "")
+        }
+        case ("GET", Seq("namespaces", _, "tables", name)) => synchronized {
+          tables.get(dec(name)) match {
+            case None =>
+              respond(ex, 404, error("NoSuchTableException", s"no such table: $name"))
+            case Some(e) => respond(ex, 200, loadResult(dec(name), e))
+          }
+        }
+        case ("POST", Seq("namespaces", _, "tables", name)) => commit(ex, dec(name))
+        case ("DELETE", Seq("namespaces", _, "tables", name)) => synchronized {
+          tables.remove(dec(name)) match {
+            case None =>
+              respond(ex, 404, error("NoSuchTableException", s"no such table: $name"))
+            case Some(e) =>
+              if (ex.getRequestURI.getQuery != null &&
+                  ex.getRequestURI.getQuery.contains("purgeRequested=true"))
+                deleteRecursively(e.location)
+              respond(ex, 204, "")
+          }
+        }
+        case ("POST", Seq("tables", "rename")) => rename(ex)
+        case _ =>
+          respond(ex, 404, error("NotFoundException", s"$method $path"))
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, error("InternalServerError", String.valueOf(e.getMessage)))
+    } finally ex.close()
+  }
+
+  private def create(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8))
+    val name = body.path("name").asText()
+    val meta = TableMetadataJson.read(body.path("metadata").toString)
+    if (body.path("stage-create").asBoolean(false)) {
+      // staged: nothing registered; the client materializes via a commit
+      // carrying assert-create
+      respond(ex, 200, stagedResult(meta))
+      return
+    }
+    synchronized {
+      if (tables.contains(name)) {
+        respond(ex, 409,
+          error("AlreadyExistsException", s"table $name already exists"))
+        return
+      }
+      val e = Entry(Vector(meta), meta.location)
+      tables(name) = e
+      writeMetadataFile(e, 1)
+      respond(ex, 200, loadResult(name, e))
+    }
+  }
+
+  private def commit(ex: HttpExchange, name: String): Unit = {
+    val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8))
+    val meta = TableMetadataJson.read(body.path("metadata").toString)
+    val reqs = parseRequirements(body.path("requirements"))
+    commitAttempts.incrementAndGet()
+    synchronized {
+      tables.get(name) match {
+        case None if reqs.contains(AssertCreate) =>
+          // materializing a staged create: table must not exist — it doesn't
+          val e = Entry(Vector(meta), meta.location)
+          tables(name) = e
+          writeMetadataFile(e, 1)
+          respond(ex, 200, loadResult(name, e))
+        case None =>
+          respond(ex, 404,
+            error("NoSuchTableException", s"no such table: $name"))
+        case Some(e) =>
+          val current = e.versions.last
+          val violation = reqs.iterator.flatMap {
+            case AssertCreate => Some(s"table $name already exists")
+            case r => r.validate(current)
+          }.nextOption()
+          val expected = body.path("expected-version").asInt(-1)
+          if (violation.isDefined)
+            respond(ex, 409, error("CommitFailedException", violation.get))
+          else if (expected != e.versions.size)
+            respond(ex, 409, error("CommitFailedException",
+              s"table $name at version ${e.versions.size}, expected $expected"))
+          else {
+            e.versions :+= meta
+            writeMetadataFile(e, e.versions.size)
+            respond(ex, 200, loadResult(name, e))
+          }
+      }
+    }
+  }
+
+  private def rename(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8))
+    val from = body.path("source").path("name").asText()
+    val to = body.path("destination").path("name").asText()
+    synchronized {
+      if (!tables.contains(from))
+        respond(ex, 404, error("NoSuchTableException", s"no such table: $from"))
+      else if (tables.contains(to))
+        respond(ex, 409, error("AlreadyExistsException", s"table $to already exists"))
+      else {
+        tables(to) = tables.remove(from).get // identifier only; location stays
+        respond(ex, 204, "")
+      }
+    }
+  }
+
+  private def parseRequirements(node: JsonNode): Seq[TableRequirement] = {
+    val out = Seq.newBuilder[TableRequirement]
+    node.forEach { r =>
+      r.path("type").asText() match {
+        case "assert-create" => out += AssertCreate
+        case "assert-table-uuid" => out += AssertTableUUID(r.path("uuid").asText())
+        case "assert-ref-snapshot-id" =>
+          val snap = r.path("snapshot-id")
+          out += AssertRefSnapshotID(r.path("ref").asText(),
+            if (snap.isNull || snap.isMissingNode) None else Some(snap.asLong()))
+        case _ => // unvalidated assert types: accept (stub covers the three used)
+      }
+    }
+    out.result()
+  }
+
+  private def metadataLocation(e: Entry, v: Int): String =
+    s"${e.location}/metadata/v$v.metadata.json"
+
+  private def writeMetadataFile(e: Entry, v: Int): Unit = {
+    val dir = Paths.get(MetadataFiles.stripScheme(s"${e.location}/metadata"))
+    Files.createDirectories(dir)
+    Files.write(Paths.get(MetadataFiles.stripScheme(metadataLocation(e, v))),
+      TableMetadataJson.write(e.versions(v - 1)).getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def loadResult(name: String, e: Entry): String = {
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", metadataLocation(e, e.versions.size))
+    o.put("version", e.versions.size)
+    o.set[JsonNode]("metadata",
+      mapper.readTree(TableMetadataJson.write(e.versions.last)))
+    o.toString
+  }
+
+  private def stagedResult(meta: TableMetadata): String = {
+    val o = mapper.createObjectNode()
+    o.put("version", 0)
+    o.set[JsonNode]("metadata", mapper.readTree(TableMetadataJson.write(meta)))
+    o.toString
+  }
+
+  private def deleteRecursively(location: String): Unit = {
+    val root = Paths.get(MetadataFiles.stripScheme(location))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def error(tpe: String, msg: String): String = {
+    val o = mapper.createObjectNode()
+    val e = mapper.createObjectNode()
+    e.put("message", msg)
+    e.put("type", tpe)
+    o.set[JsonNode]("error", e)
+    o.toString
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (ex.getRequestMethod == "HEAD" || bytes.isEmpty)
+      ex.sendResponseHeaders(status, -1)
+    else {
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    }
+  }
+}

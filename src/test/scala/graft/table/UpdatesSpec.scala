@@ -95,6 +95,27 @@ class UpdatesSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq(snap2.snapshotId))
   }
 
+  test("staged create: invisible until commit; two racing creates, one winner") {
+    val schema = SchemaConv.fromSpark(nation.schema)
+    val a = IceTable.stageCreate(catalog, "staged_race", schema,
+      properties = Map("owner" -> "a"))
+    val b = IceTable.stageCreate(catalog, "staged_race", schema,
+      properties = Map("owner" -> "b"))
+    // staged metadata is client-side only — the catalog knows nothing yet
+    assert(!catalog.tableExists("staged_race"))
+    a.updateProperties(set = Map("stage" -> "tuned"))
+    val winner = a.commit()
+    // the loser's AssertCreate fails as a commit conflict, not a half-create
+    assertThrows[CommitConflictException](b.commit())
+    val registered = catalog.load("staged_race")
+    assert(registered.tableUuid == winner.metadata.tableUuid)
+    assert(registered.properties.get("owner").contains("a"))
+    assert(registered.properties.get("stage").contains("tuned"))
+    // the winner is a fully usable table
+    winner.append(nation)
+    assert(winner.scan(spark).count() == nation.count())
+  }
+
   test("requirement violation rejects the update batch before any CAS") {
     val schema = SchemaConv.fromSpark(nation.schema)
     val t = IceTable.create(catalog, "upd_req", schema)
