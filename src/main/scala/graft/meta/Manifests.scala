@@ -48,7 +48,9 @@ final case class DataFile(
     // planning routes ID-based vs name-mapped reads from manifest metadata
     // alone instead of re-opening one footer per planned file on the driver.
     // None = written before this field existed → caller sniffs.
-    hasFieldIds: Option[Boolean] = None) {
+    hasFieldIds: Option[Boolean] = None,
+    // v3 row lineage (field id 142): the _row_id of the file's first row
+    firstRowId: Option[Long] = None) {
   def isDeletionVector: Boolean = referencedDataFile.isDefined
 }
 
@@ -85,7 +87,9 @@ final case class ManifestFile(
     addedRowsCount: Long,
     existingRowsCount: Long,
     deletedRowsCount: Long,
-    partitions: Seq[FieldSummary])
+    partitions: Seq[FieldSummary],
+    // v3 row lineage (field id 520): first row ID assigned to this manifest
+    firstRowId: Option[Long] = None)
 
 object ManifestIO {
   private val conf = new Configuration()
@@ -120,21 +124,61 @@ object ManifestIO {
        {"name":"key","type":"int","field-id":$kId},
        {"name":"value","type":"$vType","field-id":$vId}]},"logicalType":"map"}]"""
 
-  /** manifest_entry schema (v2) for a given partition struct. */
-  def entrySchema(partType: IceStructType): Schema = {
-    val json = s"""
-    {"type":"record","name":"manifest_entry","fields":[
+  /** manifest_entry schema for a given partition struct, per format version
+    * (reference `internal/avro_schemas.go:231-354` `data_file_v{1,2,3}` and
+    * `:354-367,517-525` `manifest_entry_v{1,2,3}`): v1 has a required
+    * `snapshot_id`, no sequence numbers, no `content`, and the deprecated
+    * required `block_size_in_bytes`; v2 adds inheritance-aware sequence
+    * numbers and delete-file fields; v3 adds `first_row_id` plus the
+    * deletion-vector pointer (143/144/145).
+    */
+  def entrySchema(partType: IceStructType, formatVersion: Int = 2): Schema = {
+    val v = formatVersion
+    require(v >= 1 && v <= 3, s"unsupported format version $v")
+    val entryHeader =
+      if (v == 1) """
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":"long","field-id":1},"""
+      else """
       {"name":"status","type":"int","field-id":0},
       {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},"""
+    val contentField =
+      if (v == 1) "" else """{"name":"content","type":"int","field-id":134},"""
+    val blockSizeField = // required in v1 (deprecated), absent in v2+
+      if (v == 1) """{"name":"block_size_in_bytes","type":"long","field-id":105},"""
+      else ""
+    val v2PlusFields =
+      if (v == 1) ""
+      else """,
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}"""
+    val v3Fields =
+      if (v < 3) ""
+      else """,
+        {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
+        {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+    // v2 carries the DV pointer fields too (written null): our v2 reader
+    // predates v3 tables and the fields are optional-with-default for any
+    // spec reader, so one serialized shape covers both generations.
+    val v2DvFields =
+      if (v != 2) ""
+      else """,
+        {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+    val json = s"""
+    {"type":"record","name":"manifest_entry","fields":[$entryHeader
       {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-        {"name":"content","type":"int","field-id":134},
+        $contentField
         {"name":"file_path","type":"string","field-id":100},
         {"name":"file_format","type":"string","field-id":101},
         {"name":"partition","type":${partitionSchemaJson(partType)},"field-id":102},
         {"name":"record_count","type":"long","field-id":103},
         {"name":"file_size_in_bytes","type":"long","field-id":104},
+        $blockSizeField
         {"name":"column_sizes","type":${kvArray("k117_v118", 117, 118, "long")},"default":null,"field-id":108},
         {"name":"value_counts","type":${kvArray("k119_v120", 119, 120, "long")},"default":null,"field-id":109},
         {"name":"null_value_counts","type":${kvArray("k121_v122", 121, 122, "long")},"default":null,"field-id":110},
@@ -143,41 +187,62 @@ object ManifestIO {
         {"name":"upper_bounds","type":${kvArray("k129_v130", 129, 130, "bytes")},"default":null,"field-id":128},
         {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
         {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
-        {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
-        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
-        {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
-        {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
-        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145},
+        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}$v2PlusFields$v2DvFields$v3Fields,
         {"name":"graft_has_field_ids","type":["null","boolean"],"default":null,"field-id":1000}
       ]}}
     ]}"""
     new Schema.Parser().parse(json)
   }
 
-  /** manifest_file schema (v2) for manifest lists. */
-  lazy val manifestListSchema: Schema = {
+  /** manifest_file schema for manifest lists, per format version (reference
+    * `internal/avro_schemas.go:115-230,368-433` `manifest_list_file_v{1,2,3}`):
+    * v1 has no content/sequence-number fields and nullable counts; v3 adds
+    * `first_row_id` (field id 520).
+    */
+  def manifestListSchema(formatVersion: Int): Schema = {
+    val v = formatVersion
+    require(v >= 1 && v <= 3, s"unsupported format version $v")
+    val v2Header =
+      if (v == 1) ""
+      else """
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},"""
+    val counts =
+      if (v == 1) """
+      {"name":"added_files_count","type":["null","int"],"default":null,"field-id":504},
+      {"name":"existing_files_count","type":["null","int"],"default":null,"field-id":505},
+      {"name":"deleted_files_count","type":["null","int"],"default":null,"field-id":506},"""
+      else """
+      {"name":"added_files_count","type":"int","field-id":504},
+      {"name":"existing_files_count","type":"int","field-id":505},
+      {"name":"deleted_files_count","type":"int","field-id":506},"""
+    val rows =
+      if (v == 1) """
+      {"name":"added_rows_count","type":["null","long"],"default":null,"field-id":512},
+      {"name":"existing_rows_count","type":["null","long"],"default":null,"field-id":513},
+      {"name":"deleted_rows_count","type":["null","long"],"default":null,"field-id":514},"""
+      else """
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514},"""
+    val v3Fields =
+      if (v < 3) ""
+      else """,
+      {"name":"first_row_id","type":["null","long"],"default":null,"field-id":520}"""
     val json = s"""
     {"type":"record","name":"manifest_file","fields":[
       {"name":"manifest_path","type":"string","field-id":500},
       {"name":"manifest_length","type":"long","field-id":501},
-      {"name":"partition_spec_id","type":"int","field-id":502},
-      {"name":"content","type":"int","field-id":517},
-      {"name":"sequence_number","type":"long","field-id":515},
-      {"name":"min_sequence_number","type":"long","field-id":516},
-      {"name":"added_snapshot_id","type":"long","field-id":503},
-      {"name":"added_files_count","type":"int","field-id":504},
-      {"name":"existing_files_count","type":"int","field-id":505},
-      {"name":"deleted_files_count","type":"int","field-id":506},
-      {"name":"added_rows_count","type":"long","field-id":512},
-      {"name":"existing_rows_count","type":"long","field-id":513},
-      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partition_spec_id","type":"int","field-id":502},$v2Header
+      {"name":"added_snapshot_id","type":"long","field-id":503},$counts$rows
       {"name":"partitions","type":["null",{"type":"array","items":
         {"type":"record","name":"r508","fields":[
           {"name":"contains_null","type":"boolean","field-id":509},
           {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
           {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
           {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
-        ]},"element-id":508}],"default":null,"field-id":507}
+        ]},"element-id":508}],"default":null,"field-id":507}$v3Fields
     ]}"""
     new Schema.Parser().parse(json)
   }
@@ -197,6 +262,13 @@ object ManifestIO {
     case (IceString | IceUUID, u) => u.toString
     case _ => v
   }
+
+  /** Field lookup across format generations: None when the writer's schema
+    * predates the field (GenericData.Record.get throws on unknown names).
+    */
+  private def getOpt(rec: GenericRecord, name: String): Option[AnyRef] =
+    if (rec.getSchema.getField(name) == null) None
+    else Option(rec.get(name))
 
   private def bytes(bb: ByteBuffer): Array[Byte] = {
     val d = bb.duplicate()
@@ -244,7 +316,9 @@ object ManifestIO {
       formatVersion: Int = 2,
       content: Int = 0): ManifestFile = {
     val partType = spec.partitionType(schema)
-    val avroSchema = entrySchema(partType)
+    require(formatVersion >= 2 || content == 0,
+      "v1 manifests cannot carry delete files")
+    val avroSchema = entrySchema(partType, formatVersion)
     val fs = FileSystem.get(new java.net.URI(path), conf)
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
     writer.setMeta("schema", TableMetadataJson.schemaToJson(schema).toString)
@@ -257,15 +331,21 @@ object ManifestIO {
     writer.create(avroSchema, out)
     val dfSchema = avroSchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
+    // emit exactly the fields the version's schema declares
+    def putIf(rec: GenericData.Record, name: String, v: => Any): Unit =
+      if (rec.getSchema.getField(name) != null) rec.put(name, v)
     entries.foreach { e =>
       val rec = new GenericData.Record(avroSchema)
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId)
-      rec.put("sequence_number", e.sequenceNumber.map(Long.box).orNull)
-      rec.put("file_sequence_number", e.fileSequenceNumber.map(Long.box).orNull)
+      putIf(rec, "sequence_number", e.sequenceNumber.map(Long.box).orNull)
+      putIf(rec, "file_sequence_number", e.fileSequenceNumber.map(Long.box).orNull)
       val df = new GenericData.Record(dfSchema)
       val f = e.dataFile
-      df.put("content", f.content)
+      putIf(df, "content", f.content)
+      // deprecated v1 field: "always write default in v1, do not write in v2"
+      // (reference `internal/avro_schemas.go:245-250`)
+      putIf(df, "block_size_in_bytes", 64L * 1024 * 1024)
       df.put("file_path", f.filePath)
       df.put("file_format", f.fileFormat)
       val part = new GenericData.Record(partSchema)
@@ -285,12 +365,13 @@ object ManifestIO {
       df.put("upper_bounds", kvToAvro(dfSchema.getField("upper_bounds").schema(), f.upperBounds))
       df.put("split_offsets",
         if (f.splitOffsets.isEmpty) null else f.splitOffsets.map(Long.box).asJava)
-      df.put("equality_ids",
+      putIf(df, "equality_ids",
         if (f.equalityIds.isEmpty) null else f.equalityIds.map(Int.box).asJava)
       df.put("sort_order_id", f.sortOrderId.map(Int.box).orNull)
-      df.put("referenced_data_file", f.referencedDataFile.orNull)
-      df.put("content_offset", f.contentOffset.map(Long.box).orNull)
-      df.put("content_size_in_bytes", f.contentSizeInBytes.map(Long.box).orNull)
+      putIf(df, "first_row_id", f.firstRowId.map(Long.box).orNull)
+      putIf(df, "referenced_data_file", f.referencedDataFile.orNull)
+      putIf(df, "content_offset", f.contentOffset.map(Long.box).orNull)
+      putIf(df, "content_size_in_bytes", f.contentSizeInBytes.map(Long.box).orNull)
       df.put("graft_has_field_ids", f.hasFieldIds.map(Boolean.box).orNull)
       rec.put("data_file", df)
       writer.append(rec)
@@ -327,22 +408,28 @@ object ManifestIO {
         upperBound = upper.map(Bounds.encode(pf.tpe, _)))
     }
 
-  def writeManifestList(path: String, manifests: Seq[ManifestFile]): Unit = {
+  def writeManifestList(path: String, manifests: Seq[ManifestFile],
+      formatVersion: Int = 2): Unit = {
+    val listSchema = manifestListSchema(formatVersion)
     val fs = FileSystem.get(new java.net.URI(path), conf)
-    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestListSchema))
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
+    writer.setMeta("format-version", formatVersion.toString)
     val out = fs.create(new Path(path), true)
-    writer.create(manifestListSchema, out)
-    val partArrayField = manifestListSchema.getField("partitions").schema()
+    writer.create(listSchema, out)
+    val partArrayField = listSchema.getField("partitions").schema()
     val partArrSchema = partArrayField.getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
     val summarySchema = partArrSchema.getElementType
+    def putIf(rec: GenericData.Record, name: String, v: => Any): Unit =
+      if (rec.getSchema.getField(name) != null) rec.put(name, v)
     manifests.foreach { m =>
-      val rec = new GenericData.Record(manifestListSchema)
+      val rec = new GenericData.Record(listSchema)
       rec.put("manifest_path", m.path)
       rec.put("manifest_length", m.length)
       rec.put("partition_spec_id", m.specId)
-      rec.put("content", m.content)
-      rec.put("sequence_number", m.sequenceNumber)
-      rec.put("min_sequence_number", m.minSequenceNumber)
+      putIf(rec, "content", m.content)
+      putIf(rec, "sequence_number", m.sequenceNumber)
+      putIf(rec, "min_sequence_number", m.minSequenceNumber)
+      putIf(rec, "first_row_id", m.firstRowId.map(Long.box).orNull)
       rec.put("added_snapshot_id", m.addedSnapshotId)
       rec.put("added_files_count", m.addedFilesCount)
       rec.put("existing_files_count", m.existingFilesCount)
@@ -400,11 +487,12 @@ object ManifestIO {
       val partValues = partType.fields.map(pf => partValueFromAvro(pf.tpe, part.get(pf.name)))
       entries += ManifestEntry(
         status = rec.get("status").asInstanceOf[Int],
-        snapshotId = Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        sequenceNumber = Option(rec.get("sequence_number")).map(_.asInstanceOf[Long]),
-        fileSequenceNumber = Option(rec.get("file_sequence_number")).map(_.asInstanceOf[Long]),
+        snapshotId = getOpt(rec, "snapshot_id").map(_.asInstanceOf[Long]).getOrElse(0L),
+        sequenceNumber = getOpt(rec, "sequence_number").map(_.asInstanceOf[Long]),
+        fileSequenceNumber = getOpt(rec, "file_sequence_number").map(_.asInstanceOf[Long]),
         dataFile = DataFile(
-          content = df.get("content").asInstanceOf[Int],
+          // v1 data files predate `content` (all are data files)
+          content = getOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0),
           filePath = df.get("file_path").toString,
           fileFormat = df.get("file_format").toString,
           partition = partValues,
@@ -418,17 +506,16 @@ object ManifestIO {
           upperBounds = kvFromAvro(df.get("upper_bounds"))(v => bytes(v.asInstanceOf[ByteBuffer])),
           splitOffsets = Option(df.get("split_offsets"))
             .map(_.asInstanceOf[java.util.Collection[Long]].asScala.toSeq).getOrElse(Nil),
-          sortOrderId = Option(df.get("sort_order_id")).map(_.asInstanceOf[Int]),
-          equalityIds = Option(df.get("equality_ids"))
+          sortOrderId = getOpt(df, "sort_order_id").map(_.asInstanceOf[Int]),
+          equalityIds = getOpt(df, "equality_ids")
             .map(_.asInstanceOf[java.util.Collection[Int]].asScala.toSeq).getOrElse(Nil),
-          referencedDataFile = Option(df.get("referenced_data_file")).map(_.toString),
-          contentOffset = Option(df.get("content_offset")).map(_.asInstanceOf[Long]),
+          referencedDataFile = getOpt(df, "referenced_data_file").map(_.toString),
+          contentOffset = getOpt(df, "content_offset").map(_.asInstanceOf[Long]),
           contentSizeInBytes =
-            Option(df.get("content_size_in_bytes")).map(_.asInstanceOf[Long]),
+            getOpt(df, "content_size_in_bytes").map(_.asInstanceOf[Long]),
           // records from pre-extension manifests have no such field → None
-          hasFieldIds = Option(df.getSchema.getField("graft_has_field_ids"))
-            .flatMap(_ => Option(df.get("graft_has_field_ids")))
-            .map(_.asInstanceOf[Boolean])))
+          hasFieldIds = getOpt(df, "graft_has_field_ids").map(_.asInstanceOf[Boolean]),
+          firstRowId = getOpt(df, "first_row_id").map(_.asInstanceOf[Long])))
     }
     reader.close()
     (specId, entries.result())
@@ -448,21 +535,27 @@ object ManifestIO {
             upperBound = Option(r.get("upper_bound")).map(v => bytes(v.asInstanceOf[ByteBuffer])))
         }.toSeq
       }.getOrElse(Nil)
+      // v1 lists predate content/sequence numbers and have nullable counts
+      def intOr(name: String, d: Int) =
+        getOpt(rec, name).map(_.asInstanceOf[Int]).getOrElse(d)
+      def longOr(name: String, d: Long) =
+        getOpt(rec, name).map(_.asInstanceOf[Long]).getOrElse(d)
       out += ManifestFile(
         path = rec.get("manifest_path").toString,
         length = rec.get("manifest_length").asInstanceOf[Long],
         specId = rec.get("partition_spec_id").asInstanceOf[Int],
-        content = rec.get("content").asInstanceOf[Int],
-        sequenceNumber = rec.get("sequence_number").asInstanceOf[Long],
-        minSequenceNumber = rec.get("min_sequence_number").asInstanceOf[Long],
+        content = intOr("content", 0),
+        sequenceNumber = longOr("sequence_number", 0L),
+        minSequenceNumber = longOr("min_sequence_number", 0L),
         addedSnapshotId = rec.get("added_snapshot_id").asInstanceOf[Long],
-        addedFilesCount = rec.get("added_files_count").asInstanceOf[Int],
-        existingFilesCount = rec.get("existing_files_count").asInstanceOf[Int],
-        deletedFilesCount = rec.get("deleted_files_count").asInstanceOf[Int],
-        addedRowsCount = rec.get("added_rows_count").asInstanceOf[Long],
-        existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Long],
-        deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Long],
-        partitions = partitions)
+        addedFilesCount = intOr("added_files_count", 0),
+        existingFilesCount = intOr("existing_files_count", 0),
+        deletedFilesCount = intOr("deleted_files_count", 0),
+        addedRowsCount = longOr("added_rows_count", 0L),
+        existingRowsCount = longOr("existing_rows_count", 0L),
+        deletedRowsCount = longOr("deleted_rows_count", 0L),
+        partitions = partitions,
+        firstRowId = getOpt(rec, "first_row_id").map(_.asInstanceOf[Long]))
     }
     reader.close()
     out.result()

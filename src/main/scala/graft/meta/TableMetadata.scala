@@ -103,14 +103,34 @@ object TableMetadataJson {
   private val mapper = new ObjectMapper()
 
   // ----------------------------------------------------------------- write
+  /** Serialize per `format-version` (reference `table/metadata.go:1611-1832`:
+    * `metadataV1` adds flat `schema`/`partition-spec` and has no sequence
+    * numbers; `metadataV2` adds required `last-sequence-number`;
+    * `metadataV3` additionally requires `next-row-id`).
+    */
   def write(m: TableMetadata): String = {
+    require(m.formatVersion >= 1 && m.formatVersion <= 3,
+      s"unsupported format-version ${m.formatVersion}")
+    if (m.formatVersion == 1)
+      m.defaultSpec.fields.zipWithIndex.foreach { case (f, i) =>
+        require(f.fieldId == 1000 + i,
+          s"v1 constraint: partition field IDs are not sequential: " +
+            s"expected ${1000 + i}, got ${f.fieldId}")
+      }
     val root = mapper.createObjectNode()
     root.put("format-version", m.formatVersion)
     root.put("table-uuid", m.tableUuid)
     root.put("location", m.location)
-    root.put("last-sequence-number", m.lastSequenceNumber)
+    if (m.formatVersion >= 2) root.put("last-sequence-number", m.lastSequenceNumber)
     root.put("last-updated-ms", m.lastUpdatedMs)
     root.put("last-column-id", m.lastColumnId)
+    if (m.formatVersion == 1) {
+      // v1 readers predate `schemas`/`partition-specs`; write the flat forms
+      // alongside the modern lists so both generations can read the file.
+      root.set[JsonNode]("schema", schemaToJson(m.currentSchema))
+      root.set[JsonNode]("partition-spec",
+        specToJson(m.defaultSpec).get("fields"))
+    }
     root.put("current-schema-id", m.currentSchemaId)
     root.set[JsonNode]("schemas", arr(m.schemas.map(schemaToJson)))
     root.put("default-spec-id", m.defaultSpecId)
@@ -138,7 +158,8 @@ object TableMetadataJson {
       refs.set[JsonNode](name, o)
     }
     root.set[JsonNode]("refs", refs)
-    m.nextRowId.foreach(root.put("next-row-id", _)) // v3 row lineage
+    // next-row-id is required in v3 (row lineage) and unknown to v1/v2 readers
+    if (m.formatVersion >= 3) root.put("next-row-id", m.nextRowId.getOrElse(0L))
     if (m.statistics.nonEmpty)
       root.set[JsonNode]("statistics", arr(m.statistics.map { sf =>
         val o = mapper.createObjectNode()

@@ -193,7 +193,8 @@ final class IceTable private (
       val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
       val entries = files.map(f =>
         ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
-      val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema)
+      val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema,
+        formatVersion = meta.formatVersion)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       commitManifests(Seq(mf), snapId, seq, commitUuid, "append",
         addedFiles = files.size, addedRecords = files.map(_.recordCount).sum,
@@ -237,14 +238,15 @@ final class IceTable private (
               sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
         }
         val mergedPath = s"$location/metadata/$commitUuid-merged.avro"
-        val merged = ManifestIO.writeManifest(mergedPath, entries, spec, schema)
+        val merged = ManifestIO.writeManifest(mergedPath, entries, spec, schema,
+          formatVersion = meta.formatVersion)
           .copy(sequenceNumber = seq,
             minSequenceNumber = entries.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
             addedSnapshotId = snapId)
         merged +: assembled.filter(_.content == 1)
       }
     val listPath = s"$location/metadata/snap-$snapId-$attempt-$commitUuid.avro"
-    ManifestIO.writeManifestList(listPath, finalManifests)
+    ManifestIO.writeManifestList(listPath, finalManifests, meta.formatVersion)
     val now = System.currentTimeMillis()
     val totalRecords =
       parent.flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L) + addedRecords
@@ -256,8 +258,12 @@ final class IceTable private (
       "added-records" -> addedRecords.toString,
       "total-records" -> totalRecords.toString,
       "total-data-files" -> totalFiles.toString)
+    // v3 row lineage: the snapshot records the first row ID it assigns and
+    // the table counter advances by the rows added (reference
+    // `table/snapshots.go:249-258` + metadata `next-row-id`)
+    val firstRowId = if (meta.formatVersion >= 3) Some(meta.nextRowId.getOrElse(0L)) else None
     val snap = Snapshot(snapId, meta.currentSnapshotId, seq, now, listPath, summary,
-      meta.currentSchemaId)
+      meta.currentSchemaId, firstRowId = firstRowId)
     val newMeta = meta.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
@@ -265,7 +271,8 @@ final class IceTable private (
       snapshots = meta.snapshots :+ snap,
       snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
       properties = meta.properties -- removeProps ++ setProps,
-      refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")))
+      refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")),
+      nextRowId = firstRowId.map(_ + addedRecords))
     version = catalog.commit(name, version, newMeta)
     meta = newMeta
     maintainMetadata()
@@ -297,7 +304,8 @@ final class IceTable private (
       toKeep.map(_.copy(status = ManifestEntryStatus.Existing)) ++
       toDelete.map(_.copy(status = ManifestEntryStatus.Deleted, snapshotId = snapId))
     val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
-    val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema)
+    val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema,
+        formatVersion = meta.formatVersion)
       .copy(sequenceNumber = seq,
         minSequenceNumber = toKeep.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
         addedSnapshotId = snapId)
@@ -373,7 +381,7 @@ final class IceTable private (
     val now = System.currentTimeMillis()
     val parent = meta.currentSnapshot
     val listPath = s"$location/metadata/snap-$snapId-1-${UUID.randomUUID()}.avro"
-    ManifestIO.writeManifestList(listPath, manifests)
+    ManifestIO.writeManifestList(listPath, manifests, meta.formatVersion)
     val prevTotalRecords =
       parent.flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
     val prevTotalFiles =
@@ -386,15 +394,17 @@ final class IceTable private (
       "deleted-records" -> removedRecords.toString,
       "total-records" -> (prevTotalRecords + addedRecords - removedRecords).toString,
       "total-data-files" -> (prevTotalFiles + addedFiles - removedFiles).toString)
+    val firstRowId = if (meta.formatVersion >= 3) Some(meta.nextRowId.getOrElse(0L)) else None
     val snap = Snapshot(snapId, meta.currentSnapshotId, seq, now, listPath, summary,
-      meta.currentSchemaId)
+      meta.currentSchemaId, firstRowId = firstRowId)
     val newMeta = meta.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
       currentSnapshotId = Some(snapId),
       snapshots = meta.snapshots :+ snap,
       snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
-      refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")))
+      refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")),
+      nextRowId = firstRowId.map(_ + addedRecords))
     version = catalog.commit(name, version, newMeta)
     meta = newMeta
     maintainMetadata()
@@ -442,7 +452,7 @@ final class IceTable private (
     val entries = files.map(f =>
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
     val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
-        schemaNow, content = 1)
+        schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
     Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
       addedFiles = 0, addedRecords = 0))
@@ -516,7 +526,7 @@ final class IceTable private (
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
     val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
     val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
-        schemaNow, content = 1)
+        schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
     if (!dropDeleteManifests)
       Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
@@ -590,7 +600,7 @@ final class IceTable private (
     val entries = files.map(f =>
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
     val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
-        schemaNow, content = 1)
+        schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
     commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
       addedFiles = 0, addedRecords = 0)
@@ -625,12 +635,12 @@ final class IceTable private (
       val dataEntries = dataFiles.map(f =>
         ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
       val dataMf = ManifestIO.writeManifest(s"$location/metadata/$commitUuid-m0.avro",
-          dataEntries, spec, schemaNow)
+          dataEntries, spec, schemaNow, formatVersion = meta.formatVersion)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       val deleteEntries = deleteFiles.map(f =>
         ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
       val deleteMf = ManifestIO.writeManifest(s"$location/metadata/$commitUuid-m1.avro",
-          deleteEntries, PartitionSpec.Unpartitioned, schemaNow, content = 1)
+          deleteEntries, PartitionSpec.Unpartitioned, schemaNow, formatVersion = meta.formatVersion, content = 1)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       commitManifests(Seq(dataMf, deleteMf), snapId, seq, commitUuid, "overwrite",
         addedFiles = dataFiles.size, addedRecords = dataFiles.map(_.recordCount).sum)
@@ -1302,9 +1312,15 @@ object IceTable {
 
   private def newTableMetadata(catalog: Catalog, name: String, schema: IceSchema,
       spec: PartitionSpec, properties: Map[String, String],
-      sortOrder: SortOrder): TableMetadata =
+      sortOrder: SortOrder): TableMetadata = {
+    // the requested format version rides in as a property and is consumed
+    // here, exactly like the reference (`table/metadata.go:1884-1906`
+    // NewMetadata + PropertyFormatVersion); default v2
+    val formatVersion = properties.get("format-version").map(_.toInt).getOrElse(2)
+    require(formatVersion >= 1 && formatVersion <= 3,
+      s"unsupported format-version $formatVersion")
     TableMetadata(
-      formatVersion = 2,
+      formatVersion = formatVersion,
       tableUuid = UUID.randomUUID().toString,
       location = catalog.tableLocation(name),
       lastSequenceNumber = 0L,
@@ -1317,9 +1333,11 @@ object IceTable {
       lastPartitionId = spec.lastAssignedFieldId,
       defaultSortOrderId = sortOrder.orderId,
       sortOrders = Seq(sortOrder),
-      properties = properties,
+      properties = properties - "format-version",
       currentSnapshotId = None,
-      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty)
+      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty,
+      nextRowId = if (formatVersion >= 3) Some(0L) else None)
+  }
 
   def load(catalog: Catalog, name: String): IceTable =
     new IceTable(catalog, name, catalog.load(name), catalog.currentVersion(name))

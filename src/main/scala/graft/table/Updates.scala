@@ -21,7 +21,9 @@ final case class UpgradeFormatVersion(version: Int) extends TableUpdate {
   def apply(m: TableMetadata): TableMetadata = {
     require(version >= m.formatVersion, s"cannot downgrade v${m.formatVersion} to v$version")
     require(version <= 3, s"unsupported format version $version")
-    m.copy(formatVersion = version)
+    // entering v3 starts the row-lineage counter (next-row-id is required)
+    m.copy(formatVersion = version,
+      nextRowId = if (version >= 3) m.nextRowId.orElse(Some(0L)) else m.nextRowId)
   }
 }
 
