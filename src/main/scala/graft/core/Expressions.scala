@@ -168,6 +168,18 @@ object Predicates {
           Some(micros)
         case _ => Some(v.asInstanceOf[Number].longValue())
       }
+      case IceTimestampNs | IceTimestampTzNs => v match {
+        case l: Long => Some(l)
+        case s: String => // ISO date or date-time → epoch NANOS (UTC, v3 type)
+          val nanos =
+            if (s.length <= 10) java.time.LocalDate.parse(s).toEpochDay * 86400000000000L
+            else {
+              val i = java.time.Instant.parse(if (s.endsWith("Z")) s else s + "Z")
+              i.getEpochSecond * 1000000000L + i.getNano
+            }
+          Some(nanos)
+        case _ => Some(v.asInstanceOf[Number].longValue())
+      }
       case IceFloat => Some(v.asInstanceOf[Number].floatValue())
       case IceDouble => Some(v.asInstanceOf[Number].doubleValue())
       case IceDecimal(_, s) => v match {

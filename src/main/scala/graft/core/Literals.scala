@@ -23,7 +23,7 @@ object Bounds {
     case IceInt | IceDate =>
       ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         .putInt(v.asInstanceOf[Number].intValue()).array()
-    case IceLong | IceTime | IceTimestamp | IceTimestampTz =>
+    case IceLong | IceTime | IceTimestamp | IceTimestampTz | IceTimestampNs | IceTimestampTzNs =>
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         .putLong(v.asInstanceOf[Number].longValue()).array()
     case IceFloat =>
@@ -52,7 +52,7 @@ object Bounds {
     case IceBoolean => bytes(0) != 0
     case IceInt | IceDate =>
       ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt
-    case IceLong | IceTime | IceTimestamp | IceTimestampTz =>
+    case IceLong | IceTime | IceTimestamp | IceTimestampTz | IceTimestampNs | IceTimestampTzNs =>
       ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong
     case IceFloat => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat
     case IceDouble => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble
@@ -70,7 +70,7 @@ object Bounds {
     case IceBoolean => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
     case IceInt | IceDate =>
       Integer.compare(a.asInstanceOf[Number].intValue(), b.asInstanceOf[Number].intValue())
-    case IceLong | IceTime | IceTimestamp | IceTimestampTz =>
+    case IceLong | IceTime | IceTimestamp | IceTimestampTz | IceTimestampNs | IceTimestampTzNs =>
       java.lang.Long.compare(a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
     case IceFloat => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
     case IceDouble => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])

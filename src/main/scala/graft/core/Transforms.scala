@@ -53,6 +53,10 @@ case object IdentityTransform extends Transform {
         val micros = v.asInstanceOf[Number].longValue()
         Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
           Math.floorMod(micros, 1000000L) * 1000L).toString
+      case IceTimestampNs | IceTimestampTzNs =>
+        val nanos = v.asInstanceOf[Number].longValue()
+        Instant.ofEpochSecond(Math.floorDiv(nanos, 1000000000L),
+          Math.floorMod(nanos, 1000000000L)).toString
       case IceBinary | IceFixed(_) =>
         java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
       case _ => v.toString
@@ -78,6 +82,10 @@ final case class BucketTransform(n: Int) extends Transform {
         case IceInt | IceDate => Murmur3.hashLong(v.asInstanceOf[Number].longValue())
         case IceLong | IceTime | IceTimestamp | IceTimestampTz =>
           Murmur3.hashLong(v.asInstanceOf[Number].longValue())
+        case IceTimestampNs | IceTimestampTzNs =>
+          // spec appendix B: ns timestamps hash their µs value, so the same
+          // instant buckets identically across timestamp precisions
+          Murmur3.hashLong(Math.floorDiv(v.asInstanceOf[Number].longValue(), 1000L))
         case IceString => Murmur3.hashString(v.asInstanceOf[String])
         case IceDecimal(_, _) => v match {
           case b: java.math.BigDecimal => Murmur3.hashDecimal(b.unscaledValue())
@@ -90,8 +98,16 @@ final case class BucketTransform(n: Int) extends Transform {
       (h & Int.MaxValue) % n
     }
 
-  def toColumn(c: Column, source: IceType): Column =
-    GraftShim.column(IceBucketExpr(GraftShim.expression(c), n))
+  def toColumn(c: Column, source: IceType): Column = source match {
+    case IceTimestampNs | IceTimestampTzNs =>
+      // floor-divide the nanos long to µs before hashing (spec appendix B);
+      // exact long arithmetic — a double division would lose sub-µs bits
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal => CLit, Pmod, Subtract}
+      val ns = GraftShim.expression(c)
+      val micros = IntegralDivide(Subtract(ns, Pmod(ns, CLit(1000L))), CLit(1000L))
+      GraftShim.column(IceBucketExpr(micros, n))
+    case _ => GraftShim.column(IceBucketExpr(GraftShim.expression(c), n))
+  }
 
   /** Bucket is not order-preserving: only Eq/In (and null checks) project
     * (reference `transforms.go:349-373`).
@@ -194,6 +210,8 @@ sealed abstract class TimeTransform extends Transform {
     else source match {
       case IceDate => fromDays(v.asInstanceOf[Number].intValue())
       case IceTimestamp | IceTimestampTz => fromMicros(v.asInstanceOf[Number].longValue())
+      case IceTimestampNs | IceTimestampTzNs =>
+        fromMicros(Math.floorDiv(v.asInstanceOf[Number].longValue(), 1000L))
       case other => throw new IllegalArgumentException(s"cannot apply $name to $other")
     }
 
@@ -227,12 +245,16 @@ sealed abstract class TimeTransform extends Transform {
   protected def microsFloorDiv(c: Column, source: IceType, unitMicros: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Literal => CLit, Pmod, Subtract}
     import org.apache.spark.sql.types.TimestampType
-    val instant = source match {
+    val micros = source match {
+      case IceTimestampNs | IceTimestampTzNs =>
+        // ns columns are LongType (nanos); exact long floor-div to µs
+        val ns = GraftShim.expression(c)
+        IntegralDivide(Subtract(ns, Pmod(ns, CLit(1000L))), CLit(1000L))
       case IceTimestamp =>
-        GraftShim.column(Cast(GraftShim.expression(c), TimestampType, Some("UTC")))
-      case _ => c
+        GraftShim.expression(unix_micros(
+          GraftShim.column(Cast(GraftShim.expression(c), TimestampType, Some("UTC")))))
+      case _ => GraftShim.expression(unix_micros(c))
     }
-    val micros = GraftShim.expression(unix_micros(instant))
     val unit = CLit(unitMicros)
     val floored = IntegralDivide(Subtract(micros, Pmod(micros, unit)), unit)
     GraftShim.column(Cast(floored, IntegerType))

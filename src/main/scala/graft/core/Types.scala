@@ -31,6 +31,11 @@ case object IceDate extends IceType
 case object IceTime extends IceType
 case object IceTimestamp extends IceType // µs, no tz → TimestampNTZType
 case object IceTimestampTz extends IceType // µs UTC → TimestampType
+/** ns since epoch, no tz (v3+, reference `types.go:704-716`). Spark
+  * timestamps are µs, so ns values surface as LongType (SURVEY §1.2).
+  */
+case object IceTimestampNs extends IceType
+case object IceTimestampTzNs extends IceType // ns UTC (v3+) → LongType
 case object IceString extends IceType
 case object IceUUID extends IceType
 final case class IceFixed(length: Int) extends IceType
@@ -68,6 +73,8 @@ object IceType {
     case IceTime => "time"
     case IceTimestamp => "timestamp"
     case IceTimestampTz => "timestamptz"
+    case IceTimestampNs => "timestamp_ns"
+    case IceTimestampTzNs => "timestamptz_ns"
     case IceString => "string"
     case IceUUID => "uuid"
     case IceFixed(n) => s"fixed[$n]"
@@ -90,6 +97,8 @@ object IceType {
     case "time" => IceTime
     case "timestamp" => IceTimestamp
     case "timestamptz" => IceTimestampTz
+    case "timestamp_ns" => IceTimestampNs
+    case "timestamptz_ns" => IceTimestampTzNs
     case "string" => IceString
     case "uuid" => IceUUID
     case FixedRe(n) => IceFixed(n.toInt)
@@ -121,6 +130,7 @@ object IceType {
     case IceTime => LongType
     case IceTimestamp => TimestampNTZType
     case IceTimestampTz => TimestampType
+    case IceTimestampNs | IceTimestampTzNs => LongType // ns exceed µs timestamps
     case IceString => StringType
     case IceUUID => StringType
     case IceFixed(_) => BinaryType

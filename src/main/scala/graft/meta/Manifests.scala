@@ -102,6 +102,8 @@ object ManifestIO {
     case IceLong | IceTime => "\"long\""
     case IceTimestamp | IceTimestampTz =>
       """{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":true}"""
+    case IceTimestampNs | IceTimestampTzNs =>
+      """{"type":"long","logicalType":"timestamp-nanos","adjust-to-utc":true}"""
     case IceFloat => "\"float\""
     case IceDouble => "\"double\""
     case IceString | IceUUID => "\"string\""

@@ -117,6 +117,11 @@ object TableMetadataJson {
           s"v1 constraint: partition field IDs are not sequential: " +
             s"expected ${1000 + i}, got ${f.fieldId}")
       }
+    if (m.formatVersion < 3)
+      m.schemas.foreach(_.byId.values.foreach { f =>
+        require(f.tpe != IceTimestampNs && f.tpe != IceTimestampTzNs,
+          s"field '${f.name}': ${IceType.toSpecString(f.tpe)} requires format-version 3+")
+      })
     val root = mapper.createObjectNode()
     root.put("format-version", m.formatVersion)
     root.put("table-uuid", m.tableUuid)
@@ -263,7 +268,8 @@ object TableMetadataJson {
     case graft.core.IceBoolean => n.asBoolean()
     case graft.core.IceInt | graft.core.IceDate => n.asInt()
     case graft.core.IceLong | graft.core.IceTime |
-         graft.core.IceTimestamp | graft.core.IceTimestampTz => n.asLong()
+         graft.core.IceTimestamp | graft.core.IceTimestampTz |
+         graft.core.IceTimestampNs | graft.core.IceTimestampTzNs => n.asLong()
     case graft.core.IceFloat => n.asDouble().toFloat
     case graft.core.IceDouble => n.asDouble()
     case graft.core.IceDecimal(_, s) => new java.math.BigDecimal(n.asText()).setScale(s)

@@ -174,6 +174,13 @@ object DataWriter {
       // and the manifest partition tuple would disagree with the true value
       val i = java.time.Instant.parse(if (norm.endsWith("Z")) norm else norm + "Z")
       i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case IceTimestampNs | IceTimestampTzNs =>
+      if (s.matches("-?\\d+")) s.toLong // LongType surrogate writes raw nanos
+      else {
+        val norm = s.replace(' ', 'T')
+        val i = java.time.Instant.parse(if (norm.endsWith("Z")) norm else norm + "Z")
+        i.getEpochSecond * 1000000000L + i.getNano
+      }
     case IceString | IceUUID => s
     case IceDouble => s.toDouble
     case IceFloat => s.toFloat

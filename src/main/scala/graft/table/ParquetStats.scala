@@ -156,7 +156,8 @@ object ParquetStats {
   private def decodeStat(t: IceType, v: AnyRef): Option[Any] = (t, v) match {
     case (_, null) => None
     case (IceInt | IceDate, i: Integer) => Some(i.intValue())
-    case (IceLong | IceTime | IceTimestamp | IceTimestampTz, l: java.lang.Long) =>
+    case (IceLong | IceTime | IceTimestamp | IceTimestampTz |
+          IceTimestampNs | IceTimestampTzNs, l: java.lang.Long) =>
       Some(l.longValue())
     case (IceFloat, f: java.lang.Float) => if (f.isNaN) None else Some(f.floatValue())
     case (IceDouble, d: java.lang.Double) => if (d.isNaN) None else Some(d.doubleValue())

@@ -114,4 +114,30 @@ class TransformsSpec extends AnyFunSuite {
     assert(DayTransform.project("p", bp(Op.GtEq, 17486L * dayMicros))
       .contains(Pred(Op.GtEq, "p", Seq(17486))))
   }
+
+  test("timestamp_ns (v3): transforms agree with the µs value of the same instant") {
+    // 2017-11-16T22:31:08 = 1510871468 s; ns value carries sub-µs digits
+    val micros = 1510871468000000L
+    val nanos = micros * 1000L + 987L
+    // bucket hashes the µs value (spec appendix B) → identical buckets
+    val b = BucketTransform(16)
+    assert(b.apply(IceTimestampNs, nanos) == b.apply(IceTimestamp, micros))
+    assert(b.apply(IceTimestampTzNs, nanos) == Murmur3.hashLong(micros).&(Int.MaxValue) % 16)
+    // time transforms floor to the same periods
+    Seq(YearTransform, MonthTransform, DayTransform, HourTransform).foreach { t =>
+      assert(t.apply(IceTimestampNs, nanos) == t.apply(IceTimestamp, micros), t.name)
+    }
+    // pre-epoch floor division (not truncation toward zero)
+    val preEpochNs = -1L // 1969-12-31T23:59:59.999999999
+    assert(DayTransform.apply(IceTimestampNs, preEpochNs) == -1)
+    assert(HourTransform.apply(IceTimestampTzNs, preEpochNs) == -1)
+    // identity human string renders the full nano precision
+    assert(IdentityTransform.toHumanString(IceTimestampNs, nanos) ==
+      "2017-11-16T22:31:08.000000987Z")
+    // spec string + literal codec round-trips
+    assert(IceType.fromSpecString("timestamp_ns") == IceTimestampNs)
+    assert(IceType.fromSpecString("timestamptz_ns") == IceTimestampTzNs)
+    assert(Bounds.decode(IceTimestampNs, Bounds.encode(IceTimestampNs, nanos)) == nanos)
+    assert(Bounds.compare(IceTimestampTzNs, nanos, micros * 1000L) > 0)
+  }
 }

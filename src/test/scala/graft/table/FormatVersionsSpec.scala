@@ -181,6 +181,42 @@ class FormatVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(listSchema.getField("first_row_id") != null)
   }
 
+  test("timestamp_ns column: v3 table over nanosecond events, day-partitioned") {
+    // events.parquet carries parquet TIMESTAMP(NANOS); Spark surfaces it as
+    // LongType under nanosAsLong — exactly our LongType surrogate for the
+    // v3 timestamp_ns type (reference `types.go:704-716`)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "ts", "user_id")
+    val base = SchemaConv.fromSpark(events.schema)
+    val schema = IceSchema(base.schemaId, base.fields.map(f =>
+      if (f.name == "ts") f.copy(tpe = IceTimestampNs) else f))
+    val tsId = schema.findByName("ts").get.id
+    val spec = PartitionSpec(0, Seq(PartitionField(tsId, 1000, "ts_day", DayTransform)))
+    val t = IceTable.create(catalog, "ev_ns", schema, spec,
+      properties = Map("format-version" -> "3"))
+    t.append(events)
+
+    // full scan matches the direct read
+    assert(t.scan(spark).count() == events.count())
+    // a ns-typed predicate plans + executes; result matches the long filter
+    val cut = events.selectExpr("percentile_approx(ts, 0.5)").first().getLong(0)
+    val mine = t.scan(spark, graft.core.Predicates.gtEq("ts", cut))
+    assert(mine.count() == events.where(s"ts >= ${cut}L").count())
+    // day-transform partition pruning: a far-future cut plans zero files
+    val futureNs = 4102444800L * 1000000000L // 2100-01-01
+    assert(t.scan(spark, graft.core.Predicates.gtEq("ts", futureNs)).count() == 0)
+  }
+
+  test("timestamp_ns requires format-version 3 at metadata write") {
+    val schema = IceSchema(0, Seq(NestedField(1, "ts", IceTimestampNs, required = true)))
+    val ex = intercept[IllegalArgumentException] {
+      IceTable.create(catalog, "ev_ns_v2", schema,
+        properties = Map("format-version" -> "2"))
+    }
+    assert(ex.getMessage.contains("requires format-version 3"))
+  }
+
   test("upgrading a v2 table to v3 seeds the row-lineage counter") {
     val m2 = IceTable.load(catalog, "r_v1").metadata.copy(formatVersion = 2)
     val m3 = UpgradeFormatVersion(3).apply(m2)
