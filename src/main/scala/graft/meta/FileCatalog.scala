@@ -57,7 +57,7 @@ trait Catalog {
   * identifier, so absolute file paths in manifests stay valid.
   */
 final class FileCatalog(val warehouse: String) extends Catalog {
-  private val conf = new Configuration()
+  private def conf = FileIO.conf
 
   private def ptrFile(name: String) = s"$warehouse/$name.ptr"
   private def tombstone(location: String) = s"$location/metadata/renamed-away.text"
@@ -240,8 +240,12 @@ final class FileCatalog(val warehouse: String) extends Catalog {
       Files.deleteIfExists(Paths.get(stripScheme(versionFile(name, v))))
     }
 
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+  /** Local-path view of a warehouse URI. The control plane (pointer files,
+    * version JSONs, the hard-link CAS) is java.nio over POSIX paths — that
+    * is what makes link(2) an atomic commit point — so any scheme must
+    * reduce to its path part here.
+    */
+  private def stripScheme(p: String): String = MetadataFiles.stripScheme(p)
 }
 
 final class CommitConflictException(msg: String) extends IOException(msg)

@@ -1,0 +1,88 @@
+package graft.meta
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+
+/** Object-storage configuration seam (reference `io/io.go` + the
+  * property-driven clients `io/s3.go:42-135`, `io/gcs.go:34-60`,
+  * `io/azure.go:36-60`).
+  *
+  * The reference builds a cloud SDK client per scheme from flat catalog/table
+  * properties (`s3.endpoint`, `s3.access-key-id`, ...). On the JVM the
+  * equivalent data plane is the Hadoop FileSystem connector family (s3a, gs,
+  * abfs) that Spark's parquet reader already rides, so this seam translates
+  * the SAME property names onto the connectors' configuration keys and every
+  * metadata-plane component (catalog, manifests, Puffin, writers) resolves
+  * its FileSystem through [[conf]]. One property vocabulary thus configures
+  * both planes: Spark scans (via [[sparkHadoopSettings]] applied to the
+  * session) and our direct metadata IO.
+  *
+  * Unknown `s3.`/`gcs.`/`adls.` keys are ignored (the reference does the
+  * same); `hadoop.`-prefixed keys pass through verbatim minus the prefix,
+  * which is also the zero-egress test seam — an in-process FileSystem
+  * implementation registered via `hadoop.fs.<scheme>.impl`.
+  */
+object FileIO {
+  /** Property → Hadoop key translations (reference `io/s3.go:42-50`,
+    * `io/gcs.go:34-37`, `io/azure.go:38-44`; Hadoop keys per the s3a/gs/abfs
+    * connector docs).
+    */
+  private val S3Mappings: Map[String, String] = Map(
+    "s3.endpoint" -> "fs.s3a.endpoint",
+    "s3.access-key-id" -> "fs.s3a.access.key",
+    "s3.secret-access-key" -> "fs.s3a.secret.key",
+    "s3.session-token" -> "fs.s3a.session.token",
+    "s3.region" -> "fs.s3a.endpoint.region",
+    "s3.connect-timeout" -> "fs.s3a.connection.establish.timeout",
+    "s3.proxy-uri" -> "fs.s3a.proxy.host")
+
+  private val GcsMappings: Map[String, String] = Map(
+    "gcs.endpoint" -> "fs.gs.storage.root.url",
+    "gcs.keypath" -> "fs.gs.auth.service.account.json.keyfile")
+
+  private val AdlsMappings: Map[String, String] = Map(
+    "adls.connection-string" -> "fs.azure.account.connection.string")
+
+  private val applied = new ConcurrentHashMap[String, String]()
+
+  /** The shared Hadoop configuration all metadata-plane IO resolves through. */
+  val conf: Configuration = new Configuration()
+
+  /** Apply FileIO properties. Later calls override earlier ones key-by-key;
+    * unrelated table properties are ignored, so passing a whole
+    * `TableMetadata.properties` map is safe.
+    */
+  def configure(props: Map[String, String]): Unit =
+    hadoopSettings(props).foreach { case (k, v) =>
+      applied.put(k, v)
+      conf.set(k, v)
+    }
+
+  /** The Hadoop-key view of a FileIO property map, for callers that own a
+    * separate Configuration — notably the Spark session's
+    * `spark.sparkContext.hadoopConfiguration`, which the parquet data plane
+    * reads instead of ours.
+    */
+  def hadoopSettings(props: Map[String, String]): Map[String, String] = {
+    val direct = props.collect {
+      case (k, v) if k.startsWith("hadoop.") => k.stripPrefix("hadoop.") -> v
+    }
+    val mapped = (S3Mappings ++ GcsMappings ++ AdlsMappings).collect {
+      case (prop, hadoopKey) if props.contains(prop) => hadoopKey -> props(prop)
+    }
+    // s3.force-virtual-addressing=true ↔ path-style OFF (reference
+    // `io/s3.go:130-134` inverts it the same way)
+    val pathStyle = props.get("s3.force-virtual-addressing").map { v =>
+      "fs.s3a.path.style.access" -> (!v.toBoolean).toString
+    }
+    direct ++ mapped ++ pathStyle
+  }
+
+  /** Settings applied so far (for mirroring onto a Spark session). */
+  def sparkHadoopSettings: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    applied.forEach((k, v) => b += k -> v)
+    b.result()
+  }
+}

@@ -92,7 +92,7 @@ final case class ManifestFile(
     firstRowId: Option[Long] = None)
 
 object ManifestIO {
-  private val conf = new Configuration()
+  private def conf = FileIO.conf
 
   // ------------------------------------------------------------- schemas
   private def avroPrimitive(t: IceType): String = t match {

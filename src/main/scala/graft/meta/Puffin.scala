@@ -25,7 +25,7 @@ import org.roaringbitmap.longlong.Roaring64NavigableMap
 object Puffin {
   private val Magic = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
   private val DvMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
-  private val conf = new Configuration()
+  private def conf = FileIO.conf
 
   final case class BlobDescriptor(
       blobType: String,

@@ -246,6 +246,12 @@ object MetadataFiles {
     } else new String(raw, StandardCharsets.UTF_8)
   }
 
-  def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+  /** Local-path view of a metadata URI: strip ANY scheme, not just `file:`
+    * — a foreign scheme left in place resolves as a relative directory named
+    * `scheme:` under the working directory.
+    */
+  def stripScheme(p: String): String = {
+    val m = "^[A-Za-z][A-Za-z0-9+.-]*:(//)?".r.findFirstIn(p)
+    m.map(p.stripPrefix).getOrElse(p)
+  }
 }

@@ -27,7 +27,7 @@ import graft.meta.{DataFile, PartitionSpec, SortOrder}
   * and parallelized driver-side.
   */
 object DataWriter {
-  private val conf = new Configuration()
+  private def conf = graft.meta.FileIO.conf
   private val PartPrefix = "_p_"
   private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 

@@ -161,7 +161,7 @@ final class IceTable private (
     require(spec.isUnpartitioned, "addFiles supports unpartitioned tables")
     val nameToId = NameMapping.index(nameMapping)
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(location), new org.apache.hadoop.conf.Configuration())
+      new java.net.URI(location), graft.meta.FileIO.conf)
     val files = paths.par.map { p =>
       val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
       ParquetStats.toDataFile(p, len, schema, Nil, nameToId = Some(nameToId))
@@ -514,7 +514,7 @@ final class IceTable private (
     }
     val (placed, _) = Puffin.write(puffinPath, descriptors)
     val fileLen = org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(puffinPath), new org.apache.hadoop.conf.Configuration())
+      .get(new java.net.URI(puffinPath), graft.meta.FileIO.conf)
       .getFileStatus(new org.apache.hadoop.fs.Path(puffinPath)).getLen
     val files = placed.zip(bitmaps).map { case (d, (ref, _, card)) =>
       DataFile(content = 1, filePath = puffinPath, fileFormat = "puffin",
@@ -917,7 +917,7 @@ final class IceTable private (
     } ++ extraBlobs ++ carriedCodebooks
     val (placed, footerSize) = Puffin.write(path, descriptors)
     val size = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+        new java.net.URI(path), graft.meta.FileIO.conf)
       .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen
     val blobs = placed.map(d => BlobMetadata(d.blobType, d.snapshotId,
       d.sequenceNumber, d.fields, d.properties))
@@ -1065,7 +1065,7 @@ final class IceTable private (
     val tmpDir = s"$location/metadata/.pstats-${UUID.randomUUID()}"
     df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmpDir), new org.apache.hadoop.conf.Configuration())
+      new java.net.URI(tmpDir), graft.meta.FileIO.conf)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
       .map(_.getPath).find(_.getName.startsWith("part-")).get
     val dest = new org.apache.hadoop.fs.Path(
@@ -1238,7 +1238,7 @@ final class IceTable private (
       meta.statistics.map(_.statisticsPath).toSet ++
       meta.partitionStatistics.map(_.statisticsPath).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(location), new org.apache.hadoop.conf.Configuration())
+      new java.net.URI(location), graft.meta.FileIO.conf)
     val orphans = Seq.newBuilder[String]
     def walk(dir: String): Unit = {
       val path = new org.apache.hadoop.fs.Path(dir)

@@ -22,7 +22,7 @@ import graft.meta.DataFile
   * data scan (executed with parallel collections over the file list).
   */
 object ParquetStats {
-  private val conf = new Configuration()
+  private def conf = graft.meta.FileIO.conf
   val TruncateWidth = 16
 
   /** `nameToId` overrides footer-column → field-ID resolution (the table's
