@@ -1,0 +1,145 @@
+package graft.meta
+
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.table.IceTable
+
+/** The JDBC catalog (reference `catalog/sql/sql.go`) against embedded Derby:
+  * the same create/append/scan/CAS/rename lifecycle as every other Catalog,
+  * plus the row-level CAS race and the namespace-properties surface.
+  */
+class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def newCatalog(): SqlCatalog = {
+    val dir = Files.createTempDirectory("graft-sql").toString
+    new SqlCatalog(s"jdbc:derby:$dir/db;create=true", s"$dir/warehouse")
+  }
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("sql-catalog-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("SQL catalog: create/append/scan/CAS/rename/drop over JDBC") {
+    val cat = newCatalog()
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(cat, "sql_region", SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    assert(t.scan(spark).count() == region.count())
+    assert(cat.listTables() == Seq("sql_region"))
+    assert(cat.tableExists("sql_region") && !cat.tableExists("nope"))
+    assertThrows[IllegalStateException](
+      IceTable.create(cat, "sql_region", SchemaConv.fromSpark(region.schema)))
+
+    // reload round-trips through the DB pointer and the FS metadata file
+    val reloaded = IceTable.load(cat, "sql_region")
+    assert(reloaded.metadata.currentSnapshotId == t.metadata.currentSnapshotId)
+
+    // stale handle: CAS update misses → conflict → refresh → retry
+    val t2 = IceTable.load(cat, "sql_region")
+    t.append(region.limit(2))
+    t2.append(region.limit(1))
+    assert(IceTable.load(cat, "sql_region").scan(spark).count() == region.count() + 3)
+    // a raw stale commit (no retry loop) surfaces the conflict
+    assertThrows[CommitConflictException](cat.commit("sql_region", 1, t.metadata))
+
+    // rename moves the identifier row; location and files stay
+    cat.renameTable("sql_region", "sql_region2")
+    assert(!cat.tableExists("sql_region") && cat.tableExists("sql_region2"))
+    assert(IceTable.load(cat, "sql_region2").scan(spark).count() == region.count() + 3)
+    assertThrows[IllegalArgumentException](cat.renameTable("sql_region", "x"))
+    IceTable.create(cat, "other", SchemaConv.fromSpark(region.schema))
+    assertThrows[CommitConflictException](cat.renameTable("sql_region2", "other"))
+
+    // delete-after-commit maintenance: old versions reclaimed, current kept
+    val keepFrom = cat.currentVersion("sql_region2")
+    cat.deleteMetadataBefore("sql_region2", keepFrom)
+    assert(IceTable.load(cat, "sql_region2").scan(spark).count() == region.count() + 3)
+
+    cat.dropTable("sql_region2")
+    cat.dropTable("other")
+    assert(cat.listTables().isEmpty)
+  }
+
+  test("SQL catalog: two concurrent CAS commits — the UPDATE admits exactly one") {
+    val cat = newCatalog()
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(cat, "race", SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    val base = cat.load("race")
+    val v = cat.currentVersion("race")
+
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        start.await()
+        try { cat.commit("race", v, base); results.add(true) }
+        catch { case _: CommitConflictException => results.add(false) }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join())
+    assert(results.size() == 2)
+    assert(results.toArray.count(_ == true.asInstanceOf[AnyRef]) == 1)
+    assert(cat.currentVersion("race") == v + 1)
+  }
+
+  test("SQL catalog: staged create commits via the insert race; one of two wins") {
+    val cat = newCatalog()
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SchemaConv.fromSpark(region.schema)
+    val a = IceTable.stageCreate(cat, "staged", schema)
+    val b = IceTable.stageCreate(cat, "staged", schema)
+    assert(!cat.tableExists("staged"))
+    val winner = a.commit()
+    assertThrows[CommitConflictException](b.commit())
+    assert(cat.load("staged").tableUuid == winner.metadata.tableUuid)
+    winner.append(region)
+    assert(winner.scan(spark).count() == region.count())
+  }
+
+  test("SQL catalog: namespaces — create/list/properties/update/drop") {
+    val cat = newCatalog()
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    cat.createNamespace("raw", Map("owner" -> "graft"))
+    assertThrows[IllegalStateException](cat.createNamespace("raw"))
+    assert(cat.listNamespaces() == Seq("raw"))
+    assert(cat.namespaceProperties("raw") == Map("owner" -> "graft"))
+    cat.updateNamespaceProperties("raw", removals = Seq("owner"),
+      updates = Map("retention" -> "30d"))
+    assert(cat.namespaceProperties("raw") == Map("retention" -> "30d"))
+
+    // tables are namespaced; creating into a missing namespace is rejected
+    assertThrows[IllegalArgumentException](
+      IceTable.create(cat, "nope.t", SchemaConv.fromSpark(region.schema)))
+    val t = IceTable.create(cat, "raw.region", SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    assert(cat.listTables() == Seq("raw.region"))
+    assert(IceTable.load(cat, "raw.region").scan(spark).count() == region.count())
+
+    // a namespace with tables refuses to drop; emptied, it drops
+    assertThrows[IllegalStateException](cat.dropNamespace("raw"))
+    cat.dropTable("raw.region")
+    cat.dropNamespace("raw")
+    assert(cat.listNamespaces().isEmpty)
+  }
+}
