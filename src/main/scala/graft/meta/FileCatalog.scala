@@ -39,6 +39,13 @@ trait Catalog {
       case e: IllegalArgumentException => throw new CommitConflictException(e.getMessage)
     }
 
+  /** Location of the metadata JSON backing `version` — the `v{N}` warehouse
+    * convention by default; catalogs with other naming override. Feeds the
+    * spec's `metadata-log`, which records each superseded metadata file.
+    */
+  def metadataLocation(name: String, version: Int): String =
+    s"${tableLocation(name)}/metadata/v$version.metadata.json"
+
   /** Rename the catalog identifier; the table location and its files do not
     * move (REST-catalog rename semantics).
     */

@@ -162,6 +162,25 @@ final class SqlCatalog(jdbcUrl: String, warehouse: String,
     if (!moved) throw new IllegalArgumentException(s"no such table: $from")
   }
 
+  /** Attempt-unique names mean older versions must be found by listing; the
+    * current one is just the row's pointer.
+    */
+  override def metadataLocation(name: String, version: Int): String = {
+    val current = pointerOrFail(name)
+    if (SqlCatalog.versionOf(current) == version) current
+    else {
+      val dir = current.substring(0, current.lastIndexOf('/'))
+      val p = Paths.get(MetadataFiles.stripScheme(dir))
+      var found: Option[String] = None
+      if (Files.isDirectory(p)) Files.list(p).forEach { f =>
+        val n = f.getFileName.toString
+        if (SqlCatalog.versionPattern.findFirstMatchIn(n).exists(_.group(1).toInt == version))
+          found = Some(s"$dir/$n")
+      }
+      found.getOrElse(s"$dir/v$version.metadata.json")
+    }
+  }
+
   def readMetadataFile(path: String): String = MetadataFiles.read(path)
 
   def deleteMetadataBefore(name: String, beforeVersion: Int): Unit = {

@@ -74,14 +74,32 @@ final class IceTable private (
     * that do fail with [[RequirementFailedException]] instead of a spurious
     * whole-version race.
     */
+  /** Writers record each superseded metadata file in `metadata-log` (table
+    * spec; reference metadata builder), trimmed to
+    * `write.metadata.previous-versions-max` alongside the files themselves.
+    */
+  private def withMetadataLog(newMeta: TableMetadata): TableMetadata = {
+    val max = meta.properties
+      .getOrElse("write.metadata.previous-versions-max", "100").toInt
+    val entry = MetadataLogEntry(meta.lastUpdatedMs,
+      catalog.metadataLocation(name, version))
+    newMeta.copy(metadataLog = (meta.metadataLog :+ entry).takeRight(max))
+  }
+
+  /** Every metadata CAS goes through here so `metadata-log` stays complete. */
+  private def commitMeta(newMeta: TableMetadata): Unit = {
+    val logged = withMetadataLog(newMeta)
+    version = catalog.commit(name, version, logged)
+    meta = logged
+  }
+
   private def commitWithRequirements(reqs: Seq[TableRequirement],
       update: TableMetadata => TableMetadata, retries: Int = 3): Unit = synchronized {
     reqs.flatMap(_.validate(meta)) match {
       case Nil =>
         val newMeta = update(meta)
         try {
-          version = catalog.commit(name, version, newMeta)
-          meta = newMeta
+          commitMeta(newMeta)
           maintainMetadata()
         } catch {
           case _: CommitConflictException if retries > 0 =>
@@ -273,8 +291,7 @@ final class IceTable private (
       properties = meta.properties -- removeProps ++ setProps,
       refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")),
       nextRowId = firstRowId.map(_ + addedRecords))
-    version = catalog.commit(name, version, newMeta)
-    meta = newMeta
+    commitMeta(newMeta)
     maintainMetadata()
     snap
   }
@@ -405,8 +422,7 @@ final class IceTable private (
       snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
       refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")),
       nextRowId = firstRowId.map(_ + addedRecords))
-    version = catalog.commit(name, version, newMeta)
-    meta = newMeta
+    commitMeta(newMeta)
     maintainMetadata()
     snap
   }
@@ -1196,6 +1212,80 @@ final class IceTable private (
       .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
   }
 
+  /** Named references (the `refs` metadata table; reference `table/refs.go`). */
+  def refsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    meta.refs.toSeq.sortBy(_._1)
+      .map { case (n, r) => (n, r.refType, r.snapshotId) }
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  /** Current-pointer history (the `history` metadata table): one row per
+    * snapshot-log entry, with `is_current_ancestor` walked from the current
+    * snapshot's parent chain — false rows are rolled-back lineage.
+    */
+  def historyDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ancestors = Iterator.iterate(currentSnapshot)(s =>
+      s.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    meta.snapshotLog.map(e => (new java.sql.Timestamp(e.timestampMs), e.snapshotId,
+      meta.snapshotById(e.snapshotId).flatMap(_.parentSnapshotId),
+      ancestors.contains(e.snapshotId)))
+      .toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
+  }
+
+  /** Metadata-file lineage (the `metadata_log_entries` table): prior
+    * metadata JSON files with the snapshot current when each was written.
+    */
+  def metadataLogDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    meta.metadataLog.map { e =>
+      val current = meta.snapshotLog.filter(_.timestampMs <= e.timestampMs)
+        .sortBy(_.timestampMs).lastOption.map(_.snapshotId)
+      (new java.sql.Timestamp(e.timestampMs), e.metadataFile, current)
+    }.toDF("timestamp", "file", "latest_snapshot_id")
+  }
+
+  /** Raw manifest entries of the current snapshot (the `entries` metadata
+    * table): status/snapshot/sequence plus the data-file descriptor, before
+    * any scan-level pruning or delete matching.
+    */
+  def entriesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    currentSnapshot.map { s =>
+      ManifestIO.readManifestList(s.manifestList).flatMap { mf =>
+        val (_, entries) = ManifestIO.readManifest(mf.path, meta.specs, meta.currentSchema)
+        entries.map(e => (e.status, e.snapshotId,
+          e.sequenceNumber.getOrElse(mf.sequenceNumber),
+          e.dataFile.content, e.dataFile.filePath, e.dataFile.fileFormat,
+          e.dataFile.recordCount, e.dataFile.fileSizeInBytes))
+      }.toDF("status", "snapshot_id", "sequence_number", "content", "file_path",
+        "file_format", "record_count", "file_size_in_bytes")
+    }.getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Every live data/delete file reachable from ANY retained snapshot (the
+    * `all_files` metadata table), deduplicated by path — the union
+    * maintenance jobs diff against when deciding what storage still matters.
+    */
+  def allFilesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, (Int, String, String, Long, Long)]
+    meta.snapshots.foreach { s =>
+      ManifestIO.readManifestList(s.manifestList).foreach { mf =>
+        val (_, entries) = ManifestIO.readManifest(mf.path, meta.specs, meta.currentSchema)
+        entries.filter(_.status != ManifestEntryStatus.Deleted).foreach { e =>
+          seen.getOrElseUpdate(e.dataFile.filePath,
+            (e.dataFile.content, e.dataFile.filePath, e.dataFile.fileFormat,
+              e.dataFile.recordCount, e.dataFile.fileSizeInBytes))
+        }
+      }
+    }
+    seen.values.toSeq
+      .toDF("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
+  }
+
   // ---------------------------------------------------------- maintenance
   /** Expire snapshots older than the timestamp, always retaining the current
     * one (reference `Transaction.ExpireSnapshots` `transaction.go:256-363`).
@@ -1216,8 +1306,7 @@ final class IceTable private (
       partitionStatistics =
         meta.partitionStatistics.filterNot(s => expiredIds.contains(s.snapshotId)),
       lastUpdatedMs = System.currentTimeMillis())
-    version = catalog.commit(name, version, newMeta)
-    meta = newMeta
+    commitMeta(newMeta)
   }
 
   /** Delete files under the table location that no LIVE snapshot references

@@ -370,6 +370,37 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tp.partitionsDF(spark).count() > 1) // one row per partition tuple
   }
 
+  test("metadata tables: refs/history/entries/all_files/metadata_log DataFrames") {
+    val t = IceTable.load(catalog, "li_basic")
+    t.createTag("mt_tag", t.metadata.currentSnapshotId.get)
+    try {
+      val refs = t.refsDF(spark).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(refs.get("main").contains("branch") && refs.get("mt_tag").contains("tag"))
+
+      // linear history: every logged snapshot is a current ancestor
+      val hist = t.historyDF(spark).collect()
+      assert(hist.length == t.metadata.snapshotLog.size && hist.forall(_.getBoolean(3)))
+
+      // entries: live (non-DELETED) data entries reconcile with the scan plan
+      val files = t.filesDF(spark)
+      assert(t.entriesDF(spark).where("status != 2 and content = 0").count() ==
+        files.count())
+
+      // all_files spans every retained snapshot ⊇ the current snapshot's files
+      val all = t.allFilesDF(spark).select("file_path").collect()
+        .map(_.getString(0)).toSet
+      assert(files.select("file_path").collect().map(_.getString(0)).toSet.subsetOf(all))
+
+      // metadata-log: populated by commits, newest entry is the version the
+      // tag commit superseded, and the recorded file is readable
+      val log = t.metadata.metadataLog
+      assert(log.nonEmpty)
+      assert(t.metadataLogDF(spark).count() == log.size)
+      assert(t.catalog.readMetadataFile(log.last.metadataFile).nonEmpty)
+    } finally t.removeRef("mt_tag")
+  }
+
   test("limit 0 yields empty frame with the projected schema") {
     val t = IceTable.load(catalog, "li_basic")
     val df = t.newScan(selected = Some(Seq("l_orderkey")), limit = Some(0)).toDF(spark)
