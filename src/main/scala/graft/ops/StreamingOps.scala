@@ -61,8 +61,25 @@ object StreamingOps {
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
+    sessionStatsStream(spark, srcDir.toString, raw.schema,
+      s"stream_sessions_${math.abs(dir.hashCode)}")._1
+  }
+
+  /** The sessionization stream over an arbitrary staged source directory.
+    * `filesPerTrigger` throttles the file source so a multi-file directory
+    * arrives as several micro-batches — the per-user state must then carry
+    * open-session continuity across batch boundaries, which is only correct
+    * when files arrive in timestamp order (stage them oldest-first).
+    * Returns the aggregated result and the number of micro-batches that
+    * actually carried rows.
+    */
+  def sessionStatsStream(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, sinkName: String,
+      filesPerTrigger: Option[Int] = None): (DataFrame, Int) = {
     import spark.implicits._
-    val typed = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val typed = reader.parquet(srcDir)
       .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
       .as[Ev]
     val sessions = typed.groupByKey(_.user_id)
@@ -83,7 +100,6 @@ object StreamingOps {
           // the final value however many batches the source delivered
           Iterator.single(UserSessions(uid, st.nSessions, st.nEvents))
       }
-    val sinkName = s"stream_sessions_${math.abs(dir.hashCode)}"
     val q = sessions.writeStream
       .format("memory")
       .queryName(sinkName)
@@ -91,8 +107,10 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     require(q.awaitTermination(120000), "streaming session job did not finish in 120s")
-    spark.table(sinkName).groupBy("user_id")
-      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    (spark.table(sinkName).groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events")),
+      batches)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -1,12 +1,15 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.meta.FileCatalog
+import graft.meta.{FileCatalog, FileIO}
 import graft.table.IceTable
 
 /** Streaming SOURCE over an IceTable: each committed snapshot becomes
@@ -20,6 +23,15 @@ import graft.table.IceTable
   *
   * The checkpoint persists the last committed sequence number, so a
   * restarted query resumes exactly after the snapshots it already consumed.
+  *
+  * `max-snapshots-per-trigger` paces catch-up: without it a consumer that
+  * falls behind (or a fresh one over a long-lived table) gets EVERY pending
+  * snapshot as one giant batch — at scale that batch is the whole backlog.
+  * With it, `getOffset` advances at most N committed sequence numbers past
+  * the last batch this source handed out, so the engine drains the backlog
+  * as bounded micro-batches. Note the v1 Source API falls back to
+  * single-batch execution under Trigger.AvailableNow, so pacing needs a
+  * processing-time trigger; leftover backlog is picked up by the next run.
   */
 final class IceTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-iceberg"
@@ -37,17 +49,40 @@ final class IceTableSourceProvider extends StreamSourceProvider with DataSourceR
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new IceTableSource(sqlContext, load(parameters))
+    new IceTableSource(sqlContext, load(parameters),
+      parameters.get("max-snapshots-per-trigger").map(_.toInt), metadataPath)
 }
 
-final class IceTableSource(sqlContext: SQLContext, table: IceTable) extends Source {
+final class IceTableSource(sqlContext: SQLContext, table: IceTable,
+    maxSnapshotsPerTrigger: Option[Int] = None, metadataPath: String = "")
+  extends Source {
 
   override def schema: StructType = table.schema.toSpark
 
-  /** Latest committed sequence number (None until the first snapshot). */
+  /** Pacing floor: the highest sequence number a batch has been PLANNED for.
+    * Advanced (and persisted under the source's checkpoint metadata dir) only
+    * in `getBatch` — after the engine has WAL-logged the batch — so a crash
+    * between offer and plan replays rather than skips. A fresh source starts
+    * at 0; a restarted one reads the floor back and keeps pacing, never
+    * re-offering sequence numbers at or below what the engine already ran.
+    */
+  @volatile private var pacedFloor: Long = readFloor()
+
+  /** Next offset: the newest committed sequence number, clamped to at most
+    * `max-snapshots-per-trigger` distinct sequence numbers past the floor.
+    */
   override def getOffset: Option[Offset] = {
     table.refresh()
-    table.metadata.snapshots.map(_.sequenceNumber).maxOption.map(LongOffset(_))
+    val seqs = table.metadata.snapshots.map(_.sequenceNumber).distinct.sorted
+    if (seqs.isEmpty) None
+    else {
+      val pending = seqs.filter(_ > pacedFloor)
+      val end = maxSnapshotsPerTrigger match {
+        case Some(n) if pending.nonEmpty => pending.take(n).last
+        case _ => seqs.last
+      }
+      Some(LongOffset(math.max(end, pacedFloor)))
+    }
   }
 
   private def seqOf(o: Offset): Long = o match {
@@ -58,10 +93,33 @@ final class IceTableSource(sqlContext: SQLContext, table: IceTable) extends Sour
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     table.refresh()
+    val endSeq = seqOf(end)
+    if (endSeq > pacedFloor) { pacedFloor = endSeq; writeFloor(endSeq) }
     org.apache.spark.sql.graftshim.GraftShim.asStreaming(
       Ingest.changesBetween(sqlContext.sparkSession, table,
-        start.map(seqOf).getOrElse(0L), seqOf(end)))
+        start.map(seqOf).getOrElse(0L), endSeq))
   }
 
   override def stop(): Unit = ()
+
+  private def floorFile: Option[Path] =
+    if (metadataPath.isEmpty) None
+    else Some(new Path(metadataPath, "graft-last-batch-end"))
+
+  private def readFloor(): Long = floorFile.fold(0L) { p =>
+    val fs = p.getFileSystem(FileIO.conf)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeFloor(v: Long): Unit = floorFile.foreach { p =>
+    val fs = p.getFileSystem(FileIO.conf)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 }

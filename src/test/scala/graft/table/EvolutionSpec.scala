@@ -212,6 +212,87 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("r_regionkey").exceptAll(region.select("r_regionkey")).isEmpty)
   }
 
+  test("sessionize under multi-batch delivery: 3 time-ranged files, maxFilesPerTrigger=1") {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // strict time-ranged thirds: per-user event order across batches matches
+    // global timestamp order, which is what open-session state continuity
+    // assumes (files are staged oldest-first via modification times)
+    val Array(b1, b2) = ev.stat.approxQuantile("ts", Array(0.34, 0.67), 0.0)
+    val srcDir = Files.createTempDirectory("sess-mb")
+    def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"sess-part$idx")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get
+      val target = srcDir.resolve(f"events-$idx%02d.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000L + idx * 60000L))
+    }
+    stage(ev.where(col("ts") <= b1.toLong), 0)
+    stage(ev.where(col("ts") > b1.toLong && col("ts") <= b2.toLong), 1)
+    stage(ev.where(col("ts") > b2.toLong), 2)
+
+    val stagedSchema = spark.read.parquet(srcDir.resolve("events-00.parquet").toString).schema
+    val (res, batches) = graft.ops.StreamingOps.sessionStatsStream(
+      spark, srcDir.toString, stagedSchema, "sess_multibatch", filesPerTrigger = Some(1))
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+
+    ev.createOrReplaceTempView("ev_mb")
+    val expected = spark.sql("""
+      SELECT user_id, CAST(COUNT(DISTINCT session_idx) AS BIGINT) AS n_sessions,
+        COUNT(*) AS n_events
+      FROM (
+        SELECT user_id,
+          SUM(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM (
+          SELECT user_id, event_id, ts div 1000 AS ts_us,
+            lag(ts div 1000) OVER (PARTITION BY user_id ORDER BY ts div 1000, event_id) AS prev
+          FROM ev_mb) t1) t2
+      GROUP BY user_id""")
+    assert(res.exceptAll(expected).isEmpty && expected.exceptAll(res).isEmpty)
+  }
+
+  test("IceTable streaming source paces catch-up with max-snapshots-per-trigger") {
+    val nation25 = nation
+    val t = IceTable.create(catalog, "nation_paced", SchemaConv.fromSpark(nation25.schema))
+    t.append(nation25.where("n_nationkey < 5"))
+    t.append(nation25.where("n_nationkey >= 5 and n_nationkey < 10"))
+    t.append(nation25.where("n_nationkey >= 10 and n_nationkey < 15"))
+    val ckpt = Files.createTempDirectory("paced-ckpt").toString
+    val outDir = Files.createTempDirectory("paced-out").toString
+    def run(expectRows: Long): Int = {
+      val stream = spark.readStream.format("graft.streaming.IceTableSourceProvider")
+        .option("warehouse", catalog.warehouse).option("table", "nation_paced")
+        .option("max-snapshots-per-trigger", "1").load()
+      val q = stream.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(Trigger.ProcessingTime(50)).start()
+      def sunk(): Long =
+        try spark.read.parquet(outDir).count() catch { case _: Exception => 0L }
+      val deadline = System.currentTimeMillis() + 60000
+      while (sunk() < expectRows && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop(); q.awaitTermination()
+      batches
+    }
+    // three pending snapshots drain as (at least) three paced micro-batches
+    assert(run(15) >= 3)
+    assert(spark.read.parquet(outDir).count() == 15)
+    // restart: the persisted pacing floor resumes after the consumed backlog
+    t.append(nation25.where("n_nationkey >= 15 and n_nationkey < 20"))
+    t.append(nation25.where("n_nationkey >= 20"))
+    assert(run(25) >= 2)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 25) // exactly-once across the restart
+    assert(out.select("n_nationkey").exceptAll(nation25.select("n_nationkey")).isEmpty)
+  }
+
   test("streaming ingest commits one snapshot per micro-batch; incremental read sees only new rows") {
     val src = Files.createTempDirectory("stream-src").toString
     val ckpt = Files.createTempDirectory("stream-ckpt").toString
