@@ -12,7 +12,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.table.{AssertCreate, AssertRefSnapshotID, AssertTableUUID,
   TableRequirement}
 
-/** In-process Iceberg-REST catalog stub for [[RestCatalog]] tests: the
+/** In-process Iceberg-REST catalog stub serving [[RestCatalog]] — used by
+  * CatalogSpec and by the `ice_rest_catalog_scan` correctness fixture: the
   * routes the reference client exercises (`catalog/rest/rest_test.go`) —
   * config, list, create (incl. stage-create), load, HEAD, commit with
   * requirement validation (409 on violation), drop, rename. The catalog

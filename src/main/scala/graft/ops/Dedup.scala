@@ -59,10 +59,17 @@ object Dedup {
   }
 
   /** Documents → (doc_id, source, band, band_hash) for LSH bucketing. */
-  def minhashBands(docs: DataFrame): DataFrame = {
+  def minhashBands(docs: DataFrame): DataFrame =
+    bandsOf(docs.select(col("doc_id"), col("source"),
+      minhashUdf(wordSet(col("text"))).as("sig")))
+
+  /** Band hashes derived from an existing signature frame
+    * (doc_id, source, sig) — so a cached signature pass is computed once
+    * and every consumer (banding, verify join) reads the cache.
+    */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
     val rows = NumHashes / BandCount
-    docs.select(col("doc_id"), col("source"), minhashUdf(wordSet(col("text"))).as("sig"))
-      .select(col("doc_id"), col("source"), posexplode(
+    sigs.select(col("doc_id"), col("source"), posexplode(
         array((0 until BandCount).map(b =>
           hash((0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -70,13 +77,16 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing any band bucket, with the estimated
     * jaccard = fraction of equal minhash components. Never all-pairs: the
-    * only shuffle keys are (band, band_hash).
+    * only shuffle keys are (band, band_hash). The 64-permutation signature
+    * UDF — the dominant per-row cost — runs in ONE pass: both sides of the
+    * band self-join and the verify join read the persisted signatures.
     */
   def minhashCandidates(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val sigs = docs.select(col("doc_id"), minhashUdf(wordSet(col("text"))).as("sig"))
+    val sigs = docs.select(col("doc_id"), col("source"),
+        minhashUdf(wordSet(col("text"))).as("sig"))
       .transform(CacheRegistry.persist(_))
-    val bands = minhashBands(docs)
+    val bands = bandsOf(sigs)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -84,8 +94,8 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    pairs.join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
-      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+    pairs.join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       // signature agreement via the codegen expression (the zip_with/filter
       // chain it replaces is interpreted per candidate pair)
       .withColumn("est_jaccard",
@@ -120,8 +130,11 @@ object Dedup {
     */
   def simhashCandidates(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
     val docsWithSource = t(spark, dir, "documents")
+    // persisted for the same reason as the minhash signatures: the band
+    // self-join would otherwise run the signature UDF once per side
     val sh = docsWithSource.select(col("doc_id"), col("source"),
-      simhashUdf(wordSet(col("text"))).as("simhash"))
+        simhashUdf(wordSet(col("text"))).as("simhash"))
+      .transform(CacheRegistry.persist(_))
     val banded = sh.select(col("doc_id"), col("source"), col("simhash"), posexplode(
       array((0 until 4).map(b => shiftrightunsigned(col("simhash"), b * 16) % 65536): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
@@ -181,11 +194,23 @@ object Dedup {
 
   private def adaptiveJaccard(raw: DataFrame, threshold: Double,
       statsHint: Option[Double]): DataFrame = {
-    val joinedRowsEst = statsHint.getOrElse(sampleJoinedRows(raw))
-    val docs = raw.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))
-    if (joinedRowsEst <= CountJoinMaxPairs) countJoinJaccard(docs, threshold)
-    else jaccardPairsOver(docs, threshold)
+    // tokenize ONCE: both candidate plans start from this persisted frame,
+    // and the plan-choice sampler reads the SAME cache (whose
+    // materialization is never wasted — the chosen plan needs it in full),
+    // so no row is tokenized twice at any scale
+    val docs = tokensPersisted(
+      raw.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
+    val joinedRowsEst = statsHint.getOrElse(sampleJoinedRowsTokenized(docs))
+    if (joinedRowsEst <= CountJoinMaxPairs) countJoinJaccardPersisted(docs, threshold)
+    else jaccardPairsOverPersisted(docs, threshold)
   }
+
+  /** (doc_id, source, ws) → + set size, persisted — the shared first stage
+    * of every exact-jaccard plan.
+    */
+  private def tokensPersisted(docsWithTokens: DataFrame): DataFrame =
+    docsWithTokens.withColumn("sz", size(col("ws")))
+      .transform(CacheRegistry.persist(_))
 
   /** Row-capped unbiased estimate of Σ C(df,2): a pair of documents
     * survives an independent p-sample with probability p², so
@@ -196,13 +221,21 @@ object Dedup {
     * stopword-like token past the budget dominates the sum and is caught by
     * any sample. With p = 1 (corpus under the cap) the estimate is exact.
     */
-  private[ops] def sampleJoinedRows(raw: DataFrame, cap: Long = 50000L): Double = {
-    val total = raw.count()
+  private[ops] def sampleJoinedRows(raw: DataFrame, cap: Long = 50000L): Double =
+    sampleJoinedRowsTokenized(
+      raw.select(col("source"), wordSet(col("text")).as("ws")), cap)
+
+  /** Same estimator over an already-tokenized (and typically persisted)
+    * frame: the count() doubles as the cache materialization the chosen
+    * plan needs anyway, and sampled rows read token arrays from the cache.
+    */
+  private def sampleJoinedRowsTokenized(docs: DataFrame, cap: Long = 50000L): Double = {
+    val total = docs.count()
     if (total == 0L) return 0.0
     val p = math.min(1.0, cap.toDouble / total)
-    val sampled = if (p >= 1.0) raw else raw.sample(withReplacement = false, p, seed = 42)
+    val sampled = if (p >= 1.0) docs else docs.sample(withReplacement = false, p, seed = 42)
     Option(sampled
-        .select(col("source"), explode(wordSet(col("text"))).as("tok"))
+        .select(col("source"), explode(col("ws")).as("tok"))
         .groupBy("tok", "source").agg(count(lit(1)).as("df"))
         .agg(sum(col("df") * (col("df") - 1) / 2.0)).first().get(0))
       .map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0) / (p * p)
@@ -226,10 +259,10 @@ object Dedup {
     * document frequencies are modest; pair it with blocking keys (source)
     * and stop-token capping at larger scale.
     */
-  private def countJoinJaccard(docsWithTokens: DataFrame, threshold: Double): DataFrame = {
-    val docs = docsWithTokens
-      .withColumn("sz", size(col("ws")))
-      .transform(CacheRegistry.persist(_))
+  private def countJoinJaccard(docsWithTokens: DataFrame, threshold: Double): DataFrame =
+    countJoinJaccardPersisted(tokensPersisted(docsWithTokens), threshold)
+
+  private def countJoinJaccardPersisted(docs: DataFrame, threshold: Double): DataFrame = {
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
     tokens.as("a").join(tokens.as("b"),
@@ -273,13 +306,13 @@ object Dedup {
       threshold)
   }
 
-  private def jaccardPairsOver(docsWithTokens: DataFrame, threshold: Double): DataFrame = {
+  private def jaccardPairsOver(docsWithTokens: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsOverPersisted(tokensPersisted(docsWithTokens), threshold)
+
+  private def jaccardPairsOverPersisted(docsAll: DataFrame, threshold: Double): DataFrame = {
     // blocked by `source`: the standard blocking-key pattern — near-dups
     // are sought within a corpus shard, bounding candidate fan-out
-    val docs = docsWithTokens
-      .withColumn("sz", size(col("ws")))
-      .where(col("sz") > 0)
-      .transform(CacheRegistry.persist(_))
+    val docs = docsAll.where(col("sz") > 0)
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
     val tokenDf = tokens.groupBy("tok").agg(count(lit(1)).as("tok_df"))

@@ -23,7 +23,8 @@ object IceQueries {
   private case class Fixture(li: IceTable, firstSnapshotId: Long,
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
       liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable,
-      liDv: IceTable, ordersUp: IceTable)
+      liDv: IceTable, ordersUp: IceTable, restSupplier: IceTable,
+      sqlCustomer: IceTable, v1Part: IceTable)
 
   private val fixtures = TrieMap[String, Fixture]()
 
@@ -144,6 +145,43 @@ object IceQueries {
         liDv.refresh()
         liDv
       }
+      val fRest = Future {
+        // catalog interop: supplier lives behind an in-process Iceberg-REST
+        // catalog (pointer state over HTTP, metadata JSON on storage) — the
+        // scan proves the client's load/commit protocol is lossless
+        val server = new RestStubServer(
+          Files.createTempDirectory("graft-rest-wh").toString)
+        val rest = new RestCatalog(server.uri)
+        val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+        val t = IceTable.create(rest, "supplier",
+          SchemaConv.fromSpark(supplier.schema))
+        t.append(supplier)
+        t
+      }
+      val fSql = Future {
+        // catalog interop: customer behind the JDBC catalog (embedded Derby)
+        // — create INSERT + CAS-UPDATE commit pointer, metadata on disk
+        val dbRoot = Files.createTempDirectory("graft-sql-cat")
+        val sql = new SqlCatalog(s"jdbc:derby:$dbRoot/db;create=true",
+          s"$dbRoot/warehouse")
+        val customer = spark.read.parquet(s"$dir/customer.parquet")
+        val t = IceTable.create(sql, "customer",
+          SchemaConv.fromSpark(customer.schema))
+        t.append(customer)
+        t
+      }
+      val fV1 = Future {
+        // format-version 1 end-to-end: v1 metadata JSON + v1 manifests
+        // (required snapshot_id, block_size_in_bytes, no sequence numbers),
+        // identity-partitioned so v1 partition summaries prune too
+        val part = spark.read.parquet(s"$dir/part.parquet")
+        val pSchema = SchemaConv.fromSpark(part.schema)
+        val spec = PartitionSpec.of(0, ("p_brand", IdentityTransform, "brand"))(pSchema)
+        val t = IceTable.create(catalog, "part_v1", pSchema, spec,
+          properties = Map("format-version" -> "1"))
+        t.append(part)
+        t
+      }
       val (li, snap1Id) = Await.result(fLi, Duration.Inf)
       Fixture(li, snap1Id,
         Await.result(fPart, Duration.Inf),
@@ -153,7 +191,10 @@ object IceQueries {
         Await.result(fExt, Duration.Inf),
         Await.result(fEq, Duration.Inf),
         Await.result(fDv, Duration.Inf),
-        Await.result(fUp, Duration.Inf))
+        Await.result(fUp, Duration.Inf),
+        Await.result(fRest, Duration.Inf),
+        Await.result(fSql, Duration.Inf),
+        Await.result(fV1, Duration.Inf))
     })
 
   val defs: Seq[QueryDef] = Seq(
@@ -300,6 +341,33 @@ object IceQueries {
                count(*) - count(l_returnflag) FROM lineitem
         UNION ALL SELECT 'l_tax', count(DISTINCT l_tax),
                count(*) - count(l_tax) FROM lineitem""")),
+
+    QueryDef(
+      "ice_rest_catalog_scan",
+      (s, dir) => fixture(s, dir).restSupplier.scan(s,
+        P.gtEq("s_acctbal", 5000.0),
+        Some(Seq("s_suppkey", "s_name", "s_acctbal"))),
+      Some("""
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        WHERE s_acctbal >= 5000""")),
+
+    QueryDef(
+      "ice_sql_catalog_scan",
+      (s, dir) => fixture(s, dir).sqlCustomer.scan(s,
+        P.equalTo("c_mktsegment", "BUILDING"),
+        Some(Seq("c_custkey", "c_name", "c_acctbal"))),
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_mktsegment = 'BUILDING'""")),
+
+    QueryDef(
+      "ice_v1_format_scan",
+      (s, dir) => fixture(s, dir).v1Part.scan(s,
+        P.gtEq("p_size", 25),
+        Some(Seq("p_partkey", "p_name", "p_size"))),
+      Some("""
+        SELECT p_partkey, p_name, p_size FROM part
+        WHERE p_size >= 25""")),
 
     QueryDef(
       "ice_upsert_scan",
