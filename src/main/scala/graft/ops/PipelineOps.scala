@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data curation operators beyond per-doc text analysis: benchmark
+  * decontamination, repetition (boilerplate) filtering, sequence packing for
+  * batch construction, and mixture capping — the remaining stages of a
+  * 100 TB pretraining-data pipeline (dedup lives in Dedup.scala, quality /
+  * language ops in TextOps.scala).
+  *
+  * Scale notes per operator are on each def; the common theme: the only
+  * shuffles are keyed on high-cardinality values (doc_id, n-gram) or on the
+  * pipeline's natural blocking key (source), and the benchmark side of
+  * decontamination is broadcast — never a corpus self-join.
+  */
+object PipelineOps {
+  import QueryDef.t
+
+  /** Normalized word array (same normalization as every Dedup operator). */
+  private def words: Column =
+    split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+
+  /** Distinct word n-grams over a pre-materialized `words` column. */
+  private def distinctGrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Whitespace token count — portable char-count identity (TextOps). */
+  private def tokenCount: Column = {
+    val txt = col("text")
+    (length(txt) - length(regexp_replace(txt, lit(" "), lit(""))) + lit(1)).cast(LongType)
+  }
+
+  /** Benchmark decontamination: corpus documents sharing any word 5-gram
+    * with a held-out benchmark set (here: doc_id < 50). The industry-standard
+    * n-gram-overlap check before training.
+    *
+    * 100 TB shape: the benchmark gram set is bounded by the BENCHMARK size
+    * (a few thousand docs however big the corpus), so it broadcasts; the
+    * corpus side streams through one exploded pass with a map-side hash
+    * join — no shuffle touches corpus text, and the only wide exchange is
+    * the final groupBy on doc_id (high-cardinality, no skew).
+    */
+  def decontaminate(documents: org.apache.spark.sql.DataFrame,
+      benchMaxId: Long): org.apache.spark.sql.DataFrame = {
+    val docs = documents.select(col("doc_id"), words.as("w"))
+    val g5 = docs.select(col("doc_id"),
+      explode(distinctGrams(col("w"), 5)).as("gram"))
+    val bench = g5.where(col("doc_id") < benchMaxId)
+      .select(col("gram"), col("doc_id").as("bench_id")).distinct()
+    g5.where(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .select("doc_id", "n_shared_grams", "n_bench_docs")
+  }
+
+  /** Gopher-style repetition signal: fraction of duplicated word 3-grams
+    * per document (high fraction = boilerplate/spam). One explode + one
+    * groupBy on doc_id; count and count-distinct aggregate in the same
+    * pass, so the corpus is read once and no gram array is re-shuffled.
+    */
+  def repetition(documents: org.apache.spark.sql.DataFrame,
+      flagAbove: Double): org.apache.spark.sql.DataFrame = {
+    val docs = documents.select(col("doc_id"), words.as("w"))
+    // NON-distinct grams: duplicates are the signal
+    val grams = when(size(col("w")) >= 3,
+      transform(sequence(lit(0), size(col("w")) - 3), i =>
+        concat_ws(" ", element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2), element_at(col("w"), i + 3))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("n_distinct_grams"))
+      .withColumn("dup_gram_frac",
+        round(lit(1.0) - col("n_distinct_grams").cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 4))
+      .withColumn("is_repetitive", col("dup_gram_frac") > flagAbove)
+      .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_frac",
+        "is_repetitive")
+  }
+
+  /** Greedy sequential sequence packing: within each source (the pipeline's
+    * shard key), documents in doc_id order accumulate into fixed-token-budget
+    * packs — the batch-construction step before tokenizer sharding. The
+    * window is partitioned on source, so the shuffle is one exchange on the
+    * blocking key and each pack is built by a single task; packing is
+    * inherently order-sequential, which is exactly what the per-source
+    * window expresses.
+    */
+  def sequencePacking(documents: org.apache.spark.sql.DataFrame,
+      packBudget: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"), tokenCount.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast(DoubleType) /
+          lit(packBudget.toDouble)).cast(LongType).as("pack_id"))
+  }
+
+  /** Mixture capping: keep at most `cap` documents per source (doc_id order
+    * — deterministic) and report the per-source before/after mix. The
+    * down-weighting step that stops one dominant crawl source from washing
+    * out the mixture. Same single source-keyed exchange as packing.
+    */
+  def sourceCap(documents: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    val rn = row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), tokenCount.as("n_tokens"))
+      .withColumn("rn", rn)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_total"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("rn") <= cap, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .select("source", "n_docs_total", "n_docs_kept", "kept_tokens")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "pipeline_decontaminate",
+      (s, dir) => decontaminate(t(s, dir, "documents"), benchMaxId = 50L),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(ws) - 4),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                 ws[i+3] || ' ' || ws[i+4]))) AS gram
+          FROM w WHERE len(ws) >= 5),
+        b AS (SELECT DISTINCT gram, doc_id AS bench_id FROM g WHERE doc_id < 50),
+        c AS (SELECT doc_id, gram FROM g WHERE doc_id >= 50)
+        SELECT c.doc_id,
+          CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_shared_grams,
+          CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        FROM c JOIN b USING (gram) GROUP BY c.doc_id""")),
+
+    QueryDef(
+      "text_repetition",
+      (s, dir) => repetition(t(s, dir, "documents"), flagAbove = 0.2),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(ws) - 2),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+          FROM w WHERE len(ws) >= 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct_grams,
+          ROUND(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 4)
+            AS dup_gram_frac,
+          ROUND(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 4) > 0.2
+            AS is_repetitive
+        FROM g GROUP BY doc_id""")),
+
+    QueryDef(
+      "pipeline_seq_packing",
+      (s, dir) => sequencePacking(t(s, dir, "documents"), packBudget = 8192),
+      Some("""
+        SELECT doc_id, source, n_tokens,
+          CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 8192.0) AS BIGINT) AS pack_id
+        FROM (
+          SELECT doc_id, source,
+            CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+            SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT))
+              OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents) sub""")),
+
+    QueryDef(
+      "pipeline_source_cap",
+      (s, dir) => sourceCap(t(s, dir, "documents"), cap = 15),
+      Some("""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+          CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+          CAST(SUM(CASE WHEN rn <= 15 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM (
+          SELECT source,
+            CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents) sub
+        GROUP BY source"""))
+  )
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the curation operators on synthetic corpora with
+  * hand-computable answers (the registered queries are oracle-gated on the
+  * driver's documents table; these pin the operator semantics themselves).
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pipeline-ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("decontaminate flags exactly the docs sharing a 5-gram with the benchmark") {
+    // doc 100 copies benchmark doc 1 verbatim (6 words -> two shared
+    // 5-grams); doc 101 shares words but never 5 consecutive ones
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta", "bench"),
+      (100L, "alpha beta gamma delta epsilon zeta", "web"),
+      (101L, "alpha beta gamma delta wrong epsilon zeta", "web"),
+      (102L, "one two three four five six", "web"))
+    val out = PipelineOps.decontaminate(d, benchMaxId = 50L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(100L))
+    assert(out(100L) == (2L, 1L)) // 2 shared 5-grams, 1 benchmark doc
+  }
+
+  test("repetition measures the duplicated-3-gram fraction") {
+    val d = docs(
+      (1L, "a b c a b c a b c", "s"), // 7 grams, 3 distinct -> 1 - 3/7
+      (2L, "q w e r t y", "s"),       // 4 grams, all distinct -> 0.0
+      (3L, "xy zz", "s"))             // < 3 words -> no grams, absent
+    val out = PipelineOps.repetition(d, flagAbove = 0.2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((7L, 3L, 0.5714, true)))
+    assert(out(2L) == ((4L, 4L, 0.0, false)))
+  }
+
+  test("sequence packing opens a new pack when the running budget is exhausted") {
+    // each text = 4 whitespace tokens; budget 8 -> prev-cums 0,4,8 within
+    // one source give packs 0,0,1; a second source restarts at pack 0
+    val d = docs(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s1"), (3L, "a b c d", "s1"),
+      (10L, "a b c d", "s2"))
+    val out = PipelineOps.sequencePacking(d, packBudget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L))
+    // greedy invariant: a pack's token total minus its last doc stays under
+    // budget (the straddling doc is the one that closes the pack)
+    val packs = PipelineOps.sequencePacking(d, packBudget = 8)
+      .collect().groupBy(r => (r.getString(1), r.getLong(3)))
+    packs.values.foreach { rows =>
+      val toks = rows.map(_.getLong(2)).sum
+      val last = rows.maxBy(_.getLong(0)).getLong(2)
+      assert(toks - last < 8)
+    }
+  }
+
+  test("source cap keeps the first N docs per source in doc_id order") {
+    val d = docs(
+      (5L, "a b", "s1"), (1L, "a b c", "s1"), (9L, "a", "s1"),
+      (2L, "a b c d", "s2"))
+    val out = PipelineOps.sourceCap(d, cap = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // s1 keeps doc 1 (3 tokens) + doc 5 (2 tokens), drops doc 9
+    assert(out("s1") == ((3L, 2L, 5L)))
+    assert(out("s2") == ((1L, 1L, 4L)))
+  }
+}
