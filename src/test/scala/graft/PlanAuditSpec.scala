@@ -88,4 +88,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), s"missing anti join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
   }
+
+  test("decontamination broadcasts the benchmark gram set — corpus text never shuffles") {
+    val p = plan("pipeline_decontaminate")
+    // at 100 TB the corpus side is the one that must stream map-side; a
+    // SortMergeJoin here would shuffle every corpus 5-gram
+    assert(p.contains("BroadcastHashJoin"), s"benchmark grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams shuffled for the join:\n$p")
+  }
+
+  test("sequence packing and source capping shuffle once, on the source blocking key") {
+    Seq("pipeline_seq_packing", "pipeline_source_cap").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q expected exactly one hash exchange, got $exchanges:\n$p")
+      assert(p.contains("hashpartitioning(source"), s"$q not keyed on source:\n$p")
+    }
+  }
 }
