@@ -46,6 +46,17 @@ trait Catalog {
   def metadataLocation(name: String, version: Int): String =
     s"${tableLocation(name)}/metadata/v$version.metadata.json"
 
+  /** Register an EXISTING table under this catalog by its current
+    * metadata-JSON location (reference REST `RegisterTable`,
+    * `catalog/rest/rest.go:811` — the migration verb for adopting a table
+    * another catalog wrote). Data, manifest, and historic metadata files
+    * are shared, never copied: the entry carries the same table UUID,
+    * location, and snapshot history the metadata file describes. Throws
+    * `IllegalStateException` if the identifier is taken.
+    */
+  def registerTable(name: String, metadataLocation: String): TableMetadata =
+    create(name, TableMetadataJson.read(readMetadataFile(metadataLocation)))
+
   /** Rename the catalog identifier; the table location and its files do not
     * move (REST-catalog rename semantics).
     */

@@ -162,6 +162,26 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
     ()
   }
 
+  /** Register via the spec's dedicated route (`POST /v1/namespaces/{ns}/
+    * register`, reference `rest.go:811`): the server reads the metadata at
+    * the given location and adopts it as the table's current version —
+    * nothing is rewritten, so historic version files keep their numbering.
+    */
+  override def registerTable(name: String, metadataLocation: String): TableMetadata = {
+    val body = mapper.createObjectNode()
+    body.put("name", name)
+    body.put("metadata-location", metadataLocation)
+    val (status, resp) = send(
+      post(s"$baseUri/v1/namespaces/$namespace/register", body.toString),
+      expectAny = true)
+    if (status == 409)
+      throw new IllegalStateException(s"table $name already exists")
+    if (status == 404)
+      throw new java.io.FileNotFoundException(errorMessage(resp))
+    if (status != 200) throw fail("register", name, status, resp)
+    TableMetadataJson.read(parse(resp).path("metadata").toString)
+  }
+
   def dropTable(name: String): Unit = {
     val (status, resp) =
       send(request(s"${tableUri(name)}?purgeRequested=true").DELETE(), expectAny = true)

@@ -27,7 +27,7 @@ final class RestStubServer(val warehouse: String,
     requiredToken: Option[String] = None) {
 
   private final case class Entry(var versions: Vector[TableMetadata],
-      location: String)
+      location: String, var metadataLocs: Vector[String])
   private val tables = mutable.Map[String, Entry]()
   private val mapper = new ObjectMapper()
 
@@ -74,6 +74,7 @@ final class RestStubServer(val warehouse: String,
           respond(ex, 200, o.toString)
         }
         case ("POST", Seq("namespaces", _, "tables")) => create(ex)
+        case ("POST", Seq("namespaces", _, "register")) => register(ex)
         case ("HEAD", Seq("namespaces", _, "tables", name)) => synchronized {
           respond(ex, if (tables.contains(dec(name))) 204 else 404, "")
         }
@@ -123,10 +124,38 @@ final class RestStubServer(val warehouse: String,
           error("AlreadyExistsException", s"table $name already exists"))
         return
       }
-      val e = Entry(Vector(meta), meta.location)
+      val e = Entry(Vector(meta), meta.location, Vector.empty)
       tables(name) = e
-      writeMetadataFile(e, 1)
+      writeNewVersion(e)
       respond(ex, 200, loadResult(name, e))
+    }
+  }
+
+  /** Register route (`rest.go:811`): adopt an existing metadata file as the
+    * table's current version — the file is read, never rewritten, so a
+    * registered table's historic version files keep their numbering.
+    */
+  private def register(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8))
+    val name = body.path("name").asText()
+    val loc = body.path("metadata-location").asText()
+    synchronized {
+      if (tables.contains(name)) {
+        respond(ex, 409,
+          error("AlreadyExistsException", s"table $name already exists"))
+        return
+      }
+      val meta =
+        try TableMetadataJson.read(MetadataFiles.read(loc))
+        catch {
+          case _: Exception =>
+            respond(ex, 404,
+              error("NoSuchTableException", s"unreadable metadata at $loc"))
+            return
+        }
+      tables(name) = Entry(Vector(meta), meta.location, Vector(loc))
+      respond(ex, 200, loadResult(name, tables(name)))
     }
   }
 
@@ -140,9 +169,9 @@ final class RestStubServer(val warehouse: String,
       tables.get(name) match {
         case None if reqs.contains(AssertCreate) =>
           // materializing a staged create: table must not exist — it doesn't
-          val e = Entry(Vector(meta), meta.location)
+          val e = Entry(Vector(meta), meta.location, Vector.empty)
           tables(name) = e
-          writeMetadataFile(e, 1)
+          writeNewVersion(e)
           respond(ex, 200, loadResult(name, e))
         case None =>
           respond(ex, 404,
@@ -161,7 +190,7 @@ final class RestStubServer(val warehouse: String,
               s"table $name at version ${e.versions.size}, expected $expected"))
           else {
             e.versions :+= meta
-            writeMetadataFile(e, e.versions.size)
+            writeNewVersion(e)
             respond(ex, 200, loadResult(name, e))
           }
       }
@@ -201,19 +230,27 @@ final class RestStubServer(val warehouse: String,
     out.result()
   }
 
-  private def metadataLocation(e: Entry, v: Int): String =
-    s"${e.location}/metadata/v$v.metadata.json"
-
-  private def writeMetadataFile(e: Entry, v: Int): Unit = {
+  /** Write the latest version to the next `v{N}` slot — N follows the LAST
+    * recorded metadata file's number, so commits on top of a registered
+    * table continue its numbering instead of clobbering history.
+    */
+  private def writeNewVersion(e: Entry): Unit = {
+    val vPat = ".*v(\\d+)\\.metadata\\.json$".r
+    val next = e.metadataLocs.lastOption match {
+      case Some(vPat(n)) => n.toInt + 1
+      case _ => e.versions.size // fresh create, or foreign naming: best effort
+    }
+    val path = s"${e.location}/metadata/v$next.metadata.json"
     val dir = Paths.get(MetadataFiles.stripScheme(s"${e.location}/metadata"))
     Files.createDirectories(dir)
-    Files.write(Paths.get(MetadataFiles.stripScheme(metadataLocation(e, v))),
-      TableMetadataJson.write(e.versions(v - 1)).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(MetadataFiles.stripScheme(path)),
+      TableMetadataJson.write(e.versions.last).getBytes(StandardCharsets.UTF_8))
+    e.metadataLocs :+= path
   }
 
   private def loadResult(name: String, e: Entry): String = {
     val o = mapper.createObjectNode()
-    o.put("metadata-location", metadataLocation(e, e.versions.size))
+    o.put("metadata-location", e.metadataLocs.last)
     o.put("version", e.versions.size)
     o.set[JsonNode]("metadata",
       mapper.readTree(TableMetadataJson.write(e.versions.last)))

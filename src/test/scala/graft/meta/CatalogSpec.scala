@@ -130,4 +130,42 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cat.listTables().isEmpty)
     } finally server.stop()
   }
+
+  test("register adopts an existing table without rewriting its files (rest_test.go:1324+)") {
+    val whA = Files.createTempDirectory("graft-reg-src").toString
+    val srcCat = new FileCatalog(whA)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val src = IceTable.create(srcCat, "source_region", SchemaConv.fromSpark(region.schema))
+    src.append(region)
+    val srcMetaLoc = srcCat.metadataLocation("source_region",
+      srcCat.currentVersion("source_region"))
+
+    // REST register: the dedicated route adopts the metadata file as-is
+    val server = new RestStubServer(Files.createTempDirectory("graft-reg-rest").toString)
+    try {
+      val rest = new RestCatalog(server.uri)
+      val adopted = rest.registerTable("adopted", srcMetaLoc)
+      assert(adopted.tableUuid == src.metadata.tableUuid)
+      assert(IceTable.load(rest, "adopted").scan(spark).count() == region.count())
+      // 409: identifier taken
+      assertThrows[IllegalStateException](rest.registerTable("adopted", srcMetaLoc))
+      // 404: unreadable metadata location
+      assertThrows[java.io.FileNotFoundException](
+        rest.registerTable("adopted2", s"$whA/nope/metadata/v1.metadata.json"))
+      // committing on top continues the shared table's version numbering
+      // instead of clobbering v1/v2 history written by the source catalog
+      IceTable.load(rest, "adopted").append(region.limit(1))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$whA/source_region/metadata/v3.metadata.json")))
+      assert(TableMetadataJson.read(srcCat.readMetadataFile(srcMetaLoc))
+        .currentSnapshotId == src.metadata.currentSnapshotId) // v2 untouched
+      assert(IceTable.load(rest, "adopted").scan(spark).count() == region.count() + 1)
+    } finally server.stop()
+
+    // default (trait) register: a second FileCatalog adopts the same table
+    val dstCat = new FileCatalog(Files.createTempDirectory("graft-reg-dst").toString)
+    dstCat.registerTable("mirrored", srcMetaLoc)
+    assert(IceTable.load(dstCat, "mirrored").scan(spark).count() == region.count())
+    assertThrows[IllegalStateException](dstCat.registerTable("mirrored", srcMetaLoc))
+  }
 }
