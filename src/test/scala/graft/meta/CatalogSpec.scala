@@ -168,4 +168,42 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IceTable.load(dstCat, "mirrored").scan(spark).count() == region.count())
     assertThrows[IllegalStateException](dstCat.registerTable("mirrored", srcMetaLoc))
   }
+
+  test("catalog registry dispatches on type property and uri scheme (registry.go Load)") {
+    assert(Seq("file", "http", "https", "jdbc", "memory", "rest", "sql")
+      .forall(CatalogRegistry.registeredCatalogs.contains))
+    // scheme dispatch: an http:// uri loads the REST catalog (rest.go:95)
+    val server = new RestStubServer(Files.createTempDirectory("graft-regy").toString)
+    try {
+      val cat = CatalogRegistry.load("c1", Map("uri" -> server.uri))
+      assert(cat.isInstanceOf[RestCatalog])
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      val t = IceTable.create(cat, "r", SchemaConv.fromSpark(region.schema))
+      t.append(region)
+      assert(t.scan(spark).count() == region.count())
+    } finally server.stop()
+    // a jdbc: uri maps to the sql catalog like http maps to REST
+    val root = Files.createTempDirectory("graft-regy-sql")
+    val sqlCat = CatalogRegistry.load("c2", Map(
+      "uri" -> s"jdbc:derby:$root/db;create=true", "warehouse" -> s"$root/wh"))
+    assert(sqlCat.isInstanceOf[SqlCatalog])
+    assert(sqlCat.listTables().isEmpty)
+    // an explicit type property wins over the uri scheme
+    val mem = CatalogRegistry.load("c3", Map("type" -> "memory",
+      "warehouse" -> Files.createTempDirectory("graft-regy-mem").toString,
+      "uri" -> "http://ignored"))
+    assert(mem.isInstanceOf[InMemoryCatalog])
+    // unregistered type (glue has no SDK here) and missing uri/type both fail
+    assertThrows[IllegalArgumentException](
+      CatalogRegistry.load("x", Map("type" -> "glue")))
+    assertThrows[IllegalArgumentException](CatalogRegistry.load("x", Map.empty))
+    // third-party registration round-trip (Register/Unregister)
+    CatalogRegistry.register("custom",
+      (_, p) => new InMemoryCatalog(p("warehouse")))
+    assert(CatalogRegistry.load("x", Map("type" -> "custom", "warehouse" -> "/tmp/w"))
+      .isInstanceOf[InMemoryCatalog])
+    CatalogRegistry.unregister("custom")
+    assertThrows[IllegalArgumentException](
+      CatalogRegistry.load("x", Map("type" -> "custom", "warehouse" -> "/tmp/w")))
+  }
 }
