@@ -162,6 +162,142 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
     ()
   }
 
+  // ----------------------------------------------------------------- views
+  // The spec's view routes (reference README catalog matrix: Create/Load/
+  // List/Drop/Check View Exists for REST); payload is the same versioned
+  // SQL-representation JSON [[ViewCatalog]] persists.
+
+  /** Create-or-replace: a replace appends the next view version server-side. */
+  def createOrReplaceView(name: String, sql: String): ViewVersion = {
+    val body = mapper.createObjectNode()
+    body.put("name", name)
+    body.put("sql", sql)
+    body.put("dialect", "spark")
+    val (status, resp) = send(
+      post(s"$baseUri/v1/namespaces/$namespace/views", body.toString), expectAny = true)
+    if (status != 200) throw fail("createView", name, status, resp)
+    val v = parse(resp).path("current")
+    ViewVersion(v.path("version-id").asInt(), v.path("timestamp-ms").asLong(),
+      v.path("sql").asText(), v.path("dialect").asText())
+  }
+
+  def listViews(): Seq[String] = {
+    val node = parse(send(get(s"$baseUri/v1/namespaces/$namespace/views"), expect = 200))
+    val out = Seq.newBuilder[String]
+    node.path("views").forEach(v => out += v.path("name").asText())
+    out.result().sorted
+  }
+
+  def viewExists(name: String): Boolean =
+    send(request(s"$baseUri/v1/namespaces/$namespace/views/$name")
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()), expectAny = true)._1 == 204
+
+  /** All versions, oldest first; the current version is the last. */
+  def loadView(name: String): Seq[ViewVersion] = {
+    val (status, resp) = send(
+      get(s"$baseUri/v1/namespaces/$namespace/views/$name"), expectAny = true)
+    if (status == 404)
+      throw new java.util.NoSuchElementException(s"no such view: $name")
+    if (status != 200) throw fail("loadView", name, status, resp)
+    val out = Seq.newBuilder[ViewVersion]
+    parse(resp).path("versions").forEach(v =>
+      out += ViewVersion(v.path("version-id").asInt(), v.path("timestamp-ms").asLong(),
+        v.path("sql").asText(), v.path("dialect").asText()))
+    out.result()
+  }
+
+  def dropView(name: String): Unit = {
+    val (status, resp) = send(
+      request(s"$baseUri/v1/namespaces/$namespace/views/$name").DELETE(), expectAny = true)
+    if (status == 404)
+      throw new java.util.NoSuchElementException(s"no such view: $name")
+    if (status != 204 && status != 200) throw fail("dropView", name, status, resp)
+  }
+
+  // ------------------------------------------------------------ namespaces
+  // The spec's namespace CRUD (reference `rest.go` CreateNamespace/
+  // ListNamespaces/LoadNamespaceProperties/UpdateNamespaceProperties/
+  // DropNamespace/CheckNamespaceExists).
+
+  def listNamespaces(): Seq[String] = {
+    val node = parse(send(get(s"$baseUri/v1/namespaces"), expect = 200))
+    val out = Seq.newBuilder[String]
+    node.path("namespaces").forEach { ns =>
+      val segs = Seq.newBuilder[String]
+      ns.forEach(s => segs += s.asText())
+      out += segs.result().mkString(".")
+    }
+    out.result().sorted
+  }
+
+  def createNamespace(ns: String, props: Map[String, String] = Map.empty): Unit = {
+    val body = mapper.createObjectNode()
+    val arr = mapper.createArrayNode()
+    ns.split('.').foreach(arr.add)
+    body.set[JsonNode]("namespace", arr)
+    val p = mapper.createObjectNode()
+    props.foreach { case (k, v) => p.put(k, v) }
+    body.set[JsonNode]("properties", p)
+    val (status, resp) = send(post(s"$baseUri/v1/namespaces", body.toString),
+      expectAny = true)
+    if (status == 409)
+      throw new IllegalStateException(s"namespace $ns already exists")
+    if (status != 200) throw fail("createNamespace", ns, status, resp)
+  }
+
+  def namespaceExists(ns: String): Boolean = {
+    val (status, _) = send(request(s"$baseUri/v1/namespaces/$ns")
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()), expectAny = true)
+    status == 204 || status == 200
+  }
+
+  def namespaceProperties(ns: String): Map[String, String] = {
+    val (status, resp) = send(get(s"$baseUri/v1/namespaces/$ns"), expectAny = true)
+    if (status == 404)
+      throw new java.util.NoSuchElementException(s"no such namespace: $ns")
+    if (status != 200) throw fail("namespaceProperties", ns, status, resp)
+    val props = parse(resp).path("properties")
+    val out = Map.newBuilder[String, String]
+    props.fields().forEachRemaining(e => out += e.getKey -> e.getValue.asText())
+    out.result()
+  }
+
+  /** Returns (updated, removed, missing) — the reference's
+    * `PropertiesUpdateSummary`.
+    */
+  def updateNamespaceProperties(ns: String, removals: Seq[String],
+      updates: Map[String, String]): (Seq[String], Seq[String], Seq[String]) = {
+    val body = mapper.createObjectNode()
+    val rem = mapper.createArrayNode()
+    removals.foreach(rem.add)
+    body.set[JsonNode]("removals", rem)
+    val upd = mapper.createObjectNode()
+    updates.foreach { case (k, v) => upd.put(k, v) }
+    body.set[JsonNode]("updates", upd)
+    val (status, resp) = send(
+      post(s"$baseUri/v1/namespaces/$ns/properties", body.toString), expectAny = true)
+    if (status == 404)
+      throw new java.util.NoSuchElementException(s"no such namespace: $ns")
+    if (status != 200) throw fail("updateNamespaceProperties", ns, status, resp)
+    def arr(field: String): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      parse(resp).path(field).forEach(v => b += v.asText())
+      b.result()
+    }
+    (arr("updated"), arr("removed"), arr("missing"))
+  }
+
+  def dropNamespace(ns: String): Unit = {
+    val (status, resp) = send(request(s"$baseUri/v1/namespaces/$ns").DELETE(),
+      expectAny = true)
+    if (status == 404)
+      throw new java.util.NoSuchElementException(s"no such namespace: $ns")
+    if (status == 409)
+      throw new IllegalStateException(s"namespace $ns is not empty")
+    if (status != 204 && status != 200)
+      throw fail("dropNamespace", ns, status, resp)
+  }
+
   /** Register via the spec's dedicated route (`POST /v1/namespaces/{ns}/
     * register`, reference `rest.go:811`): the server reads the metadata at
     * the given location and adopts it as the table's current version —

@@ -29,6 +29,11 @@ final class RestStubServer(val warehouse: String,
   private final case class Entry(var versions: Vector[TableMetadata],
       location: String, var metadataLocs: Vector[String])
   private val tables = mutable.Map[String, Entry]()
+  // dot-joined namespace → properties; the default namespace every table
+  // route uses exists from the start
+  private val namespaces =
+    mutable.Map[String, mutable.Map[String, String]]("graft" -> mutable.Map())
+  private val views = mutable.Map[String, Vector[ViewVersion]]()
   private val mapper = new ObjectMapper()
 
   private val server =
@@ -75,6 +80,132 @@ final class RestStubServer(val warehouse: String,
         }
         case ("POST", Seq("namespaces", _, "tables")) => create(ex)
         case ("POST", Seq("namespaces", _, "register")) => register(ex)
+        case ("POST", Seq("namespaces", _, "views")) => synchronized {
+          val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8))
+          val name = body.path("name").asText()
+          val prior = views.getOrElse(name, Vector.empty)
+          val next = ViewVersion(prior.map(_.versionId).maxOption.getOrElse(0) + 1,
+            System.currentTimeMillis(), body.path("sql").asText(),
+            body.path("dialect").asText("spark"))
+          views(name) = prior :+ next
+          val o = mapper.createObjectNode()
+          o.set[JsonNode]("current", viewJson(next))
+          respond(ex, 200, o.toString)
+        }
+        case ("GET", Seq("namespaces", _, "views")) => synchronized {
+          val o = mapper.createObjectNode()
+          val arr = mapper.createArrayNode()
+          views.keys.toSeq.sorted.foreach { n =>
+            val v = mapper.createObjectNode(); v.put("name", n); arr.add(v)
+          }
+          o.set[JsonNode]("views", arr)
+          respond(ex, 200, o.toString)
+        }
+        case ("HEAD", Seq("namespaces", _, "views", name)) => synchronized {
+          respond(ex, if (views.contains(dec(name))) 204 else 404, "")
+        }
+        case ("GET", Seq("namespaces", _, "views", name)) => synchronized {
+          views.get(dec(name)) match {
+            case None => respond(ex, 404,
+              error("NoSuchViewException", s"no such view: $name"))
+            case Some(vs) =>
+              val o = mapper.createObjectNode()
+              o.put("view-name", dec(name))
+              o.put("current-version-id", vs.last.versionId)
+              val arr = mapper.createArrayNode()
+              vs.foreach(v => arr.add(viewJson(v)))
+              o.set[JsonNode]("versions", arr)
+              respond(ex, 200, o.toString)
+          }
+        }
+        case ("DELETE", Seq("namespaces", _, "views", name)) => synchronized {
+          if (views.remove(dec(name)).isDefined) respond(ex, 204, "")
+          else respond(ex, 404, error("NoSuchViewException", s"no such view: $name"))
+        }
+        case ("GET", Seq("namespaces")) => synchronized {
+          val o = mapper.createObjectNode()
+          val arr = mapper.createArrayNode()
+          namespaces.keys.toSeq.sorted.foreach { ns =>
+            val a = mapper.createArrayNode()
+            ns.split('.').foreach(a.add)
+            arr.add(a)
+          }
+          o.set[JsonNode]("namespaces", arr)
+          respond(ex, 200, o.toString)
+        }
+        case ("POST", Seq("namespaces")) => synchronized {
+          val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8))
+          val segs = Seq.newBuilder[String]
+          body.path("namespace").forEach(s => segs += s.asText())
+          val ns = segs.result().mkString(".")
+          if (namespaces.contains(ns))
+            respond(ex, 409,
+              error("AlreadyExistsException", s"namespace $ns already exists"))
+          else {
+            val props = mutable.Map[String, String]()
+            body.path("properties").fields().forEachRemaining(e =>
+              props(e.getKey) = e.getValue.asText())
+            namespaces(ns) = props
+            respond(ex, 200, "{}")
+          }
+        }
+        case ("HEAD", Seq("namespaces", ns)) => synchronized {
+          respond(ex, if (namespaces.contains(dec(ns))) 204 else 404, "")
+        }
+        case ("GET", Seq("namespaces", ns)) => synchronized {
+          namespaces.get(dec(ns)) match {
+            case None => respond(ex, 404,
+              error("NoSuchNamespaceException", s"no such namespace: $ns"))
+            case Some(props) =>
+              val o = mapper.createObjectNode()
+              val a = mapper.createArrayNode()
+              dec(ns).split('.').foreach(a.add)
+              o.set[JsonNode]("namespace", a)
+              val p = mapper.createObjectNode()
+              props.foreach { case (k, v) => p.put(k, v) }
+              o.set[JsonNode]("properties", p)
+              respond(ex, 200, o.toString)
+          }
+        }
+        case ("DELETE", Seq("namespaces", ns)) => synchronized {
+          val name = dec(ns)
+          if (!namespaces.contains(name))
+            respond(ex, 404,
+              error("NoSuchNamespaceException", s"no such namespace: $name"))
+          else if (name == "graft" && tables.nonEmpty)
+            respond(ex, 409,
+              error("NamespaceNotEmptyException", s"namespace $name is not empty"))
+          else { namespaces.remove(name); respond(ex, 204, "") }
+        }
+        case ("POST", Seq("namespaces", ns, "properties")) => synchronized {
+          namespaces.get(dec(ns)) match {
+            case None => respond(ex, 404,
+              error("NoSuchNamespaceException", s"no such namespace: $ns"))
+            case Some(props) =>
+              val body = mapper.readTree(new String(
+                ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+              val removed = Seq.newBuilder[String]
+              val missing = Seq.newBuilder[String]
+              body.path("removals").forEach { r =>
+                val k = r.asText()
+                if (props.remove(k).isDefined) removed += k else missing += k
+              }
+              val updated = Seq.newBuilder[String]
+              body.path("updates").fields().forEachRemaining { e =>
+                props(e.getKey) = e.getValue.asText(); updated += e.getKey
+              }
+              val o = mapper.createObjectNode()
+              def arr(vals: Seq[String]): JsonNode = {
+                val a = mapper.createArrayNode(); vals.foreach(a.add); a
+              }
+              o.set[JsonNode]("updated", arr(updated.result()))
+              o.set[JsonNode]("removed", arr(removed.result()))
+              o.set[JsonNode]("missing", arr(missing.result()))
+              respond(ex, 200, o.toString)
+          }
+        }
         case ("HEAD", Seq("namespaces", _, "tables", name)) => synchronized {
           respond(ex, if (tables.contains(dec(name))) 204 else 404, "")
         }
@@ -270,6 +401,15 @@ final class RestStubServer(val warehouse: String,
       Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => Files.deleteIfExists(p))
     }
+  }
+
+  private def viewJson(v: ViewVersion): JsonNode = {
+    val o = mapper.createObjectNode()
+    o.put("version-id", v.versionId)
+    o.put("timestamp-ms", v.timestampMs)
+    o.put("sql", v.sql)
+    o.put("dialect", v.dialect)
+    o
   }
 
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")

@@ -169,6 +169,59 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalStateException](dstCat.registerTable("mirrored", srcMetaLoc))
   }
 
+  test("REST namespaces: CRUD + properties update summary (catalog.go:111-125)") {
+    val server = new RestStubServer(Files.createTempDirectory("graft-rest-ns").toString)
+    try {
+      val cat = new RestCatalog(server.uri)
+      assert(cat.listNamespaces() == Seq("graft")) // the default table namespace
+      cat.createNamespace("prod.raw", Map("owner" -> "pipeline"))
+      assert(cat.namespaceExists("prod.raw") && !cat.namespaceExists("nope"))
+      assert(cat.listNamespaces() == Seq("graft", "prod.raw"))
+      assertThrows[IllegalStateException](cat.createNamespace("prod.raw"))
+      assert(cat.namespaceProperties("prod.raw") == Map("owner" -> "pipeline"))
+      // update summary buckets: updated / removed / missing
+      val (updated, removed, missing) = cat.updateNamespaceProperties("prod.raw",
+        removals = Seq("owner", "ghost"), updates = Map("retention" -> "90d"))
+      assert(updated == Seq("retention") && removed == Seq("owner")
+        && missing == Seq("ghost"))
+      assert(cat.namespaceProperties("prod.raw") == Map("retention" -> "90d"))
+      cat.dropNamespace("prod.raw")
+      assert(!cat.namespaceExists("prod.raw"))
+      assertThrows[java.util.NoSuchElementException](cat.dropNamespace("prod.raw"))
+      // a non-empty namespace refuses to drop
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      IceTable.create(cat, "t", SchemaConv.fromSpark(region.schema))
+      assertThrows[IllegalStateException](cat.dropNamespace("graft"))
+    } finally server.stop()
+  }
+
+  test("REST views: create/replace/list/load/drop, executed through Spark") {
+    val server = new RestStubServer(Files.createTempDirectory("graft-rest-views").toString)
+    try {
+      val cat = new RestCatalog(server.uri)
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      region.createOrReplaceTempView("region_src")
+      assert(cat.listViews().isEmpty && !cat.viewExists("top_regions"))
+      val v1 = cat.createOrReplaceView("top_regions",
+        "SELECT r_regionkey, r_name FROM region_src WHERE r_regionkey >= 2")
+      assert(v1.versionId == 1)
+      // replace appends a version; load returns the history, last = current
+      val v2 = cat.createOrReplaceView("top_regions",
+        "SELECT r_regionkey, r_name FROM region_src WHERE r_regionkey >= 3")
+      assert(v2.versionId == 2)
+      assert(cat.listViews() == Seq("top_regions") && cat.viewExists("top_regions"))
+      val versions = cat.loadView("top_regions")
+      assert(versions.map(_.versionId) == Seq(1, 2))
+      // the current version's SQL runs through Catalyst like any view
+      assert(spark.sql(versions.last.sql).count() ==
+        region.where("r_regionkey >= 3").count())
+      cat.dropView("top_regions")
+      assert(!cat.viewExists("top_regions"))
+      assertThrows[java.util.NoSuchElementException](cat.loadView("top_regions"))
+      assertThrows[java.util.NoSuchElementException](cat.dropView("top_regions"))
+    } finally server.stop()
+  }
+
   test("catalog registry dispatches on type property and uri scheme (registry.go Load)") {
     assert(Seq("file", "http", "https", "jdbc", "memory", "rest", "sql")
       .forall(CatalogRegistry.registeredCatalogs.contains))
