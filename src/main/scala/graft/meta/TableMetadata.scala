@@ -23,7 +23,14 @@ final case class Snapshot(
 
 final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
-final case class SnapshotRef(snapshotId: Long, refType: String) // "branch" | "tag"
+/** Branch/tag pointer with the spec's optional retention policy (reference
+  * `table/refs.go:40-45`): absent fields mean "retain forever" /
+  * "inherit the expire call's arguments", matching Iceberg's defaults.
+  */
+final case class SnapshotRef(snapshotId: Long, refType: String, // "branch" | "tag"
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None)
 
 /** Metadata of one blob inside a statistics file (reference
   * `table/statistics.go:71-78`). Statistics are informational — readers may
@@ -160,6 +167,9 @@ object TableMetadataJson {
     m.refs.foreach { case (name, r) =>
       val o = mapper.createObjectNode()
       o.put("snapshot-id", r.snapshotId); o.put("type", r.refType)
+      r.minSnapshotsToKeep.foreach(o.put("min-snapshots-to-keep", _))
+      r.maxSnapshotAgeMs.foreach(o.put("max-snapshot-age-ms", _))
+      r.maxRefAgeMs.foreach(o.put("max-ref-age-ms", _))
       refs.set[JsonNode](name, o)
     }
     root.set[JsonNode]("refs", refs)
@@ -384,7 +394,10 @@ object TableMetadataJson {
         MetadataLogEntry(e.get("timestamp-ms").asLong(), e.get("metadata-file").asText())))
         .getOrElse(Nil),
       refs = opt(n, "refs").map(r => iterFields(r).map { case (name, v) =>
-        name -> SnapshotRef(v.get("snapshot-id").asLong(), v.get("type").asText())
+        name -> SnapshotRef(v.get("snapshot-id").asLong(), v.get("type").asText(),
+          minSnapshotsToKeep = opt(v, "min-snapshots-to-keep").map(_.asInt()),
+          maxSnapshotAgeMs = opt(v, "max-snapshot-age-ms").map(_.asLong()),
+          maxRefAgeMs = opt(v, "max-ref-age-ms").map(_.asLong()))
       }.toMap).getOrElse(Map.empty),
       nextRowId = opt(n, "next-row-id").map(_.asLong()),
       statistics = opt(n, "statistics").map(s => iter(s).map { sf =>

@@ -153,6 +153,22 @@ final class IceTable private (
         lastUpdatedMs = System.currentTimeMillis())
     })
 
+  /** Attach the spec's per-ref retention policy (reference
+    * `table/refs.go:40-45`): expiry reads these over its call arguments.
+    * `None` keeps a field unset — "retain forever" for `maxRefAgeMs`,
+    * "inherit the expire call" for the other two.
+    */
+  def setRefRetention(refName: String, minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None, maxRefAgeMs: Option[Long] = None): Unit =
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), { m =>
+      val ref = m.refs.getOrElse(refName,
+        throw new IllegalArgumentException(s"no ref $refName"))
+      m.copy(refs = m.refs + (refName -> ref.copy(
+          minSnapshotsToKeep = minSnapshotsToKeep,
+          maxSnapshotAgeMs = maxSnapshotAgeMs, maxRefAgeMs = maxRefAgeMs)),
+        lastUpdatedMs = System.currentTimeMillis())
+    })
+
   /** Convenience: filtered + projected DataFrame of the current snapshot. */
   def scan(spark: SparkSession, filter: IcePredicate = AlwaysTrue,
       selected: Option[Seq[String]] = None): DataFrame =
@@ -1289,16 +1305,47 @@ final class IceTable private (
   // ---------------------------------------------------------- maintenance
   /** Expire snapshots older than the timestamp, always retaining the current
     * one (reference `Transaction.ExpireSnapshots` `transaction.go:256-363`).
+    * Per-ref retention policies override the call's arguments
+    * (`refs.go:40-45`): a ref past its own `max-ref-age-ms` is dropped
+    * (never `main`; absent = retained forever, the spec default), a branch's
+    * ancestry is kept back to `min-snapshots-to-keep` /
+    * `max-snapshot-age-ms`, a tag pins exactly its snapshot.
     */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Unit = synchronized {
-    val keepIds = (meta.refs.values.map(_.snapshotId).toSet ++ meta.currentSnapshotId.toSet ++
-      meta.snapshots.sortBy(-_.timestampMs).take(retainLast).map(_.snapshotId))
+    val nowMs = System.currentTimeMillis()
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val (liveRefs, agedOutRefs) = meta.refs.partition { case (name, ref) =>
+      name == "main" || ref.maxRefAgeMs.forall(maxAge =>
+        byId.get(ref.snapshotId).forall(s => nowMs - s.timestampMs <= maxAge))
+    }
+    val keepIds = scala.collection.mutable.Set.empty[Long]
+    liveRefs.foreach { case (_, ref) =>
+      if (ref.refType == "branch") {
+        // ancestry walk (reference transaction.go:328-352): keep while the
+        // snapshot is young by the branch's policy OR under its min count
+        val minKeep = ref.minSnapshotsToKeep.getOrElse(retainLast)
+        var id = Option(ref.snapshotId)
+        var n = 0
+        var done = false
+        while (!done && id.exists(byId.contains)) {
+          val s = byId(id.get)
+          val expiredByAge = ref.maxSnapshotAgeMs
+            .map(maxAge => nowMs - s.timestampMs > maxAge)
+            .getOrElse(s.timestampMs < olderThanMs)
+          if (expiredByAge && n >= minKeep) done = true
+          else { keepIds += s.snapshotId; id = s.parentSnapshotId; n += 1 }
+        }
+      } else keepIds += ref.snapshotId
+    }
+    keepIds ++= meta.currentSnapshotId
+    keepIds ++= meta.snapshots.sortBy(-_.timestampMs).take(retainLast).map(_.snapshotId)
     val (kept, expired) = meta.snapshots.partition(s =>
       keepIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
-    if (expired.isEmpty) return
+    if (expired.isEmpty && agedOutRefs.isEmpty) return
     val expiredIds = expired.map(_.snapshotId).toSet
     val newMeta = meta.copy(
       snapshots = kept,
+      refs = liveRefs,
       snapshotLog = meta.snapshotLog.filterNot(e => expiredIds.contains(e.snapshotId)),
       // statistics ride their snapshot's lifetime; dropping the entry here
       // releases the file to orphan cleanup

@@ -34,6 +34,37 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
 
+  test("ref retention policies drive expiry (refs.go:40-45)") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(catalog, "li_ref_retention",
+      SchemaConv.fromSpark(region.schema))
+    val s1 = t.append(region.limit(1))
+    val s2 = t.append(region.limit(1))
+    val s3 = t.append(region.limit(1))
+    val s4 = t.append(region.limit(1))
+    // a tag past its own max-ref-age is dropped by expiry
+    t.createTag("old_tag", s1.snapshotId)
+    t.setRefRetention("old_tag", maxRefAgeMs = Some(0L))
+    // a branch's own policy overrides the expire call: keep >= 2 ancestors
+    // even though its max-snapshot-age says everything is stale
+    t.createBranch("dev", s3.snapshotId)
+    t.setRefRetention("dev", minSnapshotsToKeep = Some(2),
+      maxSnapshotAgeMs = Some(0L))
+    // policies round-trip through the metadata JSON
+    val reloaded = IceTable.load(catalog, "li_ref_retention")
+    assert(reloaded.metadata.refs("dev").minSnapshotsToKeep.contains(2))
+    assert(reloaded.metadata.refs("old_tag").maxRefAgeMs.contains(0L))
+
+    t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    val after = t.metadata
+    assert(!after.refs.contains("old_tag")) // aged out with its pin
+    assert(after.refs.contains("dev") && after.refs.contains("main"))
+    val ids = after.snapshots.map(_.snapshotId).toSet
+    assert(ids == Set(s2.snapshotId, s3.snapshotId, s4.snapshotId),
+      s"expected dev to pin s3+s2 and main to keep s4; got $ids")
+    assert(!ids.contains(s1.snapshotId))
+  }
+
   test("compaction: many files become few, data identical, old files orphaned") {
     val t = IceTable.create(catalog, "li_compact",
       SchemaConv.fromSpark(lineitem.schema))
