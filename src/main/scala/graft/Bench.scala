@@ -27,18 +27,28 @@ object Bench {
       graft.ops.CacheRegistry.releaseAll()
       name -> dt
     }
-    // The harness captures only a ~2KB tail of stdout: keep this line compact
-    // (2-decimal seconds, short sf label) and emit it after spark.stop() so no
-    // shutdown logging can land between it and process exit. At ~60 queries the
-    // line is ~1.7KB — full-precision doubles overflowed the tail in round 3
-    // and the driver recorded parsed:null.
+    // The harness captures only the LAST 2000 chars of stdout, and sbt
+    // appends "[info] " + a "[success] Total time..." trailer (~85 chars):
+    // the whole JSON line must fit in ~1900 chars or its START gets clipped.
+    // At 70+ queries that forces 1-decimal per-query values on stdout; the
+    // full-precision result is persisted to BENCH_LOCAL.json in the repo.
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val sfLabel = sfDir.split('/').lastOption.getOrElse(sfDir)
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def f1(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+    def line(fmt: Double => String) = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val sfLabel = sfDir.split('/').lastOption.getOrElse(sfDir)
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line(f2) + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}""")
+    println(line(f1))
   }
 }
