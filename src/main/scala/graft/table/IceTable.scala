@@ -305,7 +305,7 @@ final class IceTable private (
       snapshots = meta.snapshots :+ snap,
       snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
       properties = meta.properties -- removeProps ++ setProps,
-      refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")),
+      refs = meta.refs + ("main" -> advanceMain(snapId)),
       nextRowId = firstRowId.map(_ + addedRecords))
     commitMeta(newMeta)
     maintainMetadata()
@@ -408,6 +408,54 @@ final class IceTable private (
       survivors ++ addedNew, operation = "overwrite")
   }
 
+  /** Advance `main` to the new snapshot, PRESERVING any retention policy
+    * set on it — a commit must not silently reset `setRefRetention`.
+    */
+  private def advanceMain(snapId: Long): SnapshotRef =
+    meta.refs.get("main").map(_.copy(snapshotId = snapId))
+      .getOrElse(SnapshotRef(snapId, "branch"))
+
+  /** Rewrite (re-bin-pack) the current snapshot's data manifests into
+    * `targetCount` per spec without touching any data file — the manifest
+    * maintenance that bounds plan-time manifest reads when a long-lived
+    * table accretes thousands of small manifests (Iceberg's
+    * RewriteManifests; the reference README tracks it as unsupported).
+    * Live entries keep their original sequence numbers as Existing; delete
+    * manifests carry forward untouched, so MOR semantics are unchanged.
+    */
+  def rewriteManifests(targetCount: Int = 1): Snapshot = synchronized {
+    val snapId = meta.reserveSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val commitUuid = UUID.randomUUID().toString
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot rewrite manifests of an empty table"))
+    val all = ManifestIO.readManifestList(current.manifestList)
+    // a manifest holds one spec's partition tuples — pack per spec
+    val packed = all.filter(_.content == 0).groupBy(_.specId).toSeq.sortBy(_._1)
+      .flatMap { case (specId, ms) =>
+        val sp = meta.specs.find(_.specId == specId).getOrElse(spec)
+        val entries = ms.flatMap { m =>
+          ManifestIO.readManifest(m.path, meta.specs, schema)._2
+            .filter(_.status != ManifestEntryStatus.Deleted)
+            .map(e => e.copy(status = ManifestEntryStatus.Existing,
+              sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+        }
+        val groups = math.max(1, math.min(targetCount, entries.size))
+        val per = math.max(1, math.ceil(entries.size.toDouble / groups).toInt)
+        entries.grouped(per).zipWithIndex.map { case (grp, i) =>
+          ManifestIO.writeManifest(
+            s"$location/metadata/$commitUuid-rw$specId-$i.avro", grp, sp, schema,
+            formatVersion = meta.formatVersion)
+            .copy(sequenceNumber = seq,
+              minSequenceNumber = grp.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+              addedSnapshotId = snapId)
+        }.toSeq
+      }
+    commitManifestList(packed ++ all.filter(_.content == 1), snapId, seq,
+      operation = "replace", addedFiles = 0, addedRecords = 0,
+      removedFiles = 0, removedRecords = 0)
+  }
+
   private def commitManifestList(manifests: Seq[ManifestFile], snapId: Long, seq: Long,
       operation: String, addedFiles: Long, addedRecords: Long,
       removedFiles: Long, removedRecords: Long): Snapshot = {
@@ -436,7 +484,7 @@ final class IceTable private (
       currentSnapshotId = Some(snapId),
       snapshots = meta.snapshots :+ snap,
       snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
-      refs = meta.refs + ("main" -> SnapshotRef(snapId, "branch")),
+      refs = meta.refs + ("main" -> advanceMain(snapId)),
       nextRowId = firstRowId.map(_ + addedRecords))
     commitMeta(newMeta)
     maintainMetadata()

@@ -65,6 +65,29 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ids.contains(s1.snapshotId))
   }
 
+  test("rewriteManifests packs manifests per spec without touching data or deletes") {
+    val t = IceTable.create(catalog, "li_rw_manifests",
+      SchemaConv.fromSpark(lineitem.schema))
+    (0 until 5).foreach(i => t.append(lineitem.where(s"pmod(l_orderkey, 5) = $i")))
+    t.deleteWhere(spark, P.equalTo("l_returnflag", "R"))
+    val expected = t.scan(spark).count()
+    val before = ManifestIO.readManifestList(t.currentSnapshot.get.manifestList)
+    assert(before.count(_.content == 0) == 5)
+    val filesBefore = t.newScan().planFiles().map(_.file.filePath).toSet
+
+    val snap = t.rewriteManifests()
+    assert(snap.summary("operation") == "replace")
+    val after = ManifestIO.readManifestList(t.currentSnapshot.get.manifestList)
+    assert(after.count(_.content == 0) == 1, s"data manifests not packed: $after")
+    assert(after.count(_.content == 1) == before.count(_.content == 1))
+    // identical plan inputs and results: same files, same MOR-deleted rows
+    assert(t.newScan().planFiles().map(_.file.filePath).toSet == filesBefore)
+    assert(t.scan(spark).count() == expected)
+    // totals unchanged in the snapshot summary (metadata-only operation)
+    assert(snap.summary("added-data-files") == "0"
+      && snap.summary("deleted-data-files") == "0")
+  }
+
   test("compaction: many files become few, data identical, old files orphaned") {
     val t = IceTable.create(catalog, "li_compact",
       SchemaConv.fromSpark(lineitem.schema))
