@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -27,11 +29,13 @@ import graft.table.IceTable
   * `max-snapshots-per-trigger` paces catch-up: without it a consumer that
   * falls behind (or a fresh one over a long-lived table) gets EVERY pending
   * snapshot as one giant batch — at scale that batch is the whole backlog.
-  * With it, `getOffset` advances at most N committed sequence numbers past
-  * the last batch this source handed out, so the engine drains the backlog
-  * as bounded micro-batches. Note the v1 Source API falls back to
-  * single-batch execution under Trigger.AvailableNow, so pacing needs a
-  * processing-time trigger; leftover backlog is picked up by the next run.
+  * With it, the offered offset advances at most N committed sequence
+  * numbers past the last batch this source handed out, so the engine drains
+  * the backlog as bounded micro-batches. The source implements the
+  * admission-control surface (`SupportsAdmissionControl` +
+  * `SupportsTriggerAvailableNow`, the FileStreamSource pattern), so
+  * `Trigger.AvailableNow` freezes the offset range at query start, drains
+  * it — in paced batches when a limit is set — and terminates.
   */
 final class IceTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-iceberg"
@@ -55,9 +59,47 @@ final class IceTableSourceProvider extends StreamSourceProvider with DataSourceR
 
 final class IceTableSource(sqlContext: SQLContext, table: IceTable,
     maxSnapshotsPerTrigger: Option[Int] = None, metadataPath: String = "")
-  extends Source {
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def schema: StructType = table.schema.toSpark
+
+  /** AvailableNow freezes the range at query start: snapshots committed
+    * after `prepareForTriggerAvailableNow` wait for the next run.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    table.refresh()
+    availableNowCap = table.metadata.snapshots.map(_.sequenceNumber).maxOption
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  private def committedSeqs(): Seq[Long] = {
+    table.refresh()
+    val all = table.metadata.snapshots.map(_.sequenceNumber).distinct.sorted
+    availableNowCap.fold(all)(cap => all.filter(_ <= cap))
+  }
+
+  /** Admission-control offer: at most `limit` sequence numbers past the
+    * pacing floor (a ReadMaxFiles limit counts SNAPSHOTS here). Null means
+    * nothing to offer, which under AvailableNow terminates the query.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val seqs = committedSeqs()
+    if (seqs.isEmpty) return null
+    val pending = seqs.filter(_ > pacedFloor)
+    val end = limit match {
+      case rl: ReadMaxFiles if pending.nonEmpty => pending.take(rl.maxFiles).last
+      case _ => seqs.last
+    }
+    val resolved = math.max(end, pacedFloor)
+    if (resolved <= 0L) null else LongOffset(resolved)
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    committedSeqs().lastOption.map(LongOffset(_)).orNull
 
   /** Pacing floor: the highest sequence number a batch has been PLANNED for.
     * Advanced (and persisted under the source's checkpoint metadata dir) only

@@ -293,6 +293,26 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("n_nationkey").exceptAll(nation25.select("n_nationkey")).isEmpty)
   }
 
+  test("IceTable streaming source drains a paced backlog under Trigger.AvailableNow") {
+    val t = IceTable.create(catalog, "nation_availnow", SchemaConv.fromSpark(nation.schema))
+    t.append(nation.where("n_nationkey < 8"))
+    t.append(nation.where("n_nationkey >= 8 and n_nationkey < 16"))
+    t.append(nation.where("n_nationkey >= 16"))
+    val ckpt = Files.createTempDirectory("availnow-ckpt").toString
+    val stream = spark.readStream.format("graft.streaming.IceTableSourceProvider")
+      .option("warehouse", catalog.warehouse).option("table", "nation_availnow")
+      .option("max-snapshots-per-trigger", "1").load()
+    val q = stream.writeStream.format("memory").queryName("nation_availnow_sink")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    // the admission-control surface makes AvailableNow drain ALL pending
+    // snapshots (no single-batch fallback) and terminate — in paced batches
+    assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    assert(spark.table("nation_availnow_sink").count() == 25)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >=3 paced micro-batches, got $batches")
+  }
+
   test("streaming ingest commits one snapshot per micro-batch; incremental read sees only new rows") {
     val src = Files.createTempDirectory("stream-src").toString
     val ckpt = Files.createTempDirectory("stream-ckpt").toString
