@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{BucketTransform, Murmur3}
+
+/** The SQL function surface: expressions injected via the
+  * SparkSessionExtensions seam (this suite's session is BUILT with
+  * `GraftExtensions`) and via imperative registration, both resolving to
+  * the same native codegen expressions the DataFrame API uses.
+  */
+class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-functions-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // the builder may have returned a pre-existing session (suites share the
+    // JVM) where the extension never ran — imperative registration covers it
+    GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("graft_bucket matches the spec transform over SQL") {
+    val s = spark
+    import s.implicits._
+    Seq(34L, 0L, -1L, 1234567890L).toDF("v").createOrReplaceTempView("bucket_in")
+    val viaSql = spark.sql("SELECT v, graft_bucket(v, 16) AS b FROM bucket_in")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    viaSql.foreach { case (v, b) => assert(b == Murmur3.bucketLong(v, 16)) }
+    // and the DataFrame-side transform produces the same buckets
+    val viaTransform = BucketTransform(16)
+    val col = viaTransform.toColumn(org.apache.spark.sql.functions.col("v"),
+      graft.core.IceLong)
+    val dfSide = Seq(34L, 0L, -1L, 1234567890L).toDF("v")
+      .select($"v", col.as("b")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql == dfSide)
+  }
+
+  test("graft_cosine_sim and graft_equal_frac evaluate in SQL") {
+    val sim = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head.getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-9)
+    val ortho = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS c").head.getDouble(0)
+    assert(math.abs(ortho) < 1e-9)
+    val frac = spark.sql(
+      "SELECT graft_equal_frac(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS f")
+      .head.getDouble(0)
+    assert(math.abs(frac - 0.5) < 1e-9)
+  }
+
+  test("graft_truncate_binary prefixes bytes; literal arity is validated") {
+    val out = spark.sql(
+      "SELECT graft_truncate_binary(CAST('abcdef' AS BINARY), 3) AS t")
+      .head.getAs[Array[Byte]](0)
+    assert(new String(out, "UTF-8") == "abc")
+    val e = intercept[Exception](spark.sql("SELECT graft_bucket(1L, 1 + 1)").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+}
