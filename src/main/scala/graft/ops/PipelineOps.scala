@@ -125,7 +125,44 @@ object PipelineOps {
       .select("source", "n_docs_total", "n_docs_kept", "kept_tokens")
   }
 
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII scrubbing: count and redact email/phone patterns per document —
+    * the pre-training privacy pass. Pure per-row map (no shuffle at all);
+    * the oracle verifies the REDACTED text via its fingerprint, so the
+    * replacement semantics are exactly checked, not just the counts.
+    */
+  def piiScrub(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
+    documents.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
+        .cast(LongType).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0)))
+        .cast(LongType).as("n_phones"),
+      length(redacted).cast(LongType).as("redacted_chars"),
+      substring(md5(redacted.cast(BinaryType)), 1, 16).as("redacted_fingerprint"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "pipeline_pii_scrub",
+      (s, dir) => piiScrub(t(s, dir, "documents")),
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text,
+            '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+          CAST(length(redacted) AS BIGINT) AS redacted_chars,
+          substr(md5(redacted), 1, 16) AS redacted_fingerprint
+        FROM (
+          SELECT doc_id, text, regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS redacted
+          FROM documents) sub""")),
     QueryDef(
       "pipeline_decontaminate",
       (s, dir) => decontaminate(t(s, dir, "documents"), benchMaxId = 50L),

@@ -79,6 +79,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pii scrub counts and redacts emails and phone numbers") {
+    val d = docs(
+      (1L, "reach me at jane.doe+x@mail.example.org or 555-123-4567 thanks", "s"),
+      (2L, "no pii here at all", "s"),
+      (3L, "two mails: a@b.io c@d.co and 111 222 3333", "s"))
+    val out = PipelineOps.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 1L)))
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(3L) == ((2L, 1L)))
+    // redaction is verified through the fingerprint of the REDACTED text
+    val s = spark
+    import s.implicits._
+    val redChars = PipelineOps.piiScrub(d).where($"doc_id" === 1L)
+      .head.getLong(3)
+    assert(redChars ==
+      "reach me at <EMAIL> or <PHONE> thanks".length.toLong)
+  }
+
   test("source cap keeps the first N docs per source in doc_id order") {
     val d = docs(
       (5L, "a b", "s1"), (1L, "a b c", "s1"), (9L, "a", "s1"),
