@@ -61,6 +61,21 @@ object Main {
       case "drop" =>
         catalog.dropTable(args(2))
         println(s"dropped ${args(2)}")
+      case "register" =>
+        // adopt an existing table by its current metadata-JSON location
+        val m = catalog.registerTable(args(2), args(3))
+        println(s"registered ${args(2)} at ${m.location} (uuid ${m.tableUuid})")
+      case "refs" =>
+        table.metadata.refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+          val retention = Seq(
+            r.minSnapshotsToKeep.map(v => s"min-snapshots-to-keep=$v"),
+            r.maxSnapshotAgeMs.map(v => s"max-snapshot-age-ms=$v"),
+            r.maxRefAgeMs.map(v => s"max-ref-age-ms=$v")).flatten.mkString(" ")
+          println(s"$name\t${r.refType}\t${r.snapshotId}\t$retention".stripTrailing())
+        }
+      case "rewrite-manifests" =>
+        val snap = table.rewriteManifests()
+        println(s"rewrote manifests of ${args(2)} at snapshot ${snap.snapshotId}")
       case other =>
         println(s"unknown verb: $other\n$usage"); sys.exit(2)
     }
@@ -69,6 +84,7 @@ object Main {
   private val usage =
     """usage: graft.cli.Main <warehouse> <verb> [args]
       |  list | describe <t> | schema <t> | spec <t> | uuid <t> | location <t>
-      |  properties <t> | files <t> | snapshots <t> | create <t> <parquet>
-      |  rename <t> <newName> | drop <t>""".stripMargin
+      |  properties <t> | files <t> | snapshots <t> | refs <t> | create <t> <parquet>
+      |  rename <t> <newName> | drop <t> | register <t> <metadataJsonPath>
+      |  rewrite-manifests <t>""".stripMargin
 }
