@@ -1350,6 +1350,43 @@ final class IceTable private (
       .toDF("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
   }
 
+  /** Live DELETE files of the current snapshot (the `delete_files` metadata
+    * table): positional (content=1 with path bounds), equality (content=2
+    * with the key field IDs), and deletion vectors (DV pointer set) — the
+    * MOR-debt view compaction jobs watch.
+    */
+  def deleteFilesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    currentSnapshot.map { s =>
+      ManifestIO.readManifestList(s.manifestList).filter(_.content == 1).flatMap { mf =>
+        val (_, entries) = ManifestIO.readManifest(mf.path, meta.specs, meta.currentSchema)
+        entries.filter(_.status != ManifestEntryStatus.Deleted).map { e =>
+          val f = e.dataFile
+          (f.content, f.filePath, f.fileFormat, f.recordCount, f.fileSizeInBytes,
+            e.sequenceNumber.getOrElse(mf.sequenceNumber),
+            if (f.equalityIds.isEmpty) null else f.equalityIds.mkString(","),
+            f.referencedDataFile.orNull)
+        }
+      }.toDF("content", "file_path", "file_format", "record_count",
+        "file_size_in_bytes", "sequence_number", "equality_ids",
+        "referenced_data_file")
+    }.getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Manifests of EVERY retained snapshot (the `all_manifests` metadata
+    * table), one row per (snapshot, manifest) — the coverage view
+    * rewriteManifests and expiry planning reason over.
+    */
+  def allManifestsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    meta.snapshots.flatMap { s =>
+      ManifestIO.readManifestList(s.manifestList).map(m =>
+        (s.snapshotId, m.path, m.length, m.specId, m.content, m.sequenceNumber,
+          m.addedSnapshotId))
+    }.toDF("reference_snapshot_id", "path", "length", "partition_spec_id",
+      "content", "sequence_number", "added_snapshot_id")
+  }
+
   // ---------------------------------------------------------- maintenance
   /** Expire snapshots older than the timestamp, always retaining the current
     * one (reference `Transaction.ExpireSnapshots` `transaction.go:256-363`).

@@ -398,7 +398,34 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(log.nonEmpty)
       assert(t.metadataLogDF(spark).count() == log.size)
       assert(t.catalog.readMetadataFile(log.last.metadataFile).nonEmpty)
+
+      // all_manifests: one row per (snapshot, manifest); the current
+      // snapshot's rows equal the manifests table
+      val am = t.allManifestsDF(spark)
+      assert(am.count() >= t.manifestsDF(spark).count())
+      assert(am.where(s"reference_snapshot_id = ${t.metadata.currentSnapshotId.get}")
+        .count() == t.manifestsDF(spark).count())
     } finally t.removeRef("mt_tag")
+  }
+
+  test("metadata tables: delete_files lists MOR debt by content type") {
+    val t = IceTable.load(catalog, "li_mor") // fixture with positional deletes
+    val df = t.deleteFilesDF(spark).collect()
+    assert(df.nonEmpty)
+    assert(df.forall(_.getInt(0) != 0)) // only delete content
+    // positional delete files carry no equality ids and no DV pointer
+    assert(df.exists(r => r.getInt(0) == 1 && r.getString(6) == null))
+    // an equality-delete table surfaces its key ids (ord_eqdel ends
+    // compacted with its deletes applied, so build a live-debt one)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val eq = IceTable.create(catalog, "ord_eqdel_meta",
+      SchemaConv.fromSpark(orders.schema))
+    eq.append(orders)
+    eq.equalityDelete(spark,
+      orders.where("o_orderstatus = 'F'").select("o_orderkey"), Seq("o_orderkey"))
+    eq.refresh()
+    val eqRows = eq.deleteFilesDF(spark).where("content = 2").collect()
+    assert(eqRows.nonEmpty && eqRows.forall(_.getString(6) != null))
   }
 
   test("limit 0 yields empty frame with the projected schema") {
