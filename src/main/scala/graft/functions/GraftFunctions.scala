@@ -51,6 +51,14 @@ object GraftFunctions {
     "graft_equal_frac" -> { args =>
       arity(args, 2, "graft_equal_frac")
       EqualFracExpr(args.head, args(1))
+    },
+    "graft_minhash_sig" -> { args =>
+      arity(args, 1, "graft_minhash_sig")
+      MinHashSigExpr(args.head)
+    },
+    "graft_simhash" -> { args =>
+      arity(args, 1, "graft_simhash")
+      SimHashExpr(args.head)
     })
 
   private def info(name: String): ExpressionInfo =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.Murmur3
+import org.apache.spark.sql.graftshim.GraftShim
 
 /** Near-duplicate detection over `documents` — the dedup surface of a
   * training-data pipeline.
@@ -31,37 +31,22 @@ object Dedup {
     array_distinct(split(regexp_replace(lower(c), "\\s+", " "), " "))
 
   // ---------------------------------------------------------------- minhash
-  /** 64-permutation MinHash signature of a token set, one pass per doc.
-    * h_i(x) = (a_i * murmur(x) + b_i) mod p with deterministic a/b.
+  /** 64-permutation MinHash signature of a token set, one pass per doc:
+    * h_i(x) = (a_i * murmur(x) + b_i) mod p with deterministic a/b, computed
+    * by the native codegen expression [[graft.functions.MinHashSigExpr]]
+    * (bit-identical to the Scala UDF it replaced, which deserialized the
+    * token array per row and broke whole-stage codegen).
     */
-  private val NumHashes = 64
+  private val NumHashes = graft.functions.MinHashSig.NumHashes
   private val BandCount = 16 // 16 bands x 4 rows
-  private val Prime = 2305843009213693951L // 2^61 - 1
 
-  // deterministic per-permutation coefficients, derived once from the spec hash
-  private val coeffA: Array[Long] =
-    Array.tabulate(NumHashes)(i => 2L * (Murmur3.hashLong(i.toLong * 2 + 1).toLong & 0xffffffffL) + 1)
-  private val coeffB: Array[Long] =
-    Array.tabulate(NumHashes)(i => Murmur3.hashLong(i.toLong * 2 + 2).toLong & 0xffffffffL)
-
-  private val minhashUdf = udf { (tokens: Seq[String]) =>
-    val sig = Array.fill(NumHashes)(Long.MaxValue)
-    tokens.foreach { tok =>
-      val x = Murmur3.hashString(tok).toLong & 0xffffffffL
-      var i = 0
-      while (i < NumHashes) {
-        val h = (coeffA(i) * x + coeffB(i)) % Prime
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-    }
-    sig.toSeq
-  }
+  private def minhashSig(c: Column): Column =
+    GraftShim.column(graft.functions.MinHashSigExpr(GraftShim.expression(c)))
 
   /** Documents → (doc_id, source, band, band_hash) for LSH bucketing. */
   def minhashBands(docs: DataFrame): DataFrame =
     bandsOf(docs.select(col("doc_id"), col("source"),
-      minhashUdf(wordSet(col("text"))).as("sig")))
+      minhashSig(wordSet(col("text"))).as("sig")))
 
   /** Band hashes derived from an existing signature frame
     * (doc_id, source, sig) — so a cached signature pass is computed once
@@ -84,7 +69,7 @@ object Dedup {
   def minhashCandidates(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
     val docs = t(spark, dir, "documents")
     val sigs = docs.select(col("doc_id"), col("source"),
-        minhashUdf(wordSet(col("text"))).as("sig"))
+        minhashSig(wordSet(col("text"))).as("sig"))
       .transform(CacheRegistry.persist(_))
     val bands = bandsOf(sigs)
     val pairs = bands.as("a").join(bands.as("b"),
@@ -105,25 +90,14 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- simhash
-  /** 64-bit SimHash over word hashes (sign-aggregated bit votes). */
-  private val simhashUdf = udf { (tokens: Seq[String]) =>
-    val votes = new Array[Int](64)
-    tokens.foreach { tok =>
-      val h = (Murmur3.hashString(tok).toLong << 32) |
-        (Murmur3.hashString(tok.reverse + "").toLong & 0xffffffffL)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
-      }
-    }
-    votes.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
-      if (v > 0) acc | (1L << i) else acc
-    }
-  }
+  /** 64-bit SimHash over word hashes (sign-aggregated bit votes) — the
+    * native codegen expression [[graft.functions.SimHashExpr]].
+    */
+  private def simhash(c: Column): Column =
+    GraftShim.column(graft.functions.SimHashExpr(GraftShim.expression(c)))
 
   def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashUdf(wordSet(col("text"))).as("simhash"))
+    docs.select(col("doc_id"), simhash(wordSet(col("text"))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, candidates
     * from 4 x 16-bit band buckets (pigeonhole: dist<=3 shares a band).
@@ -133,10 +107,15 @@ object Dedup {
     // persisted for the same reason as the minhash signatures: the band
     // self-join would otherwise run the signature UDF once per side
     val sh = docsWithSource.select(col("doc_id"), col("source"),
-        simhashUdf(wordSet(col("text"))).as("simhash"))
+        simhash(wordSet(col("text"))).as("simhash"))
       .transform(CacheRegistry.persist(_))
+    // band value = the unsigned 16-bit slice. `% 65536` here would be WRONG
+    // for band 0 of a negative simhash (Java % keeps the sign, so a negative
+    // and a positive hash with identical low bits get different band values
+    // and silently miss each other); mask instead of mod
     val banded = sh.select(col("doc_id"), col("source"), col("simhash"), posexplode(
-      array((0 until 4).map(b => shiftrightunsigned(col("simhash"), b * 16) % 65536): _*)))
+      array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(65535L))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
