@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType,
+  LongType, StringType}
 
 import graft.core.Murmur3
 
@@ -66,6 +67,38 @@ object SimHashSig {
   }
 }
 
+object LshBuckets {
+  val Tables = 4
+  val PlanesPerTable = 4
+  // deterministic random hyperplanes from the spec murmur3 (identical
+  // derivation to the UDF this replaces)
+  private val planeVals: Array[Array[Double]] =
+    Array.tabulate(Tables * PlanesPerTable, 64) { (h, d) =>
+      Murmur3.hashLong(h.toLong * 64 + d).toDouble / Int.MaxValue
+    }
+
+  def compute(vec: ArrayData): ArrayData = {
+    val out = new Array[Int](Tables)
+    var t = 0
+    while (t < Tables) {
+      var bucket = 0
+      var h = 0
+      while (h < PlanesPerTable) {
+        val plane = planeVals(t * PlanesPerTable + h)
+        var dotv = 0.0
+        var d = 0
+        val n = math.min(vec.numElements(), 64)
+        while (d < n) { dotv += vec.getFloat(d) * plane(d); d += 1 }
+        if (dotv >= 0) bucket |= (1 << h)
+        h += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** 64-permutation MinHash signature of a token array (dedup LSH). */
 final case class MinHashSigExpr(child: Expression)
   extends UnaryExpression {
@@ -85,6 +118,30 @@ final case class MinHashSigExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Multi-table random-hyperplane LSH buckets of a float-vector column (one
+  * signed-projection bucket per table).
+  */
+final case class LshBucketsExpr(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets needs an array<float>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshBuckets.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshBuckets.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
     copy(child = newChild)
 }
 

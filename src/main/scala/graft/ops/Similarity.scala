@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.Murmur3
+
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -47,31 +47,14 @@ object Similarity {
 
   /** Multi-table random-hyperplane LSH: L tables of k planes each (higher
     * recall at the same bucket sparsity). Planes are deterministic from the
-    * spec murmur3.
+    * spec murmur3; the bucket computation is the native codegen expression
+    * [[graft.functions.LshBucketsExpr]] (bit-identical to the Scala UDF it
+    * replaced).
     */
-  private val Tables = 4
-  private val PlanesPerTable = 4
-  private val planeVals: Array[Array[Double]] =
-    Array.tabulate(Tables * PlanesPerTable, 64) { (h, d) =>
-      Murmur3.hashLong(h.toLong * 64 + d).toDouble / Int.MaxValue
-    }
-
-  /** One signed-projection bucket per table → Array(L buckets). */
-  private val lshBucketsUdf = udf { (vec: Seq[Float]) =>
-    Array.tabulate(Tables) { t =>
-      var bucket = 0
-      var h = 0
-      while (h < PlanesPerTable) {
-        val plane = planeVals(t * PlanesPerTable + h)
-        var dotv = 0.0
-        var d = 0
-        while (d < vec.length && d < 64) { dotv += vec(d) * plane(d); d += 1 }
-        if (dotv >= 0) bucket |= (1 << h)
-        h += 1
-      }
-      bucket
-    }.toSeq
-  }
+  private def lshBuckets(c: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.LshBucketsExpr(
+        org.apache.spark.sql.graftshim.GraftShim.expression(c)))
 
   /** ANN via multi-table LSH: neighbors searched only among bucket-mates of
     * any table (probabilistic recall — rows-only check). The shuffle key is
@@ -79,7 +62,7 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-      .withColumn("buckets", lshBucketsUdf(col("embedding")))
+      .withColumn("buckets", lshBuckets(col("embedding")))
     val banded = emb.select(col("vec_id"), col("embedding"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val queries = banded.where(col("vec_id") < nQueries)
@@ -113,7 +96,7 @@ object Similarity {
     // then shuffles slim (id, id, label) rows, not array payloads
     val banded = emb
       .select(col("vec_id"), col("label"),
-        posexplode(lshBucketsUdf(col("embedding"))).as(Seq("tbl", "bucket")))
+        posexplode(lshBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
