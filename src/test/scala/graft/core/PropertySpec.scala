@@ -180,5 +180,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("signature laws: simhash order-invariant; minhash is elementwise-min under union") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new Random(47)
+    def arr(tokens: Seq[String]) =
+      new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+    (1 to 200).foreach { _ =>
+      val tokens = Seq.fill(1 + rnd.nextInt(20))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).distinct
+      // simhash: a bag-of-tokens signature must not depend on token order
+      val sh = graft.functions.SimHashSig.compute(arr(tokens))
+      assert(graft.functions.SimHashSig.compute(arr(rnd.shuffle(tokens))) == sh)
+      // minhash: sig(A ∪ B) = elementwise min(sig(A), sig(B)) — the identity
+      // that makes signatures mergeable across partitions
+      val split = rnd.nextInt(tokens.size + 1)
+      val (a, b) = tokens.splitAt(split)
+      val sigU = graft.functions.MinHashSig.compute(arr(tokens)).toLongArray()
+      val sigA = graft.functions.MinHashSig.compute(arr(a)).toLongArray()
+      val sigB = graft.functions.MinHashSig.compute(arr(b)).toLongArray()
+      sigU.indices.foreach(i => assert(sigU(i) == math.min(sigA(i), sigB(i))))
+      // lsh buckets: 4 per vector, each within 4 plane bits
+      val vec = new GenericArrayData(
+        Array.fill(64)(rnd.nextFloat() * 2 - 1).map(Float.box(_): Any))
+      val buckets = graft.functions.LshBuckets.compute(vec).toIntArray()
+      assert(buckets.length == 4 && buckets.forall(v => v >= 0 && v < 16))
+    }
+  }
+
   private val P = Predicates
 }
