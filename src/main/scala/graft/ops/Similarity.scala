@@ -183,18 +183,15 @@ object Similarity {
     */
   private def ivfTopKFrom(emb: DataFrame, centers: Array[Array[Double]],
       nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    val assignUdf = udf { (vec: Seq[Float]) =>
-      graft.functions.IvfCodebook.nearest(centers, vec.map(_.toDouble).toArray)
-    }
-    val probeUdf = udf { (vec: Seq[Float]) =>
-      graft.functions.IvfCodebook.probeCells(centers,
-        vec.map(_.toDouble).toArray, nProbe).toSeq
-    }
-    val assigned = emb.withColumn("cell", assignUdf(col("embedding")))
+    // cell assignment/probing are native codegen expressions with the (tiny)
+    // codebook as referenced state — the corpus-wide assignment pass stays in
+    // whole-stage codegen (PlanAuditSpec asserts no UDF node in this plan)
+    import graft.functions.IvfExprs.{ivfAssign, ivfProbe}
+    val assigned = emb.withColumn("cell", ivfAssign(col("embedding"), centers))
       .transform(CacheRegistry.persist(_))
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        explode(probeUdf(col("embedding"))).as("cell"))
+        explode(ivfProbe(col("embedding"), centers, nProbe)).as("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     // each corpus vector lives in exactly one cell → no candidate dedup

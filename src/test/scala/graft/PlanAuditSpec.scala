@@ -97,6 +97,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"corpus grams shuffled for the join:\n$p")
   }
 
+  test("IVF assignment runs in codegen — no UDF node on the corpus pass") {
+    val p = plan("sim_ann_ivf")
+    // the corpus-wide cell assignment must not drop out of whole-stage
+    // codegen into per-row Scala UDF eval (Invoke/ScalaUDF nodes); the
+    // codebook rides as referenced state inside the generated class
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"IVF assignment fell back to UDF eval:\n$p")
+    assert(p.contains("ivf_assign"), s"codegen assign expression missing:\n$p")
+    assert(p.contains("ivf_probe"), s"codegen probe expression missing:\n$p")
+  }
+
   test("sequence packing and source capping shuffle once, on the source blocking key") {
     Seq("pipeline_seq_packing", "pipeline_source_cap").foreach { q =>
       val p = plan(q)
