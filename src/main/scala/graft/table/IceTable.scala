@@ -539,17 +539,21 @@ final class IceTable private (
   }
 
   /** Positional delete recorded as v3 DELETION VECTORS: one roaring bitmap
-    * per referenced data file inside a single Puffin file, committed as
-    * delete entries carrying the (path, offset, length) pointer (manifest
+    * per referenced data file inside executor-written Puffin shards,
+    * committed as delete entries carrying the (path, offset, length) pointer
+    * (manifest
     * fields 143-145 — the reference models the fields,
     * `internal/avro_schemas.go:501-512`, but never writes or reads the
     * container). DVs here are ADDITIVE like parquet positional deletes
     * (read side unions all applicable); `rewritePositionDeletes` collapses
     * the accumulation to the v3 one-DV-per-file invariant.
     *
-    * Scale shape: positions aggregate into bitmaps executor-side (one
-    * shuffle on file_path); only compressed bitmap bytes reach the driver,
-    * which writes one sequential Puffin file — metadata-sized IO.
+    * Scale shape: positions shuffle ONCE on file_path; each non-empty
+    * partition builds its files' bitmaps and writes its own Puffin shard
+    * executor-side, and only (path, offset, length, cardinality)
+    * descriptors reach the driver — the same commit pattern as distributed
+    * data manifests. At 100 TB with billions of deleted positions no bitmap
+    * bytes ever cross one driver heap.
     */
   def deleteWhereDV(spark: SparkSession, filter: IcePredicate): Option[Snapshot] =
     synchronized {
@@ -564,44 +568,72 @@ final class IceTable private (
         .withColumn("pos", col("_metadata.row_index"))
         .where(Predicates.toColumn(bound))
         .select("file_path", "pos")
-      import spark.implicits._
-      val bitmaps: Array[(String, Array[Byte], Long)] = matches.as[(String, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (path, rows) =>
-          val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
-          var n = 0L
-          rows.foreach { r => bm.addLong(r._2); n += 1 }
-          (path, Puffin.encodeDV(bm), n)
-        }.collect()
-      if (bitmaps.isEmpty) return None
-      commitDeletionVectors(bitmaps.toSeq.sortBy(_._1))
+      val snapId = meta.reserveSnapshotId()
+      val seq = meta.lastSequenceNumber + 1
+      val commitUuid = UUID.randomUUID().toString
+      val files = writeDVShards(spark, matches, snapId, seq, commitUuid)
+      if (files.isEmpty) return None
+      Some(commitDVFiles(files, snapId, seq, commitUuid))
     }
 
-  /** Write one Puffin file holding the given per-data-file bitmaps and
-    * commit them as a delete snapshot.
+  /** Distributed deletion-vector materialization: one hash shuffle
+    * co-locates every position of a data file, then each non-empty
+    * partition serializes its bitmaps into ONE executor-written Puffin
+    * shard. Returns the delete-file entries (pointer + cardinality only;
+    * the bitmap bytes stay in the shards).
     */
-  private def commitDeletionVectors(
-      bitmaps: Seq[(String, Array[Byte], Long)],
-      dropDeleteManifests: Boolean = false): Option[Snapshot] = synchronized {
+  private def writeDVShards(spark: SparkSession,
+      positions: org.apache.spark.sql.DataFrame, snapId: Long, seq: Long,
+      commitUuid: String): Seq[DataFile] = {
+    import spark.implicits._
+    val loc = location
+    val shards = positions.toDF("file_path", "pos")
+      .repartition(col("file_path")).as[(String, Long)]
+      .mapPartitions { it =>
+        val bms = scala.collection.mutable.LinkedHashMap
+          .empty[String, org.roaringbitmap.longlong.Roaring64NavigableMap]
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { case (p, pos) =>
+          bms.getOrElseUpdate(p,
+            new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(pos)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+        if (bms.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val puffinPath = s"$loc/data/$commitUuid-deletes-p$pid.puffin"
+          val sorted = bms.toSeq.sortBy(_._1)
+          val blobs = sorted.map { case (ref, bm) =>
+            Puffin.BlobDescriptor("deletion-vector-v1", Nil, snapId, seq, 0L, 0L,
+              Map("referenced-data-file" -> ref,
+                "cardinality" -> counts(ref).toString)) -> Puffin.encodeDV(bm)
+          }
+          val (placed, _) = Puffin.write(puffinPath, blobs)
+          val fileLen = org.apache.hadoop.fs.FileSystem
+            .get(new java.net.URI(puffinPath), graft.meta.FileIO.conf)
+            .getFileStatus(new org.apache.hadoop.fs.Path(puffinPath)).getLen
+          placed.zip(sorted).iterator.map { case (d, (ref, _)) =>
+            (puffinPath, ref, d.offset, d.length, counts(ref), fileLen)
+          }
+        }
+      }.collect()
+    shards.toSeq.sortBy(s => (s._2, s._1)).map {
+      case (puffinPath, ref, off, len, card, fileLen) =>
+        DataFile(content = 1, filePath = puffinPath, fileFormat = "puffin",
+          partition = Nil, recordCount = card, fileSizeInBytes = fileLen,
+          referencedDataFile = Some(ref), contentOffset = Some(off),
+          contentSizeInBytes = Some(len))
+    }
+  }
+
+  /** Commit already-materialized deletion-vector entries as a delete
+    * snapshot (or, for the rewrite path, a replace of the positional
+    * delete manifests).
+    */
+  private def commitDVFiles(files: Seq[DataFile], snapId: Long, seq: Long,
+      commitUuid: String, dropDeleteManifests: Boolean = false): Snapshot =
+    synchronized {
     val schemaNow = schema
-    val snapId = meta.reserveSnapshotId()
-    val seq = meta.lastSequenceNumber + 1
-    val commitUuid = UUID.randomUUID().toString
-    val puffinPath = s"$location/data/$commitUuid-deletes.puffin"
-    val descriptors = bitmaps.map { case (ref, bytes, card) =>
-      Puffin.BlobDescriptor("deletion-vector-v1", Nil, snapId, seq, 0L, 0L,
-        Map("referenced-data-file" -> ref, "cardinality" -> card.toString)) -> bytes
-    }
-    val (placed, _) = Puffin.write(puffinPath, descriptors)
-    val fileLen = org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(puffinPath), graft.meta.FileIO.conf)
-      .getFileStatus(new org.apache.hadoop.fs.Path(puffinPath)).getLen
-    val files = placed.zip(bitmaps).map { case (d, (ref, _, card)) =>
-      DataFile(content = 1, filePath = puffinPath, fileFormat = "puffin",
-        partition = Nil, recordCount = card, fileSizeInBytes = fileLen,
-        referencedDataFile = Some(ref), contentOffset = Some(d.offset),
-        contentSizeInBytes = Some(d.length))
-    }
     val entries = files.map(f =>
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
     val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
@@ -609,8 +641,8 @@ final class IceTable private (
         schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
     if (!dropDeleteManifests)
-      Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
-        addedFiles = 0, addedRecords = 0))
+      commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
+        addedFiles = 0, addedRecords = 0)
     else {
       // rewrite: the new DV manifest replaces the POSITIONAL delete
       // manifests; equality-delete manifests are value-based and survive
@@ -621,31 +653,28 @@ final class IceTable private (
         m.content == 0 || ManifestIO.readManifest(m.path, meta.specs, schemaNow)._2
           .exists(_.dataFile.content == 2)
       }
-      Some(commitManifestList(kept :+ mf, snapId, seq, "replace",
-        addedFiles = 0, addedRecords = 0, removedFiles = 0, removedRecords = 0))
+      commitManifestList(kept :+ mf, snapId, seq, "replace",
+        addedFiles = 0, addedRecords = 0, removedFiles = 0, removedRecords = 0)
     }
   }
 
   /** Maintenance: collapse all accumulated position deletes (parquet files
     * and deletion vectors) into ONE deletion vector per referenced data
     * file — the v3 invariant — dropping the superseded delete manifests.
-    * Read-side planning then matches at most one DV per data file.
+    * Read-side planning then matches at most one DV per data file. (One DV
+    * per file, not one Puffin container: shards write executor-side, like
+    * [[deleteWhereDV]].)
     */
   def rewritePositionDeletes(spark: SparkSession): Option[Snapshot] = synchronized {
     val tasks = newScan().planFiles()
     val positions = IceScan.deletePositionsDF(spark, tasks)
       .getOrElse(return None)
-    import spark.implicits._
-    val bitmaps = positions.as[(String, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (path, rows) =>
-        val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
-        var n = 0L
-        rows.foreach { r => bm.addLong(r._2); n += 1 }
-        (path, Puffin.encodeDV(bm), n)
-      }.collect()
-    if (bitmaps.isEmpty) return None
-    commitDeletionVectors(bitmaps.toSeq.sortBy(_._1), dropDeleteManifests = true)
+    val snapId = meta.reserveSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val commitUuid = UUID.randomUUID().toString
+    val files = writeDVShards(spark, positions, snapId, seq, commitUuid)
+    if (files.isEmpty) return None
+    Some(commitDVFiles(files, snapId, seq, commitUuid, dropDeleteManifests = true))
   }
 
   /** Equality-delete (merge-on-read): record the KEY VALUES of rows to

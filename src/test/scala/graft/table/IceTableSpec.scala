@@ -288,17 +288,52 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       t.metadata.specs, t.schema)
     assert(entries.nonEmpty && entries.forall(e =>
       e.dataFile.fileFormat == "puffin" && e.dataFile.isDeletionVector))
-    // one DV per referenced file, all in one puffin container
+    // one DV per referenced file (shards may spread over several containers)
     assert(entries.map(_.dataFile.referencedDataFile.get).distinct.size == entries.size)
-    assert(entries.map(_.dataFile.filePath).distinct.size == 1)
-    // the puffin footer agrees with the manifest pointers
-    val blobs = Puffin.readFooter(entries.head.dataFile.filePath)
-    assert(blobs.size == entries.size &&
-      blobs.forall(_.blobType == "deletion-vector-v1"))
+    // every shard's puffin footer agrees with the manifest pointers into it
+    entries.groupBy(_.dataFile.filePath).foreach { case (shard, es) =>
+      val blobs = Puffin.readFooter(shard)
+      assert(blobs.size == es.size && blobs.forall(_.blobType == "deletion-vector-v1"))
+      val pointers = es.map(e =>
+        (e.dataFile.contentOffset.get, e.dataFile.contentSizeInBytes.get)).toSet
+      assert(blobs.map(b => (b.offset, b.length)).toSet == pointers)
+    }
     // compaction through the DV-applying scan stays exact
     t.compact(spark, 2)
     t.refresh()
     assert(t.scan(spark).count() == expected)
+  }
+
+  test("DV shards: a multi-file delete writes >1 executor-side puffin shard with exact pointers") {
+    val t = IceTable.create(catalog, "li_dv_shards", lineitemSchema)
+    t.append(lineitem.repartition(8))
+    val before = t.scan(spark).count()
+    // AQE rightly coalesces this KB-sized shuffle to one partition; disable
+    // it here to observe the multi-executor shard shape a real corpus gets
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val snap =
+      try t.deleteWhereDV(spark, P.equalTo("l_returnflag", "N"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(snap.isDefined && snap.get.summary("operation") == "delete")
+    t.refresh()
+    val expected = lineitem.where("l_returnflag <> 'N'").count()
+    assert(t.scan(spark).count() == expected)
+    val deleteManifests = ManifestIO
+      .readManifestList(t.currentSnapshot.get.manifestList).filter(_.content == 1)
+    val entries = deleteManifests.flatMap(m =>
+      ManifestIO.readManifest(m.path, t.metadata.specs, t.schema)._2)
+    // 8 data files hash across 4 shuffle partitions: bitmaps never funneled
+    // through one driver-written container
+    val shardPaths = entries.map(_.dataFile.filePath).distinct
+    assert(shardPaths.size > 1, s"expected >1 puffin shard, got $shardPaths")
+    // manifest pointers are exact: each blob decodes from ITS shard at ITS
+    // offset and the cardinalities re-add to the deleted-row count
+    assert(entries.map(_.dataFile.recordCount).sum == before - expected)
+    entries.foreach { e =>
+      val bm = Puffin.decodeDV(Puffin.readBlob(e.dataFile.filePath,
+        e.dataFile.contentOffset.get, e.dataFile.contentSizeInBytes.get))
+      assert(bm.getLongCardinality == e.dataFile.recordCount)
+    }
   }
 
   test("distributed snapshot: begin/worker-manifests/commit, conflict loses") {
