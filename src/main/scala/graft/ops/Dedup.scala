@@ -208,7 +208,14 @@ object Dedup {
     * frame: the count() doubles as the cache materialization the chosen
     * plan needs anyway, and sampled rows read token arrays from the cache.
     */
+  /** Test hook: counts plan-choice sampling jobs. The stats-backed table
+    * path must choose its plan from ANALYZE metadata without ever
+    * incrementing this.
+    */
+  val samplingJobs = new java.util.concurrent.atomic.AtomicLong()
+
   private def sampleJoinedRowsTokenized(docs: DataFrame, cap: Long = 50000L): Double = {
+    samplingJobs.incrementAndGet()
     val total = docs.count()
     if (total == 0L) return 0.0
     val p = math.min(1.0, cap.toDouble / total)
@@ -337,7 +344,10 @@ object Dedup {
     // stopword with df=10⁹ at 100 TB. Both exact, proven equal in DedupSpec.
     QueryDef(
       "dedup_jaccard_pairs",
-      (s, dir) => jaccardPairsAdaptive(s, dir, 0.5),
+      // table-backed: plan choice reads the ANALYZE token-moment blob (zero
+      // corpus reads at plan time) — the raw-dir sampling variant stays
+      // covered by DedupSpec
+      (s, dir) => jaccardPairsForTable(s, IceQueries.curation(s, dir)._1, 0.5),
       Some("""
         SELECT * FROM (
           WITH t AS (SELECT doc_id, source, list_distinct(string_split(

@@ -197,6 +197,36 @@ object IceQueries {
         Await.result(fV1, Duration.Inf))
     })
 
+  private val curationTables = TrieMap[String, (IceTable, IceTable)]()
+
+  /** documents + embeddings registered as managed tables — by-reference
+    * [[IceTable.addFiles]], no data copy — with the token-moment ANALYZE run
+    * and (lazily, on first ANN call) the IVF codebook persisted as Puffin
+    * blobs. The registered `dedup_jaccard_pairs` and `sim_ann_ivf` queries
+    * route through here so the ZERO-READ plan paths a 100 TB deployment
+    * relies on (stats-based plan choice, persisted codebook) are the ones
+    * facing the oracle, not the sample-per-invocation raw-dir variants.
+    */
+  def curation(spark: SparkSession, dir: String): (IceTable, IceTable) =
+    curationTables.getOrElseUpdate(dir, synchronized {
+      val wh = Files.createTempDirectory("graft-cur").toString
+      val catalog = new FileCatalog(wh)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val dt = IceTable.create(catalog, "documents",
+        SchemaConv.fromSpark(docs.schema))
+      dt.addFiles(Seq(s"$dir/documents.parquet"))
+      dt.refresh()
+      dt.analyzeTable(spark, Seq(TokenMomentSpec("text", graft.ops.Dedup.wordSet,
+        groupBy = Some("source"))))
+      dt.refresh()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val et = IceTable.create(catalog, "embeddings",
+        SchemaConv.fromSpark(emb.schema))
+      et.addFiles(Seq(s"$dir/embeddings.parquet"))
+      et.refresh()
+      (dt, et)
+    })
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ice_scan_filter",

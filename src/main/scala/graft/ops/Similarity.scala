@@ -164,8 +164,14 @@ object Similarity {
     * Lloyd's on the driver. At 100 TB the sample is still `sampleCap` rows —
     * codebook cost never scales with the corpus.
     */
+  /** Test hook: counts codebook fits. With a Puffin-persisted codebook the
+    * table path must load metadata without ever incrementing this.
+    */
+  val codebookFits = new java.util.concurrent.atomic.AtomicLong()
+
   private[ops] def fitCodebook(emb: DataFrame, nCells: Int,
       sampleCap: Int = 4096): Array[Array[Double]] = {
+    codebookFits.incrementAndGet()
     val sample = emb.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleCap)
@@ -268,8 +274,10 @@ object Similarity {
     QueryDef("sim_ann_lsh", (s, dir) => lshTopK(s, dir, 5, 10), None),
 
     // IVF-Flat ANN (probabilistic recall — rows-only; recall pinned vs the
-    // exact top-k in SimilaritySpec)
-    QueryDef("sim_ann_ivf", (s, dir) => ivfTopK(s, dir, 5, 10), None),
+    // exact top-k in SimilaritySpec). Table-backed: the codebook persists
+    // as a Puffin blob on first use, so repeat invocations fit nothing.
+    QueryDef("sim_ann_ivf",
+      (s, dir) => ivfTopKForTable(s, IceQueries.curation(s, dir)._2, 5, 10), None),
 
     // embedding-cosine near-dup pairs, blocked by label (exact within block;
     // the oracle-checkable baseline — dedup_embedding_lsh is the scale path)
