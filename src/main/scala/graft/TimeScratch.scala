@@ -8,12 +8,12 @@ import org.apache.spark.sql.SparkSession
 object TimeScratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.prepare(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

@@ -96,8 +96,7 @@ object Ingest {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         table.schema.toSpark)
     else {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      graft.GraftSession.ensurePrepared(spark)
       spark.read.schema(table.schema.toSpark).parquet(newFiles: _*)
     }
   }

@@ -362,8 +362,7 @@ final class IceTable private (
     val scan = newScan()
     val tasks = scan.planFiles()
     val oldPaths = tasks.map(_.file.filePath).toSet
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    graft.GraftSession.ensurePrepared(spark)
     // a raw parquet read would RESURRECT MOR-deleted rows: the rewrite gets
     // a new sequence number, so old positional/equality deletes stop
     // applying. Rewrite through the delete-applying scan when any exist
@@ -390,8 +389,7 @@ final class IceTable private (
     val fullMatch = tasks.filter(t => Evaluators.fileMustMatch(bound, t.file))
     val partial = tasks.filter(t => !Evaluators.fileMustMatch(bound, t.file) &&
       Evaluators.fileMayMatch(bound, t.file))
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    graft.GraftSession.ensurePrepared(spark)
     // survivors = rows where the filter is NOT TRUE. Under SQL three-valued
     // logic `!c` is NULL (not true) when c is NULL, so a bare negation would
     // silently drop rows with null filter columns from the rewritten file —
@@ -1711,8 +1709,7 @@ final class IceScan(
     val readSchema = schema.select(readNames, caseSensitive)
 
     val paths = tasks.map(_.file.filePath)
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    graft.GraftSession.ensurePrepared(spark)
     val deleteDataFiles = tasks.flatMap(_.deletes).distinctBy(_.filePath)
     val dvFiles = tasks.flatMap(_.dvDeletes)
       .distinctBy(f => (f.filePath, f.contentOffset))
