@@ -1663,13 +1663,20 @@ final class IceScan(
       // `matchDeletesToData` `table/scanner.go:285-309`)
       val index = new DeleteIndex(deleteEntries)
 
-      dataEntries.map { e =>
+      val tasks = dataEntries.map { e =>
         val dseq = e.sequenceNumber.getOrElse(0L)
         val path = e.dataFile.filePath
         FileScanTask(e.dataFile, index.posDeletesFor(path, dseq),
           index.eqDeletesFor(dseq), dseq, index.dvsFor(path, dseq))
       }.toSeq
+      lastPlanRangedChecks = index.rangedBoundsChecks.get()
+      tasks
   }
+
+  /** Range-scoped bounds evaluations of the LAST [[planFiles]] call — the
+    * adversarial-metadata test hook proving matching stays ≪ N·M.
+    */
+  @volatile private[table] var lastPlanRangedChecks: Long = -1L
 
   /** Execute as a DataFrame: one Spark parquet scan over the planned files,
     * deletes applied via broadcast anti-join on (file_path, row position),
