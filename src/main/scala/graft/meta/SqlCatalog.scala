@@ -26,8 +26,11 @@ import java.sql.{Connection, DriverManager, SQLException}
   * (`sql.go:180-186`).
   */
 final class SqlCatalog(jdbcUrl: String, warehouse: String,
-    catalogName: String = "graft") extends Catalog {
-  SqlCatalog.ensureDriver()
+    catalogName: String = "graft",
+    dialectOverride: Option[SqlDialect] = None) extends Catalog {
+  private val dialect: SqlDialect =
+    dialectOverride.getOrElse(SqlDialect.fromUrl(jdbcUrl))
+  SqlCatalog.ensureDriver(jdbcUrl)
   ensureCatalogTables()
 
   /** Names are `namespace.table`; a bare name lives in the `default`
@@ -332,36 +335,77 @@ final class SqlCatalog(jdbcUrl: String, warehouse: String,
     def createIfAbsent(ddl: String): Unit =
       try { c.createStatement().executeUpdate(ddl); () }
       catch { case e: SQLException if isTableExists(e) => }
-    createIfAbsent(
-      "CREATE TABLE iceberg_tables (" +
-        "catalog_name VARCHAR(255) NOT NULL, " +
-        "table_namespace VARCHAR(255) NOT NULL, " +
-        "table_name VARCHAR(255) NOT NULL, " +
-        "iceberg_type VARCHAR(8), " +
-        "metadata_location VARCHAR(1000), " +
-        "previous_metadata_location VARCHAR(1000), " +
-        "PRIMARY KEY (catalog_name, table_namespace, table_name))")
-    createIfAbsent(
-      "CREATE TABLE iceberg_namespace_properties (" +
-        "catalog_name VARCHAR(255) NOT NULL, " +
-        "namespace VARCHAR(255) NOT NULL, " +
-        "property_key VARCHAR(255) NOT NULL, " +
-        "property_value VARCHAR(1000), " +
-        "PRIMARY KEY (catalog_name, namespace, property_key))")
+    dialect.catalogDdl.foreach(createIfAbsent)
   }
 
-  /** SQLSTATE 23505 = unique-constraint violation (ANSI; what the reference's
-    * dialects translate to their ErrTableAlreadyExists, `sql.go` commit path).
-    */
-  private def isDuplicateKey(e: SQLException): Boolean =
-    e.getSQLState == "23505" ||
-      e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException]
+  private def isDuplicateKey(e: SQLException): Boolean = dialect.isDuplicateKey(e)
+  private def isTableExists(e: SQLException): Boolean = dialect.isTableExists(e)
+}
 
-  /** Derby X0Y32 = schema object already exists (the ensure-tables path;
-    * ANSI 42xxx covers other dialects' duplicate-DDL states).
+/** Per-database DDL + error-classification seam (reference `sql.go:34-60`
+  * targets postgres/mysql/mssql/oracle through its bun dialects). The DML —
+  * INSERT-wins create and CAS UPDATE commit — is identical ANSI across
+  * dialects; only table bootstrap and SQLSTATE mapping vary, so a
+  * production deployment differs from the Derby suite by a JDBC URL (plus
+  * driver jar) only.
+  */
+sealed trait SqlDialect {
+  def name: String
+  /** Bootstrap DDL for the two catalog tables. */
+  def catalogDdl: Seq[String]
+  /** Unique-constraint violation (the create/commit race loser). */
+  def isDuplicateKey(e: SQLException): Boolean
+  /** "Table already exists" during bootstrap DDL. */
+  def isTableExists(e: SQLException): Boolean
+}
+
+object SqlDialect {
+  private val TablesColumns =
+    "catalog_name VARCHAR(255) NOT NULL, " +
+      "table_namespace VARCHAR(255) NOT NULL, " +
+      "table_name VARCHAR(255) NOT NULL, " +
+      "iceberg_type VARCHAR(8), " +
+      "metadata_location VARCHAR(1000), " +
+      "previous_metadata_location VARCHAR(1000), " +
+      "PRIMARY KEY (catalog_name, table_namespace, table_name)"
+  private val NsPropsColumns =
+    "catalog_name VARCHAR(255) NOT NULL, " +
+      "namespace VARCHAR(255) NOT NULL, " +
+      "property_key VARCHAR(255) NOT NULL, " +
+      "property_value VARCHAR(1000), " +
+      "PRIMARY KEY (catalog_name, namespace, property_key)"
+
+  /** Plain ANSI (Derby and anything else without a specific dialect):
+    * bare CREATE TABLE, existence surfacing as an exception the classifier
+    * absorbs (Derby X0Y32; ANSI 42xxx covers other databases).
     */
-  private def isTableExists(e: SQLException): Boolean =
-    e.getSQLState == "X0Y32" || Option(e.getSQLState).exists(_.startsWith("42"))
+  case object Ansi extends SqlDialect {
+    val name = "ansi"
+    val catalogDdl: Seq[String] = Seq(
+      s"CREATE TABLE iceberg_tables ($TablesColumns)",
+      s"CREATE TABLE iceberg_namespace_properties ($NsPropsColumns)")
+    def isDuplicateKey(e: SQLException): Boolean =
+      e.getSQLState == "23505" ||
+        e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException]
+    def isTableExists(e: SQLException): Boolean =
+      e.getSQLState == "X0Y32" || Option(e.getSQLState).exists(_.startsWith("42"))
+  }
+
+  /** PostgreSQL — the reference's primary production target: idempotent
+    * IF NOT EXISTS bootstrap, 23505 duplicate key, 42P07 duplicate table.
+    */
+  case object Postgres extends SqlDialect {
+    val name = "postgres"
+    val catalogDdl: Seq[String] = Seq(
+      s"CREATE TABLE IF NOT EXISTS iceberg_tables ($TablesColumns)",
+      s"CREATE TABLE IF NOT EXISTS iceberg_namespace_properties ($NsPropsColumns)")
+    def isDuplicateKey(e: SQLException): Boolean = e.getSQLState == "23505"
+    def isTableExists(e: SQLException): Boolean = e.getSQLState == "42P07"
+  }
+
+  /** Dialect from the JDBC URL scheme (reference `sql.go:34-60`). */
+  def fromUrl(jdbcUrl: String): SqlDialect =
+    if (jdbcUrl.startsWith("jdbc:postgresql:")) Postgres else Ansi
 }
 
 object SqlCatalog {
@@ -374,14 +418,17 @@ object SqlCatalog {
         s"unversioned metadata location: $metadataLocation"))
 
   @volatile private var driverLoaded = false
-  private[meta] def ensureDriver(): Unit = if (!driverLoaded) synchronized {
-    if (!driverLoaded) {
-      // keep derby.log out of the working tree
-      if (System.getProperty("derby.stream.error.file") == null)
-        System.setProperty("derby.stream.error.file",
-          s"${System.getProperty("java.io.tmpdir")}/graft-derby.log")
-      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-      driverLoaded = true
+  private[meta] def ensureDriver(jdbcUrl: String): Unit =
+    // Derby's embedded driver needs an explicit load (and its log routed out
+    // of the working tree); other databases' drivers register through the
+    // JDBC SPI when their jar is on the classpath
+    if (jdbcUrl.startsWith("jdbc:derby:") && !driverLoaded) synchronized {
+      if (!driverLoaded) {
+        if (System.getProperty("derby.stream.error.file") == null)
+          System.setProperty("derby.stream.error.file",
+            s"${System.getProperty("java.io.tmpdir")}/graft-derby.log")
+        Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        driverLoaded = true
+      }
     }
-  }
 }

@@ -142,4 +142,32 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropNamespace("raw")
     assert(cat.listNamespaces().isEmpty)
   }
+
+  test("SQL dialect seam: URL picks the dialect, postgres differs only in bootstrap + SQLSTATEs") {
+    import java.sql.SQLException
+    assert(SqlDialect.fromUrl("jdbc:postgresql://db:5432/ice") == SqlDialect.Postgres)
+    assert(SqlDialect.fromUrl("jdbc:derby:/tmp/x;create=true") == SqlDialect.Ansi)
+    assert(SqlDialect.fromUrl("jdbc:h2:mem:x") == SqlDialect.Ansi)
+    // the DML (INSERT-wins create, CAS UPDATE) is shared; the dialects may
+    // differ only in bootstrap DDL and error classification. Postgres
+    // bootstraps idempotently and classifies its specific SQLSTATEs
+    assert(SqlDialect.Postgres.catalogDdl.forall(_.contains("IF NOT EXISTS")))
+    assert(SqlDialect.Ansi.catalogDdl.forall(!_.contains("IF NOT EXISTS")))
+    // column definitions are identical — same ANSI schema either way
+    def cols(ddl: String) = ddl.dropWhile(_ != '(')
+    assert(SqlDialect.Postgres.catalogDdl.map(cols) == SqlDialect.Ansi.catalogDdl.map(cols))
+    assert(SqlDialect.Postgres.isDuplicateKey(new SQLException("dup", "23505")))
+    assert(SqlDialect.Postgres.isTableExists(new SQLException("exists", "42P07")))
+    assert(!SqlDialect.Postgres.isTableExists(new SQLException("dup", "23505")))
+    // a Derby-backed catalog built with an explicit dialect override still
+    // bootstraps and serves the full SPI (the seam changes nothing on ANSI)
+    val cat = new SqlCatalog(
+      s"jdbc:derby:${java.nio.file.Files.createTempDirectory("graft-dialect")}/db;create=true",
+      java.nio.file.Files.createTempDirectory("graft-dialect-wh").toString,
+      dialectOverride = Some(SqlDialect.Ansi))
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(cat, "region", SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    assert(IceTable.load(cat, "region").scan(spark).count() == region.count())
+  }
 }
