@@ -227,6 +227,61 @@ object Dedup {
       .map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0) / (p * p)
   }
 
+  /** Duplicate clustering: connected components over a near-dup pair graph
+    * (doc_a, doc_b), labeling every participating doc with its component's
+    * MINIMUM doc_id — the canonical representative a dedup pipeline keeps.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING — each
+    * round every node takes the min of its own and its neighbors' labels,
+    * then hops to its label's label. Plain propagation needs O(diameter)
+    * rounds (a 10⁶-doc near-dup chain would mean 10⁶ shuffles); the jump
+    * halves remaining pointer depth per round, so convergence is
+    * O(log n) rounds of TWO shuffles each, and every shuffle moves only the
+    * PAIR set — orders of magnitude smaller than the corpus at 100 TB.
+    * Labels only decrease and are always member doc_ids, so the fixpoint is
+    * exactly one uniform label per component: its minimum id.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // rounds register with CacheRegistry (the runner's releaseAll tolerates
+    // the already-unpersisted intermediates) but free EAGERLY each round
+    var labels = CacheRegistry.persist(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dl")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("dl")).as("nbr_min"))
+      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jump: follow the label's own label (always <= the label,
+      // always in the same component)
+      val parents = propagated
+        .select(col("doc_id").as("cluster_id"), col("cluster_id").as("parent"))
+      val next = CacheRegistry.persist(
+        propagated.join(parents, Seq("cluster_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("parent"), col("cluster_id")).as("cluster_id")))
+      // the convergence count doubles as next's materialization; the
+      // previous round's cache frees eagerly, not at query teardown
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .where(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("doc_id"), col("cluster_id"))
+  }
+
   /** PPJoin-style exact jaccard: any pair with J >= t shares a token among
     * each doc's (|d| - ceil(t*|d|) + 1) globally-rarest tokens, so the
     * inverted index holds only those prefixes — bounds candidate pairs when
@@ -376,6 +431,31 @@ object Dedup {
           WHERE a.doc_id < b.doc_id AND a.source = b.source
             AND len(a.gs) > 0 AND len(b.gs) > 0) sub
         WHERE jac >= 0.5""")),
+
+    // duplicate clustering: connected components over the exact near-dup
+    // pair graph, each doc labeled with its component's min doc_id — the
+    // canonicalization step a dedup pipeline runs after pair generation
+    // (keep one representative per cluster, drop the rest)
+    QueryDef(
+      "dedup_clusters",
+      (s, dir) => duplicateClusters(
+        jaccardPairsForTable(s, IceQueries.curation(s, dir)._1, 0.5)),
+      Some("""
+        WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source
+            AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src)
+        SELECT src AS doc_id, MIN(node) AS cluster_id
+        FROM reach GROUP BY src""")),
 
     // MinHash/LSH near-dup candidates (probabilistic — rows-only check)
     QueryDef(

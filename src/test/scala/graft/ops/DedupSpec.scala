@@ -58,6 +58,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped >= 0.0 && capped <= Dedup.CountJoinMaxPairs)
   }
 
+  test("duplicate clusters equal an independent union-find over the pair graph") {
+    val pairs = Dedup.jaccardPairsAdaptive(spark, sfDir, 0.5)
+    val ps = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty, "fixture should contain near-dup pairs at J >= 0.5")
+    val label = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: driver-side union-find with min-root union
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    ps.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ps.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => d -> find(d)).toMap
+    assert(label == expected)
+  }
+
   test("minhash LSH recall against exact jaccard at high threshold") {
     val exact = Dedup.jaccardPairs(spark, sfDir, 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
