@@ -38,8 +38,12 @@ object Bench {
       }
       // the dedup block swings ±2 s run-to-run under machine load (its cost
       // is one large shuffle's scheduling); min-of-two repeats makes
-      // round-over-round deltas reflect PLAN changes, not scheduler noise
-      val dt = if (name.startsWith("dedup_")) math.min(once(), once()) else once()
+      // round-over-round deltas reflect PLAN changes, not scheduler noise.
+      // dedup_clusters is excluded: its cost is many SMALL jobs (iterative
+      // graph rounds), which don't exhibit the single-shuffle variance and
+      // would double a multi-round query for nothing
+      val dt = if (name.startsWith("dedup_") && name != "dedup_clusters")
+        math.min(once(), once()) else once()
       name -> dt
     }
     // The harness captures only the LAST 2000 chars of stdout, and sbt

@@ -243,43 +243,66 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
     val p = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val raw = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // rounds register with CacheRegistry (the runner's releaseAll tolerates
-    // the already-unpersisted intermediates) but free EAGERLY each round
-    var labels = CacheRegistry.persist(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")))
+    // right-size the loop to the GRAPH, not the corpus: the pair set is
+    // orders of magnitude smaller, and an iterative loop pays per-round
+    // scheduling overhead on every partition — ~1M edges per partition
+    // keeps rounds sub-second at small scale and still spreads a
+    // billion-edge graph over the cluster
+    val dbg = sys.env.contains("GRAFT_DEBUG_CLUSTERS") ||
+      sys.props.contains("graft.debug.clusters")
+    val tStart = System.nanoTime()
+    def mark(label: String): Unit = if (dbg)
+      println(f"[clusters] $label at ${(System.nanoTime() - tStart) / 1e9}%.2f s")
+    val nEdges = raw.count()
+    mark(s"pairs materialized nEdges=$nEdges")
+    val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      nEdges / 1000000L + 1L)).toInt
+    val edges = raw.repartition(parts, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each round ends in an EAGER localCheckpoint: iterative lineage grows a
+    // level per round, and relying on cache substitution to cut it is
+    // fragile — a missed substitution recomputes every earlier round
+    // (observed: round cost escalating 3→50 s). Checkpointing truncates the
+    // plan to the materialized blocks, so round cost is CONSTANT. (A
+    // production cluster would use reliable checkpoint storage to survive
+    // executor loss; local blocks are the right trade in-process.)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .repartition(parts, col("doc_id"))
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dl")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("dl")).as("nbr_min"))
-      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+      val propagated = labels.withColumnRenamed("cluster_id", "prev")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("mid"))
       // pointer jump: follow the label's own label (always <= the label,
       // always in the same component)
-      val parents = propagated
-        .select(col("doc_id").as("cluster_id"), col("cluster_id").as("parent"))
-      val next = CacheRegistry.persist(
-        propagated.join(parents, Seq("cluster_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("parent"), col("cluster_id")).as("cluster_id")))
-      // the convergence count doubles as next's materialization; the
-      // previous round's cache frees eagerly, not at query teardown
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .where(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val parentMap = propagated.select(col("doc_id").as("mid"), col("mid").as("parent"))
+      val next = propagated.join(parentMap, Seq("mid"), "left")
+        .select(col("doc_id"), col("prev"),
+          coalesce(col("parent"), col("mid")).as("cluster_id"))
+        .localCheckpoint(true)
+      // convergence rides the checkpointed blocks (prev travels in-frame —
+      // no extra join against the previous round)
+      changed = next.where(col("cluster_id") =!= col("prev")).count()
+      mark(s"round=$rounds changed=$changed")
+      labels = next.select("doc_id", "cluster_id")
       rounds += 1
     }
+    raw.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    labels.select(col("doc_id"), col("cluster_id"))
+    mark("loop done")
+    labels
   }
 
   /** PPJoin-style exact jaccard: any pair with J >= t shares a token among
