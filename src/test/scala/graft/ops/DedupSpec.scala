@@ -80,6 +80,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(label == expected)
   }
 
+  test("duplicate clusters converge on a long chain in O(log n) rounds, not O(diameter)") {
+    val s = spark
+    import s.implicits._
+    // a 300-node path: every doc near-dups only its neighbor. Plain min
+    // propagation needs ~300 rounds; pointer jumping must finish inside the
+    // loop's 64-round cap — and label everything with the chain head
+    val n = 300L
+    val chain = (1L until n).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L), "chain did not collapse to its min id")
+    // two disjoint chains stay separate components
+    val two = chain.union(Seq((1000L, 1001L), (1001L, 1002L)).toDF("doc_a", "doc_b"))
+    val l2 = Dedup.duplicateClusters(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2(1002L) == 1000L && l2(299L) == 0L)
+  }
+
   test("minhash LSH recall against exact jaccard at high threshold") {
     val exact = Dedup.jaccardPairs(spark, sfDir, 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
