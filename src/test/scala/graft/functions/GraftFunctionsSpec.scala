@@ -61,6 +61,29 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(frac - 0.5) < 1e-9)
   }
 
+  test("IVF assign/probe expressions agree with the driver-side codebook math") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("id", "v")
+      .select(col("id"),
+        IvfExprs.ivfAssign(col("v"), centers).as("cell"),
+        IvfExprs.ivfProbe(col("v"), centers, 3).as("probes"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    vecs.foreach { case (id, v) =>
+      val d = v.map(_.toDouble).toArray
+      assert(rows(id)._1 == IvfCodebook.nearest(centers, d), s"assign mismatch id=$id")
+      assert(rows(id)._2 == IvfCodebook.probeCells(centers, d, 3).toSeq,
+        s"probe mismatch id=$id")
+    }
+  }
+
   test("graft_truncate_binary prefixes bytes; literal arity is validated") {
     val out = spark.sql(
       "SELECT graft_truncate_binary(CAST('abcdef' AS BINARY), 3) AS t")
