@@ -598,8 +598,13 @@ final class IceTable private (
         }
         if (bms.isEmpty) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val puffinPath = s"$loc/data/$commitUuid-deletes-p$pid.puffin"
+          // attempt-unique name: a speculative or retried attempt must never
+          // write the path another attempt is writing — only the winning
+          // attempt's descriptors reach the manifest; losers become orphans
+          // that cleanOrphans reclaims
+          val tc = org.apache.spark.TaskContext.get()
+          val puffinPath =
+            s"$loc/data/$commitUuid-deletes-p${tc.partitionId()}-a${tc.taskAttemptId()}.puffin"
           val sorted = bms.toSeq.sortBy(_._1)
           val blobs = sorted.map { case (ref, bm) =>
             Puffin.BlobDescriptor("deletion-vector-v1", Nil, snapId, seq, 0L, 0L,
