@@ -57,17 +57,27 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    def line(fmt: Double => String) = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // Clip resilience: if the line ever outgrows the tail window, the FRONT
+    // is what's lost — so the stdout line orders queries cheapest-first and
+    // puts the headline total LAST, keeping the expensive queries and the
+    // total visible no matter what. BENCH_LOCAL.json keeps the
+    // alphabetical, full-precision form.
+    def line(fmt: Double => String, ordered: Seq[(String, Double)],
+        valueLast: Boolean) = {
+      val qs = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val sfLabel = sfDir.split('/').lastOption.getOrElse(sfDir)
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+      if (valueLast)
+        s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfLabel","value":${f2(total)}}"""
+      else
+        s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
     }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line(f2) + "\n")
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      line(f2, results, valueLast = false) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    println(line(f1))
+    println(line(f1, results.sortBy(_._2), valueLast = true))
   }
 }
