@@ -242,28 +242,22 @@ object Dedup {
     * exactly one uniform label per component: its minimum id.
     */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val spark = pairs.sparkSession
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    val raw = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // right-size the loop to the GRAPH, not the corpus: the pair set is
-    // orders of magnitude smaller, and an iterative loop pays per-round
-    // scheduling overhead on every partition — ~1M edges per partition
-    // keeps rounds sub-second at small scale and still spreads a
-    // billion-edge graph over the cluster
     val dbg = sys.env.contains("GRAFT_DEBUG_CLUSTERS") ||
       sys.props.contains("graft.debug.clusters")
     val tStart = System.nanoTime()
     def mark(label: String): Unit = if (dbg)
       println(f"[clusters] $label at ${(System.nanoTime() - tStart) / 1e9}%.2f s")
-    val nEdges = raw.count()
-    mark(s"pairs materialized nEdges=$nEdges")
-    val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      nEdges / 1000000L + 1L)).toInt
-    val edges = raw.repartition(parts, col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE pass computes the pairs and checkpoints the doubled edge list —
+    // the loop's working set. Partition right-sizing is AQE's: each round's
+    // exchanges coalesce to the GRAPH's size (a few KB at test scale, the
+    // cluster's parallelism at a billion edges), not the corpus's shuffle
+    // width. localCheckpoint truncates lineage so the loop never recomputes
+    // the pair join.
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    mark("pairs materialized")
     // each round ends in an EAGER localCheckpoint: iterative lineage grows a
     // level per round, and relying on cache substitution to cut it is
     // fragile — a missed substitution recomputes every earlier round
@@ -273,7 +267,6 @@ object Dedup {
     // executor loss; local blocks are the right trade in-process.)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .repartition(parts, col("doc_id"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
@@ -299,8 +292,6 @@ object Dedup {
       labels = next.select("doc_id", "cluster_id")
       rounds += 1
     }
-    raw.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
     mark("loop done")
     labels
   }
