@@ -247,27 +247,30 @@ object Dedup {
     val tStart = System.nanoTime()
     def mark(label: String): Unit = if (dbg)
       println(f"[clusters] $label at ${(System.nanoTime() - tStart) / 1e9}%.2f s")
+    // Every loop frame is EAGERLY checkpointed: iterative lineage grows a
+    // level per round, and relying on cache substitution to cut it is
+    // fragile — a missed substitution recomputes every earlier round
+    // (observed: round cost escalating 3→50 s). Checkpointing truncates the
+    // plan to materialized blocks, so round cost is CONSTANT. With a
+    // configured checkpoint dir the blocks are RELIABLE (survive executor
+    // loss — what a 1000-executor run must assume); without one they stay
+    // in local block storage, the right trade in-process.
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // ONE pass computes the pairs and checkpoints the doubled edge list —
     // the loop's working set. Partition right-sizing is AQE's: each round's
     // exchanges coalesce to the GRAPH's size (a few KB at test scale, the
     // cluster's parallelism at a billion edges), not the corpus's shuffle
-    // width. localCheckpoint truncates lineage so the loop never recomputes
-    // the pair join.
+    // width.
     val p = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .localCheckpoint(true)
+    val edges = ckpt(
+      p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst"))
     mark("pairs materialized")
-    // each round ends in an EAGER localCheckpoint: iterative lineage grows a
-    // level per round, and relying on cache substitution to cut it is
-    // fragile — a missed substitution recomputes every earlier round
-    // (observed: round cost escalating 3→50 s). Checkpointing truncates the
-    // plan to the materialized blocks, so round cost is CONSTANT. (A
-    // production cluster would use reliable checkpoint storage to survive
-    // executor loss; local blocks are the right trade in-process.)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+    var labels = ckpt(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
@@ -281,10 +284,10 @@ object Dedup {
       // pointer jump: follow the label's own label (always <= the label,
       // always in the same component)
       val parentMap = propagated.select(col("doc_id").as("mid"), col("mid").as("parent"))
-      val next = propagated.join(parentMap, Seq("mid"), "left")
-        .select(col("doc_id"), col("prev"),
-          coalesce(col("parent"), col("mid")).as("cluster_id"))
-        .localCheckpoint(true)
+      val next = ckpt(
+        propagated.join(parentMap, Seq("mid"), "left")
+          .select(col("doc_id"), col("prev"),
+            coalesce(col("parent"), col("mid")).as("cluster_id")))
       // convergence rides the checkpointed blocks (prev travels in-frame —
       // no extra join against the previous round)
       changed = next.where(col("cluster_id") =!= col("prev")).count()

@@ -97,6 +97,13 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val l2 = Dedup.duplicateClusters(two).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(l2(1002L) == 1000L && l2(299L) == 0L)
+    // with a checkpoint dir configured the loop runs on RELIABLE checkpoints
+    // (the cluster fault-tolerance path) and must produce identical labels
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val l3 = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l3 == labels)
   }
 
   test("minhash LSH recall against exact jaccard at high threshold") {
