@@ -219,6 +219,48 @@ object TextOps {
           CAST(length(text) AS BIGINT) AS n_chars_measured,
           CAST(CAST(length(text) AS DOUBLE) /
                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS DOUBLE) AS chars_per_token
-        FROM documents"""))
+        FROM documents""")),
+
+    // ------------------------------------------------ vocabulary building
+    // Top-k corpus vocabulary by occurrence count with document frequency
+    // and an exact integer cumulative-coverage column — the tokenizer-
+    // training precursor. Scale shape: the wordcount shuffle keys on the
+    // (high-cardinality) token; the top-k is a distributed TakeOrdered, and
+    // only those k rows enter the single-partition ranking window — the
+    // full vocabulary never funnels through one task.
+    QueryDef(
+      "text_vocab_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          explode(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
+            .as("token"))
+        val agg = toks.groupBy("token")
+          .agg(count(lit(1)).as("occurrences"),
+            countDistinct(col("doc_id")).as("doc_freq"))
+        val topk = agg.orderBy(col("occurrences").desc, col("token")).limit(100)
+        val w = Window.orderBy(col("occurrences").desc, col("token"))
+        topk
+          .withColumn("rank", row_number().over(w).cast(IntegerType))
+          .withColumn("cum_occurrences", sum(col("occurrences")).over(w))
+          .select("rank", "token", "occurrences", "doc_freq", "cum_occurrences")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+          FROM documents),
+        agg AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM toks GROUP BY token),
+        ranked AS (
+          SELECT token, occurrences, doc_freq,
+            CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, token) AS INTEGER) AS rank,
+            CAST(SUM(occurrences) OVER (ORDER BY occurrences DESC, token
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occurrences
+          FROM agg)
+        SELECT rank, token, occurrences, doc_freq, cum_occurrences
+        FROM ranked WHERE rank <= 100"""))
   )
 }
