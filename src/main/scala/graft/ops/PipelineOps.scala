@@ -125,6 +125,20 @@ object PipelineOps {
       .select("source", "n_docs_total", "n_docs_kept", "kept_tokens")
   }
 
+  /** Hash-deterministic train/val/test split: the bucket derives from
+    * md5(doc_id), not from row position or id modulo, so the assignment is
+    * stable under resharding/reordering, unbiased for autoincrement-ish
+    * ids, and reproducible on ANY engine that has md5 (the oracle proves
+    * it). First hex nibble: 0-c train (13/16), d-e val (2/16), f test
+    * (1/16). Pure per-row map — no shuffle; the summary is one agg.
+    */
+  def hashSplit(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nibble = substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 1)
+    documents.select(col("doc_id"),
+      when(nibble <= "c", "train").when(nibble <= "e", "val")
+        .otherwise("test").as("split"))
+  }
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
 
@@ -146,6 +160,16 @@ object PipelineOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "pipeline_split",
+      (s, dir) => hashSplit(t(s, dir, "documents")),
+      Some("""
+        SELECT doc_id,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents""")),
+
     QueryDef(
       "pipeline_pii_scrub",
       (s, dir) => piiScrub(t(s, dir, "documents")),
