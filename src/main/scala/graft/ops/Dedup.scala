@@ -480,6 +480,16 @@ object Dedup {
       (s, dir) => minhashCandidates(s, dir, 0.5),
       None),
 
+    // clustering over the LSH candidate graph — the pairing a 100 TB corpus
+    // actually affords (exact pairs are the oracle-checkable baseline
+    // above). Probabilistic candidates → rows-only check; the clustering
+    // itself is exact for whatever graph it's given (DedupSpec union-find).
+    QueryDef(
+      "dedup_clusters_lsh",
+      (s, dir) => duplicateClusters(
+        minhashCandidates(s, dir, 0.5).select(col("doc_a"), col("doc_b"))),
+      None),
+
     // SimHash near-dup candidates (probabilistic — rows-only check)
     QueryDef(
       "dedup_simhash",
