@@ -108,6 +108,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ivf_probe"), s"codegen probe expression missing:\n$p")
   }
 
+  test("vocabulary top-k is a distributed TakeOrdered — the full vocabulary never globally sorts") {
+    val p = plan("text_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    // the only full Sort allowed is the one over the <=k ranked rows; a
+    // global Sort BELOW the limit would order the whole vocabulary
+    assert(!p.contains("Sort [occurrences"), s"full-vocab sort in plan:\n$p")
+  }
+
+  test("hash split is a pure per-row map — zero exchanges") {
+    val p = plan("pipeline_split")
+    assert(!p.contains("Exchange"), s"split plan shuffles:\n$p")
+  }
+
   test("sequence packing and source capping shuffle once, on the source blocking key") {
     Seq("pipeline_seq_packing", "pipeline_source_cap").foreach { q =>
       val p = plan(q)
