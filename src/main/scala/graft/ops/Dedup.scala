@@ -259,14 +259,17 @@ object Dedup {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // ONE pass computes the pairs and checkpoints the doubled edge list —
-    // the loop's working set. Partition right-sizing is AQE's: each round's
-    // exchanges coalesce to the GRAPH's size (a few KB at test scale, the
-    // cluster's parallelism at a billion edges), not the corpus's shuffle
-    // width.
-    val p = pairs.select(col("doc_a"), col("doc_b"))
+    // the loop's working set. Doubling is an explode of each pair into both
+    // directions, NOT a union of the pair plan with its reversal (a union
+    // would evaluate the expensive pair join twice). Partition right-sizing
+    // is AQE's: each round's exchanges coalesce to the GRAPH's size (a few
+    // KB at test scale, the cluster's parallelism at a billion edges), not
+    // the corpus's shuffle width.
     val edges = ckpt(
-      p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst"))
+      pairs.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     mark("pairs materialized")
     var labels = ckpt(
       edges.select(col("src").as("doc_id")).distinct()
