@@ -39,13 +39,16 @@ object Bench {
       // the dedup block swings ±2 s run-to-run under machine load (its cost
       // is one large shuffle's scheduling); min-of-two repeats makes
       // round-over-round deltas reflect PLAN changes, not scheduler noise.
-      // dedup_clusters is excluded: its cost is many SMALL jobs (iterative
-      // graph rounds), which don't exhibit the single-shuffle variance and
-      // would double a multi-round query for nothing
-      val dt = if (name.startsWith("dedup_") && name != "dedup_clusters")
-        math.min(once(), once()) else once()
-      name -> dt
+      // dedup_clusters* are excluded: their cost is many SMALL jobs
+      // (iterative graph rounds), which don't exhibit the single-shuffle
+      // variance and would double a multi-round query for nothing
+      if (name.startsWith("dedup_") && !name.startsWith("dedup_clusters")) {
+        val (a, b) = (once(), once())
+        (name, math.min(a, b), Some((a, b)))
+      } else (name, once(), None)
     }
+    val timings = results.map(t => (t._1, t._2))
+    val repeats = results.collect { case (n, _, Some((a, b))) => (n, a, b) }
     // The harness captures only the LAST 2000 chars of stdout, and sbt
     // appends "[info] " + a "[success] Total time..." trailer (~85 chars):
     // the whole JSON line must fit in ~1900 chars or its START gets clipped.
@@ -66,18 +69,24 @@ object Bench {
         valueLast: Boolean) = {
       val qs = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val total = if (timings.nonEmpty) timings.map(_._2).sum else 0.0
       val sfLabel = sfDir.split('/').lastOption.getOrElse(sfDir)
       if (valueLast)
         s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfLabel","value":${f2(total)}}"""
       else
         s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
     }
+    // repeated-query spread goes to the local record only (stdout budget is
+    // spent on per-query timings) — the noise-control criterion stays
+    // checkable after the fact
+    val repeatJson = repeats.map { case (n, a, b) =>
+      "\"" + n + "\":[" + f2(a) + "," + f2(b) + "]" }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      line(f2, results, valueLast = false) + "\n")
+      line(f2, timings, valueLast = false).dropRight(1) +
+        s""","repeats":$repeatJson}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    println(line(f1, results.sortBy(_._2), valueLast = true))
+    println(line(f1, timings.sortBy(_._2), valueLast = true))
   }
 }
