@@ -21,21 +21,20 @@ object GraftSession {
     "spark.sql.parquet.fieldId.read.enabled" -> "true",
     "spark.sql.parquet.fieldId.read.ignoreMissing" -> "true")
 
-  private val prepared = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
-  /** Apply the engine's read confs to a session (idempotent). */
+  /** Apply the engine's read confs to a session (idempotent — sets only
+    * keys whose current value differs).
+    */
   def prepare(spark: SparkSession): SparkSession = {
     ReadConfs.foreach { case (k, v) =>
       if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
     }
-    prepared.put(spark, java.lang.Boolean.TRUE)
     spark
   }
 
-  /** One-time-per-session guard used by scan paths: first call prepares the
-    * session, every later call is a weak-map hit with no conf access.
+  /** Scan-path guard: verifies the confs hold (two map lookups) and repairs
+    * them only when something else changed them — self-healing against a
+    * later `withSQLConf`-style restore, without the per-scan unconditional
+    * mutation this replaced.
     */
-  def ensurePrepared(spark: SparkSession): Unit =
-    if (!prepared.containsKey(spark)) prepare(spark)
+  def ensurePrepared(spark: SparkSession): Unit = { prepare(spark); () }
 }

@@ -85,4 +85,16 @@ object FileIO {
     applied.forEach((k, v) => b += k -> v)
     b.result()
   }
+
+  /** Re-apply a captured settings map in THIS JVM. `configure` mutates the
+    * driver's conf only; a task that does its own filesystem IO (e.g. the
+    * executor-side DV shard writer) runs in a JVM whose FileIO never saw
+    * configure(), so it must replay the driver's settings — captured
+    * serializably via [[sparkHadoopSettings]] — before resolving a
+    * FileSystem. Idempotent and cheap on repeat calls.
+    */
+  def ensureApplied(settings: Map[String, String]): Unit =
+    settings.foreach { case (k, v) =>
+      if (applied.get(k) != v) { applied.put(k, v); conf.set(k, v) }
+    }
 }

@@ -400,7 +400,11 @@ object SqlDialect {
       s"CREATE TABLE IF NOT EXISTS iceberg_tables ($TablesColumns)",
       s"CREATE TABLE IF NOT EXISTS iceberg_namespace_properties ($NsPropsColumns)")
     def isDuplicateKey(e: SQLException): Boolean = e.getSQLState == "23505"
-    def isTableExists(e: SQLException): Boolean = e.getSQLState == "42P07"
+    // 42P07 = duplicate_table; 23505 also appears when two sessions race
+    // the same CREATE TABLE IF NOT EXISTS (the unique violation surfaces on
+    // the pg_class/pg_type catalog index) — both are benign bootstrap races
+    def isTableExists(e: SQLException): Boolean =
+      e.getSQLState == "42P07" || e.getSQLState == "23505"
   }
 
   /** Dialect from the JDBC URL scheme (reference `sql.go:34-60`). */

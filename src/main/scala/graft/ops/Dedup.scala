@@ -280,10 +280,14 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dl")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("dl")).as("nbr_min"))
-      val propagated = labels.withColumnRenamed("cluster_id", "prev")
+      // checkpointed so the jump's self-join reads materialized blocks on
+      // BOTH sides — without it, single evaluation depends on Spark's
+      // exchange reuse finding the common subplan, the same fragility the
+      // round checkpoints exist to remove
+      val propagated = ckpt(labels.withColumnRenamed("cluster_id", "prev")
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("prev"),
-          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("mid"))
+          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("mid")))
       // pointer jump: follow the label's own label (always <= the label,
       // always in the same component)
       val parentMap = propagated.select(col("doc_id").as("mid"), col("mid").as("parent"))

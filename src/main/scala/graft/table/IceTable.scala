@@ -585,16 +585,19 @@ final class IceTable private (
       commitUuid: String): Seq[DataFile] = {
     import spark.implicits._
     val loc = location
+    // executors run in JVMs whose FileIO never saw configure() — ship the
+    // driver's settings so property-registered schemes/credentials resolve
+    // identically off-driver
+    val ioSettings = graft.meta.FileIO.sparkHadoopSettings
     val shards = positions.toDF("file_path", "pos")
       .repartition(col("file_path")).as[(String, Long)]
       .mapPartitions { it =>
+        graft.meta.FileIO.ensureApplied(ioSettings)
         val bms = scala.collection.mutable.LinkedHashMap
           .empty[String, org.roaringbitmap.longlong.Roaring64NavigableMap]
-        val counts = scala.collection.mutable.HashMap.empty[String, Long]
         it.foreach { case (p, pos) =>
           bms.getOrElseUpdate(p,
             new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(pos)
-          counts(p) = counts.getOrElse(p, 0L) + 1L
         }
         if (bms.isEmpty) Iterator.empty
         else {
@@ -606,17 +609,20 @@ final class IceTable private (
           val puffinPath =
             s"$loc/data/$commitUuid-deletes-p${tc.partitionId()}-a${tc.taskAttemptId()}.puffin"
           val sorted = bms.toSeq.sortBy(_._1)
+          // cardinality from the BITMAP (positions dedup on insert): the
+          // rewrite path unions overlapping additive DVs, so raw row counts
+          // would overstate the collapsed DV's true cardinality
           val blobs = sorted.map { case (ref, bm) =>
             Puffin.BlobDescriptor("deletion-vector-v1", Nil, snapId, seq, 0L, 0L,
               Map("referenced-data-file" -> ref,
-                "cardinality" -> counts(ref).toString)) -> Puffin.encodeDV(bm)
+                "cardinality" -> bm.getLongCardinality.toString)) -> Puffin.encodeDV(bm)
           }
           val (placed, _) = Puffin.write(puffinPath, blobs)
           val fileLen = org.apache.hadoop.fs.FileSystem
             .get(new java.net.URI(puffinPath), graft.meta.FileIO.conf)
             .getFileStatus(new org.apache.hadoop.fs.Path(puffinPath)).getLen
-          placed.zip(sorted).iterator.map { case (d, (ref, _)) =>
-            (puffinPath, ref, d.offset, d.length, counts(ref), fileLen)
+          placed.zip(sorted).iterator.map { case (d, (ref, bm)) =>
+            (puffinPath, ref, d.offset, d.length, bm.getLongCardinality, fileLen)
           }
         }
       }.collect()

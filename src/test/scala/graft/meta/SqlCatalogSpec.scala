@@ -158,7 +158,10 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SqlDialect.Postgres.catalogDdl.map(cols) == SqlDialect.Ansi.catalogDdl.map(cols))
     assert(SqlDialect.Postgres.isDuplicateKey(new SQLException("dup", "23505")))
     assert(SqlDialect.Postgres.isTableExists(new SQLException("exists", "42P07")))
-    assert(!SqlDialect.Postgres.isTableExists(new SQLException("dup", "23505")))
+    // 23505 during bootstrap = two sessions racing the same IF NOT EXISTS
+    // (pg catalog-index unique violation) — absorbed like 42P07
+    assert(SqlDialect.Postgres.isTableExists(new SQLException("dup", "23505")))
+    assert(!SqlDialect.Postgres.isTableExists(new SQLException("other", "55000")))
     // a Derby-backed catalog built with an explicit dialect override still
     // bootstraps and serves the full SPI (the seam changes nothing on ANSI)
     val cat = new SqlCatalog(

@@ -101,9 +101,12 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (the cluster fault-tolerance path) and must produce identical labels
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(ckptDir)
-    val l3 = Dedup.duplicateClusters(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(l3 == labels)
+    try {
+      val l3 = Dedup.duplicateClusters(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l3 == labels)
+    } finally spark.sparkContext.setCheckpointDir(null) // don't leak the
+    // reliable-mode flag into later suites sharing this JVM's session
   }
 
   test("minhash LSH recall against exact jaccard at high threshold") {

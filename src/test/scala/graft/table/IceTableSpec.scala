@@ -306,7 +306,10 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("DV shards: a multi-file delete writes >1 executor-side puffin shard with exact pointers") {
     val t = IceTable.create(catalog, "li_dv_shards", lineitemSchema)
-    t.append(lineitem.repartition(8))
+    // 32 files over 4 shuffle partitions: P(all hash to one partition)
+    // ~ 4^-31 — the >1-shard assertion is deterministic in practice even
+    // though path hashes change with the per-run temp warehouse
+    t.append(lineitem.repartition(32))
     val before = t.scan(spark).count()
     // AQE rightly coalesces this KB-sized shuffle to one partition; disable
     // it here to observe the multi-executor shard shape a real corpus gets
