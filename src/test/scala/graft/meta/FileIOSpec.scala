@@ -102,6 +102,19 @@ class FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FileIO.sparkHadoopSettings.contains("fs.s3a.endpoint"))
   }
 
+  test("ensureApplied replays captured settings into this JVM's conf") {
+    // the executor-side seam: tasks replay the driver's sparkHadoopSettings
+    // before resolving a FileSystem (see IceTable.writeDVShards)
+    val captured = Map("fs.graft-replay.impl" -> classOf[GraftIoFs].getName)
+    assert(FileIO.conf.get("fs.graft-replay.impl") == null)
+    FileIO.ensureApplied(captured)
+    assert(FileIO.conf.get("fs.graft-replay.impl") == classOf[GraftIoFs].getName)
+    assert(FileIO.sparkHadoopSettings.get("fs.graft-replay.impl")
+      .contains(classOf[GraftIoFs].getName))
+    FileIO.ensureApplied(captured) // idempotent on repeat
+    assert(FileIO.conf.get("fs.graft-replay.impl") == classOf[GraftIoFs].getName)
+  }
+
   test("a property-registered scheme carries the full table lifecycle") {
     FileIO.configure(Map("hadoop.fs.graftio.impl" -> classOf[GraftIoFs].getName))
     // the data plane (Spark parquet tasks) reads the SESSION hadoop conf —
