@@ -247,17 +247,30 @@ object Dedup {
     val tStart = System.nanoTime()
     def mark(label: String): Unit = if (dbg)
       println(f"[clusters] $label at ${(System.nanoTime() - tStart) / 1e9}%.2f s")
-    // Every loop frame is EAGERLY checkpointed: iterative lineage grows a
-    // level per round, and relying on cache substitution to cut it is
-    // fragile — a missed substitution recomputes every earlier round
+    val spark = pairs.sparkSession
+    // Each round's RESULT frame is EAGERLY checkpointed: iterative lineage
+    // grows a level per round, and relying on cache substitution to cut it
+    // is fragile — a missed substitution recomputes every earlier round
     // (observed: round cost escalating 3→50 s). Checkpointing truncates the
     // plan to materialized blocks, so round cost is CONSTANT. With a
     // configured checkpoint dir the blocks are RELIABLE (survive executor
     // loss — what a 1000-executor run must assume); without one they stay
     // in local block storage, the right trade in-process.
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // Reliable checkpoints are NOT reclaimed by Spark (cleanCheckpoints
+    // defaults false), so the loop deletes a round's files itself the
+    // moment the next round's frame is fully on disk — a long-lived session
+    // running many clusterings would otherwise accumulate dead checkpoint
+    // data without bound. Only the FINAL round's files survive: the
+    // returned labels read from them.
+    def dropCkptFiles(df: DataFrame): Unit = if (reliable && df != null)
+      GraftShim.checkpointFile(df).foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        catch { case _: java.io.IOException => () }
+      }
     // ONE pass computes the pairs and checkpoints the doubled edge list —
     // the loop's working set. Doubling is an explode of each pair into both
     // directions, NOT a union of the pair plan with its reversal (a union
@@ -271,37 +284,57 @@ object Dedup {
           struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
     mark("pairs materialized")
-    var labels = ckpt(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")))
+    var labels: DataFrame = null
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dl")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min(col("dl")).as("nbr_min"))
-      // checkpointed so the jump's self-join reads materialized blocks on
-      // BOTH sides — without it, single evaluation depends on Spark's
-      // exchange reuse finding the common subplan, the same fragility the
-      // round checkpoints exist to remove
-      val propagated = ckpt(labels.withColumnRenamed("cluster_id", "prev")
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("prev"),
-          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("mid")))
+      // neighbor minimum, then mid = min(own label, neighbor labels).
+      // Round 0 needs NO label join: labels start as the identity map, so
+      // the neighbor minimum is just min(dst) over the edge list — this
+      // fuses what used to be a separate init checkpoint + a join into the
+      // first round's single aggregation.
+      val propagated = (
+        if (rounds == 0)
+          edges.groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("nbr_min"))
+            .select(col("doc_id"), col("doc_id").as("prev"),
+              least(col("doc_id"), col("nbr_min")).as("mid"))
+        else
+          edges.join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dl")), "dst")
+            .groupBy(col("src").as("doc_id")).agg(min(col("dl")).as("nbr_min"))
+            .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"), "right")
+            .select(col("doc_id"), col("prev"),
+              least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("mid"))
+      ).persist()
       // pointer jump: follow the label's own label (always <= the label,
-      // always in the same component)
+      // always in the same component). The mid-frame is CACHED, not
+      // checkpointed: both sides of the self-join resolve to the same
+      // in-memory relation, and even a missed cache substitution recomputes
+      // only this round's two shuffles from the checkpointed inputs — so
+      // each round pays exactly ONE eager materialization job (next's)
+      // instead of the two the old propagated-checkpoint cost.
       val parentMap = propagated.select(col("doc_id").as("mid"), col("mid").as("parent"))
       val next = ckpt(
         propagated.join(parentMap, Seq("mid"), "left")
           .select(col("doc_id"), col("prev"),
             coalesce(col("parent"), col("mid")).as("cluster_id")))
+      propagated.unpersist(blocking = false)
+      // the previous round's reliable files are superseded now that `next`
+      // is fully materialized on disk
+      dropCkptFiles(labels)
       // convergence rides the checkpointed blocks (prev travels in-frame —
-      // no extra join against the previous round)
-      changed = next.where(col("cluster_id") =!= col("prev")).count()
-      mark(s"round=$rounds changed=$changed")
+      // no extra join against the previous round), and is checked only
+      // every SECOND round: pointer jumping strictly shrinks label depth
+      // while any component is unconverged, so skipping the odd-round
+      // count never misses the fixpoint — it trades at most one cheap
+      // extra round for halving the per-round action count.
+      if (rounds % 2 == 1) {
+        changed = next.where(col("cluster_id") =!= col("prev")).count()
+        mark(s"round=$rounds changed=$changed")
+      } else mark(s"round=$rounds (convergence unchecked)")
       labels = next.select("doc_id", "cluster_id")
       rounds += 1
     }
+    dropCkptFiles(edges)
     mark("loop done")
     labels
   }

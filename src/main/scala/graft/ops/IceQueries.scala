@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.nio.file.Files
-import scala.collection.concurrent.TrieMap
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, lit}
@@ -26,10 +26,13 @@ object IceQueries {
       liDv: IceTable, ordersUp: IceTable, restSupplier: IceTable,
       sqlCustomer: IceTable, v1Part: IceTable)
 
-  private val fixtures = TrieMap[String, Fixture]()
+  // computeIfAbsent (NOT TrieMap.getOrElseUpdate, whose thunk can run in
+  // two racing threads with the loser's fully-built temp warehouse leaked):
+  // the builder runs at most once per dir, concurrent callers block on it
+  private val fixtures = new ConcurrentHashMap[String, Fixture]()
 
   private def fixture(spark: SparkSession, dir: String): Fixture =
-    fixtures.getOrElseUpdate(dir, synchronized {
+    fixtures.computeIfAbsent(dir, _ => {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -197,7 +200,7 @@ object IceQueries {
         Await.result(fV1, Duration.Inf))
     })
 
-  private val curationTables = TrieMap[String, (IceTable, IceTable)]()
+  private val curationTables = new ConcurrentHashMap[String, (IceTable, IceTable)]()
 
   /** documents + embeddings registered as managed tables — by-reference
     * [[IceTable.addFiles]], no data copy — with the token-moment ANALYZE run
@@ -208,7 +211,7 @@ object IceQueries {
     * facing the oracle, not the sample-per-invocation raw-dir variants.
     */
   def curation(spark: SparkSession, dir: String): (IceTable, IceTable) =
-    curationTables.getOrElseUpdate(dir, synchronized {
+    curationTables.computeIfAbsent(dir, _ => {
       val wh = Files.createTempDirectory("graft-cur").toString
       val catalog = new FileCatalog(wh)
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -604,7 +604,7 @@ final class IceTable private (
           // attempt-unique name: a speculative or retried attempt must never
           // write the path another attempt is writing — only the winning
           // attempt's descriptors reach the manifest; losers become orphans
-          // that cleanOrphans reclaims
+          // that deleteOrphanFiles reclaims
           val tc = org.apache.spark.TaskContext.get()
           val puffinPath =
             s"$loc/data/$commitUuid-deletes-p${tc.partitionId()}-a${tc.taskAttemptId()}.puffin"

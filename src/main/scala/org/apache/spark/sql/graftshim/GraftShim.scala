@@ -22,4 +22,19 @@ object GraftShim {
     classic.sparkSession.internalCreateDataFrame(
       classic.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Reliable-checkpoint directory backing a `df.checkpoint(true)` result:
+    * the checkpointed Dataset wraps a `LogicalRDD` over the materialized
+    * RDD, whose `getCheckpointFile` is the on-disk `rdd-<id>` path. None
+    * for local checkpoints (block-store only) or non-checkpoint frames —
+    * lets iterative loops delete superseded checkpoint files themselves
+    * instead of leaking them until the context dies (Spark only reclaims
+    * reliable checkpoints with `cleanCheckpoints=true`, default false).
+    */
+  def checkpointFile(df: org.apache.spark.sql.DataFrame): Option[String] = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    classic.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.flatMap(_.getCheckpointFile)
+  }
 }

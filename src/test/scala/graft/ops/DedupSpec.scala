@@ -105,6 +105,19 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       val l3 = Dedup.duplicateClusters(chain).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(l3 == labels)
+      // superseded reliable checkpoints are deleted as the loop advances
+      // (Spark never reclaims them itself): after the run the dir holds
+      // exactly ONE rdd-* directory — the final round's labels, which the
+      // returned frame reads from
+      def rddDirs(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        kids.filter(k => k.isDirectory && k.getName.startsWith("rdd-")) ++
+          kids.filter(_.isDirectory).flatMap(rddDirs)
+      }
+      val remaining = rddDirs(new java.io.File(ckptDir))
+      assert(remaining.size == 1,
+        s"expected only the final round's checkpoint to survive, found " +
+          remaining.map(_.getName).mkString(", "))
     } finally spark.sparkContext.setCheckpointDir(null) // don't leak the
     // reliable-mode flag into later suites sharing this JVM's session
   }

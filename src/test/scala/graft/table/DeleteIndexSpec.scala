@@ -186,7 +186,10 @@ class DeleteIndexSpec extends AnyFunSuite {
     val checks = scan.lastPlanRangedChecks
     assert(checks >= 0 && checks <= nData.toLong * nRanged,
       s"ranged bounds checks $checks exceed the ranged stripe budget")
-    assert(elapsedMs < 8000, s"adversarial planFiles took ${elapsedMs}ms")
+    // generous smoke bound only — the rangedBoundsChecks assertion above is
+    // the real sub-quadratic guard; a tight wall-clock limit flakes on a
+    // loaded CI machine even when the algorithm is correct
+    assert(elapsedMs < 60000, s"adversarial planFiles took ${elapsedMs}ms")
   }
 
   test("range binary search skips deletes older than the data file") {
