@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def all: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++ TextOps.defs ++
-      PipelineOps.defs ++ IceQueries.defs ++ Dedup.defs ++ Similarity.defs ++
+      PipelineOps.defs ++ IceQueries.defs ++ Dedup.defs ++
+      IncrementalDedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ StreamingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

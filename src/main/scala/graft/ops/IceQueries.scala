@@ -230,6 +230,36 @@ object IceQueries {
       (dt, et)
     })
 
+  private val incrementalTables =
+    new ConcurrentHashMap[String, (IceTable, IceTable, Long)]()
+
+  /** Incremental-dedup fixture: `documents` as a managed table with TWO
+    * snapshots — the accumulated corpus (doc_id % 10 != 0) and a later
+    * increment (doc_id % 10 == 0) — plus a token-index table holding
+    * exactly the FIRST snapshot's exploded tokens, the state a previous
+    * run's [[IncrementalDedup.extendIndex]] would have left behind.
+    * Returns (documents table, index table, watermark snapshot id).
+    */
+  def incremental(spark: SparkSession, dir: String): (IceTable, IceTable, Long) =
+    incrementalTables.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("graft-incr").toString
+      val catalog = new FileCatalog(wh)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val old = docs.where("doc_id % 10 != 0")
+      val dt = IceTable.create(catalog, "documents_incr",
+        SchemaConv.fromSpark(docs.schema))
+      val watermark = dt.append(old).snapshotId
+      dt.refresh()
+      dt.append(docs.where("doc_id % 10 = 0"))
+      dt.refresh()
+      val idx = IncrementalDedup.tokenIndexOf(old)
+      val it = IceTable.create(catalog, "token_index",
+        SchemaConv.fromSpark(idx.schema))
+      it.append(idx)
+      it.refresh()
+      (dt, it, watermark)
+    })
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ice_scan_filter",

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Ingest
+
+/** Incremental dedup must (a) return exactly the full-corpus pair set
+  * restricted to pairs touching the increment, and (b) NEVER re-read or
+  * re-tokenize rows the index already covers — the whole point of keeping
+  * the accumulated state as a table artifact. (b) is proven structurally:
+  * the only text-bearing scan in the plan is the incremental read, and its
+  * input files are disjoint from the watermark snapshot's files.
+  */
+final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("incremental-dedup-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** inputFiles yields file: URIs, planFiles raw paths — compare as paths
+    * (an unnormalized compare would make every disjointness assert pass
+    * vacuously).
+    */
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  test("incremental pairs equal full-corpus pairs restricted to the increment") {
+    val (docs, index, since) = IceQueries.incremental(spark, sfDir)
+    val incremental = pairSet(
+      IncrementalDedup.incrementalJaccardPairs(spark, docs, index, since, 0.5))
+    val full = pairSet(Dedup.jaccardPairs(spark, sfDir, 0.5))
+    val expected = full.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 }
+    assert(incremental == expected)
+    assert(incremental.nonEmpty, "fixture should produce pairs touching new docs")
+    // and none of the increment's output re-reports an old-old pair
+    assert(incremental.forall { case (a, b) => a % 10 == 0 || b % 10 == 0 })
+  }
+
+  test("increment scan plans only post-watermark files — old rows are never re-read") {
+    val (docs, _, since) = IceQueries.incremental(spark, sfDir)
+    val oldFiles = docs.newScan(snapshotId = Some(since)).planFiles()
+      .map(t => norm(t.file.filePath)).toSet
+    assert(oldFiles.nonEmpty)
+    val newScanFiles = Ingest.changesSince(spark, docs, since)
+      .inputFiles.map(norm).toSet
+    assert(newScanFiles.nonEmpty)
+    assert(newScanFiles.intersect(oldFiles).isEmpty,
+      s"incremental read touched pre-watermark files: ${newScanFiles.intersect(oldFiles)}")
+    // the full current snapshot covers both — proves the diff is a strict subset
+    val allFiles = docs.newScan().planFiles().map(t => norm(t.file.filePath)).toSet
+    assert(newScanFiles.subsetOf(allFiles) && oldFiles.subsetOf(allFiles))
+    assert(newScanFiles.union(oldFiles) == allFiles)
+  }
+
+  test("pair-join plan reads no pre-watermark document file (tokens come from the index)") {
+    val (docs, index, since) = IceQueries.incremental(spark, sfDir)
+    val oldFiles = docs.newScan(snapshotId = Some(since)).planFiles()
+      .map(t => norm(t.file.filePath)).toSet
+    val pairs = IncrementalDedup.incrementalJaccardPairs(spark, docs, index, since, 0.5)
+    val planInputs = pairs.inputFiles.map(norm).toSet
+    assert(planInputs.nonEmpty)
+    assert(planInputs.intersect(oldFiles).isEmpty,
+      "pair plan scans old document files instead of the persisted token index")
+    // repeat run is read-only and deterministic
+    val c1 = pairs.count()
+    val c2 = IncrementalDedup.incrementalJaccardPairs(spark, docs, index, since, 0.5).count()
+    assert(c1 == c2)
+  }
+
+  test("extendIndex rolls the watermark: a third batch dedups against index+increment only") {
+    val s = spark
+    import s.implicits._
+    // fresh private fixture (don't mutate the shared memoized one)
+    val wh = java.nio.file.Files.createTempDirectory("graft-incr-roll").toString
+    val catalog = new graft.meta.FileCatalog(wh)
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b1 = docsRaw.where("doc_id % 10 NOT IN (0, 1)")
+    val b2 = docsRaw.where("doc_id % 10 = 0")
+    val b3 = docsRaw.where("doc_id % 10 = 1")
+    val dt = graft.table.IceTable.create(catalog, "docs_roll",
+      graft.core.SchemaConv.fromSpark(docsRaw.schema))
+    val snap1 = dt.append(b1).snapshotId
+    dt.refresh()
+    val idx0 = IncrementalDedup.tokenIndexOf(b1)
+    val it = graft.table.IceTable.create(catalog, "idx_roll",
+      graft.core.SchemaConv.fromSpark(idx0.schema))
+    it.append(idx0)
+    it.refresh()
+    // batch 2 lands; run the increment, then roll the index forward
+    val snap2 = dt.append(b2).snapshotId
+    dt.refresh()
+    IncrementalDedup.extendIndex(spark, dt, it, snap1)
+    // batch 3 lands; its run must see batch-1 AND batch-2 docs via the index
+    dt.append(b3)
+    dt.refresh()
+    val got = pairSet(
+      IncrementalDedup.incrementalJaccardPairs(spark, dt, it, snap2, 0.5))
+    val full = pairSet(Dedup.jaccardPairs(spark, sfDir, 0.5))
+    val expected = full.filter { case (a, b) => a % 10 == 1 || b % 10 == 1 }
+    assert(got == expected)
+  }
+}
