@@ -404,6 +404,40 @@ object Dedup {
       threshold)
   }
 
+  // ---------------------------------------------------- shared spans
+  /** Span-level cross-document dedup (the RefinedWeb/ccnet-style step the
+    * pair operators don't cover): for every document, how many of its
+    * distinct `n`-token spans also appear in ANOTHER document. Within-doc
+    * repetition (text_repetition's job) never counts — spans are collapsed
+    * to one per document before the document-frequency pass.
+    *
+    * Scale shape: an inverted index over span shingles. One explode, a
+    * groupBy on the span (shuffle 1), a join back keyed on the SAME span —
+    * co-partitioned with the aggregation, no extra exchange — and a per-doc
+    * rollup (shuffle 2). High-df spans are exactly the boilerplate the
+    * operator exists to flag; nothing is all-pairs, and no token array
+    * travels through a shuffle.
+    */
+  def sharedSpanStats(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("words"))
+    val w = col("words")
+    val spans = when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = docs.select(col("doc_id"), explode(spans).as("span"))
+      .transform(CacheRegistry.persist(_))
+    val spanDf = exploded.groupBy("span").agg(count(lit(1)).as("df"))
+    exploded.join(spanDf, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac", col("dup_spans").cast(DoubleType) /
+        col("total_spans").cast(DoubleType))
+  }
+
   private def jaccardPairsOver(docsWithTokens: DataFrame, threshold: Double): DataFrame =
     jaccardPairsOverPersisted(tokensPersisted(docsWithTokens), threshold)
 
@@ -513,6 +547,28 @@ object Dedup {
           SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src)
         SELECT src AS doc_id, MIN(node) AS cluster_id
         FROM reach GROUP BY src""")),
+
+    // cross-document repeated 5-token spans via a shingle inverted index —
+    // the standard span-level pretraining dedup signal (within-doc
+    // repetition is text_repetition's job and is excluded by construction)
+    QueryDef(
+      "dedup_shared_spans",
+      (s, dir) => sharedSpanStats(s, dir, 5),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(ws) - 4),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                 ws[i+3] || ' ' || ws[i+4])) AS gs FROM w),
+        e AS (SELECT doc_id, unnest(gs) AS span FROM g),
+        d AS (SELECT span, COUNT(*) AS df FROM e GROUP BY span)
+        SELECT e.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS total_spans,
+          CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+          CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        FROM e JOIN d USING (span) GROUP BY e.doc_id""")),
 
     // MinHash/LSH near-dup candidates (probabilistic — rows-only check)
     QueryDef(

@@ -122,6 +122,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // reliable-mode flag into later suites sharing this JVM's session
   }
 
+  test("shared-span stats match a driver-side inverted index, within-doc repeats excluded") {
+    val got = Dedup.sharedSpanStats(spark, sfDir, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent oracle: distinct 5-gram sets per doc, df over DISTINCT
+    // per-doc sets — a span repeated only inside one document has df == 1
+    // and must not count as duplicated
+    val texts = QueryDef.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val spansOf = texts.map { case (id, txt) =>
+      val ws = txt.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      id -> ws.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = spansOf.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = spansOf.collect { case (id, ss) if ss.nonEmpty =>
+      id -> ((ss.size.toLong, ss.count(df(_) >= 2).toLong))
+    }
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "fixture should contain cross-doc spans")
+  }
+
   test("minhash LSH recall against exact jaccard at high threshold") {
     val exact = Dedup.jaccardPairs(spark, sfDir, 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
