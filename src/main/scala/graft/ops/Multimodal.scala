@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` payloads with a
   * typed metadata struct, processed batch-wise with `mapPartitions`.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
-  * a deterministic fake (byte histogram) stands in for pixel decoding. The
-  * Spark-side plumbing is real and tested: schema (binary + struct), typed
-  * Dataset boundary, per-partition batching, fixed-size feature vectors.
-  * At 100 TB this shape holds: payloads stay columnar-compressed at rest,
-  * the decode UDF is a narrow map (no shuffle), and features feed the
-  * Similarity operators downstream.
+  * PNG/JPEG decoding is REAL — `javax.imageio` ships in every JDK, so
+  * image payloads are decoded to pixels and featurized as a luminance
+  * histogram (see `multimodal_decode`, whose PNGs round-trip through an
+  * actual ImageIO encode + decode against an analytic oracle). Audio/video
+  * codecs genuinely aren't in the container, so those formats — and bytes
+  * that aren't a decodable image — take the deterministic byte-histogram
+  * fallback. The Spark-side plumbing is identical either way: schema
+  * (binary + struct), typed Dataset boundary, per-partition batching,
+  * fixed-size feature vectors. At 100 TB this shape holds: payloads stay
+  * columnar-compressed at rest, the decode is a narrow map (no shuffle),
+  * and features feed the Similarity operators downstream.
   */
 object Multimodal {
   import QueryDef.t
@@ -41,15 +45,59 @@ object Multimodal {
         when(pmod(col("doc_id"), lit(4)) === 3, pmod(col("doc_id"), lit(100)) + 1)
           .otherwise(1).cast(IntegerType).as("n_frames")).as("media_meta"))
 
-  /** STUB decoder: a real deployment would decode pixels/samples here; this
-    * deterministic byte histogram keeps the batch shape and signature honest.
+  /** Fallback featurizer for formats without an in-JVM codec (wav/mp4) and
+    * for payloads that aren't decodable images: a deterministic byte
+    * histogram keeping the batch shape and signature honest.
     */
-  private def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+  private[ops] def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](FeatureDim)
     payload.foreach(b => hist((b & 0xff) % FeatureDim) += 1f)
     val n = math.max(1, payload.length)
     hist.map(_ / n)
   }
+
+  /** Real image decode via the JDK's ImageIO; None when the bytes aren't a
+    * decodable image (ImageIO returns null rather than throwing for
+    * unrecognized content).
+    */
+  private[ops] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** Integer luminance histogram over decoded pixels: lum = (r+g+b)/3
+    * (integer division), binned into FeatureDim equal slices. All-integer →
+    * bit-exact across JVMs and against an analytic oracle.
+    */
+  private[ops] def lumaHistogram(img: java.awt.image.BufferedImage): Array[Long] = {
+    val hist = new Array[Long](FeatureDim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        hist(lum * FeatureDim / 256) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    hist
+  }
+
+  /** Format-aware decode: real pixels for image formats that decode,
+    * byte-histogram fallback otherwise.
+    */
+  private[ops] def decodeToFeatures(payload: Array[Byte], format: String): Array[Float] =
+    format match {
+      case "png" | "jpeg" =>
+        decodeImage(payload) match {
+          case Some(img) =>
+            val n = math.max(1, img.getWidth * img.getHeight)
+            lumaHistogram(img).map(_.toFloat / n)
+          case None => byteHistogram(payload)
+        }
+      case _ => byteHistogram(payload)
+    }
 
   /** Batch feature extraction over the binary column: typed mapPartitions
     * (one decoder init per partition, rows streamed through it).
@@ -64,8 +112,58 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition decoder setup would go here (model load, codec init)
         rows.map(r => FeatureRow(r.doc_id, r.format, r.payload.length.toLong,
-          decodeToFeatures(r.payload)))
+          decodeToFeatures(r.payload, r.format)))
       }
+  }
+
+  // ------------------------------------------------------- real PNG decode
+  /** Deterministic synthetic PNG for `multimodal_decode`: a 16×16 RGB image
+    * whose pixel channels are pure integer formulas of (doc_id, x, y), so
+    * an oracle can reproduce the decoded statistics WITHOUT a decoder. PNG
+    * is lossless — the decoded pixels are bit-identical to the formula.
+    */
+  private[ops] val ImgSide = 16
+
+  private[ops] def syntheticPng(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      ImgSide, ImgSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ImgSide) {
+      var x = 0
+      while (x < ImgSide) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 3 + y * 5) % 256).toInt
+        val b = ((docId * 29 + x * 11 + y * 3) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** End-to-end REAL image decode: encode the synthetic image to actual PNG
+    * bytes, decode them back through ImageIO, and emit the integer
+    * luminance histogram of the DECODED pixels. The oracle computes the
+    * same histogram analytically from the generation formula — any encode
+    * or decode defect breaks the match. Narrow map, no shuffle; the
+    * histogram is CSV-rendered (exact integers) for the checker.
+    */
+  def decodedPixelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .where(pmod(col("doc_id"), lit(4)) < 2) // the fixture's "image" docs
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val img = decodeImage(syntheticPng(d)).getOrElse(
+            throw new IllegalStateException(s"generated PNG for doc $d did not decode"))
+          (d, img.getWidth, img.getHeight, lumaHistogram(img).mkString(","))
+        }
+      }
+      .toDF("doc_id", "width", "height", "luma_hist")
   }
 
   /** Aspect-fit resize planning for image rows: target dims + output byte
@@ -150,6 +248,29 @@ object Multimodal {
           string_agg(f.fv, ',' ORDER BY f.bin) AS features
         FROM feats f JOIN documents d ON f.doc_id = d.doc_id
         GROUP BY f.doc_id, d.text""")),
+
+    // REAL ImageIO round-trip: synthetic formula pixels → PNG encode →
+    // PNG decode → luminance histogram of the DECODED pixels; the oracle
+    // reproduces the histogram analytically from the formula (PNG is
+    // lossless), so the decoder itself faces the correctness gate
+    QueryDef(
+      "multimodal_decode",
+      (s, dir) => decodedPixelStats(s, dir),
+      Some("""
+        WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (0, 1)),
+        px AS (
+          SELECT i.doc_id,
+            (((i.doc_id * 31 + x.x * 7 + y.y * 13) % 256 +
+              (i.doc_id * 17 + x.x * 3 + y.y * 5) % 256 +
+              (i.doc_id * 29 + x.x * 11 + y.y * 3) % 256) // 3) AS lum
+          FROM img i, UNNEST(range(16)) AS x(x), UNNEST(range(16)) AS y(y)),
+        c AS (SELECT doc_id, lum * 16 // 256 AS bin, COUNT(*) AS n
+              FROM px GROUP BY doc_id, lum * 16 // 256),
+        g AS (SELECT i.doc_id, b.bin FROM img i, UNNEST(range(16)) AS b(bin))
+        SELECT g.doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+          string_agg(COALESCE(c.n, 0), ',' ORDER BY g.bin) AS luma_hist
+        FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.bin = c.bin
+        GROUP BY g.doc_id""")),
 
     // aspect-fit resize planning over image rows — integer math, exact oracle
     QueryDef(
