@@ -410,6 +410,21 @@ object SqlDialect {
   /** Dialect from the JDBC URL scheme (reference `sql.go:34-60`). */
   def fromUrl(jdbcUrl: String): SqlDialect =
     if (jdbcUrl.startsWith("jdbc:postgresql:")) Postgres else Ansi
+
+  /** A dialect's ERROR CLASSIFICATION grafted onto plain-ANSI bootstrap
+    * DDL. This is how the Postgres SQLSTATE table is proven against a real
+    * database without a pg server in the container: embedded Derby parses
+    * the ANSI DDL and raises the same 23505 duplicate-key state Postgres
+    * does, so the pg classifiers drive a full catalog lifecycle for real
+    * (SqlCatalogSpec) — only the `IF NOT EXISTS` bootstrap, which Derby
+    * cannot parse, is substituted.
+    */
+  def withAnsiBootstrap(d: SqlDialect): SqlDialect = new SqlDialect {
+    val name = s"${d.name}+ansi-ddl"
+    val catalogDdl: Seq[String] = Ansi.catalogDdl
+    def isDuplicateKey(e: SQLException): Boolean = d.isDuplicateKey(e)
+    def isTableExists(e: SQLException): Boolean = d.isTableExists(e)
+  }
 }
 
 object SqlCatalog {

@@ -173,4 +173,50 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.append(region)
     assert(IceTable.load(cat, "region").scan(spark).count() == region.count())
   }
+
+  test("postgres dialect classification drives the full lifecycle on Derby") {
+    // Postgres minus its IF NOT EXISTS bootstrap (Derby can't parse it):
+    // every error-classification decision below is the PG table judging a
+    // real database's SQLSTATEs — Derby raises the same 23505 on duplicate
+    // keys — so the seam's behavior, not just its existence, is pinned
+    val pg = SqlDialect.withAnsiBootstrap(SqlDialect.Postgres)
+    assert(pg.catalogDdl == SqlDialect.Ansi.catalogDdl)
+    assert(pg.isDuplicateKey(new java.sql.SQLException("dup", "23505")))
+    assert(!pg.isDuplicateKey(new java.sql.SQLException("x", "X0Y32")))
+    val dir = Files.createTempDirectory("graft-pg-derby").toString
+    val cat = new SqlCatalog(s"jdbc:derby:$dir/db;create=true",
+      s"$dir/warehouse", dialectOverride = Some(pg))
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SchemaConv.fromSpark(region.schema)
+
+    // create + duplicate create: the loser is classified via pg 23505
+    val t = IceTable.create(cat, "pg_region", schema)
+    t.append(region)
+    assertThrows[IllegalStateException](IceTable.create(cat, "pg_region", schema))
+
+    // staged-create insert race: one commit wins, the other's duplicate-key
+    // SQLException is classified into a CommitConflictException
+    val a = IceTable.stageCreate(cat, "pg_staged", schema)
+    val b = IceTable.stageCreate(cat, "pg_staged", schema)
+    a.commit()
+    assertThrows[CommitConflictException](b.commit())
+
+    // CAS commit race: two writers from the same version, one advances
+    val base = cat.load("pg_region")
+    val v = cat.currentVersion("pg_region")
+    cat.commit("pg_region", v, base)
+    assertThrows[CommitConflictException](cat.commit("pg_region", v, base))
+    assert(cat.currentVersion("pg_region") == v + 1)
+
+    // namespaces: duplicate create is the same classified insert race
+    cat.createNamespace("raw", Map("owner" -> "graft"))
+    assertThrows[IllegalStateException](cat.createNamespace("raw"))
+    cat.dropNamespace("raw")
+
+    // the table read back through the catalog is intact
+    assert(IceTable.load(cat, "pg_region").scan(spark).count() == region.count())
+    cat.dropTable("pg_region")
+    cat.dropTable("pg_staged")
+    assert(cat.listTables().isEmpty)
+  }
 }
