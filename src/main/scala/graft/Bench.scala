@@ -36,16 +36,19 @@ object Bench {
         graft.ops.CacheRegistry.releaseAll()
         dt
       }
-      // the dedup block swings ±2 s run-to-run under machine load (its cost
-      // is one large shuffle's scheduling); min-of-two repeats makes
-      // round-over-round deltas reflect PLAN changes, not scheduler noise.
-      // dedup_clusters* are excluded: their cost is many SMALL jobs
-      // (iterative graph rounds), which don't exhibit the single-shuffle
-      // variance and would double a multi-round query for nothing
-      if (name.startsWith("dedup_") && !name.startsWith("dedup_clusters")) {
-        val (a, b) = (once(), once())
+      // any query whose FIRST run exceeds ~1 s gets a min-of-two repeat:
+      // that is the class whose single-run numbers drift under machine load
+      // (one large shuffle's scheduling, or first-touch artifacts like the
+      // r8 text_repetition 4.4 s-vs-0.85 s-warm measurement). Min-of-two
+      // makes round-over-round deltas reflect PLAN changes, not noise.
+      // dedup_clusters* stay single-run: their cost is many SMALL jobs
+      // (iterative graph rounds) immune to the single-shuffle variance, and
+      // a repeat doubles a multi-round loop for nothing
+      val a = once()
+      if (a > 1.0 && !name.startsWith("dedup_clusters")) {
+        val b = once()
         (name, math.min(a, b), Some((a, b)))
-      } else (name, once(), None)
+      } else (name, a, None)
     }
     val timings = results.map(t => (t._1, t._2))
     val repeats = results.collect { case (n, _, Some((a, b))) => (n, a, b) }
@@ -76,17 +79,30 @@ object Bench {
       else
         s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
     }
+    // metadata-planning stress: the adversarial 1e5×1e4 planFiles numbers
+    // as round-over-round metrics (regressions show as numbers here, not
+    // only as the spec's pass/fail)
+    val planningJson = try {
+      val r = graft.table.PlanningStress.run()
+      s""","planning":{"n_data":${r.nData},"n_deletes":${r.nDeletes},""" +
+        s""""plan_sec":${f2(r.planMs / 1000)},"ranged_checks":${r.rangedBoundsChecks}}"""
+    } catch { case _: Throwable => "" }
     // repeated-query spread goes to the local record only (stdout budget is
     // spent on per-query timings) — the noise-control criterion stays
-    // checkable after the fact
+    // checkable after the fact. value = min-of-two policy; value_first =
+    // every query's FIRST run, the pre-round-8 single-run policy, so totals
+    // stay comparable across the measurement-policy boundary
     val repeatJson = repeats.map { case (n, a, b) =>
       "\"" + n + "\":[" + f2(a) + "," + f2(b) + "]" }.mkString("{", ",", "}")
+    val firstRunTotal = results.map(r => r._3.map(_._1).getOrElse(r._2)).sum
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       line(f2, timings, valueLast = false).dropRight(1) +
-        s""","repeats":$repeatJson}""" + "\n")
+        s""","policy":"min2_over_1s","value_first":${f2(firstRunTotal)}""" +
+        s""","repeats":$repeatJson$planningJson}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    println(line(f1, timings.sortBy(_._2), valueLast = true))
+    println(line(f1, timings.sortBy(_._2), valueLast = true).dropRight(1) +
+      planningJson + "}")
   }
 }

@@ -127,69 +127,24 @@ class DeleteIndexSpec extends AnyFunSuite {
   }
 
   test("adversarial metadata: planFiles over 1e5 data x 1e4 delete entries stays indexed and bounded") {
-    // synthetic manifests through the REAL planning path: no data files on
-    // disk, but real Avro manifest write/read, manifest-list commit, and
-    // DeleteIndex-backed matching — the 100× metadata claim made checkable
-    import java.nio.file.Files
-    val wh = Files.createTempDirectory("graft-stress").toString
-    val catalog = new graft.meta.FileCatalog(wh)
-    val schema = graft.core.IceSchema(0, Seq(
-      graft.core.NestedField(1, "id", graft.core.IceLong, required = true)))
-    val t = IceTable.create(catalog, "stress", schema)
-
-    val nData = 100000
-    val nDeletes = 10000
-    val dataPaths = (0 until nData).map(i => f"$wh/stress/data/d$i%06d.parquet")
-    val ds1 = t.beginDistributedSnapshot()
-    val dataEntries = dataPaths.map(p => ManifestEntry(
-      ManifestEntryStatus.Added, ds1.snapshotId, None, None, dataFile(p)))
-    val m1 = graft.meta.ManifestIO.writeManifest(
-      s"${t.location}/metadata/${ds1.commitUuid}-m0.avro", dataEntries, t.spec, schema)
-    t.commitDistributedSnapshot(ds1, Seq(m1))
-    t.refresh()
-
-    // delete mix dominated by pointer-matched entries (file-scoped pos +
-    // DVs); a thin ranged stripe keeps the suffix-scan path honest
-    val nRanged = 50
-    val ds2 = t.beginDistributedSnapshot()
-    val delEntries = (0 until nDeletes).map { i =>
-      val f =
-        if (i < nRanged)
-          dataFile(s"$wh/stress/data/rd$i.parquet", content = 1,
-            lo = Some(dataPaths.head), hi = Some(dataPaths.last))
-        else if (i % 2 == 0)
-          dataFile(s"$wh/stress/data/pd$i.parquet", content = 1,
-            lo = Some(dataPaths(i * 7 % nData)), hi = Some(dataPaths(i * 7 % nData)))
-        else
-          dataFile(s"$wh/stress/data/dv$i.puffin", content = 1,
-            refPath = Some(dataPaths(i * 13 % nData)))
-      ManifestEntry(ManifestEntryStatus.Added, ds2.snapshotId, None, None, f)
-    }
-    val m2 = graft.meta.ManifestIO.writeManifest(
-      s"${t.location}/metadata/${ds2.commitUuid}-m0.avro", delEntries, t.spec,
-      schema, content = 1)
-    t.commitDistributedSnapshot(ds2, Seq(m2))
-    t.refresh()
-
-    val scan = t.newScan()
-    val t0 = System.nanoTime()
-    val tasks = scan.planFiles()
-    val elapsedMs = (System.nanoTime() - t0) / 1e6
-    assert(tasks.size == nData)
+    // synthetic manifests through the REAL planning path — the 100× metadata
+    // claim made checkable. The harness (shared with Bench's round-over-round
+    // `planning` metrics) lives in graft.table.PlanningStress
+    val r = PlanningStress.run()
+    assert(r.plannedTasks == r.nData)
     // every data file sees the ranged deletes; pointer deletes attach only
     // where they reference
-    assert(tasks.forall(_.deletes.size >= nRanged))
-    assert(tasks.map(_.dvDeletes.size).sum ==
-      (nRanged until nDeletes).count(_ % 2 == 1))
+    assert(r.minDeletesPerTask >= r.nRanged)
+    assert(r.dvAttached == (r.nRanged until r.nDeletes).count(_ % 2 == 1))
     // the index did ranged bounds work only for the thin ranged stripe:
     // ≤ nData·nRanged = 5e6 ≪ N·M = 1e9 naive comparisons
-    val checks = scan.lastPlanRangedChecks
-    assert(checks >= 0 && checks <= nData.toLong * nRanged,
-      s"ranged bounds checks $checks exceed the ranged stripe budget")
+    assert(r.rangedBoundsChecks >= 0 &&
+      r.rangedBoundsChecks <= r.nData.toLong * r.nRanged,
+      s"ranged bounds checks ${r.rangedBoundsChecks} exceed the ranged stripe budget")
     // generous smoke bound only — the rangedBoundsChecks assertion above is
     // the real sub-quadratic guard; a tight wall-clock limit flakes on a
     // loaded CI machine even when the algorithm is correct
-    assert(elapsedMs < 60000, s"adversarial planFiles took ${elapsedMs}ms")
+    assert(r.planMs < 60000, s"adversarial planFiles took ${r.planMs}ms")
   }
 
   test("range binary search skips deletes older than the data file") {
