@@ -423,7 +423,11 @@ object SqlDialect {
     val name = s"${d.name}+ansi-ddl"
     val catalogDdl: Seq[String] = Ansi.catalogDdl
     def isDuplicateKey(e: SQLException): Boolean = d.isDuplicateKey(e)
-    def isTableExists(e: SQLException): Boolean = d.isTableExists(e)
+    // ANSI bootstrap DDL raises ANSI existence errors (Derby X0Y32) on
+    // re-open, which the grafted dialect's own table may not classify —
+    // absorbing either set keeps reopening an existing database working
+    def isTableExists(e: SQLException): Boolean =
+      d.isTableExists(e) || Ansi.isTableExists(e)
   }
 }
 

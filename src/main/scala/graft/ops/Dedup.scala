@@ -363,17 +363,28 @@ object Dedup {
   private def countJoinJaccardPersisted(docs: DataFrame, threshold: Double): DataFrame = {
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
-    tokens.as("a").join(tokens.as("b"),
-        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+    pairJaccard(
+      tokens.as("a").join(tokens.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sz_a"), col("b.sz").as("sz_b")),
+      threshold)
+  }
+
+  /** Shared tail of every count-join jaccard plan: one row per shared token
+    * of an oriented pair (doc_a, doc_b, sz_a, sz_b) in, exact
+    * `|A∩B| / (|A|+|B|-|A∩B|)` pairs ≥ threshold out. One formula, every
+    * plan — [[IncrementalDedup]] reuses it so the arithmetic cannot drift.
+    */
+  private[ops] def pairJaccard(perSharedToken: DataFrame, threshold: Double): DataFrame =
+    perSharedToken
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jac", col("inter").cast(DoubleType) /
         (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
       .where(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
-  }
 
   /** 3-gram variant: shingles are consecutive word triples. The word array
     * is materialized ONCE per row before the gram lambda — higher-order

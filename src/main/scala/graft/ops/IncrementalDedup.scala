@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
 
 import graft.streaming.Ingest
 import graft.table.IceTable
@@ -65,29 +64,34 @@ object IncrementalDedup {
     val newDocs = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
     val newTokens = CacheRegistry.persist(
       tokenIndexOf(newDocs).withColumn("is_new", lit(true)))
+    // anti-join the increment's ids out of the stored index: if a pipeline
+    // retry runs with a stale watermark AFTER extendIndex already appended
+    // the increment's tokens, those rows would otherwise join a second time
+    // and silently triple-count shared tokens (jac > 1). The id set is the
+    // increment's — broadcast-sized relative to the corpus — so the index
+    // side stays a scan + broadcast filter, and the operator is idempotent
+    // across the extendIndex boundary.
+    val newIds = newTokens.select(col("doc_id")).distinct()
     val fullIndex = indexTable.scan(spark)
       .select(col("doc_id"), col("source"), col("sz"), col("tok"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
       .withColumn("is_new", lit(false))
       .unionByName(newTokens)
     val a = newTokens.alias("a")
     val b = fullIndex.alias("b")
-    a.join(b,
-        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-        ((!col("b.is_new") && col("a.doc_id") =!= col("b.doc_id")) ||
-          col("a.doc_id") < col("b.doc_id")))
-      .select(
-        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-        when(col("a.doc_id") < col("b.doc_id"), col("a.sz"))
-          .otherwise(col("b.sz")).as("sz_a"),
-        when(col("a.doc_id") < col("b.doc_id"), col("b.sz"))
-          .otherwise(col("a.sz")).as("sz_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jac", col("inter").cast(DoubleType) /
-        (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
-      .where(col("jac") >= threshold)
-      .select("doc_a", "doc_b", "jac")
+    Dedup.pairJaccard(
+      a.join(b,
+          col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+          ((!col("b.is_new") && col("a.doc_id") =!= col("b.doc_id")) ||
+            col("a.doc_id") < col("b.doc_id")))
+        .select(
+          least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          when(col("a.doc_id") < col("b.doc_id"), col("a.sz"))
+            .otherwise(col("b.sz")).as("sz_a"),
+          when(col("a.doc_id") < col("b.doc_id"), col("b.sz"))
+            .otherwise(col("a.sz")).as("sz_b")),
+      threshold)
   }
 
   /** Roll the index forward: append the increment's token rows so the NEXT

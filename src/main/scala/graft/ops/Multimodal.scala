@@ -57,12 +57,15 @@ object Multimodal {
   }
 
   /** Real image decode via the JDK's ImageIO; None when the bytes aren't a
-    * decodable image (ImageIO returns null rather than throwing for
-    * unrecognized content).
+    * decodable image. ImageIO returns null for unrecognized content, but it
+    * sniffs EVERY registered reader (BMP/GIF/TIFF too), and those readers
+    * throw RuntimeExceptions — not IOException — on garbage that happens to
+    * match their magic bytes; NonFatal keeps any such payload on the
+    * documented fallback path instead of failing the task.
     */
   private[ops] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Integer luminance histogram over decoded pixels: lum = (r+g+b)/3
     * (integer division), binned into FeatureDim equal slices. All-integer →

@@ -215,6 +215,14 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // the table read back through the catalog is intact
     assert(IceTable.load(cat, "pg_region").scan(spark).count() == region.count())
+
+    // REOPEN the same database: bootstrap hits Derby's X0Y32 existing-table
+    // errors, which the grafted classifier must absorb alongside pg's own
+    // states — a production catalog is reopened far more often than created
+    val reopened = new SqlCatalog(s"jdbc:derby:$dir/db",
+      s"$dir/warehouse", dialectOverride = Some(pg))
+    assert(reopened.listTables().sorted == Seq("pg_region", "pg_staged"))
+
     cat.dropTable("pg_region")
     cat.dropTable("pg_staged")
     assert(cat.listTables().isEmpty)

@@ -106,7 +106,15 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch 2 lands; run the increment, then roll the index forward
     val snap2 = dt.append(b2).snapshotId
     dt.refresh()
+    val beforeExtend = pairSet(
+      IncrementalDedup.incrementalJaccardPairs(spark, dt, it, snap1, 0.5))
     IncrementalDedup.extendIndex(spark, dt, it, snap1)
+    // a retry with a STALE watermark after extendIndex must not double-join
+    // the increment's now-indexed tokens (which would triple-count shared
+    // tokens and corrupt jaccard) — the anti-join makes the re-run exact
+    val staleRerun = pairSet(
+      IncrementalDedup.incrementalJaccardPairs(spark, dt, it, snap1, 0.5))
+    assert(staleRerun == beforeExtend)
     // batch 3 lands; its run must see batch-1 AND batch-2 docs via the index
     dt.append(b3)
     dt.refresh()
