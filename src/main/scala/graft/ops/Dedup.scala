@@ -40,7 +40,7 @@ object Dedup {
   private val NumHashes = graft.functions.MinHashSig.NumHashes
   private val BandCount = 16 // 16 bands x 4 rows
 
-  private def minhashSig(c: Column): Column =
+  private[ops] def minhashSig(c: Column): Column =
     GraftShim.column(graft.functions.MinHashSigExpr(GraftShim.expression(c)))
 
   /** Documents → (doc_id, source, band, band_hash) for LSH bucketing. */
@@ -52,11 +52,11 @@ object Dedup {
     * (doc_id, source, sig) — so a cached signature pass is computed once
     * and every consumer (banding, verify join) reads the cache.
     */
-  private def bandsOf(sigs: DataFrame): DataFrame = {
+  private[ops] def bandsOf(sigs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val rows = NumHashes / BandCount
-    sigs.select(col("doc_id"), col("source"), posexplode(
+    sigs.select(col("doc_id") +: col("source") +: extra.map(col) :+ posexplode(
         array((0 until BandCount).map(b =>
-          hash((0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*)))
+          hash((0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
   }
 

@@ -230,17 +230,24 @@ object IceQueries {
       (dt, et)
     })
 
+  /** Incremental-dedup fixture state: the two-snapshot documents table, the
+    * accumulated token index and MinHash signature tables (both covering
+    * exactly the FIRST snapshot), and the watermark snapshot id.
+    */
+  final case class IncrementalFixture(docs: IceTable, tokenIndex: IceTable,
+      signatures: IceTable, watermark: Long)
+
   private val incrementalTables =
-    new ConcurrentHashMap[String, (IceTable, IceTable, Long)]()
+    new ConcurrentHashMap[String, IncrementalFixture]()
 
   /** Incremental-dedup fixture: `documents` as a managed table with TWO
     * snapshots — the accumulated corpus (doc_id % 10 != 0) and a later
-    * increment (doc_id % 10 == 0) — plus a token-index table holding
-    * exactly the FIRST snapshot's exploded tokens, the state a previous
-    * run's [[IncrementalDedup.extendIndex]] would have left behind.
-    * Returns (documents table, index table, watermark snapshot id).
+    * increment (doc_id % 10 == 0) — plus a token-index table and a MinHash
+    * signature table holding exactly the FIRST snapshot's rows, the state a
+    * previous run's [[IncrementalDedup.extendIndex]] /
+    * [[IncrementalDedup.extendSignatures]] would have left behind.
     */
-  def incremental(spark: SparkSession, dir: String): (IceTable, IceTable, Long) =
+  def incremental(spark: SparkSession, dir: String): IncrementalFixture =
     incrementalTables.computeIfAbsent(dir, _ => {
       val wh = Files.createTempDirectory("graft-incr").toString
       val catalog = new FileCatalog(wh)
@@ -257,7 +264,12 @@ object IceQueries {
         SchemaConv.fromSpark(idx.schema))
       it.append(idx)
       it.refresh()
-      (dt, it, watermark)
+      val sigs = IncrementalDedup.signaturesOf(old)
+      val st = IceTable.create(catalog, "signatures",
+        SchemaConv.fromSpark(sigs.schema))
+      st.append(sigs)
+      st.refresh()
+      IncrementalFixture(dt, it, st, watermark)
     })
 
   val defs: Seq[QueryDef] = Seq(

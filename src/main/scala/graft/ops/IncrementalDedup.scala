@@ -106,6 +106,68 @@ object IncrementalDedup {
     indexTable.refresh()
   }
 
+  // -------------------------------------------------- minhash signatures
+  /** 64-permutation MinHash signatures of a document frame — the ~512 B/doc
+    * artifact the PROBABILISTIC scale path accumulates instead of the full
+    * token index (64 longs per document versus the corpus's exploded
+    * tokens). Same codegen signature expression as the full-corpus LSH.
+    */
+  def signaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      Dedup.minhashSig(Dedup.wordSet(col("text"))).as("sig"))
+
+  /** LSH candidate pairs TOUCHING the increment, against stored signatures:
+    * only the increment's rows are signed (one pass over |Δ| docs); the
+    * corpus arrives as the persisted signature table, banded on read — 16
+    * band hashes per row, a narrow map over ~512 B rows, NOT a re-signing
+    * (signing reads text and runs 64 hash passes per token; banding hashes
+    * 4 longs 16 times). Join keys are (band, band_hash, source), the same
+    * high-cardinality bucketing as the full-corpus LSH; estimated jaccard
+    * is verified on the signatures themselves, so no document text is
+    * touched beyond the increment scan. Stale-watermark retries stay exact
+    * via the same anti-join discipline as the exact variant.
+    */
+  def incrementalMinhashCandidates(spark: SparkSession, docsTable: IceTable,
+      sigTable: IceTable, sinceSnapshotId: Long,
+      estThreshold: Double): DataFrame = {
+    val newDocs = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
+    val newSigs = CacheRegistry.persist(
+      signaturesOf(newDocs).withColumn("is_new", lit(true)))
+    val newIds = newSigs.select(col("doc_id")).distinct()
+    val allSigs = CacheRegistry.persist(
+      sigTable.scan(spark)
+        .select(col("doc_id"), col("source"), col("sig"))
+        .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+        .withColumn("is_new", lit(false))
+        .unionByName(newSigs))
+    val newBands = Dedup.bandsOf(newSigs)
+    val allBands = Dedup.bandsOf(allSigs, extra = Seq("is_new"))
+    val cand = newBands.as("a").join(allBands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.source") === col("b.source") &&
+        ((!col("b.is_new") && col("a.doc_id") =!= col("b.doc_id")) ||
+          col("a.doc_id") < col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        graft.functions.VectorExprs.equalFrac(col("sig_a"), col("sig_b")))
+      .where(col("est_jaccard") >= estThreshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Roll the signature table forward — sign ONLY the increment, append. */
+  def extendSignatures(spark: SparkSession, docsTable: IceTable,
+      sigTable: IceTable, sinceSnapshotId: Long): Unit = {
+    sigTable.append(
+      signaturesOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId)))
+    sigTable.refresh()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // exact jaccard >= 0.5 pairs touching the fixture's NEW snapshot
     // (doc_id % 10 == 0), computed against the persisted token index of the
@@ -114,8 +176,8 @@ object IncrementalDedup {
     QueryDef(
       "dedup_incremental",
       (s, dir) => {
-        val (docs, index, since) = IceQueries.incremental(s, dir)
-        incrementalJaccardPairs(s, docs, index, since, 0.5)
+        val f = IceQueries.incremental(s, dir)
+        incrementalJaccardPairs(s, f.docs, f.tokenIndex, f.watermark, 0.5)
       },
       Some("""
         SELECT * FROM (
@@ -125,6 +187,18 @@ object IncrementalDedup {
             CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
           FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source) sub
-        WHERE jac >= 0.5 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"""))
+        WHERE jac >= 0.5 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""")),
+
+    // LSH candidates touching the increment against the persisted MinHash
+    // signature table — the probabilistic scale path (probabilistic
+    // candidates → rows-only check; recall vs the exact incremental pairs
+    // is pinned in IncrementalDedupSpec)
+    QueryDef(
+      "dedup_incremental_minhash",
+      (s, dir) => {
+        val f = IceQueries.incremental(s, dir)
+        incrementalMinhashCandidates(s, f.docs, f.signatures, f.watermark, 0.5)
+      },
+      None)
   )
 }

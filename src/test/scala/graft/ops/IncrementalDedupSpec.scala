@@ -42,9 +42,9 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   test("incremental pairs equal full-corpus pairs restricted to the increment") {
-    val (docs, index, since) = IceQueries.incremental(spark, sfDir)
+    val f = IceQueries.incremental(spark, sfDir)
     val incremental = pairSet(
-      IncrementalDedup.incrementalJaccardPairs(spark, docs, index, since, 0.5))
+      IncrementalDedup.incrementalJaccardPairs(spark, f.docs, f.tokenIndex, f.watermark, 0.5))
     val full = pairSet(Dedup.jaccardPairs(spark, sfDir, 0.5))
     val expected = full.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 }
     assert(incremental == expected)
@@ -54,7 +54,9 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("increment scan plans only post-watermark files — old rows are never re-read") {
-    val (docs, _, since) = IceQueries.incremental(spark, sfDir)
+    val f = IceQueries.incremental(spark, sfDir)
+    val docs = f.docs
+    val since = f.watermark
     val oldFiles = docs.newScan(snapshotId = Some(since)).planFiles()
       .map(t => norm(t.file.filePath)).toSet
     assert(oldFiles.nonEmpty)
@@ -70,18 +72,47 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("pair-join plan reads no pre-watermark document file (tokens come from the index)") {
-    val (docs, index, since) = IceQueries.incremental(spark, sfDir)
-    val oldFiles = docs.newScan(snapshotId = Some(since)).planFiles()
+    val f = IceQueries.incremental(spark, sfDir)
+    val oldFiles = f.docs.newScan(snapshotId = Some(f.watermark)).planFiles()
       .map(t => norm(t.file.filePath)).toSet
-    val pairs = IncrementalDedup.incrementalJaccardPairs(spark, docs, index, since, 0.5)
+    val pairs = IncrementalDedup.incrementalJaccardPairs(
+      spark, f.docs, f.tokenIndex, f.watermark, 0.5)
     val planInputs = pairs.inputFiles.map(norm).toSet
     assert(planInputs.nonEmpty)
     assert(planInputs.intersect(oldFiles).isEmpty,
       "pair plan scans old document files instead of the persisted token index")
     // repeat run is read-only and deterministic
     val c1 = pairs.count()
-    val c2 = IncrementalDedup.incrementalJaccardPairs(spark, docs, index, since, 0.5).count()
+    val c2 = IncrementalDedup.incrementalJaccardPairs(
+      spark, f.docs, f.tokenIndex, f.watermark, 0.5).count()
     assert(c1 == c2)
+  }
+
+  test("incremental minhash: only the increment is signed; recall pinned vs exact pairs") {
+    val f = IceQueries.incremental(spark, sfDir)
+    val lsh = pairSet(IncrementalDedup.incrementalMinhashCandidates(
+      spark, f.docs, f.signatures, f.watermark, 0.5))
+    // every candidate touches the increment, and the fixture yields some
+    // (an empty set would make every assertion below vacuous)
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (a, b) => a % 10 == 0 || b % 10 == 0 })
+    // structural no-re-sign proof: the signature table's schema has no text
+    // column (signing is impossible from it), and the plan's only document
+    // scan is the incremental read — no pre-watermark file appears
+    assert(!f.signatures.schema.toSpark.fieldNames.contains("text"))
+    val oldFiles = f.docs.newScan(snapshotId = Some(f.watermark)).planFiles()
+      .map(t => norm(t.file.filePath)).toSet
+    val planInputs = IncrementalDedup.incrementalMinhashCandidates(
+      spark, f.docs, f.signatures, f.watermark, 0.5).inputFiles.map(norm).toSet
+    assert(planInputs.intersect(oldFiles).isEmpty,
+      "minhash increment re-signed old document files")
+    // recall vs the exact incremental pairs at high threshold: 16 bands ×
+    // 4 rows at j>=0.9 detect with p ≈ 1 - (1-0.9^4)^16 ≈ 0.999
+    val exact = pairSet(IncrementalDedup.incrementalJaccardPairs(
+      spark, f.docs, f.tokenIndex, f.watermark, 0.9))
+    val recalled = exact.count(lsh.contains).toDouble
+    assert(exact.isEmpty || recalled / exact.size >= 0.9,
+      s"recall ${recalled / exact.size} over ${exact.size} true pairs")
   }
 
   test("extendIndex rolls the watermark: a third batch dedups against index+increment only") {
