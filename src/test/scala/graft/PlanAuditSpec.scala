@@ -121,6 +121,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), s"split plan shuffles:\n$p")
   }
 
+  test("incremental dedup excludes the increment from the index via a BROADCAST anti-join") {
+    // at 100 TB the index side is corpus-sized: the increment's id set must
+    // broadcast so exclusion is a streamed filter, never an index shuffle
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"index exclusion is not a broadcast anti-join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF fell into the incremental plan:\n$p")
+  }
+
+  test("incremental minhash signs with the codegen expression, index side never re-signs") {
+    val p = plan("dedup_incremental_minhash")
+    // the signing expression appears (the increment's pass, possibly
+    // re-rendered where the cached frame is referenced); the stored side
+    // only derives band hashes from the persisted sig column
+    assert("minhash_sig".r.findAllIn(p).nonEmpty,
+      s"codegen signature expression missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"signature-table exclusion is not a broadcast anti-join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF fell into the minhash plan:\n$p")
+  }
+
   test("sequence packing and source capping shuffle once, on the source blocking key") {
     Seq("pipeline_seq_packing", "pipeline_source_cap").foreach { q =>
       val p = plan(q)
