@@ -284,6 +284,32 @@ object Dedup {
           struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
     mark("pairs materialized")
+    // Cost-based plan choice. The pair graph a dedup pass emits is orders
+    // of magnitude smaller than its corpus — pairs are the near-dup fringe,
+    // not the data — so it routinely fits a single task even when the
+    // corpus is 100 TB. When the materialized edge list is under the
+    // budget (spark.graft.dedup.clusters.localSolveMaxPairs, default 4e6
+    // pairs ≈ 128 MB of long pairs in one task), the fastest plan is a
+    // SINGLE-TASK union-find: coalesce(1) is a narrow read of the
+    // checkpointed blocks (no shuffle), and path-compressed union-find is
+    // O(E α(E)) — one job total, versus O(log n) rounds of two shuffles
+    // each. This mirrors how MapReduce CC algorithms finish (Kiveris et
+    // al., "Connected Components in MapReduce and Beyond": contract until
+    // the graph fits one machine, then solve it there). A graph that
+    // outgrows the budget takes the iterative loop below — the count that
+    // decides is a cheap scan of already-materialized blocks.
+    val localBudget = spark.conf
+      .get("spark.graft.dedup.clusters.localSolveMaxPairs", "4000000").toLong
+    val longIds = edges.schema.fields.forall(_.dataType == LongType)
+    if (longIds && edges.count() <= 2 * localBudget) {
+      val solved = localUnionFind(edges)
+      // the result must be materialized before the edge checkpoint files
+      // can be reclaimed — it reads from them
+      val out = ckpt(solved)
+      dropCkptFiles(edges)
+      mark("local union-find solve done")
+      return out
+    }
     var labels: DataFrame = null
     var changed = 1L
     var rounds = 0
@@ -322,21 +348,53 @@ object Dedup {
       // is fully materialized on disk
       dropCkptFiles(labels)
       // convergence rides the checkpointed blocks (prev travels in-frame —
-      // no extra join against the previous round), and is checked only
-      // every SECOND round: pointer jumping strictly shrinks label depth
-      // while any component is unconverged, so skipping the odd-round
-      // count never misses the fixpoint — it trades at most one cheap
-      // extra round for halving the per-round action count.
-      if (rounds % 2 == 1) {
-        changed = next.where(col("cluster_id") =!= col("prev")).count()
-        mark(s"round=$rounds changed=$changed")
-      } else mark(s"round=$rounds (convergence unchecked)")
+      // no extra join against the previous round) and is checked EVERY
+      // round: the count scans blocks `next` just materialized, so it
+      // costs a fraction of a round, while a skipped check costs a whole
+      // extra round (two shuffles + an eager checkpoint) after the real
+      // fixpoint.
+      changed = next.where(col("cluster_id") =!= col("prev")).count()
+      mark(s"round=$rounds changed=$changed")
       labels = next.select("doc_id", "cluster_id")
       rounds += 1
     }
     dropCkptFiles(edges)
     mark("loop done")
     labels
+  }
+
+  /** Single-task exact union-find over a (src, dst) long edge list: every
+    * node labeled with its component's minimum id. Runs as ONE executor
+    * task (the caller coalesces a small, already-materialized edge list
+    * into it) — union-by-min keeps each tree's root equal to the minimum
+    * member seen, and path compression keeps finds near-constant, so the
+    * whole solve is O(E α(E)) with zero shuffles.
+    */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.select(col("src").as("_1"), col("dst").as("_2")).as[(Long, Long)]
+      .coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // compress the walked chain so later finds are O(1)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by min: the larger root attaches UNDER the smaller, so a
+        // tree's root is always its minimum member — find() is the label
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
+      keys.iterator.map(k => (k.longValue(), find(k.longValue())))
+    }.toDF("doc_id", "cluster_id")
   }
 
   /** PPJoin-style exact jaccard: any pair with J >= t shares a token among

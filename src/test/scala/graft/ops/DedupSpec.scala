@@ -63,8 +63,17 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ps = pairs.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(ps.nonEmpty, "fixture should contain near-dup pairs at J >= 0.5")
+    // default budget routes this small graph through the single-task
+    // union-find solve; forcing the budget to 0 exercises the iterative
+    // pointer-jumping loop on the SAME graph — both must agree exactly
     val label = Dedup.duplicateClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loopLabel = try {
+      spark.conf.set("spark.graft.dedup.clusters.localSolveMaxPairs", "0")
+      Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally spark.conf.unset("spark.graft.dedup.clusters.localSolveMaxPairs")
+    assert(loopLabel == label, "loop and local-solve paths disagree")
     // oracle: driver-side union-find with min-root union
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
@@ -87,6 +96,9 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // propagation needs ~300 rounds; pointer jumping must finish inside the
     // loop's 64-round cap — and label everything with the chain head
     val n = 300L
+    // a 300-pair graph fits the local-solve budget, so force the loop:
+    // THIS test is about the iterative path's convergence behavior
+    spark.conf.set("spark.graft.dedup.clusters.localSolveMaxPairs", "0")
     val chain = (1L until n).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
     val labels = Dedup.duplicateClusters(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -118,8 +130,11 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(remaining.size == 1,
         s"expected only the final round's checkpoint to survive, found " +
           remaining.map(_.getName).mkString(", "))
-    } finally spark.sparkContext.setCheckpointDir(null) // don't leak the
-    // reliable-mode flag into later suites sharing this JVM's session
+    } finally {
+      spark.sparkContext.setCheckpointDir(null) // don't leak the
+      // reliable-mode flag into later suites sharing this JVM's session
+      spark.conf.unset("spark.graft.dedup.clusters.localSolveMaxPairs")
+    }
   }
 
   test("shared-span stats match a driver-side inverted index, within-doc repeats excluded") {
