@@ -139,6 +139,51 @@ object PipelineOps {
         .otherwise("test").as("split"))
   }
 
+  /** Exact stratified sample: within every source, keep the `frac` share
+    * of documents with the SMALLEST md5(doc_id) — deterministic bottom-k
+    * per stratum (quota = ceil(frac · stratum size)), stable under
+    * resharding because selection depends only on ids, and reproducible on
+    * any engine with md5 (the oracle re-derives the identical set).
+    *
+    * The naive plan — rank over a window partitioned by source — sorts
+    * each whole stratum in ONE task, which is exactly what dies on a
+    * 100 TB corpus where one crawl source dominates. Instead the quota
+    * threshold is located through a BIN HISTOGRAM on the hash's first 3
+    * hex chars (4096 bins, lexicographically consistent with full-hash
+    * order): per-(source, bin) counts are a map-side-combinable aggregate
+    * whose result is tiny (sources × 4096), the bins wholly under the
+    * quota pass with a broadcast semi-join, and only the single BOUNDARY
+    * bin per source — ~1/4096 of the stratum — pays a ranking window for
+    * its residual rows. No full-stratum sort exists in the plan, so a
+    * skewed stratum costs what a balanced one does.
+    */
+  def stratifiedSample(documents: org.apache.spark.sql.DataFrame,
+      frac: Double): org.apache.spark.sql.DataFrame = {
+    val h = md5(col("doc_id").cast(StringType).cast(BinaryType))
+    val docs = documents.select(col("doc_id"), col("source"), h.as("h"),
+      substring(h, 1, 3).as("bin"))
+    val wcum = Window.partitionBy("source")
+      .orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binStats = docs.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("quota",
+        ceil(lit(frac) * sum(col("c")).over(Window.partitionBy("source")))
+          .cast(LongType))
+    val fullBins = binStats.where(col("cum") <= col("quota"))
+      .select("source", "bin")
+    val boundary = binStats
+      .where(col("cum") - col("c") < col("quota") && col("cum") > col("quota"))
+      .select(col("source"), col("bin"),
+        (col("quota") - (col("cum") - col("c"))).as("need"))
+    val wbin = Window.partitionBy("source", "bin").orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(fullBins), Seq("source", "bin"), "left_semi")
+      .select("doc_id", "source")
+      .unionByName(docs.join(broadcast(boundary), Seq("source", "bin"))
+        .withColumn("rn", row_number().over(wbin))
+        .where(col("rn") <= col("need"))
+        .select("doc_id", "source"))
+  }
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
 
@@ -169,6 +214,20 @@ object PipelineOps {
                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
                ELSE 'test' END AS split
         FROM documents""")),
+
+    QueryDef(
+      "pipeline_sample",
+      (s, dir) => stratifiedSample(t(s, dir, "documents"), 0.1),
+      Some("""
+        WITH d AS (SELECT doc_id, source,
+            md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        q AS (SELECT source, CAST(ceil(0.1 * COUNT(*)) AS BIGINT) AS quota
+              FROM d GROUP BY source),
+        r AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+              FROM d)
+        SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        WHERE rn <= quota""")),
 
     QueryDef(
       "pipeline_pii_scrub",

@@ -142,6 +142,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("ScalaUDF"), s"UDF fell into the minhash plan:\n$p")
   }
 
+  test("stratified sample never sorts a whole stratum — bin histogram + broadcast") {
+    val p = plan("pipeline_sample")
+    // the quota bins join back as broadcasts (they are sources × 4096 rows
+    // at most), and the ONLY window partitions by (source, bin) — a window
+    // on source alone would pull each whole stratum into one task
+    assert(p.contains("BroadcastHashJoin"), s"bin sets not broadcast:\n$p")
+    // Window prints its partition spec as `], [cols], [order]` — require
+    // bin in every corpus-side spec and forbid a source-only one. (The
+    // histogram's own cumulative window runs over sources × 4096 rows —
+    // it is keyed on source alone but never sees corpus rows; it sits
+    // above the partial_count aggregate, which this regex scopes out by
+    // matching row_number windows only.)
+    val rnSpecs = """row_number\(\) windowspecdefinition\(([^,]+(?:, [^,]+)*?), [^ ]+ ASC"""
+      .r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(rnSpecs.nonEmpty, s"boundary ranking window missing:\n$p")
+    assert(rnSpecs.forall(s => s.contains("bin") && s.contains("source")),
+      s"ranking window not keyed on (source, bin): $rnSpecs\n$p")
+  }
+
   test("sequence packing and source capping shuffle once, on the source blocking key") {
     Seq("pipeline_seq_packing", "pipeline_source_cap").foreach { q =>
       val p = plan(q)

@@ -98,6 +98,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "reach me at <EMAIL> or <PHONE> thanks".length.toLong)
   }
 
+  test("stratified sample equals per-stratum bottom-quota by md5, skewed strata included") {
+    // heavily skewed strata (400 vs 7 docs) so both the full-bin fast path
+    // and the boundary-bin residual window are exercised
+    val d = docs((1L to 400L).map(i => (i, "x", "big")) ++
+      (500L to 506L).map(i => (i, "x", "tiny")): _*)
+    val got = PipelineOps.stratifiedSample(d, 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Seq(("big", 1L to 400L), ("tiny", 500L to 506L)).flatMap {
+      case (src, ids) =>
+        val quota = math.ceil(0.1 * ids.size).toLong
+        ids.map(i => (hex(i), i)).sorted.take(quota.toInt).map(p => (p._2, src))
+    }.toSet
+    assert(got == expected)
+    // quota is ceil: the 7-doc stratum still contributes one row
+    assert(got.count(_._2 == "tiny") == 1L && got.count(_._2 == "big") == 40L)
+  }
+
   test("source cap keeps the first N docs per source in doc_id order") {
     val d = docs(
       (5L, "a b", "s1"), (1L, "a b c", "s1"), (9L, "a", "s1"),
