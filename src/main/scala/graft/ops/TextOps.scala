@@ -261,6 +261,65 @@ object TextOps {
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occurrences
           FROM agg)
         SELECT rank, token, occurrences, doc_freq, cum_occurrences
-        FROM ranked WHERE rank <= 100"""))
+        FROM ranked WHERE rank <= 100""")),
+
+    // ------------------------------------------------ per-source tf-idf
+    // Top-k characteristic terms per source by tf-idf — the corpus-
+    // profiling signal that tells a mixture designer WHAT each crawl
+    // source actually contains. idf is the RATIONAL inverse-frequency
+    // weight (n_docs+1)/(doc_freq+1), not its log: the ranking only needs
+    // a monotone weight, and staying inside IEEE mul/div (exactly
+    // specified, unlike ln) is what lets the DuckDB oracle hash-match the
+    // score column bit-for-bit.
+    //
+    // Scale shape: term df and per-(source, term) tf are both map-side-
+    // combinable aggregates keyed on the high-cardinality term; they join
+    // on term (shuffle join — both sides are vocabulary-sized, far below
+    // corpus size); the 1-row doc count broadcasts. The final ranking
+    // window partitions by source but only sees the per-source VOCABULARY
+    // (aggregated rows), never corpus rows; a pathological vocabulary
+    // would take the same bin-histogram residual trick as
+    // PipelineOps.stratifiedSample.
+    QueryDef(
+      "text_tfidf_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          explode(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
+            .as("term"))
+        val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        val df = toks.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("doc_freq"))
+        val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        val scored = tf.join(df, "term").join(broadcast(nDocs))
+          .withColumn("score",
+            col("tf").cast(DoubleType) * (col("n_docs") + 1) / (col("doc_freq") + 1))
+        val w = Window.partitionBy("source").orderBy(col("score").desc, col("term"))
+        scored
+          .withColumn("rank", row_number().over(w).cast(IntegerType))
+          .where(col("rank") <= 10)
+          .select("source", "rank", "term", "tf", "doc_freq", "score")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, unnest(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS term
+          FROM documents),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+               FROM toks GROUP BY term),
+        tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY source, term),
+        scored AS (
+          SELECT tf.source, tf.term, tf.tf, df.doc_freq,
+            CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (df.doc_freq + 1) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT source, term, tf, doc_freq, score,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY score DESC, term) AS INTEGER) AS rank
+          FROM scored)
+        SELECT source, rank, term, tf, doc_freq, score
+        FROM ranked WHERE rank <= 10"""))
   )
 }
