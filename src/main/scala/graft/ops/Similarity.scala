@@ -147,13 +147,14 @@ object Similarity {
     * cross-group pairs co-occur on exactly that one key, and the filter
     * picks the diagonal cell for same-group pairs.
     */
-  private[ops] def gridKeyed(emb: DataFrame, blockCap: Int): DataFrame = {
-    val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
-    emb.join(broadcast(counts), "label")
+  private[ops] def gridKeyed(emb: DataFrame, blockCap: Int,
+      key: String = "label"): DataFrame = {
+    val counts = emb.groupBy(key).agg(count(lit(1)).as("n"))
+    emb.join(broadcast(counts), key)
       .withColumn("g", ceil(col("n") / lit(blockCap.toDouble)).cast(IntegerType))
       .withColumn("gid", pmod(xxhash64(col("vec_id")), col("g")).cast(IntegerType))
       .withColumn("j", explode(sequence(lit(0), col("g") - 1)))
-      .select(col("label"), col("vec_id"), col("embedding"), col("gid"),
+      .select(col(key), col("vec_id"), col("embedding"), col("gid"),
         least(col("gid"), col("j")).as("k1"),
         greatest(col("gid"), col("j")).as("k2"))
   }
@@ -236,6 +237,53 @@ object Similarity {
     ivfTopKFrom(emb, centers, nQueries, k, nProbe)
   }
 
+  /** SemDeDup-style semantic dedup: every vector gets a keep/drop decision
+    * from embedding-space duplicate groups. The corpus is partitioned by
+    * the deterministic sample-fitted IVF codebook (codegen cell
+    * assignment — the same machinery as sim_ann_ivf), near-dup pairs are
+    * generated only WITHIN a cell (triangle-grid keyed on the cell, so a
+    * hot cell never lands on one shuffle key), pairs connect into groups
+    * via duplicateClusters, and each group keeps its minimum vec_id.
+    *
+    * 100 TB shape: cells bound the pairing the way labels bound the exact
+    * near-dup baseline, but need NO labels — this is the semantic-dedup
+    * recipe for unlabeled web-scale corpora (cluster, then dedup inside
+    * clusters only). Cross-cell near-dups are the accepted recall loss —
+    * probabilistic by construction, so the registered query is rows-only;
+    * SimilaritySpec pins perfect recall on planted exact duplicates (an
+    * identical vector pair can never split across cells) and determinism.
+    */
+  private[ops] def semanticDedupFrom(emb0: DataFrame, centers: Array[Array[Double]],
+      threshold: Double, blockCap: Int = 4096): DataFrame = {
+    import graft.functions.IvfExprs.ivfAssign
+    val emb = emb0.withColumn("cell", ivfAssign(col("embedding"), centers))
+      .transform(CacheRegistry.persist(_))
+    val keyed = gridKeyed(emb, blockCap, "cell")
+    val a = keyed.select(col("cell"), col("k1"), col("k2"),
+      col("vec_id").as("vec_a"), col("gid").as("ga"), col("embedding").as("ea"))
+    val b = keyed.select(col("cell"), col("k1"), col("k2"),
+      col("vec_id").as("vec_b"), col("gid").as("gb"), col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell", "k1", "k2"))
+      .where(col("vec_a") < col("vec_b") &&
+        least(col("ga"), col("gb")) === col("k1") &&
+        greatest(col("ga"), col("gb")) === col("k2"))
+      .where(round(cosine(col("ea"), col("eb")), 4) >= threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("rep_id"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double,
+      nCells: Int = 16, blockCap: Int = 4096): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    semanticDedupFrom(emb, fitCodebook(emb, nCells), threshold, blockCap)
+  }
+
   /** Label centroid distances: per-label mean vector, then each vector's
     * cosine to its label centroid — a typical embedding-quality signal.
     */
@@ -297,6 +345,16 @@ object Similarity {
     // shape that survives unbounded label blocks; rows-only check)
     QueryDef("dedup_embedding_lsh",
       (s, dir) => embeddingNearDupLSH(s, dir, 0.2), None),
+
+    // SemDeDup: cluster (IVF cells), dedup within clusters, keep one rep
+    // per duplicate group — the label-free semantic dedup for web-scale
+    // corpora. Cell blocking is probabilistic recall → rows-only check;
+    // SimilaritySpec pins planted-duplicate recall and determinism.
+    // 0.4 sits above the synthetic corpus's noise floor (cos 0.2 matches
+    // ~6% of ALL pairs — a dedup there would chain whole cells together)
+    // and selects the genuine near-dup tail.
+    QueryDef("dedup_semantic",
+      (s, dir) => semanticDedup(s, dir, 0.4), None),
 
     // exact oracle: per-(label, dim) centroid via UNNEST, cosine re-derived
     // per vector, avg rounded to 3 decimals (double math both sides; the

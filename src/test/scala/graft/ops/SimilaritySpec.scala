@@ -92,6 +92,33 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fine == coarse && fine.nonEmpty)
   }
 
+  test("semantic dedup: planted exact duplicates always collapse, output is a total keep map") {
+    import graft.ops.QueryDef.t
+    import org.apache.spark.sql.functions.col
+    val emb = t(spark, sfDir, "embeddings")
+    // plant exact duplicates: clone vectors 3 and 7 under fresh ids. An
+    // identical vector can NEVER split across IVF cells (same nearest
+    // center), so cell blocking must find these pairs regardless of how
+    // the codebook partitions the rest of the corpus.
+    val clones = emb.where(col("vec_id").isin(3L, 7L))
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"), col("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").unionByName(clones)
+    val centers = Similarity.fitCodebook(corpus, 16)
+    val out = Similarity.semanticDedupFrom(corpus, centers, 0.999999)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // one row per corpus vector, keep == (rep_id == vec_id)
+    assert(out.size == emb.count().toInt + 2)
+    assert(out.forall { case (id, (rep, keep)) => keep == (rep == id) })
+    // each planted clone pair collapsed to the original (minimum) id
+    assert(out(100003L) == ((3L, false)) && out(3L)._1 == 3L)
+    assert(out(100007L) == ((7L, false)) && out(7L)._1 == 7L)
+    // determinism: a second run is bit-identical
+    val again = Similarity.semanticDedupFrom(corpus, centers, 0.999999)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(again == out)
+  }
+
   test("IVF codebook fit is deterministic and sample-capped") {
     import graft.ops.QueryDef.t
     val emb = t(spark, sfDir, "embeddings")
