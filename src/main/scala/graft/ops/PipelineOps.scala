@@ -61,6 +61,43 @@ object PipelineOps {
       .select("doc_id", "n_shared_grams", "n_bench_docs")
   }
 
+  /** Bloom-filter decontamination — the scale path of [[decontaminate]].
+    * The exact variant broadcasts the benchmark's distinct 5-gram STRINGS;
+    * fine for thousands of benchmark docs, but a large eval suite's gram
+    * set reaches GBs, and a GB-scale broadcast hash join is what dies
+    * first on a 1000-executor run. This variant collapses the benchmark
+    * side into a Bloom sketch (~1.2 MB per million grams at 1% fpp),
+    * probed by a native codegen expression — the corpus pass is a
+    * streamed FILTER with no join at all, and only probable hits reach
+    * the per-doc aggregate.
+    *
+    * One-sided error: a contaminated gram is NEVER missed (no false
+    * negatives — PipelineOpsSpec pins exact ⊆ bloom). False positives
+    * compound PER DOCUMENT: a clean doc with g distinct grams is flagged
+    * with probability ≈ g·fpp, so the per-GRAM fpp must be sized from the
+    * per-DOC target (fpp ≈ doc_fp_target / avg_grams_per_doc — the 1e-4
+    * default holds doc-level noise near 1% for ~100-gram docs, at ~2.9 MB
+    * of sketch per million benchmark grams). The right deployment runs
+    * this as the cheap first pass and the exact join only on the flagged
+    * survivors.
+    */
+  def decontaminateBloom(documents: org.apache.spark.sql.DataFrame,
+      benchMaxId: Long, fpp: Double = 1e-4): org.apache.spark.sql.DataFrame = {
+    val docs = documents.select(col("doc_id"), words.as("w"))
+    val g5 = docs.select(col("doc_id"),
+      explode(distinctGrams(col("w"), 5)).as("gram"))
+    val bench = g5.where(col("doc_id") < benchMaxId).select("gram").distinct()
+    // both actions touch only the BENCHMARK slice (eval-suite-sized however
+    // big the corpus is) — same plan-time cost class as the IVF codebook fit
+    val expected = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("gram", expected, fpp)
+    g5.where(col("doc_id") >= benchMaxId)
+      .where(graft.functions.BloomExprs.mightContain(col("gram"), bloom))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged_grams"))
+      .select("doc_id", "n_flagged_grams")
+  }
+
   /** Gopher-style repetition signal: fraction of duplicated word 3-grams
     * per document (high fraction = boilerplate/spam). One explode + one
     * groupBy on doc_id; count and count-distinct aggregate in the same
@@ -214,6 +251,14 @@ object PipelineOps {
                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
                ELSE 'test' END AS split
         FROM documents""")),
+
+    // Bloom scale path of decontamination: sketch membership is engine-
+    // specific (Spark's sketch hashing), so rows-only; PipelineOpsSpec
+    // pins the one-sided error against the exact join
+    QueryDef(
+      "pipeline_decontaminate_bloom",
+      (s, dir) => decontaminateBloom(t(s, dir, "documents"), benchMaxId = 50L),
+      None),
 
     QueryDef(
       "pipeline_sample",

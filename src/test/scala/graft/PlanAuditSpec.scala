@@ -142,6 +142,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("ScalaUDF"), s"UDF fell into the minhash plan:\n$p")
   }
 
+  test("bloom decontamination is a streamed filter — no join touches the corpus") {
+    val p = plan("pipeline_decontaminate_bloom")
+    assert(p.contains("bloom_might_contain"), s"codegen probe missing:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF fell into the bloom plan:\n$p")
+    // the corpus side must reach the aggregate through a FILTER, not any
+    // join — the benchmark set exists only as the referenced sketch
+    assert(!p.contains("Join"), s"unexpected join in the probe pass:\n$p")
+  }
+
   test("stratified sample never sorts a whole stratum — bin histogram + broadcast") {
     val p = plan("pipeline_sample")
     // the quota bins join back as broadcasts (they are sources × 4096 rows

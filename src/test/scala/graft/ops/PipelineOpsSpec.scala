@@ -98,6 +98,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "reach me at <EMAIL> or <PHONE> thanks".length.toLong)
   }
 
+  test("bloom decontamination has one-sided error against the exact join") {
+    import graft.ops.QueryDef.t
+    val sfDir = "/root/testdata/sf0.001"
+    val d = t(spark, sfDir, "documents")
+    val exact = PipelineOps.decontaminate(d, benchMaxId = 50L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = PipelineOps.decontaminateBloom(d, benchMaxId = 50L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    // no false negatives, ever: a contaminated doc cannot hash to absent
+    assert(exact.subsetOf(bloom), s"bloom missed: ${exact -- bloom}")
+    // false positives are bounded: with fpp=1% per gram, the extra docs
+    // stay a small fraction of the corpus (generous 10% bound — the spec
+    // guards the MECHANISM, not the sketch's exact calibration)
+    val corpus = d.where(org.apache.spark.sql.functions.col("doc_id") >= 50L).count()
+    assert((bloom -- exact).size <= corpus / 10,
+      s"implausible FP count: ${(bloom -- exact).size} of $corpus docs")
+  }
+
   test("stratified sample equals per-stratum bottom-quota by md5, skewed strata included") {
     // heavily skewed strata (400 vs 7 docs) so both the full-bin fast path
     // and the boundary-bin residual window are exercised
