@@ -24,7 +24,7 @@ object IceQueries {
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
       liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable,
       liDv: IceTable, ordersUp: IceTable, restSupplier: IceTable,
-      sqlCustomer: IceTable, v1Part: IceTable)
+      sqlCustomer: IceTable, v1Part: IceTable, ordersZ: IceTable)
 
   // computeIfAbsent (NOT TrieMap.getOrElseUpdate, whose thunk can run in
   // two racing threads with the loser's fully-built temp warehouse leaked):
@@ -185,6 +185,20 @@ object IceQueries {
         t.append(part)
         t
       }
+      val fZ = Future {
+        // z-order clustering rewrite: orders lands as o_orderkey-ranged
+        // files (tight orderkey bounds, useless custkey bounds), then the
+        // maintenance rewrite clusters on zorder(o_custkey, o_orderkey) so
+        // footer bounds prune on BOTH dimensions (ZOrderSpec quantifies it)
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val t = IceTable.create(catalog, "orders_z",
+          SchemaConv.fromSpark(orders.schema))
+        t.append(orders.repartitionByRange(8, col("o_orderkey")))
+        t.refresh()
+        t.rewriteZOrdered(spark, "o_custkey", "o_orderkey", targetFileCount = 8)
+        t.refresh()
+        t
+      }
       val (li, snap1Id) = Await.result(fLi, Duration.Inf)
       Fixture(li, snap1Id,
         Await.result(fPart, Duration.Inf),
@@ -197,7 +211,8 @@ object IceQueries {
         Await.result(fUp, Duration.Inf),
         Await.result(fRest, Duration.Inf),
         Await.result(fSql, Duration.Inf),
-        Await.result(fV1, Duration.Inf))
+        Await.result(fV1, Duration.Inf),
+        Await.result(fZ, Duration.Inf))
     })
 
   private val curationTables = new ConcurrentHashMap[String, (IceTable, IceTable)]()
@@ -443,6 +458,22 @@ object IceQueries {
       Some("""
         SELECT p_partkey, p_name, p_size FROM part
         WHERE p_size >= 25""")),
+
+    // 2-D box scan over the z-order-rewritten table: correctness is
+    // layout-independent (the oracle reads the raw parquet), while the
+    // LAYOUT is what the query exercises — planning prunes files through
+    // footer bounds that are tight on both box dimensions only because of
+    // the z-curve rewrite (ZOrderSpec asserts the pruning advantage)
+    QueryDef(
+      "ice_zorder_scan",
+      (s, dir) => fixture(s, dir).ordersZ.scan(s,
+        P.gtEq("o_custkey", 100L).and(P.ltEq("o_custkey", 400L))
+          .and(P.gtEq("o_orderkey", 2000L)).and(P.ltEq("o_orderkey", 8000L)),
+        Some(Seq("o_orderkey", "o_custkey", "o_totalprice"))),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey BETWEEN 100 AND 400
+          AND o_orderkey BETWEEN 2000 AND 8000""")),
 
     QueryDef(
       "ice_upsert_scan",

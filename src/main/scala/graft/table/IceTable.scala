@@ -376,6 +376,40 @@ final class IceTable private (
     replaceDataFiles(oldPaths, newFiles, operation = "replace")
   }
 
+  /** Z-order clustering rewrite (Iceberg's `rewrite_data_files` with a
+    * z-order sort strategy): rewrite the data files so each holds a
+    * CONTIGUOUS range of the two columns' interleaved-bit z-value
+    * ([[graft.functions.ZOrder2Expr]]). A linear sort gives tight file
+    * bounds on its leading column only — a predicate on the second column
+    * alone still plans every file; the z-curve tightens min/max footer
+    * bounds on BOTH columns at once, so 2-D box predicates (and each
+    * column alone) prune files after the rewrite. `repartitionByRange` on
+    * the z-value assigns each output file its contiguous slice — at scale
+    * that is one range-exchange over the table, the same shuffle budget as
+    * plain compaction.
+    */
+  def rewriteZOrdered(spark: SparkSession, colA: String, colB: String,
+      targetFileCount: Int): Snapshot = {
+    val scan = newScan()
+    val tasks = scan.planFiles()
+    val oldPaths = tasks.map(_.file.filePath).toSet
+    graft.GraftSession.ensurePrepared(spark)
+    // same MOR rule as compact: rewrite through the delete-applying scan
+    // when any deletes exist, or the rewrite would resurrect deleted rows
+    val hasDeletes = tasks.exists(t =>
+      t.deletes.nonEmpty || t.eqDeletes.nonEmpty || t.dvDeletes.nonEmpty)
+    val source =
+      if (hasDeletes) scan.toDFFor(spark, tasks)
+      else spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
+    val clustered = source
+      .withColumn("__zval", graft.functions.ZOrderExprs.zorder2(col(colA), col(colB)))
+      .repartitionByRange(targetFileCount, col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop("__zval")
+    val newFiles = DataWriter.write(clustered, location, schema, PartitionSpec.Unpartitioned)
+    replaceDataFiles(oldPaths, newFiles, operation = "replace")
+  }
+
   /** Predicate overwrite (reference `newOverwriteFilesProducer`
     * `snapshot_producers.go:104-243`): files whose rows ALL match the filter
     * (strict metrics) are dropped whole; files that MAY contain matches are
