@@ -22,10 +22,17 @@ object TimeQuery {
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    try { graft.ops.IceQueries.curation(spark, sfDir); () } catch { case _: Throwable => }
-    try { graft.ops.IceQueries.incremental(spark, sfDir); () } catch { case _: Throwable => }
-    try SparkEntry.queries.get("ice_time_travel")
-      .foreach(_.apply(spark, sfDir).count()) catch { case _: Throwable => }
+    // a failed warm-up would silently shift the fixture (re)build into the
+    // first timed rep — corrupting exactly the comparison this tool makes —
+    // so report it loudly instead of swallowing
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        println(s"[time] WARM-UP FAILED ($label): $e — rep 1 will include fixture builds")
+      }
+    warm("curation") { graft.ops.IceQueries.curation(spark, sfDir); () }
+    warm("incremental") { graft.ops.IceQueries.incremental(spark, sfDir); () }
+    warm("ice fixtures") { SparkEntry.queries.get("ice_time_travel")
+      .foreach(_.apply(spark, sfDir).count()) }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

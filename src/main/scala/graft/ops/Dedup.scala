@@ -375,13 +375,18 @@ object Dedup {
     import s.implicits._
     edges.select(col("src").as("_1"), col("dst").as("_2")).as[(Long, Long)]
       .coalesce(1).mapPartitions { it =>
-      val parent = new java.util.HashMap[Long, Long]()
+      // open-addressed primitive map, NOT java.util.HashMap[Long,Long]: the
+      // boxed map costs ~48-80 B/entry (Entry + two boxed longs) — ~6× the
+      // ~16 B/entry this task's memory budget is sized by, which would OOM
+      // exactly at the localSolveMaxPairs boundary the cost-based check
+      // routes here
+      val parent = new LongLongMap(1 << 16)
       def find(x: Long): Long = {
         var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
         // compress the walked chain so later finds are O(1)
         var c = x
-        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
         r
       }
       it.foreach { case (a, b) =>
@@ -392,8 +397,7 @@ object Dedup {
         // tree's root is always its minimum member — find() is the label
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
-      val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
-      keys.iterator.map(k => (k.longValue(), find(k.longValue())))
+      parent.keysIterator.map(k => (k, find(k)))
     }.toDF("doc_id", "cluster_id")
   }
 

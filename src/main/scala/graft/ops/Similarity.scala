@@ -125,18 +125,27 @@ object Similarity {
     * variant above remains the sub-quadratic scale path.
     */
   def embeddingNearDupExact(spark: SparkSession, dir: String, threshold: Double,
-      blockCap: Int = 4096): DataFrame = {
-    val keyed = gridKeyed(t(spark, dir, "embeddings"), blockCap)
-    val a = keyed.select(col("label"), col("k1"), col("k2"),
+      blockCap: Int = 4096): DataFrame =
+    gridPairs(gridKeyed(t(spark, dir, "embeddings"), blockCap), "label", threshold)
+
+  /** The triangle-grid pair join over a [[gridKeyed]] frame, shared by the
+    * label-blocked exact near-dup and the cell-blocked semantic dedup so
+    * the EXACTNESS-critical home-cell filter (each unordered pair kept only
+    * where (least, greatest) of the two gids equals the cell key) lives in
+    * one place. Pairs are verified by exact rounded cosine at `threshold`.
+    */
+  private[ops] def gridPairs(keyed: DataFrame, key: String,
+      threshold: Double): DataFrame = {
+    val a = keyed.select(col(key), col("k1"), col("k2"),
       col("vec_id").as("vec_a"), col("gid").as("ga"), col("embedding").as("ea"))
-    val b = keyed.select(col("label"), col("k1"), col("k2"),
+    val b = keyed.select(col(key), col("k1"), col("k2"),
       col("vec_id").as("vec_b"), col("gid").as("gb"), col("embedding").as("eb"))
-    a.join(b, Seq("label", "k1", "k2")).where(col("vec_a") < col("vec_b") &&
+    a.join(b, Seq(key, "k1", "k2")).where(col("vec_a") < col("vec_b") &&
         least(col("ga"), col("gb")) === col("k1") &&
         greatest(col("ga"), col("gb")) === col("k2"))
       .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 4))
       .where(col("cos_sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), col(key), col("cos_sim"))
   }
 
   /** Triangle-grid replication: each row of a label with n > blockCap rows
@@ -258,16 +267,7 @@ object Similarity {
     import graft.functions.IvfExprs.ivfAssign
     val emb = emb0.withColumn("cell", ivfAssign(col("embedding"), centers))
       .transform(CacheRegistry.persist(_))
-    val keyed = gridKeyed(emb, blockCap, "cell")
-    val a = keyed.select(col("cell"), col("k1"), col("k2"),
-      col("vec_id").as("vec_a"), col("gid").as("ga"), col("embedding").as("ea"))
-    val b = keyed.select(col("cell"), col("k1"), col("k2"),
-      col("vec_id").as("vec_b"), col("gid").as("gb"), col("embedding").as("eb"))
-    val pairs = a.join(b, Seq("cell", "k1", "k2"))
-      .where(col("vec_a") < col("vec_b") &&
-        least(col("ga"), col("gb")) === col("k1") &&
-        greatest(col("ga"), col("gb")) === col("k2"))
-      .where(round(cosine(col("ea"), col("eb")), 4) >= threshold)
+    val pairs = gridPairs(gridKeyed(emb, blockCap, "cell"), "cell", threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val clusters = Dedup.duplicateClusters(pairs)
       .withColumnRenamed("doc_id", "vec_id")

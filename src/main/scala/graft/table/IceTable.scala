@@ -358,20 +358,28 @@ final class IceTable private (
   /** Compaction: coalesce the current data files into `targetFileCount`
     * files (bin-packing via repartition), then swap atomically.
     */
-  def compact(spark: SparkSession, targetFileCount: Int): Snapshot = {
+  def compact(spark: SparkSession, targetFileCount: Int): Snapshot =
+    rewriteAllFiles(spark)(_.repartition(targetFileCount))
+
+  /** Shared full-rewrite skeleton for [[compact]] and [[rewriteZOrdered]]:
+    * plan the live files, re-cluster their rows with `transform`, write,
+    * swap atomically. The MOR rule lives HERE, once: a raw parquet read
+    * would RESURRECT deleted rows (the rewrite gets a new sequence number,
+    * so old positional/equality/DV deletes stop applying) — rewrite
+    * through the delete-applying scan whenever any deletes exist.
+    */
+  private def rewriteAllFiles(spark: SparkSession)(
+      transform: DataFrame => DataFrame): Snapshot = {
     val scan = newScan()
     val tasks = scan.planFiles()
     val oldPaths = tasks.map(_.file.filePath).toSet
     graft.GraftSession.ensurePrepared(spark)
-    // a raw parquet read would RESURRECT MOR-deleted rows: the rewrite gets
-    // a new sequence number, so old positional/equality deletes stop
-    // applying. Rewrite through the delete-applying scan when any exist
     val hasDeletes = tasks.exists(t =>
       t.deletes.nonEmpty || t.eqDeletes.nonEmpty || t.dvDeletes.nonEmpty)
     val source =
       if (hasDeletes) scan.toDFFor(spark, tasks)
       else spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
-    val newFiles = DataWriter.write(source.repartition(targetFileCount),
+    val newFiles = DataWriter.write(transform(source),
       location, schema, PartitionSpec.Unpartitioned)
     replaceDataFiles(oldPaths, newFiles, operation = "replace")
   }
@@ -389,26 +397,12 @@ final class IceTable private (
     * plain compaction.
     */
   def rewriteZOrdered(spark: SparkSession, colA: String, colB: String,
-      targetFileCount: Int): Snapshot = {
-    val scan = newScan()
-    val tasks = scan.planFiles()
-    val oldPaths = tasks.map(_.file.filePath).toSet
-    graft.GraftSession.ensurePrepared(spark)
-    // same MOR rule as compact: rewrite through the delete-applying scan
-    // when any deletes exist, or the rewrite would resurrect deleted rows
-    val hasDeletes = tasks.exists(t =>
-      t.deletes.nonEmpty || t.eqDeletes.nonEmpty || t.dvDeletes.nonEmpty)
-    val source =
-      if (hasDeletes) scan.toDFFor(spark, tasks)
-      else spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
-    val clustered = source
+      targetFileCount: Int): Snapshot =
+    rewriteAllFiles(spark)(source => source
       .withColumn("__zval", graft.functions.ZOrderExprs.zorder2(col(colA), col(colB)))
       .repartitionByRange(targetFileCount, col("__zval"))
       .sortWithinPartitions("__zval")
-      .drop("__zval")
-    val newFiles = DataWriter.write(clustered, location, schema, PartitionSpec.Unpartitioned)
-    replaceDataFiles(oldPaths, newFiles, operation = "replace")
-  }
+      .drop("__zval"))
 
   /** Predicate overwrite (reference `newOverwriteFilesProducer`
     * `snapshot_producers.go:104-243`): files whose rows ALL match the filter

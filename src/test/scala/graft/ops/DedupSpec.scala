@@ -97,23 +97,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // loop's 64-round cap — and label everything with the chain head
     val n = 300L
     // a 300-pair graph fits the local-solve budget, so force the loop:
-    // THIS test is about the iterative path's convergence behavior
+    // THIS test is about the iterative path's convergence behavior. The
+    // set sits INSIDE the try — an assertion failure mid-test must not
+    // leak the forced-loop conf into later suites sharing this session
     spark.conf.set("spark.graft.dedup.clusters.localSolveMaxPairs", "0")
-    val chain = (1L until n).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
-    val labels = Dedup.duplicateClusters(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == n)
-    assert(labels.values.forall(_ == 0L), "chain did not collapse to its min id")
-    // two disjoint chains stay separate components
-    val two = chain.union(Seq((1000L, 1001L), (1001L, 1002L)).toDF("doc_a", "doc_b"))
-    val l2 = Dedup.duplicateClusters(two).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(l2(1002L) == 1000L && l2(299L) == 0L)
-    // with a checkpoint dir configured the loop runs on RELIABLE checkpoints
-    // (the cluster fault-tolerance path) and must produce identical labels
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(ckptDir)
     try {
+      val chain = (1L until n).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
+      val labels = Dedup.duplicateClusters(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == n)
+      assert(labels.values.forall(_ == 0L), "chain did not collapse to its min id")
+      // two disjoint chains stay separate components
+      val two = chain.union(Seq((1000L, 1001L), (1001L, 1002L)).toDF("doc_a", "doc_b"))
+      val l2 = Dedup.duplicateClusters(two).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l2(1002L) == 1000L && l2(299L) == 0L)
+      // with a checkpoint dir configured the loop runs on RELIABLE
+      // checkpoints (the cluster fault-tolerance path) — identical labels
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      spark.sparkContext.setCheckpointDir(ckptDir)
       val l3 = Dedup.duplicateClusters(chain).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(l3 == labels)

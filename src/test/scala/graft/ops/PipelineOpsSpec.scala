@@ -109,9 +109,10 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.nonEmpty, "fixture should contain contaminated docs")
     // no false negatives, ever: a contaminated doc cannot hash to absent
     assert(exact.subsetOf(bloom), s"bloom missed: ${exact -- bloom}")
-    // false positives are bounded: with fpp=1% per gram, the extra docs
-    // stay a small fraction of the corpus (generous 10% bound — the spec
-    // guards the MECHANISM, not the sketch's exact calibration)
+    // false positives are bounded: at the default per-gram fpp of 1e-4 a
+    // ~100-gram doc is falsely flagged with probability ~1%, so the extra
+    // docs stay a small fraction of the corpus (generous 10% bound — the
+    // spec guards the MECHANISM, not the sketch's exact calibration)
     val corpus = d.where(org.apache.spark.sql.functions.col("doc_id") >= 50L).count()
     assert((bloom -- exact).size <= corpus / 10,
       s"implausible FP count: ${(bloom -- exact).size} of $corpus docs")
