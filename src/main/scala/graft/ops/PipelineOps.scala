@@ -221,6 +221,61 @@ object PipelineOps {
         .select("doc_id", "source"))
   }
 
+  /** Model-based quality scoring: a multinomial Naive Bayes classifier
+    * trained from WEAK labels (docs of `goodSources` = positive, the rest
+    * negative — the fastText-quality-filter recipe: label by provenance,
+    * score everything) and applied back to every document as a token
+    * log-odds sum. The heuristic signals (TextOps quality) rank by surface
+    * statistics; this learns which WORDS distinguish the trusted slice.
+    *
+    * Everything trains in ONE aggregation pass: per-token class counts are
+    * a map-side-combinable groupBy(token), class totals and vocabulary size
+    * one tiny agg, priors one tiny agg — no iteration, no driver-side data.
+    * Scoring joins the per-token log-ratio back on the token explode
+    * (vocabulary-scale shuffle join) and reduces per doc.
+    *
+    * Determinism: a plain double-sum over shuffled tokens is
+    * order-dependent, so the per-doc reduction COLLECTS the doc's (token,
+    * ratio) pairs (bounded by doc length) and folds them SORTED — the
+    * summation order is a function of the data alone, making the score
+    * bit-stable across runs and partitionings. ln() keeps the output off
+    * the SQL oracle (rows-only); PipelineOpsSpec pins perfect separation
+    * on a planted two-vocabulary corpus, exact class counts, and run
+    * determinism.
+    */
+  def nbQualityScores(documents: org.apache.spark.sql.DataFrame,
+      goodSources: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      explode(words).as("token"))
+    val labeled = toks.withColumn("y", col("source").isin(goodSources: _*))
+    val counts = labeled.groupBy("token").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("c0"))
+    val totals = counts.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+      count(lit(1)).as("v"))
+    // Laplace-smoothed per-token log-likelihood ratio
+    val lr = counts.join(broadcast(totals))
+      .select(col("token"),
+        (log((col("c1") + 1).cast(DoubleType)) -
+         log((col("n1") + col("v")).cast(DoubleType)) -
+         log((col("c0") + 1).cast(DoubleType)) +
+         log((col("n0") + col("v")).cast(DoubleType))).as("lr"))
+    val prior = documents.agg(
+      (log(sum(when(col("source").isin(goodSources: _*), 1L).otherwise(0L))
+        .cast(DoubleType)) -
+       log(sum(when(!col("source").isin(goodSources: _*), 1L).otherwise(0L))
+        .cast(DoubleType))).as("log_prior"))
+    toks.join(lr, "token")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("token"), col("lr"))).as("tl"))
+      .join(broadcast(prior))
+      .select(col("doc_id"),
+        (col("log_prior") + aggregate(sort_array(col("tl")), lit(0.0),
+          (acc, x) => acc + x.getField("lr"))).as("log_odds"))
+      .withColumn("predicted_good", col("log_odds") > 0)
+      .select("doc_id", "log_odds", "predicted_good")
+  }
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
 
@@ -251,6 +306,14 @@ object PipelineOps {
                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
                ELSE 'test' END AS split
         FROM documents""")),
+
+    // NB quality classifier: ln() keeps the double scores off the SQL
+    // oracle (rows-only); separation/determinism pinned in PipelineOpsSpec
+    QueryDef(
+      "pipeline_quality_classifier",
+      (s, dir) => nbQualityScores(t(s, dir, "documents"),
+        goodSources = (0 to 4).map(i => s"src$i")),
+      None),
 
     // Bloom scale path of decontamination: sketch membership is engine-
     // specific (Spark's sketch hashing), so rows-only; PipelineOpsSpec

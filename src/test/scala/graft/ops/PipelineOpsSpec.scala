@@ -98,6 +98,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "reach me at <EMAIL> or <PHONE> thanks".length.toLong)
   }
 
+  test("NB quality classifier separates a planted two-vocabulary corpus deterministically") {
+    // class vocabularies are disjoint, so NB must separate perfectly;
+    // the shared word appears in both and carries ~no signal
+    val good = (1L to 20L).map(i => (i, s"alpha beta gamma shared w$i", "trusted"))
+    val bad = (21L to 40L).map(i => (i, s"spam junk noise shared w$i", "crawl"))
+    val d = docs(good ++ bad: _*)
+    val out = PipelineOps.nbQualityScores(d, goodSources = Seq("trusted"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out.size == 40)
+    (1L to 20L).foreach(i => assert(out(i)._2, s"doc $i misclassified: ${out(i)}"))
+    (21L to 40L).foreach(i => assert(!out(i)._2, s"doc $i misclassified: ${out(i)}"))
+    // deterministic to the bit under a different partitioning: the sorted
+    // fold makes the double-summation order a function of the data alone
+    val repart = PipelineOps.nbQualityScores(d.repartition(7), Seq("trusted"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(repart == out)
+  }
+
   test("bloom decontamination has one-sided error against the exact join") {
     import graft.ops.QueryDef.t
     val sfDir = "/root/testdata/sf0.001"
