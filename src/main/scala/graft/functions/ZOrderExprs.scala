@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.GraftShim
 import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
@@ -16,6 +16,29 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
   * assumption: every long value keeps full fidelity.
   */
 object ZOrderOps {
+  /** N-column generalization: bit i of column c lands at output position
+    * N·i + c (MSB first), so byte-lexicographic order walks the N-dim
+    * z-curve. 8·N bytes out; for N = 2 this is bit-identical to
+    * [[interleave2]].
+    */
+  def interleave(vals: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = vals.numElements()
+    val out = new Array[Byte](8 * n)
+    var c = 0
+    while (c < n) {
+      val v = vals.getLong(c) ^ Long.MinValue
+      var i = 0
+      while (i < 64) {
+        val bit = (v >>> (63 - i)) & 1L
+        val p = n * i + c
+        out(p >> 3) = (out(p >> 3) | (bit << (7 - (p & 7)))).toByte
+        i += 1
+      }
+      c += 1
+    }
+    out
+  }
+
   def interleave2(a: Long, b: Long): Array[Byte] = {
     val au = a ^ Long.MinValue
     val bu = b ^ Long.MinValue
@@ -70,8 +93,45 @@ final case class ZOrder2Expr(left: Expression, right: Expression)
       newRight: Expression): ZOrder2Expr = copy(left = newLeft, right = newRight)
 }
 
+/** N-column z-value over a pre-assembled long array (the Column builder
+  * packs the input columns with `array(...)`, itself codegen'd): BINARY of
+  * 8·N bytes walking the N-dim z-curve. Null inputs are mapped to
+  * Long.MinValue by the builder — for a clustering REWRITE that is the
+  * right semantics: nulls sort first and cluster together.
+  */
+final case class ZOrderArrayExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "zorder"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zorder needs an array<bigint>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ZOrderOps.interleave(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ZOrderOps.interleave($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ZOrderArrayExpr =
+    copy(child = newChild)
+}
+
 object ZOrderExprs {
   /** Column form: the 16-byte z-value of two int/long columns. */
   def zorder2(a: Column, b: Column): Column =
     GraftShim.column(ZOrder2Expr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** N-column z-value (N ≥ 2): int/long columns, nulls clustered first. */
+  def zorder(cols: Column*): Column = {
+    require(cols.length >= 2, "zorder needs at least two columns")
+    import org.apache.spark.sql.functions.{array, coalesce, lit}
+    val longs = cols.map(c =>
+      coalesce(c.cast(org.apache.spark.sql.types.LongType), lit(Long.MinValue)))
+    GraftShim.column(ZOrderArrayExpr(GraftShim.expression(array(longs: _*))))
+  }
 }

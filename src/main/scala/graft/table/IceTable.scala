@@ -398,8 +398,15 @@ final class IceTable private (
     */
   def rewriteZOrdered(spark: SparkSession, colA: String, colB: String,
       targetFileCount: Int): Snapshot =
+    rewriteZOrdered(spark, Seq(colA, colB), targetFileCount)
+
+  /** N-column variant: the z-value interleaves every named column's bits
+    * (nulls cluster first), so footer bounds tighten on all of them.
+    */
+  def rewriteZOrdered(spark: SparkSession, cols: Seq[String],
+      targetFileCount: Int): Snapshot =
     rewriteAllFiles(spark)(source => source
-      .withColumn("__zval", graft.functions.ZOrderExprs.zorder2(col(colA), col(colB)))
+      .withColumn("__zval", graft.functions.ZOrderExprs.zorder(cols.map(col): _*))
       .repartitionByRange(targetFileCount, col("__zval"))
       .sortWithinPartitions("__zval")
       .drop("__zval"))

@@ -62,6 +62,29 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((z(1) & 0xff) == 0x55)
   }
 
+  test("N-column interleave matches the 2-column form and stays monotonic at N=3") {
+    import graft.functions.ZOrderOps.interleave
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val probes = Seq(Long.MinValue, -100000L, -1L, 0L, 1L, 7L, 1000L,
+      1L << 33, Long.MaxValue)
+    // N=2 of the general form is bit-identical to interleave2
+    for (a <- probes; b <- probes)
+      assert(java.util.Arrays.equals(
+        interleave(new GenericArrayData(Array(a, b))), interleave2(a, b)),
+        s"general N=2 diverges from interleave2 at ($a, $b)")
+    // N=3: byte-lexicographic monotonicity along each axis
+    for (axis <- 0 until 3; fixed <- Seq(-5L, 0L, 1L << 40)) {
+      probes.sliding(2).foreach { case Seq(lo, hi) =>
+        def vec(v: Long) = {
+          val arr = Array.fill(3)(fixed); arr(axis) = v
+          new GenericArrayData(arr)
+        }
+        assert(cmp(interleave(vec(lo)), interleave(vec(hi))) < 0,
+          s"N=3 not monotone on axis $axis: $lo vs $hi at fixed=$fixed")
+      }
+    }
+  }
+
   test("z-order rewrite prunes second-dimension predicates a linear layout cannot") {
     val s = spark
     import s.implicits._
