@@ -59,6 +59,16 @@ object GraftFunctions {
     "graft_simhash" -> { args =>
       arity(args, 1, "graft_simhash")
       SimHashExpr(args.head)
+    },
+    // z-order clustering value (2-col pairwise form and the general N-col
+    // array form — callers pass the pre-built long array for the latter)
+    "graft_zorder2" -> { args =>
+      arity(args, 2, "graft_zorder2")
+      ZOrder2Expr(args.head, args(1))
+    },
+    "graft_zorder" -> { args =>
+      arity(args, 1, "graft_zorder")
+      ZOrderArrayExpr(args.head)
     })
 
   private def info(name: String): ExpressionInfo =

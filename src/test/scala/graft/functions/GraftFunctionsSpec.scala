@@ -61,6 +61,17 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(frac - 0.5) < 1e-9)
   }
 
+  test("graft_zorder2 and graft_zorder evaluate in SQL and agree") {
+    val z2 = spark.sql("SELECT graft_zorder2(0L, -1L) AS z").head.getAs[Array[Byte]](0)
+    assert((z2(0) & 0xff) == 0x95 && (z2(1) & 0xff) == 0x55,
+      "SQL zorder2 diverges from the pinned bit layout")
+    val zn = spark.sql("SELECT graft_zorder(array(0L, -1L)) AS z").head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(z2, zn), "array form diverges from pairwise form")
+    // 3-col form produces 24 bytes
+    val z3 = spark.sql("SELECT graft_zorder(array(1L, 2L, 3L)) AS z").head.getAs[Array[Byte]](0)
+    assert(z3.length == 24)
+  }
+
   test("IVF assign/probe expressions agree with the driver-side codebook math") {
     val s = spark
     import s.implicits._
