@@ -30,6 +30,51 @@ object TextOps {
   private def occurrences(padded: Column, marker: String): Column =
     (length(padded) - length(replace(padded, lit(marker), lit("")))) / lit(marker.length)
 
+  /** Bigram-LM self-perplexity: train a Laplace-smoothed word-bigram model
+    * on the corpus itself (ONE map-side-combinable aggregation — bigram
+    * counts, context counts, vocabulary size) and score every document's
+    * average negative log-likelihood under it. The CCNet-style fluency
+    * signal: a doc whose word transitions are unusual FOR THIS CORPUS
+    * (garbled text, wrong language, markup soup) scores high and is a
+    * filtering candidate; self-training means no external model ships.
+    *
+    * Scale shape: training is a groupBy on the (high-cardinality) bigram;
+    * scoring joins the per-bigram cost back on the bigram explode and
+    * reduces per doc. The per-doc reduction folds the (bigram, cost) list
+    * SORTED — the same determinism discipline as the NB classifier: double
+    * summation order becomes a function of the data alone, so the score is
+    * bit-stable across partitionings. ln() keeps it off the SQL oracle
+    * (rows-only); TextOpsSpec-style checks live in PipelineOpsSpec's
+    * planted corpus style below via the registered rows gate + spec.
+    */
+  def lmPerplexity(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val bigrams = documents
+      .select(col("doc_id"), w.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("prev"),
+          element_at(col("ws"), i + 2).as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bgCounts = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c_bg"))
+    val ctxCounts = bgCounts.groupBy("prev").agg(sum(col("c_bg")).as("c_ctx"))
+    val vocab = bigrams.agg(countDistinct(col("cur")).as("v"))
+    val cost = bgCounts.join(ctxCounts, "prev").join(broadcast(vocab))
+      .select(col("prev"), col("cur"),
+        (log((col("c_ctx") + col("v")).cast(DoubleType)) -
+         log((col("c_bg") + 1).cast(DoubleType))).as("nll"))
+    bigrams.join(cost, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("prev"), col("cur"), col("nll"))).as("bl"))
+      .select(col("doc_id"),
+        size(col("bl")).cast(LongType).as("n_bigrams"),
+        (aggregate(sort_array(col("bl")), lit(0.0),
+          (acc, x) => acc + x.getField("nll")) / size(col("bl"))).as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+      .select("doc_id", "n_bigrams", "avg_nll", "ppl")
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and "),
     "de" -> Seq(" der ", " und ", " die "),
@@ -262,6 +307,13 @@ object TextOps {
           FROM agg)
         SELECT rank, token, occurrences, doc_freq, cum_occurrences
         FROM ranked WHERE rank <= 100""")),
+
+    // bigram-LM self-perplexity (ln → rows-only; PipelineOpsSpec pins a
+    // hand-computed corpus and bit-determinism under repartitioning)
+    QueryDef(
+      "text_lm_perplexity",
+      (s, dir) => lmPerplexity(t(s, dir, "documents")),
+      None),
 
     // ------------------------------------------------ per-source tf-idf
     // Top-k characteristic terms per source by tf-idf — the corpus-
