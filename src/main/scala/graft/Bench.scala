@@ -27,10 +27,17 @@ object Bench {
     try SparkEntry.queries.get("sim_ann_ivf")
       .foreach(_.apply(spark, sfDir).count()) catch { case _: Throwable => }
     graft.ops.CacheRegistry.releaseAll()
+    // a query that throws must NEVER surface as a plausible timing (r9: six
+    // broken queries were reported as 0.06-0.08 s "successes") — record the
+    // failure, keep timing the rest, and put the failed names on the line
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // builder-internal caches are per-query scratch; holding them across
         // ~60 queries accumulates MEMORY_AND_DISK blocks in one session
@@ -46,12 +53,15 @@ object Bench {
       // (iterative graph rounds) immune to the single-shuffle variance, and
       // a repeat doubles a multi-round loop for nothing
       val a = once()
-      if (a > 1.0 && !name.startsWith("dedup_clusters")) {
+      if (failed.contains(name)) (name, a, None)
+      else if (a > 1.0 && !name.startsWith("dedup_clusters")) {
         val b = once()
         (name, math.min(a, b), Some((a, b)))
       } else (name, a, None)
     }
-    val timings = results.map(t => (t._1, t._2))
+    // failed queries carry no meaningful timing: keep them OUT of the totals
+    // and per-query map, visible only in the failed list
+    val timings = results.filterNot(r => failed.contains(r._1)).map(t => (t._1, t._2))
     val repeats = results.collect { case (n, _, Some((a, b))) => (n, a, b) }
     // The harness captures only the LAST 2000 chars of stdout, and sbt
     // appends "[info] " + a "[success] Total time..." trailer (~85 chars):
@@ -101,14 +111,22 @@ object Bench {
     // stay comparable across the measurement-policy boundary
     val repeatJson = repeats.map { case (n, a, b) =>
       "\"" + n + "\":[" + f2(a) + "," + f2(b) + "]" }.mkString("{", ",", "}")
-    val firstRunTotal = results.map(r => r._3.map(_._1).getOrElse(r._2)).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val firstRunTotal = results.filterNot(r => failed.contains(r._1))
+      .map(r => r._3.map(_._1).getOrElse(r._2)).sum
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       line(f2, timings, valueLast = false).dropRight(1) +
         s""","policy":"min2_over_1s","value_first":${f2(firstRunTotal)}""" +
+        s""","failed":$failedJson""" +
         s""","repeats":$repeatJson$planningJson}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    println(line(f1, timings.sortBy(_._2), valueLast = true, extra = planningShort))
+    // failed list rides the stdout line too (before the total, which stays
+    // last for clip resilience). Exit code stays 0 even with failures: a
+    // nonzero exit makes sbt append [error] trailer lines AFTER the JSON,
+    // clipping the driver's stdout-tail capture — Verify is the hard gate.
+    println(line(f1, timings.sortBy(_._2), valueLast = true,
+      extra = s""","failed":$failedJson""" + planningShort))
   }
 }

@@ -18,12 +18,17 @@ object Verify {
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a throwing registered query must fail the RUN, not just log: r9's six
+    // silently-broken queries vanished from the correctness board because
+    // this loop swallowed their errors and moved on
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally graft.ops.CacheRegistry.releaseAll()
@@ -44,5 +49,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILED queries: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -28,17 +28,32 @@ final case class QueryDef(
 object QueryDef {
   /** Read one driver-generated table (TESTDATA.md) from the given sf dir.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as long nanos (legacy conf) and convert to a microsecond
-    * timestamp (the testdata carries whole-microsecond values, so the
-    * conversion is lossless and matches DuckDB's ns→µs cast).
+    * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which Spark's
+    * reader rejects without the nanos-as-long legacy conf) and plain
+    * TIMESTAMP(MICROS), depending on testdata generation. Keep the legacy
+    * conf on so a nanos file reads as long, then branch on the ACTUAL read
+    * schema: a LongType `ts` is nanos needing the ns→µs conversion (the
+    * testdata carries whole-microsecond values, so it is lossless and
+    * matches DuckDB's ns→µs cast); a timestamp `ts` is normalized to
+    * session-tz TIMESTAMP so both paths yield the IDENTICAL schema — the
+    * type every downstream query (unix_micros in q_sessionize, streaming
+    * watermarks) and every green oracle compare was built against. All
+    * entry points run with session tz UTC, so the NTZ→TIMESTAMP cast is
+    * lossless.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

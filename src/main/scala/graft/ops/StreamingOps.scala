@@ -11,6 +11,26 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
   */
 object StreamingOps {
 
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+  /** Schema-adaptive `ts` normalization for streamed events, mirroring
+    * `QueryDef.t`: a LongType `ts` is legacy nanos-as-long needing the ns→µs
+    * conversion; a TIMESTAMP_NTZ `ts` (current µs testdata) casts to
+    * session-tz TIMESTAMP (lossless — all entry points run UTC).
+    */
+  private def tsAsTimestamp(dt: DataType): Column = dt match {
+    case LongType => expr("timestamp_micros(ts div 1000)")
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case _ => col("ts")
+  }
+
+  /** `ts` as epoch-µs long, whatever unit the staged files carry. */
+  private def tsAsMicros(dt: DataType): Column = dt match {
+    case LongType => expr("ts div 1000")
+    case _ => expr("unix_micros(cast(ts as timestamp))")
+  }
+
   /** Hourly tumbling-window event counts computed by a streaming job with a
     * 1-hour watermark (complete mode: all windows surface at end of input).
     */
@@ -24,7 +44,7 @@ object StreamingOps {
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsAsTimestamp(raw.schema("ts").dataType))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -80,7 +100,8 @@ object StreamingOps {
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val typed = reader.parquet(srcDir)
-      .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
+      .select(col("user_id"), tsAsMicros(schema("ts").dataType).as("ts_us"),
+        col("event_id"))
       .as[Ev]
     val sessions = typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, UserSessions](

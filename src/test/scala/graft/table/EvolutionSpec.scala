@@ -214,8 +214,11 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("sessionize under multi-batch delivery: 3 time-ranged files, maxFilesPerTrigger=1") {
     import org.apache.spark.sql.functions.col
+    // self-generated NANOS fixture: this case exercises long-nanos delivery
+    // through the streaming sessionizer, which the driver's events.parquet
+    // no longer guarantees (its unit varies across regenerations)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = spark.read.parquet(graft.NanosEventsFixture.path(spark, sfDir))
     // strict time-ranged thirds: per-user event order across batches matches
     // global timestamp order, which is what open-session state continuity
     // assumes (files are staged oldest-first via modification times)

@@ -182,11 +182,12 @@ class FormatVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("timestamp_ns column: v3 table over nanosecond events, day-partitioned") {
-    // events.parquet carries parquet TIMESTAMP(NANOS); Spark surfaces it as
-    // LongType under nanosAsLong — exactly our LongType surrogate for the
-    // v3 timestamp_ns type (reference `types.go:704-716`)
+    // A self-generated TIMESTAMP(NANOS) fixture (the driver's events.parquet
+    // unit varies across regenerations); Spark surfaces NANOS as LongType
+    // under nanosAsLong — exactly our LongType surrogate for the v3
+    // timestamp_ns type (reference `types.go:704-716`)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = spark.read.parquet(graft.NanosEventsFixture.path(spark, sfDir))
       .select("event_id", "ts", "user_id")
     val base = SchemaConv.fromSpark(events.schema)
     val schema = IceSchema(base.schemaId, base.fields.map(f =>
