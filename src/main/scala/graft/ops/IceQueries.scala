@@ -250,7 +250,7 @@ object IceQueries {
     * exactly the FIRST snapshot), and the watermark snapshot id.
     */
   final case class IncrementalFixture(docs: IceTable, tokenIndex: IceTable,
-      signatures: IceTable, watermark: Long)
+      signatures: IceTable, bandBuckets: IceTable, watermark: Long)
 
   private val incrementalTables =
     new ConcurrentHashMap[String, IncrementalFixture]()
@@ -284,7 +284,14 @@ object IceQueries {
         SchemaConv.fromSpark(sigs.schema))
       st.append(sigs)
       st.refresh()
-      IncrementalFixture(dt, it, st, watermark)
+      // the banded form of the same first-snapshot signatures — what a
+      // previous run's extendBands would have accumulated
+      val bands = Dedup.bandsOf(sigs)
+      val bt = IceTable.create(catalog, "band_buckets",
+        SchemaConv.fromSpark(bands.schema))
+      bt.append(bands)
+      bt.refresh()
+      IncrementalFixture(dt, it, st, bt, watermark)
     })
 
   val defs: Seq[QueryDef] = Seq(

@@ -127,6 +127,12 @@ object IncrementalDedup {
     * touched beyond the increment scan. Stale-watermark retries stay exact
     * via the same anti-join discipline as the exact variant.
     */
+  /** Counts corpus-wide banding passes (re-deriving band hashes for EVERY
+    * stored signature). The banded path must never increment this — its
+    * counter-proof spec pins that a run bands only the increment.
+    */
+  val corpusBandings = new java.util.concurrent.atomic.AtomicLong()
+
   def incrementalMinhashCandidates(spark: SparkSession, docsTable: IceTable,
       sigTable: IceTable, sinceSnapshotId: Long,
       estThreshold: Double): DataFrame = {
@@ -141,6 +147,7 @@ object IncrementalDedup {
         .withColumn("is_new", lit(false))
         .unionByName(newSigs))
     val newBands = Dedup.bandsOf(newSigs)
+    corpusBandings.incrementAndGet()
     val allBands = Dedup.bandsOf(allSigs, extra = Seq("is_new"))
     val cand = newBands.as("a").join(allBands.as("b"),
         col("a.band") === col("b.band") &&
@@ -166,6 +173,65 @@ object IncrementalDedup {
     sigTable.append(
       signaturesOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId)))
     sigTable.refresh()
+  }
+
+  /** LSH candidates touching the increment, against PERSISTED band buckets:
+    * the accumulated artifact is the banded form itself
+    * (doc_id, source, band, band_hash — 16 small rows/doc), so a run bands
+    * only the increment and joins Δ-bands against stored buckets. The
+    * corpus-sized banding map [[incrementalMinhashCandidates]] re-runs every
+    * invocation is Δ-independent work this variant never does — at 100 TB
+    * the bucket table is partitioned by (band, band_hash), so the Δ-side
+    * join prunes to matched buckets instead of touching every stored row.
+    * Signatures are still read for the verify join, but only as a
+    * candidate-keyed lookup (~512 B/doc, no per-row compute). Idempotent
+    * under stale-watermark retries via the same anti-join discipline.
+    */
+  def incrementalMinhashCandidatesBanded(spark: SparkSession,
+      docsTable: IceTable, sigTable: IceTable, bandTable: IceTable,
+      sinceSnapshotId: Long, estThreshold: Double): DataFrame = {
+    val newDocs = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
+    val newSigs = CacheRegistry.persist(signaturesOf(newDocs))
+    val newIds = newSigs.select(col("doc_id")).distinct()
+    val newBands = CacheRegistry.persist(
+      Dedup.bandsOf(newSigs).withColumn("is_new", lit(true)))
+    val allBands = bandTable.scan(spark)
+      .select(col("doc_id"), col("source"), col("band"), col("band_hash"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .withColumn("is_new", lit(false))
+      .unionByName(newBands)
+    val cand = newBands.as("a").join(allBands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.source") === col("b.source") &&
+        ((!col("b.is_new") && col("a.doc_id") =!= col("b.doc_id")) ||
+          col("a.doc_id") < col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val allSigs = CacheRegistry.persist(
+      sigTable.scan(spark)
+        .select(col("doc_id"), col("source"), col("sig"))
+        .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+        .unionByName(newSigs))
+    cand
+      .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        graft.functions.VectorExprs.equalFrac(col("sig_a"), col("sig_b")))
+      .where(col("est_jaccard") >= estThreshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Roll the band-bucket table forward — band ONLY the increment's fresh
+    * signatures, append. Run alongside [[extendSignatures]] so the two
+    * accumulated artifacts stay in lockstep.
+    */
+  def extendBands(spark: SparkSession, docsTable: IceTable,
+      bandTable: IceTable, sinceSnapshotId: Long): Unit = {
+    bandTable.append(Dedup.bandsOf(
+      signaturesOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId))))
+    bandTable.refresh()
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -197,7 +263,8 @@ object IncrementalDedup {
       "dedup_incremental_minhash",
       (s, dir) => {
         val f = IceQueries.incremental(s, dir)
-        incrementalMinhashCandidates(s, f.docs, f.signatures, f.watermark, 0.5)
+        incrementalMinhashCandidatesBanded(
+          s, f.docs, f.signatures, f.bandBuckets, f.watermark, 0.5)
       },
       None)
   )

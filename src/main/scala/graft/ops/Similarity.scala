@@ -238,13 +238,20 @@ object Similarity {
   def ivfTopKForTable(spark: SparkSession, table: graft.table.IceTable,
       nQueries: Int, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val emb = table.scan(spark)
-    val centers = table.ivfCodebookOf("embedding").getOrElse {
+    ivfTopKFrom(emb, tableCodebook(table, emb, nCells), nQueries, k, nProbe)
+  }
+
+  /** The persisted-codebook discipline shared by every table-backed
+    * embedding op: load the Puffin blob, fitting + persisting only on first
+    * use — so repeat invocations read tiny metadata, never a corpus sample.
+    */
+  private def tableCodebook(table: graft.table.IceTable, emb: DataFrame,
+      nCells: Int): Array[Array[Double]] =
+    table.ivfCodebookOf("embedding").getOrElse {
       val fitted = fitCodebook(emb, nCells)
       table.setIvfCodebook("embedding", fitted)
       fitted
     }
-    ivfTopKFrom(emb, centers, nQueries, k, nProbe)
-  }
 
   /** SemDeDup-style semantic dedup: every vector gets a keep/drop decision
     * from embedding-space duplicate groups. The corpus is partitioned by
@@ -282,6 +289,17 @@ object Similarity {
       nCells: Int = 16, blockCap: Int = 4096): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     semanticDedupFrom(emb, fitCodebook(emb, nCells), threshold, blockCap)
+  }
+
+  /** Table-backed SemDeDup: the same persisted-codebook discipline as
+    * [[ivfTopKForTable]] — the registered query routes through the curation
+    * embeddings table, so the codebook fits at most once per table and every
+    * later invocation partitions the corpus from metadata.
+    */
+  def semanticDedupForTable(spark: SparkSession, table: graft.table.IceTable,
+      threshold: Double, nCells: Int = 16, blockCap: Int = 4096): DataFrame = {
+    val emb = table.scan(spark)
+    semanticDedupFrom(emb, tableCodebook(table, emb, nCells), threshold, blockCap)
   }
 
   /** Label centroid distances: per-label mean vector, then each vector's
@@ -354,7 +372,7 @@ object Similarity {
     // ~6% of ALL pairs — a dedup there would chain whole cells together)
     // and selects the genuine near-dup tail.
     QueryDef("dedup_semantic",
-      (s, dir) => semanticDedup(s, dir, 0.4), None),
+      (s, dir) => semanticDedupForTable(s, IceQueries.curation(s, dir)._2, 0.4), None),
 
     // exact oracle: per-(label, dim) centroid via UNNEST, cosine re-derived
     // per vector, avg rounded to 3 decimals (double math both sides; the

@@ -115,6 +115,56 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"recall ${recalled / exact.size} over ${exact.size} true pairs")
   }
 
+  test("banded minhash: same candidates as the legacy variant, zero corpus-wide banding") {
+    val f = IceQueries.incremental(spark, sfDir)
+    val legacy = pairSet(IncrementalDedup.incrementalMinhashCandidates(
+      spark, f.docs, f.signatures, f.watermark, 0.5))
+    val before = IncrementalDedup.corpusBandings.get()
+    val banded = pairSet(graft.SparkEntry.queries("dedup_incremental_minhash")(spark, sfDir))
+    assert(banded == legacy,
+      "persisted band buckets changed the candidate set vs banding-on-read")
+    assert(IncrementalDedup.corpusBandings.get() == before,
+      "registered query re-banded the stored corpus instead of joining persisted buckets")
+    // repeat run: still no corpus-wide banding
+    graft.SparkEntry.queries("dedup_incremental_minhash")(spark, sfDir).count()
+    assert(IncrementalDedup.corpusBandings.get() == before)
+    // structural: the band-bucket table carries no signatures and no text —
+    // neither signing nor banding is derivable from it
+    val btCols = f.bandBuckets.schema.toSpark.fieldNames.toSet
+    assert(!btCols.contains("sig") && !btCols.contains("text"))
+  }
+
+  test("extendBands keeps the bucket table in lockstep with extendSignatures") {
+    val s = spark
+    // fresh private fixture (don't mutate the shared memoized one)
+    val wh = java.nio.file.Files.createTempDirectory("graft-band-roll").toString
+    val catalog = new graft.meta.FileCatalog(wh)
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b1 = docsRaw.where("doc_id % 10 != 0")
+    val b2 = docsRaw.where("doc_id % 10 = 0")
+    val dt = graft.table.IceTable.create(catalog, "docs_band_roll",
+      graft.core.SchemaConv.fromSpark(docsRaw.schema))
+    val snap1 = dt.append(b1).snapshotId
+    dt.refresh()
+    val sigs0 = IncrementalDedup.signaturesOf(b1)
+    val st = graft.table.IceTable.create(catalog, "sigs_roll",
+      graft.core.SchemaConv.fromSpark(sigs0.schema))
+    st.append(sigs0); st.refresh()
+    val bands0 = Dedup.bandsOf(sigs0)
+    val bt = graft.table.IceTable.create(catalog, "bands_roll",
+      graft.core.SchemaConv.fromSpark(bands0.schema))
+    bt.append(bands0); bt.refresh()
+    dt.append(b2); dt.refresh()
+    IncrementalDedup.extendSignatures(spark, dt, st, snap1)
+    IncrementalDedup.extendBands(spark, dt, bt, snap1)
+    // rolled-forward buckets == banding the rolled-forward signatures
+    val fromSigs = Dedup.bandsOf(
+      st.scan(spark).select("doc_id", "source", "sig"))
+    val stored = bt.scan(spark).select("doc_id", "source", "band", "band_hash")
+    assert(stored.count() == fromSigs.count())
+    assert(stored.exceptAll(fromSigs).isEmpty && fromSigs.exceptAll(stored).isEmpty)
+  }
+
   test("extendIndex rolls the watermark: a third batch dedups against index+increment only") {
     val s = spark
     import s.implicits._

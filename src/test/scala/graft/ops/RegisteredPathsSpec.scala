@@ -54,4 +54,14 @@ final class RegisteredPathsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.codebookFits.get() == fitsAfterFirst,
       "repeat run re-fit the codebook instead of loading the persisted blob")
   }
+
+  test("registered SemDeDup fits the codebook at most once across invocations") {
+    val first = SparkEntry.queries("dedup_semantic")(spark, sfDir).count()
+    assert(first > 0)
+    val fitsAfterFirst = Similarity.codebookFits.get()
+    val second = SparkEntry.queries("dedup_semantic")(spark, sfDir).count()
+    assert(second == first, "repeat run changed the (deterministic) dedup result")
+    assert(Similarity.codebookFits.get() == fitsAfterFirst,
+      "repeat SemDeDup re-fit the codebook instead of loading the persisted blob")
+  }
 }
