@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Times one action, or returns the error if it threw. A failure must
+    * never surface as a timing (r9: six broken queries were reported as
+    * 0.06-0.08 s "successes" by a catch-all that timed the failure path).
+    */
+  def timed(body: => Unit): Either[Throwable, Double] = {
+    val t0 = System.nanoTime()
+    try { body; Right((System.nanoTime() - t0) / 1e9) }
+    catch { case e: Throwable => Left(e) }
+  }
+
+  /** Per-query timings parsed from a driver bench artifact. The artifact
+    * stores the stdout tail as a JSON STRING, so the pairs arrive
+    * quote-escaped (`\"name\":0.2`); bookkeeping fields are dropped.
+    */
+  def prevTimings(artifactText: String): Map[String, Double] = {
+    val re = """"([a-z0-9_]+)\\?":([0-9]+\.?[0-9]*)""".r
+    val skip = Set("value", "plan_sec", "ranged_checks", "n_data", "n_deletes",
+      "n", "rc", "cpus", "sf")
+    re.findAllMatchIn(artifactText)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filterNot(kv => skip(kv._1)).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -9,6 +32,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ~90 queries in one JVM: shuffle/broadcast cleanup is GC-driven, and
+      // the default 30-min periodic GC lets dead blocks pile onto the
+      // BlockManager for the whole run (r9: unchanged queries measured
+      // 6-14x slower ONLY inside the shared bench session — TimeQuery
+      // isolation showed every one at its r8 speed)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: session/codegen init + first-touch parquet footers,
@@ -27,21 +56,28 @@ object Bench {
     try SparkEntry.queries.get("sim_ann_ivf")
       .foreach(_.apply(spark, sfDir).count()) catch { case _: Throwable => }
     graft.ops.CacheRegistry.releaseAll()
-    // a query that throws must NEVER surface as a plausible timing (r9: six
-    // broken queries were reported as 0.06-0.08 s "successes") — record the
-    // failure, keep timing the rest, and put the failed names on the line
+    // a query that throws is recorded as FAILED (see [[timed]]) — keep
+    // timing the rest, and put the failed names on the output line
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+        val dt = timed { fn(spark, sfDir).count(); () } match {
+          case Right(sec) => sec
+          case Left(e) =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+            0.0
         }
-        val dt = (System.nanoTime() - t0) / 1e9
         // builder-internal caches are per-query scratch; holding them across
         // ~60 queries accumulates MEMORY_AND_DISK blocks in one session
         graft.ops.CacheRegistry.releaseAll()
+        // untimed between-query reclamation (dt is already captured): drop
+        // any stray persisted RDDs and run one full GC so the ContextCleaner
+        // actually frees shuffle files and broadcasts BEFORE the next query
+        // measures — session residue, not the next plan, paid for r9's
+        // phantom regressions
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
         dt
       }
       // any query whose FIRST run exceeds ~1 s gets a min-of-two repeat:
@@ -112,21 +148,41 @@ object Bench {
     val repeatJson = repeats.map { case (n, a, b) =>
       "\"" + n + "\":[" + f2(a) + "," + f2(b) + "]" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // round-over-round comparability across board changes: the total over
+    // the queries SHARED with the latest driver bench artifact, next to that
+    // artifact's own total over the same subset — so adding/removing queries
+    // never breaks the trend line. Parsed from the clipped stdout tail the
+    // driver stores (per-query "name":sec pairs survive the clip).
+    val commonPrev = try {
+      import scala.jdk.CollectionConverters._
+      val benches = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("BENCH_r\\d+\\.json")).toSeq.sorted
+      benches.lastOption.map { fname =>
+        val prev = prevTimings(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(fname)))
+        val common = timings.filter { case (k, _) => prev.contains(k) }
+        s""","common_prev":{"file":"$fname","n":${common.size},""" +
+          s""""now":${f2(common.map(_._2).sum)},""" +
+          s""""prev":${f2(common.map { case (k, _) => prev(k) }.sum)}}"""
+      }.getOrElse("")
+    } catch { case _: Throwable => "" }
     val firstRunTotal = results.filterNot(r => failed.contains(r._1))
       .map(r => r._3.map(_._1).getOrElse(r._2)).sum
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       line(f2, timings, valueLast = false).dropRight(1) +
         s""","policy":"min2_over_1s","value_first":${f2(firstRunTotal)}""" +
-        s""","failed":$failedJson""" +
+        s""","failed":$failedJson$commonPrev""" +
         s""","repeats":$repeatJson$planningJson}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    // failed list rides the stdout line too (before the total, which stays
-    // last for clip resilience). Exit code stays 0 even with failures: a
-    // nonzero exit makes sbt append [error] trailer lines AFTER the JSON,
-    // clipping the driver's stdout-tail capture — Verify is the hard gate.
+    // failed list + common-subset trend ride the stdout line too (before the
+    // total, which stays last for clip resilience). Exit code stays 0 even
+    // with failures: a nonzero exit makes sbt append [error] trailer lines
+    // AFTER the JSON, clipping the driver's stdout-tail capture — Verify is
+    // the hard gate.
     println(line(f1, timings.sortBy(_._2), valueLast = true,
-      extra = s""","failed":$failedJson""" + planningShort))
+      extra = s""","failed":$failedJson$commonPrev""" + planningShort))
   }
 }
