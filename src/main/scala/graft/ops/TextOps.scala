@@ -16,6 +16,83 @@ import org.apache.spark.sql.types._
 object TextOps {
   import QueryDef.t
 
+  // ------------------------------------------------ Misra-Gries sketch
+  /** One-pass Misra-Gries heavy-hitter summary of a token stream: at most
+    * `capacity` counters; a miss on a full summary decrements every counter
+    * (the counter-set analogue of discarding one occurrence of each tracked
+    * token plus the new one). Guarantee: every token with true count
+    * > N/(capacity+1) survives, and each surviving counter undercounts by
+    * at most N/(capacity+1) (N = stream length).
+    */
+  private[ops] def mgSketch(toks: Iterator[String], capacity: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    toks.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1)
+        case None if m.size < capacity => m.update(t, 1L)
+        case None =>
+          m.mapValuesInPlace((_, c) => c - 1)
+          m.filterInPlace((_, c) => c > 0L)
+      }
+    }
+    m.toMap
+  }
+
+  /** Mergeable-summaries combine (Agarwal et al.): sum counters pairwise,
+    * then if over capacity subtract the (capacity+1)-th largest count from
+    * every counter and drop the non-positive — the merged summary keeps the
+    * additive N/(capacity+1) error bound, so partition sketches tree-reduce
+    * without losing the heavy-hitter guarantee.
+    */
+  private[ops] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+      capacity: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.from(a)
+    b.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+    if (m.size <= capacity) m.toMap
+    else {
+      val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(capacity)
+      m.filterInPlace((_, c) => c > cut)
+      m.mapValuesInPlace((_, c) => c - cut)
+      m.toMap
+    }
+  }
+
+  /** Top-k vocabulary via sketch-then-verify — the 100 TB shape of
+    * `text_vocab_topk`. Pass 1 builds a Misra-Gries summary per partition
+    * (`mapPartitions` + `treeReduce`, the same only-KBs-cross-the-wire
+    * discipline as [[graft.table.ThetaStats]]); pass 2 exact-counts ONLY
+    * the ≤`capacity` surviving candidates via a broadcast semi-join, so the
+    * wordcount shuffle carries a capacity-bounded key set instead of the
+    * full vocabulary. The output is EXACT (hence oracle-checkable) whenever
+    * the k-th token's count exceeds N/(capacity+1) — for a top-100 over any
+    * natural-language corpus with capacity 4096 that holds by orders of
+    * magnitude (Zipf), and the sketch never evicts at all while the tracked
+    * vocabulary fits its capacity.
+    */
+  def sketchVocabTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 100, capacity: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      explode(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
+        .as("token"))
+      .transform(CacheRegistry.persist(_)) // both passes read it
+    val sketch = toks.select("token").as[String].rdd
+      .mapPartitions(rows => Iterator.single(mgSketch(rows, capacity)))
+      .treeReduce(mgMerge(_, _, capacity))
+    val candidates = sketch.keys.toSeq.sorted.toDF("token")
+    val agg = toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+    val topk = agg.orderBy(col("occurrences").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("occurrences").desc, col("token"))
+    topk
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .withColumn("cum_occurrences", sum(col("occurrences")).over(w))
+      .select("rank", "token", "occurrences", "doc_freq", "cum_occurrences")
+  }
+
   /** Whitespace token count, computed identically in Spark and DuckDB:
     * chars minus chars-without-spaces plus one.
     */
@@ -290,6 +367,33 @@ object TextOps {
           .withColumn("cum_occurrences", sum(col("occurrences")).over(w))
           .select("rank", "token", "occurrences", "doc_freq", "cum_occurrences")
       },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+          FROM documents),
+        agg AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM toks GROUP BY token),
+        ranked AS (
+          SELECT token, occurrences, doc_freq,
+            CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, token) AS INTEGER) AS rank,
+            CAST(SUM(occurrences) OVER (ORDER BY occurrences DESC, token
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occurrences
+          FROM agg)
+        SELECT rank, token, occurrences, doc_freq, cum_occurrences
+        FROM ranked WHERE rank <= 100""")),
+
+    // sketch-then-verify vocabulary: Misra-Gries candidates (one narrow
+    // pass, KB-sized partition summaries) + exact counts over the
+    // capacity-bounded candidate set only. Same EXACT output as
+    // text_vocab_topk — the oracle is identical SQL — but the shuffle keys
+    // on ≤4096 candidates instead of the full vocabulary, which is the
+    // version that survives a web-scale token stream.
+    QueryDef(
+      "text_vocab_sketch_topk",
+      (s, dir) => sketchVocabTopK(s, dir, 100, 4096),
       Some("""
         WITH toks AS (
           SELECT doc_id, unnest(string_split(
