@@ -296,7 +296,83 @@ object PipelineOps {
       substring(md5(redacted.cast(BinaryType)), 1, 16).as("redacted_fingerprint"))
   }
 
+  /** Mixture weighting: turn per-source token inventories into a concrete
+    * sampling plan against a global token budget — the mixture-design step
+    * between corpus profiling and sequence packing. The target is a uniform
+    * budget share per source (integer split, remainder to the
+    * lexicographically first sources); a source that cannot fill its target
+    * even at `maxEpochs` repetitions contributes maxEpochs×inventory and
+    * reports the shortfall rather than silently redistributing it
+    * (redistribution is a policy choice; the report is the mechanism).
+    *
+    * Determinism discipline: inventories, targets, effective tokens, and
+    * shortfalls stay integral end-to-end; `epochs` and `share` are each ONE
+    * IEEE double division of two exact integers — hash-stable cross-engine.
+    *
+    * Scale shape: corpus rows are touched once by a map-side-combinable
+    * groupBy on the tiny source key; every window below runs over
+    * n_sources rows, never corpus rows.
+    */
+  def mixtureWeights(documents: org.apache.spark.sql.DataFrame,
+      budget: Long, maxEpochs: Int): org.apache.spark.sql.DataFrame = {
+    val perSource = documents
+      .select(col("source"), tokenCount.as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("inventory_tokens"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lex = Window.orderBy("source")
+    perSource
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .withColumn("target_tokens",
+        // `div`, not `/`: Spark's `/` on integral operands is true (double)
+        // division, and the targets must stay exact BIGINTs
+        expr(s"${budget}L div n_sources") +
+          when(row_number().over(lex) <= lit(budget) % col("n_sources"), 1L)
+            .otherwise(0L))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"), lit(maxEpochs.toLong) * col("inventory_tokens")))
+      .withColumn("shortfall_tokens", col("target_tokens") - col("effective_tokens"))
+      .withColumn("epochs",
+        col("effective_tokens").cast(DoubleType) /
+          col("inventory_tokens").cast(DoubleType))
+      .withColumn("share",
+        col("effective_tokens").cast(DoubleType) /
+          sum(col("effective_tokens")).over(all).cast(DoubleType))
+      .select("source", "n_docs", "inventory_tokens", "target_tokens",
+        "effective_tokens", "shortfall_tokens", "epochs", "share")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "pipeline_mixture_weights",
+      (s, dir) => mixtureWeights(t(s, dir, "documents"),
+        budget = 100000L, maxEpochs = 4),
+      Some("""
+        WITH inv AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+              AS BIGINT) AS inventory_tokens
+          FROM documents GROUP BY source),
+        tgt AS (
+          SELECT *,
+            CAST(100000 // (COUNT(*) OVER ()) +
+              CASE WHEN ROW_NUMBER() OVER (ORDER BY source)
+                        <= 100000 % (COUNT(*) OVER ()) THEN 1 ELSE 0 END
+              AS BIGINT) AS target_tokens
+          FROM inv),
+        eff AS (
+          SELECT *, LEAST(target_tokens, 4 * inventory_tokens) AS effective_tokens
+          FROM tgt)
+        SELECT source, n_docs, inventory_tokens, target_tokens,
+          CAST(effective_tokens AS BIGINT) AS effective_tokens,
+          CAST(target_tokens - effective_tokens AS BIGINT) AS shortfall_tokens,
+          CAST(effective_tokens AS DOUBLE) / CAST(inventory_tokens AS DOUBLE) AS epochs,
+          CAST(effective_tokens AS DOUBLE) /
+            CAST(SUM(effective_tokens) OVER () AS DOUBLE) AS share
+        FROM eff""")),
+
     QueryDef(
       "pipeline_split",
       (s, dir) => hashSplit(t(s, dir, "documents")),

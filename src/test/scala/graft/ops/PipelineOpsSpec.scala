@@ -31,6 +31,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text", "source")
   }
 
+  test("mixture weights split the budget uniformly, cap at maxEpochs, report shortfall") {
+    // source a: 4 tokens inventory; b: 40; c: 400. budget 300 over 3
+    // sources -> target 100 each. a caps at 4 epochs (16 tokens, shortfall
+    // 84); b and c fill their targets (epochs 2.5 and 0.25).
+    val d = docs(
+      (1L, "w w w w", "a"),
+      (2L, ("w " * 39).trim + " w", "b"),
+      (3L, ("w " * 399).trim + " w", "c"))
+    val out = PipelineOps.mixtureWeights(d, budget = 300L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out("a") == ((4L, 100L, 16L, 84L, 4.0, 16.0 / 216.0)))
+    assert(out("b") == ((40L, 100L, 100L, 0L, 2.5, 100.0 / 216.0)))
+    assert(out("c") == ((400L, 100L, 100L, 0L, 0.25, 100.0 / 216.0)))
+    // a non-divisible budget hands the remainder to the lexicographically
+    // first sources, keeping the total exactly the (fillable) budget
+    val odd = PipelineOps.mixtureWeights(d, budget = 301L, maxEpochs = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(odd == Map("a" -> 101L, "b" -> 100L, "c" -> 100L))
+  }
+
   test("decontaminate flags exactly the docs sharing a 5-gram with the benchmark") {
     // doc 100 copies benchmark doc 1 verbatim (6 words -> two shared
     // 5-grams); doc 101 shares words but never 5 consecutive ones
