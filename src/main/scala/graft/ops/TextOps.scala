@@ -57,6 +57,52 @@ object TextOps {
     }
   }
 
+  /** Per-source distribution drift: the EXACT total-variation distance
+    * between each source's token distribution p_s and the corpus-wide
+    * distribution q. The mixture-QA signal — a source whose unigram mix
+    * diverges (wrong language, boilerplate flood, format change) scores
+    * toward 1 and warrants inspection before it trains.
+    *
+    * Exactness discipline: with integer counts c (source), C (corpus),
+    * N_s, N, and S = supp(p_s),
+    *   TV = [ Σ_{t∈S} |c·N − C·N_s| + (N − Σ_{t∈S} C)·N_s ] / (2·N_s·N)
+    * — the second term is the missing-mass correction for tokens the
+    * source never emits, so NO vocab×sources grid is materialized. Both
+    * numerator sums are exact integers (DECIMAL(38,0) accumulators) and
+    * the result is ONE IEEE division — hash-stable cross-engine.
+    *
+    * Scale shape: one corpus-keyed wordcount shuffle on (source, token),
+    * a vocabulary-scale join against per-token corpus totals, a per-source
+    * reduce. Nothing is ever sources×vocabulary.
+    */
+  def sourceDrift(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = documents.select(col("source"),
+      explode(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
+        .as("token"))
+    val st = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .transform(CacheRegistry.persist(_)) // three consumers below
+    val tokenTotals = st.groupBy("token").agg(sum(col("c")).as("ct"))
+    val sourceTotals = st.groupBy("source").agg(sum(col("c")).as("ns"))
+    val corpusTotal = sourceTotals.agg(sum(col("ns")).as("n")) // 1 row
+    val dec = DecimalType(38, 0)
+    st.join(tokenTotals, "token")
+      .join(broadcast(sourceTotals), "source")
+      .crossJoin(broadcast(corpusTotal))
+      .groupBy("source", "ns", "n")
+      .agg(
+        // operands cast to DECIMAL BEFORE the multiply: c·N at web scale
+        // (count ~1e9 × corpus ~1e14) overflows a long product
+        sum(abs(col("c").cast(dec) * col("n").cast(dec) -
+          col("ct").cast(dec) * col("ns").cast(dec))).as("present_num"),
+        sum(col("ct").cast(dec)).as("covered"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        ((col("present_num") +
+          (col("n").cast(dec) - col("covered")) * col("ns").cast(dec))
+          .cast(DoubleType) /
+          (lit(2.0) * col("ns").cast(DoubleType) * col("n").cast(DoubleType)))
+          .cast(DoubleType).as("tv_distance"))
+  }
+
   /** Top-k vocabulary via sketch-then-verify — the 100 TB shape of
     * `text_vocab_topk`. Pass 1 builds a Misra-Gries summary per partition
     * (`mapPartitions` + `treeReduce`, the same only-KBs-cross-the-wire
@@ -411,6 +457,29 @@ object TextOps {
           FROM agg)
         SELECT rank, token, occurrences, doc_freq, cum_occurrences
         FROM ranked WHERE rank <= 100""")),
+
+    // per-source total-variation drift vs the corpus unigram mix —
+    // integer-exact numerators (missing-mass correction, no vocab×sources
+    // grid) + one final division, so the double hash-matches cross-engine
+    QueryDef(
+      "text_source_drift",
+      (s, dir) => sourceDrift(t(s, dir, "documents")),
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+          FROM documents),
+        st AS (SELECT source, token, COUNT(*) AS c FROM toks GROUP BY source, token),
+        tt AS (SELECT token, SUM(c) AS ct FROM st GROUP BY token),
+        srct AS (SELECT source, SUM(c) AS ns FROM st GROUP BY source),
+        tot AS (SELECT SUM(ns) AS n FROM srct)
+        SELECT st.source, CAST(srct.ns AS BIGINT) AS n_tokens,
+          CAST(CAST(SUM(ABS(st.c * tot.n - tt.ct * srct.ns)) +
+                 (tot.n - SUM(tt.ct)) * srct.ns AS DOUBLE) /
+               (2.0 * CAST(srct.ns AS DOUBLE) * CAST(tot.n AS DOUBLE))
+            AS DOUBLE) AS tv_distance
+        FROM st JOIN tt USING (token) JOIN srct USING (source) CROSS JOIN tot
+        GROUP BY st.source, srct.ns, tot.n""")),
 
     // bigram-LM self-perplexity (ln → rows-only; PipelineOpsSpec pins a
     // hand-computed corpus and bit-determinism under repartitioning)
