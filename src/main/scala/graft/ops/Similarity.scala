@@ -302,6 +302,97 @@ object Similarity {
     semanticDedupFrom(emb, tableCodebook(table, emb, nCells), threshold, blockCap)
   }
 
+  /** Scalar int8 quantization + quantized ANN — the memory/IO scale path.
+    * Per-dimension corpus (min, max) — ONE aggregate row of 2×64 floats,
+    * broadcast as literals — maps each float32 vector to 64 one-byte
+    * codes: a 4× at-rest and scan-bandwidth reduction, which at 100 TB of
+    * embeddings is the difference between an in-memory and a disk-bound
+    * candidate pass. Candidate generation scores DEQUANTIZED codes only
+    * (the narrow representation is all the corpus pass reads); the exact
+    * re-rank then fetches original vectors for just the k×oversample
+    * candidate ids per query — a candidate-keyed lookup, never a second
+    * corpus pass.
+    *
+    * Rows-only (quantized candidate recall is probabilistic by
+    * construction); SimilaritySpec pins recall against the exact top-k and
+    * the per-dimension reconstruction-error bound (≤ scale/2).
+    */
+  def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      oversample: Int = 4): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val dim = 64
+    val statsRow = emb.agg(
+      array((0 until dim).map(i => min(element_at(col("embedding"), i + 1))): _*)
+        .as("mins"),
+      array((0 until dim).map(i => max(element_at(col("embedding"), i + 1))): _*)
+        .as("maxs"))
+      .head()
+    val mins = statsRow.getSeq[Float](0).map(_.toDouble)
+    val maxs = statsRow.getSeq[Float](1).map(_.toDouble)
+    val minsLit = array(mins.map(lit): _*)
+    // degenerate (constant) dimensions keep a nonzero scale so the code is 0
+    val scalesLit = array(mins.indices.map(i =>
+      lit(math.max(maxs(i) - mins(i), 1e-30) / 255.0)): _*)
+    def quantize(c: Column): Column = transform(c, (v, i) =>
+      round((v.cast(DoubleType) - element_at(minsLit, i + 1)) /
+        element_at(scalesLit, i + 1)).cast(IntegerType))
+    def dequantize(q: Column): Column = transform(q, (code, i) =>
+      element_at(minsLit, i + 1) +
+        code.cast(DoubleType) * element_at(scalesLit, i + 1))
+    val coded = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("codes"))
+      .transform(CacheRegistry.persist(_))
+    val queries = coded.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), dequantize(col("codes")).as("dq_q"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val cand = coded
+      .select(col("vec_id").as("neighbor_id"), dequantize(col("codes")).as("dq_n"))
+      .crossJoin(broadcast(queries))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_sim", cosine(col("dq_q"), col("dq_n")))
+      .withColumn("arn", row_number().over(wApprox))
+      .where(col("arn") <= k * oversample)
+      .select("query_id", "neighbor_id")
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .join(broadcast(emb.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        "query_id")
+      .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4))
+      .withColumn("rn", row_number().over(wExact).cast(IntegerType))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+  }
+
+  /** Test hook: the per-dimension quantization machinery, exposed so the
+    * spec can pin the reconstruction-error bound directly.
+    */
+  private[ops] def quantizeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val dim = 64
+    val statsRow = emb.agg(
+      array((0 until dim).map(i => min(element_at(col("embedding"), i + 1))): _*),
+      array((0 until dim).map(i => max(element_at(col("embedding"), i + 1))): _*))
+      .head()
+    val mins = statsRow.getSeq[Float](0).map(_.toDouble)
+    val maxs = statsRow.getSeq[Float](1).map(_.toDouble)
+    val minsLit = array(mins.map(lit): _*)
+    val scalesLit = array(mins.indices.map(i =>
+      lit(math.max(maxs(i) - mins(i), 1e-30) / 255.0)): _*)
+    emb.select(col("vec_id"), col("embedding"),
+      transform(
+        transform(col("embedding"), (v, i) =>
+          round((v.cast(DoubleType) - element_at(minsLit, i + 1)) /
+            element_at(scalesLit, i + 1)).cast(IntegerType)),
+        (code, i) => element_at(minsLit, i + 1) +
+          code.cast(DoubleType) * element_at(scalesLit, i + 1)).as("dequantized"),
+      scalesLit.as("scales"))
+  }
+
   /** Label centroid distances: per-label mean vector, then each vector's
     * cosine to its label centroid — a typical embedding-quality signal.
     */
@@ -338,6 +429,12 @@ object Similarity {
         WHERE rn <= 10""")),
 
     QueryDef("sim_ann_lsh", (s, dir) => lshTopK(s, dir, 5, 10), None),
+
+    // int8-quantized candidate generation + exact re-rank (probabilistic
+    // candidate recall → rows-only; recall + reconstruction bound pinned
+    // in SimilaritySpec)
+    QueryDef("sim_quantized_topk",
+      (s, dir) => quantizedTopK(s, dir, 5, 10), None),
 
     // IVF-Flat ANN (probabilistic recall — rows-only; recall pinned vs the
     // exact top-k in SimilaritySpec). Table-backed: the codebook persists

@@ -103,6 +103,30 @@ object TextOps {
           .cast(DoubleType).as("tv_distance"))
   }
 
+  /** Per-source document-length profile with EXACT percentiles — the
+    * truncation/padding design input (context-length and packing choices
+    * key off these quantiles, and approximate sketches hide exactly the
+    * tail that matters). Spark's `percentile` and DuckDB's `quantile_cont`
+    * interpolate identically (linear at rank p·(n−1)), so the doubles
+    * hash-match. One groupBy on the tiny source key; the exact percentile
+    * buffers one source's LENGTH VALUES (n_docs longs), not corpus text —
+    * at 100 TB that is still only per-source doc counts, and a skewed
+    * source can fall back to the stratifiedSample bin-histogram trick.
+    */
+  def lengthProfile(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    documents
+      .select(col("source"), tokenCount.as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        expr("percentile(n_tokens, 0.1)").cast(DoubleType).as("p10_tokens"),
+        expr("percentile(n_tokens, 0.5)").cast(DoubleType).as("p50_tokens"),
+        expr("percentile(n_tokens, 0.9)").cast(DoubleType).as("p90_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .select("source", "n_docs", "min_tokens", "p10_tokens", "p50_tokens",
+        "p90_tokens", "max_tokens")
+
   /** Top-k vocabulary via sketch-then-verify — the 100 TB shape of
     * `text_vocab_topk`. Pass 1 builds a Misra-Gries summary per partition
     * (`mapPartitions` + `treeReduce`, the same only-KBs-cross-the-wire
@@ -457,6 +481,25 @@ object TextOps {
           FROM agg)
         SELECT rank, token, occurrences, doc_freq, cum_occurrences
         FROM ranked WHERE rank <= 100""")),
+
+    // per-source length profile with EXACT percentiles (Spark `percentile`
+    // and DuckDB `quantile_cont` share the linear-interpolation-at-p(n-1)
+    // definition, so the doubles hash-match)
+    QueryDef(
+      "text_length_profile",
+      (s, dir) => lengthProfile(t(s, dir, "documents")),
+      Some("""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(MIN(nt) AS BIGINT) AS min_tokens,
+          CAST(quantile_cont(nt, 0.1) AS DOUBLE) AS p10_tokens,
+          CAST(quantile_cont(nt, 0.5) AS DOUBLE) AS p50_tokens,
+          CAST(quantile_cont(nt, 0.9) AS DOUBLE) AS p90_tokens,
+          CAST(MAX(nt) AS BIGINT) AS max_tokens
+        FROM (
+          SELECT source,
+            CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
+          FROM documents) sub
+        GROUP BY source""")),
 
     // per-source total-variation drift vs the corpus unigram mix —
     // integer-exact numerators (missing-mass correction, no vocab×sources

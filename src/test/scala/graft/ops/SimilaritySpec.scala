@@ -55,6 +55,42 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"IVF recall $recall (|ivf|=${ivf.size}, |exact|=${exact.size})")
   }
 
+  test("int8-quantized ANN: high recall vs exact top-k, deterministic, bounded reconstruction error") {
+    try {
+      val exact = Similarity.bruteForceTopK(spark, sfDir, 5, 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val quant = Similarity.quantizedTopK(spark, sfDir, 5, 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      CacheRegistry.releaseAll()
+      // 255 levels over the per-dimension range perturb cosine far less than
+      // the 4x-oversampled candidate margin — near-total recall expected
+      val recall = exact.count(quant.contains).toDouble / exact.size
+      assert(recall >= 0.9, s"quantized recall $recall")
+      // deterministic under repeat
+      val again = Similarity.quantizedTopK(spark, sfDir, 5, 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == quant)
+    } finally CacheRegistry.releaseAll()
+  }
+
+  test("int8 quantization reconstruction error is within scale/2 per dimension") {
+    val rows = Similarity.quantizeRoundTrip(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1)
+      val deq = r.getSeq[Double](2)
+      val scales = r.getSeq[Double](3)
+      orig.indices.foreach { i =>
+        val err = math.abs(orig(i).toDouble - deq(i))
+        assert(err <= scales(i) / 2.0 + 1e-12,
+          s"vec ${r.getLong(0)} dim $i error $err > ${scales(i) / 2.0}")
+      }
+    }
+  }
+
   test("exact near-dup triangle grid bounds shuffle keys on a pathological label") {
     import org.apache.spark.sql.functions._
     import graft.ops.QueryDef.t
