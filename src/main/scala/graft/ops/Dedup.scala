@@ -434,6 +434,38 @@ object Dedup {
       threshold)
   }
 
+  /** Containment pairs: coverage of the SMALLER word set,
+    * `|A∩B| / min(|A|,|B|)` ≥ threshold — the excerpt/quote detector.
+    * Jaccard structurally misses these: a short doc fully embedded in a
+    * long one has jaccard ≈ |A|/|B| (tiny) but containment 1.0, and
+    * training corpora are full of exactly that shape (quotes, snippets,
+    * syndicated fragments). Same inverted-index count-join plan (and the
+    * same Σ C(df,2) cost law) as [[jaccardPairs]]; only the final
+    * arithmetic differs.
+    */
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    containmentPairsOver(t(spark, dir, "documents"), threshold)
+
+  private[ops] def containmentPairsOver(documents: DataFrame,
+      threshold: Double): DataFrame = {
+    val docs = tokensPersisted(
+      documents
+        .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
+    val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("ws")).as("tok"))
+    tokens.as("a").join(tokens.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast(DoubleType) /
+        least(col("sz_a"), col("sz_b")).cast(DoubleType))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Shared tail of every count-join jaccard plan: one row per shared token
     * of an oriented pair (doc_a, doc_b, sz_a, sz_b) in, exact
     * `|A∩B| / (|A|+|B|-|A∩B|)` pairs ≥ threshold out. One formula, every
@@ -576,6 +608,21 @@ object Dedup {
               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
           FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source) sub
         WHERE jac >= 0.5""")),
+
+    // exact containment >= 0.9 pairs (excerpt/quote detection: coverage of
+    // the SMALLER word set — the shape jaccard structurally misses)
+    QueryDef(
+      "dedup_containment",
+      (s, dir) => containmentPairs(s, dir, 0.9),
+      Some("""
+        SELECT * FROM (
+          WITH t AS (SELECT doc_id, source, list_distinct(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              LEAST(len(a.ws), len(b.ws)) AS containment
+          FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source) sub
+        WHERE containment >= 0.9""")),
 
     // exact 3-gram-shingle jaccard >= 0.5 pairs — same prefix filter
     QueryDef(

@@ -42,6 +42,33 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c == a)
   }
 
+  test("containment dominates jaccard and catches a planted excerpt jaccard misses") {
+    val s = spark
+    import s.implicits._
+    try {
+      // dominance on the real corpus: min(|A|,|B|) <= |A∪B|, so every
+      // jaccard>=t pair is a containment>=t pair
+      val jac = Dedup.jaccardPairs(spark, sfDir, 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      CacheRegistry.releaseAll()
+      val cont = Dedup.containmentPairs(spark, sfDir, 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(jac.nonEmpty && jac.subsetOf(cont))
+      CacheRegistry.releaseAll()
+      // planted excerpt: doc 2's word set is fully inside doc 1's, with
+      // jaccard 4/12 (well under 0.9) but containment exactly 1.0
+      val planted = Seq(
+        (1L, "a b c d e f g h i j k l", "src"),
+        (2L, "a b c d", "src"),
+        (3L, "x y z w", "src")).toDF("doc_id", "text", "source")
+      val found = Dedup.containmentPairsOver(planted, 0.9)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(found == Map((1L, 2L) -> 1.0))
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("row-capped joined-rows sampler is exact when the corpus fits the cap") {
     import org.apache.spark.sql.functions._
     val raw = QueryDef.t(spark, sfDir, "documents")
