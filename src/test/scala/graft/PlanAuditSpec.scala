@@ -178,4 +178,57 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("hashpartitioning(source"), s"$q not keyed on source:\n$p")
     }
   }
+
+  test("sketch vocabulary's exact pass joins broadcast candidates — the shuffle is capacity-bounded") {
+    // the candidate set is <=capacity rows: a SortMergeJoin here would
+    // shuffle the full token stream against it, defeating the sketch
+    val p = plan("text_vocab_sketch_topk")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate filter is not a broadcast semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
+  test("containment pairs: inverted-index join keyed on the token, never cartesian") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in containment plan:\n$p")
+    // the pair join must key on (tok, source) — as a hash exchange at scale
+    // or a broadcast hash join at this SF; either way the join KEYS carry
+    // the token, so the candidate space is Σ C(df,2), never |docs|²
+    assert("(BroadcastHash|SortMerge)Join \\[tok".r.findFirstIn(p).nonEmpty ||
+      "hashpartitioning\\([^)]*tok".r.findFirstIn(p).nonEmpty,
+      s"pair join not keyed on the token:\n$p")
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
+  test("quantized ANN: queries broadcast to the code scan, no UDF in the candidate pass") {
+    val p = plan("sim_quantized_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast to the corpus code pass:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF fell into the quantized plan:\n$p")
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
+  test("mixture weights and source drift keep partial aggregation before the exchange") {
+    Seq("pipeline_mixture_weights", "text_source_drift").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q lost map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct") || q == "text_source_drift",
+        s"$q has a cartesian:\n$p")
+    }
+    // drift's ONLY cross join is against the 1-row corpus total
+    val drift = plan("text_source_drift")
+    assert(p2CrossJoinsAreSingleRow(drift), s"drift cross join not 1-row:\n$drift")
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
+  /** The drift plan may contain broadcast nested-loop joins only for the
+    * single-row corpus-total frame (an aggregate with no grouping keys).
+    */
+  private def p2CrossJoinsAreSingleRow(p: String): Boolean = {
+    val nCross = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    nCross <= 1 // one 1-row total broadcast; anything more is a real cartesian
+  }
 }
