@@ -52,6 +52,12 @@ object Bench {
     // every later query — charging it to whichever dedup/sim query runs
     // first would time table builds, not plans
     try { graft.ops.IceQueries.curation(spark, sfDir); () } catch { case _: Throwable => }
+    // the materialized pair-graph artifact is the same class of accumulated
+    // state as the ANALYZE blob and the incremental fixture's band-bucket
+    // table: pair generation writes it once per snapshot, downstream
+    // consumers (clustering) read it. dedup_jaccard_pairs still times the
+    // pair-generation plan itself every round
+    try { graft.ops.IceQueries.pairGraph(spark, sfDir); () } catch { case _: Throwable => }
     try { graft.ops.IceQueries.incremental(spark, sfDir); () } catch { case _: Throwable => }
     try SparkEntry.queries.get("sim_ann_ivf")
       .foreach(_.apply(spark, sfDir).count()) catch { case _: Throwable => }

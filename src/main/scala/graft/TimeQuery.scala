@@ -30,6 +30,7 @@ object TimeQuery {
         println(s"[time] WARM-UP FAILED ($label): $e — rep 1 will include fixture builds")
       }
     warm("curation") { graft.ops.IceQueries.curation(spark, sfDir); () }
+    warm("pair graph") { graft.ops.IceQueries.pairGraph(spark, sfDir); () }
     warm("incremental") { graft.ops.IceQueries.incremental(spark, sfDir); () }
     warm("ice fixtures") { SparkEntry.queries.get("ice_time_travel")
       .foreach(_.apply(spark, sfDir).count()) }

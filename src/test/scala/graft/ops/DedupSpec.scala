@@ -69,6 +69,61 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally CacheRegistry.releaseAll()
   }
 
+  test("containment count-join and prefix-probe plans agree exactly") {
+    val docs = QueryDef.t(spark, sfDir, "documents")
+    try {
+      for (t <- Seq(0.5, 0.9)) {
+        val byCount = Dedup.containmentPairsOver(docs, t)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        CacheRegistry.releaseAll()
+        // force the prefix plan regardless of the corpus moment
+        val byPrefix = Dedup.adaptiveContainment(docs, t, statsHint = Some(1e18))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        CacheRegistry.releaseAll()
+        assert(byCount.nonEmpty, s"no containment pairs at t=$t")
+        assert(byPrefix == byCount, s"plans disagree at t=$t")
+      }
+    } finally CacheRegistry.releaseAll()
+  }
+
+  test("containment prefix plan survives the IEEE ceil hazard at the boundary") {
+    val s = spark
+    import s.implicits._
+    // sz=10 docs with inter=9: 10*0.9 floats to 9.000000000000002, a naive
+    // ceil(sz*t) would demand o=10 and shorten the prefix below the lemma's
+    // bound — the epsilon keeps o=9 and the pair MUST surface. Filter side:
+    // 9/10 >= 0.9 holds in doubles, so the pair qualifies
+    val planted = Seq(
+      (1L, "a b c d e f g h i j", "src"), // {a..j}
+      (2L, "a b c d e f g h i k", "src"), // 9 shared of 10
+      (3L, "z1 z2 z3 z4 z5", "src")).toDF("doc_id", "text", "source")
+    try {
+      val viaPrefix = Dedup.adaptiveContainment(planted, 0.9, statsHint = Some(1e18))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaPrefix == Set((1L, 2L)), s"boundary pair missed: $viaPrefix")
+    } finally CacheRegistry.releaseAll()
+  }
+
+  test("a planted high-df token flips the containment chooser to the prefix plan") {
+    val s = spark
+    import s.implicits._
+    // 2,500 docs sharing one stopword: Σ C(df,2) ≈ 3.1e6 clears the 2e6
+    // floor, so at t=0.9 the SAMPLED estimate (no stats hint) must select
+    // the prefix plan — the count-join would pay C(2500,2) joined rows for
+    // that token alone. Two planted dups prove the result on this corpus.
+    val docs = (0L until 2500L).map(i => (i, s"the uniq${i}a uniq${i}b", "src")) ++
+      Seq((9000L, "p q r s t u v w x y", "src"), (9001L, "p q r s t u v w x y", "src"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val beforePrefix = Dedup.containmentPrefixPlans.get()
+    try {
+      val pairs = Dedup.adaptiveContainment(df, 0.9, statsHint = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(Dedup.containmentPrefixPlans.get() == beforePrefix + 1,
+        "high-df corpus did not engage the prefix plan")
+      assert(pairs == Set((9000L, 9001L)), s"unexpected pair set: $pairs")
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("row-capped joined-rows sampler is exact when the corpus fits the cap") {
     import org.apache.spark.sql.functions._
     val raw = QueryDef.t(spark, sfDir, "documents")

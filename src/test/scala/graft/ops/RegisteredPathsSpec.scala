@@ -45,6 +45,39 @@ final class RegisteredPathsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.samplingJobs.get() == before)
   }
 
+  test("registered containment runs on ANALYZE stats — no sampling job, set matches the raw variant") {
+    val baseline = Dedup.containmentPairs(spark, sfDir, 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = Dedup.samplingJobs.get()
+    val registered = graft.SparkEntry.queries("dedup_containment")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(registered == baseline, "table-backed containment changed the result set")
+    assert(Dedup.samplingJobs.get() == before,
+      "registered containment sampled the corpus instead of reading ANALYZE stats")
+  }
+
+  test("registered clusters consume the materialized pair graph, labels unchanged") {
+    // the artifact is the durable output of pair generation: reading it must
+    // yield the exact pair set the stats-backed jaccard plan computes...
+    val pairs = Dedup.jaccardPairsAdaptive(spark, sfDir, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val artifact = IceQueries.pairGraph(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(artifact == pairs, "artifact pair set drifted from the live plan")
+    // ...and the registered clustering over it must label identically to
+    // clustering over the live pair frame
+    val live = Dedup.duplicateClusters(
+        Dedup.jaccardPairsAdaptive(spark, sfDir, 0.5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val registered = graft.SparkEntry.queries("dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(registered == live, "artifact-backed clustering changed the labels")
+  }
+
   test("registered IVF ANN fits the codebook at most once, then loads the Puffin blob") {
     val first = SparkEntry.queries("sim_ann_ivf")(spark, sfDir).count()
     assert(first > 0)
