@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,21 +27,37 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosineSim(a, b)
 
+  /** Shared tail of every ANN/exact re-rank: per-query top-k over a scored
+    * (query_id, neighbor_id, cos_sim) frame via the native PARTIAL-
+    * AGGREGATING [[graft.functions.TopKByScore]] aggregate. The
+    * `row_number().over(Window.partitionBy("query_id"))` formulation it
+    * replaces shuffled every scored corpus×queries row into nQueries
+    * partitions — corpus-sized single-task partitions once the query batch
+    * grows. The aggregate reduces each map task's slice to ≤k entries per
+    * query BEFORE the exchange (the per-group TakeOrderedAndProject
+    * discipline), with the identical (score desc, id asc) ordering, so
+    * results are bit-unchanged.
+    */
+  private[ops] def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topKByScore(
+        col("cos_sim"), col("neighbor_id"), k).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.id").as("neighbor_id"),
+        col("nbr.score").as("cos_sim"),
+        (col("pos") + 1).cast(IntegerType).as("rn"))
+
   /** Exact top-k neighbors for the query vectors (vec_id < nQueries). */
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .crossJoin(broadcast(queries))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
-        col("rn").cast(IntegerType).as("rn"))
+    perQueryTopK(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .crossJoin(broadcast(queries))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4)),
+      k)
   }
 
   /** Multi-table random-hyperplane LSH: L tables of k planes each (higher
@@ -68,17 +83,14 @@ object Similarity {
     val queries = banded.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("tbl").as("qtbl"), col("bucket").as("qbucket"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    banded.select(col("vec_id").as("neighbor_id"), col("embedding"),
-        col("tbl"), col("bucket"))
-      .join(broadcast(queries), col("tbl") === col("qtbl") &&
-        col("bucket") === col("qbucket") && col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qvec", "embedding").distinct()
-      .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rn")
+    perQueryTopK(
+      banded.select(col("vec_id").as("neighbor_id"), col("embedding"),
+          col("tbl"), col("bucket"))
+        .join(broadcast(queries), col("tbl") === col("qtbl") &&
+          col("bucket") === col("qbucket") && col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id", "qvec", "embedding").distinct()
+        .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4)),
+      k)
   }
 
   /** Embedding near-dup via LSH pre-candidates + exact cosine verify — the
@@ -208,17 +220,13 @@ object Similarity {
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         explode(ivfProbe(col("embedding"), centers, nProbe)).as("cell"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
     // each corpus vector lives in exactly one cell → no candidate dedup
-    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
-      .join(broadcast(queries), Seq("cell"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
-        col("rn").cast(IntegerType).as("rn"))
+    perQueryTopK(
+      assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+        .join(broadcast(queries), Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4)),
+      k)
   }
 
   /** IVF-Flat ANN over a raw parquet dir: fits the sample-capped codebook
@@ -344,29 +352,35 @@ object Similarity {
       .transform(CacheRegistry.persist(_))
     val queries = coded.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), dequantize(col("codes")).as("dq_q"))
-    val wApprox = Window.partitionBy("query_id")
-      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    // approx candidate stage: same partial top-k aggregate (k·oversample
+    // per query) — the corpus-sized dequantized scores never cross an
+    // exchange un-reduced
     val cand = coded
       .select(col("vec_id").as("neighbor_id"), dequantize(col("codes")).as("dq_n"))
       .crossJoin(broadcast(queries))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("approx_sim", cosine(col("dq_q"), col("dq_n")))
-      .withColumn("arn", row_number().over(wApprox))
-      .where(col("arn") <= k * oversample)
+      .withColumn("cos_sim", cosine(col("dq_q"), col("dq_n")))
+      .transform(perQueryTopK(_, k * oversample))
       .select("query_id", "neighbor_id")
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
-        "neighbor_id")
-      .join(broadcast(emb.where(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
-        "query_id")
-      .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4))
-      .withColumn("rn", row_number().over(wExact).cast(IntegerType))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rn")
+    exactRerank(cand, emb, nQueries, k)
   }
+
+  /** Exact re-rank of a (query_id, neighbor_id) candidate frame: fetch
+    * original vectors candidate-keyed (never a second corpus pass), score
+    * with exact rounded cosine, keep per-query top-k via the partial
+    * aggregate.
+    */
+  private[ops] def exactRerank(cand: DataFrame, emb: DataFrame,
+      nQueries: Int, k: Int): DataFrame =
+    perQueryTopK(
+      cand
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id")
+        .join(broadcast(emb.where(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+          "query_id")
+        .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4)),
+      k)
 
   /** Test hook: the per-dimension quantization machinery, exposed so the
     * spec can pin the reconstruction-error bound directly.
@@ -435,6 +449,38 @@ object Similarity {
     // in SimilaritySpec)
     QueryDef("sim_quantized_topk",
       (s, dir) => quantizedTopK(s, dir, 5, 10), None),
+
+    // the exact RE-RANK stage oracle-tightened: over a DETERMINISTIC
+    // candidate rule both engines state identically (neighbor_id % 5 <>
+    // query_id % 5 — a fixed 80% candidate subset), the re-rank pipeline
+    // (candidate-keyed vector fetch, rounded exact cosine, the partial
+    // top-k aggregate) is HASH-EXACT against DuckDB's row_number ranking.
+    // sim_quantized_topk above then carries only candidate RECALL as its
+    // probabilistic remainder
+    QueryDef(
+      "sim_rerank_exact",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cand = emb.select(col("vec_id").as("neighbor_id"))
+          .crossJoin(broadcast(emb.where(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"))))
+          .where(col("neighbor_id") =!= col("query_id") &&
+            col("neighbor_id") % 5 =!= col("query_id") % 5)
+          .select("query_id", "neighbor_id")
+        exactRerank(cand, emb, 5, 10)
+      },
+      Some("""
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rn
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+            AND b.vec_id % 5 <> a.vec_id % 5) sub
+        WHERE rn <= 10""")),
 
     // IVF-Flat ANN (probabilistic recall — rows-only; recall pinned vs the
     // exact top-k in SimilaritySpec). Table-backed: the codebook persists

@@ -202,6 +202,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.CacheRegistry.releaseAll()
   }
 
+  test("ANN re-ranks carry no per-query window — partial top-k aggregate before the exchange") {
+    // the corpus×queries scored stream must be reduced map-side by the
+    // TopKByScore aggregate (ObjectHashAggregate with a partial mode),
+    // never shuffled raw into nQueries window partitions — a large query
+    // batch would make each partition a corpus-sized single task
+    Seq("sim_bruteforce_topk", "sim_quantized_topk", "sim_ann_ivf",
+        "sim_ann_lsh", "sim_rerank_exact").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("row_number() windowspecdefinition"),
+        s"$q still ranks via a per-query window:\n$p")
+      assert(p.contains("ObjectHashAggregate") && p.contains("top_k_by_score"),
+        s"$q does not aggregate via the native top-k:\n$p")
+      assert("partial_top_k_by_score|ObjectHashAggregate[^\\n]*partial".r
+          .findFirstIn(p).nonEmpty,
+        s"$q top-k is not partially aggregated before the exchange:\n$p")
+      graft.ops.CacheRegistry.releaseAll()
+    }
+  }
+
   test("quantized ANN: queries broadcast to the code scan, no UDF in the candidate pass") {
     val p = plan("sim_quantized_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
