@@ -514,18 +514,29 @@ object Dedup {
       threshold: Double): DataFrame = {
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
-    tokens.as("a").join(tokens.as("b"),
-        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+    pairContainment(
+      tokens.as("a").join(tokens.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sz_a"), col("b.sz").as("sz_b")),
+      threshold)
+  }
+
+  /** Shared tail of every count-join containment plan — the mirror of
+    * [[pairJaccard]] with the min-size denominator;
+    * [[IncrementalDedup.incrementalContainmentPairs]] reuses it so the
+    * arithmetic cannot drift between the full and incremental variants.
+    */
+  private[ops] def pairContainment(perSharedToken: DataFrame,
+      threshold: Double): DataFrame =
+    perSharedToken
       .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("containment", col("inter").cast(DoubleType) /
         least(col("sz_a"), col("sz_b")).cast(DoubleType))
       .where(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
-  }
 
   /** One-sided prefix-probe containment — exact. For a qualifying pair the
     * required overlap is o = ⌈t·min(|A|,|B|)⌉ = ⌈t·|A|⌉ where A is the
@@ -641,24 +652,38 @@ object Dedup {
     * operator exists to flag; nothing is all-pairs, and no token array
     * travels through a shuffle.
     */
-  def sharedSpanStats(spark: SparkSession, dir: String, n: Int): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("words"))
+  /** (doc_id, span) rows: each document's DISTINCT n-token spans, exploded.
+    * The canonical span generator — the full-corpus stats, the incremental
+    * variant, and the persisted span-index artifact all derive from it so
+    * the shingle definition cannot drift.
+    */
+  private[ops] def spanRows(docs: DataFrame, n: Int): DataFrame = {
+    val withWords = docs.select(col("doc_id"),
+      split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("words"))
     val w = col("words")
     val spans = when(size(w) >= n,
       array_distinct(transform(sequence(lit(0), size(w) - n), i =>
         concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
       .otherwise(array().cast("array<string>"))
-    val exploded = docs.select(col("doc_id"), explode(spans).as("span"))
-      .transform(CacheRegistry.persist(_))
-    val spanDf = exploded.groupBy("span").agg(count(lit(1)).as("df"))
-    exploded.join(spanDf, "span")
+    withWords.select(col("doc_id"), explode(spans).as("span"))
+  }
+
+  /** Per-doc span rollup shared by the full and incremental span stats:
+    * (doc_id, span, df) in → (doc_id, total_spans, dup_spans, dup_frac).
+    */
+  private[ops] def spanStatsRollup(spansWithDf: DataFrame): DataFrame =
+    spansWithDf
       .groupBy("doc_id")
       .agg(count(lit(1)).as("total_spans"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
       .withColumn("dup_frac", col("dup_spans").cast(DoubleType) /
         col("total_spans").cast(DoubleType))
+
+  def sharedSpanStats(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val exploded = spanRows(t(spark, dir, "documents"), n)
+      .transform(CacheRegistry.persist(_))
+    val spanDf = exploded.groupBy("span").agg(count(lit(1)).as("df"))
+    spanStatsRollup(exploded.join(spanDf, "span"))
   }
 
   private def jaccardPairsOver(docsWithTokens: DataFrame, threshold: Double): DataFrame =

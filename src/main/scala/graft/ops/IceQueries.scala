@@ -280,7 +280,8 @@ object IceQueries {
     * exactly the FIRST snapshot), and the watermark snapshot id.
     */
   final case class IncrementalFixture(docs: IceTable, tokenIndex: IceTable,
-      signatures: IceTable, bandBuckets: IceTable, watermark: Long)
+      signatures: IceTable, bandBuckets: IceTable, spanIndex: IceTable,
+      watermark: Long)
 
   private val incrementalTables =
     new ConcurrentHashMap[String, IncrementalFixture]()
@@ -321,7 +322,14 @@ object IceQueries {
         SchemaConv.fromSpark(bands.schema))
       bt.append(bands)
       bt.refresh()
-      IncrementalFixture(dt, it, st, bt, watermark)
+      // the 5-gram span index over the first snapshot — what a previous
+      // run's extendSpanIndex would have accumulated
+      val spans = IncrementalDedup.spanIndexOf(old)
+      val spt = IceTable.create(catalog, "span_index",
+        SchemaConv.fromSpark(spans.schema))
+      spt.append(spans)
+      spt.refresh()
+      IncrementalFixture(dt, it, st, bt, spt, watermark)
     })
 
   val defs: Seq[QueryDef] = Seq(

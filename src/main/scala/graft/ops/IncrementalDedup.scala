@@ -60,7 +60,31 @@ object IncrementalDedup {
     */
   def incrementalJaccardPairs(spark: SparkSession, docsTable: IceTable,
       indexTable: IceTable, sinceSnapshotId: Long,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    Dedup.pairJaccard(
+      incrementalSharedTokens(spark, docsTable, indexTable, sinceSnapshotId),
+      threshold)
+
+  /** Exact containment pairs (coverage of the SMALLER set ≥ threshold)
+    * TOUCHING the increment — the excerpt detector over the SAME persisted
+    * token index the jaccard variant rolls forward: (doc_id, source, sz,
+    * tok) rows carry everything the min-size denominator needs, so one
+    * accumulated artifact serves both pair semantics and the increment is
+    * tokenized exactly once per run.
+    */
+  def incrementalContainmentPairs(spark: SparkSession, docsTable: IceTable,
+      indexTable: IceTable, sinceSnapshotId: Long,
+      threshold: Double): DataFrame =
+    Dedup.pairContainment(
+      incrementalSharedTokens(spark, docsTable, indexTable, sinceSnapshotId),
+      threshold)
+
+  /** Oriented per-shared-token frame (doc_a < doc_b, sz_a, sz_b) touching
+    * the increment — the shared candidate stage of both incremental pair
+    * operators; only the final arithmetic (jaccard vs containment) differs.
+    */
+  private def incrementalSharedTokens(spark: SparkSession, docsTable: IceTable,
+      indexTable: IceTable, sinceSnapshotId: Long): DataFrame = {
     val newDocs = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
     val newTokens = CacheRegistry.persist(
       tokenIndexOf(newDocs).withColumn("is_new", lit(true)))
@@ -79,19 +103,17 @@ object IncrementalDedup {
       .unionByName(newTokens)
     val a = newTokens.alias("a")
     val b = fullIndex.alias("b")
-    Dedup.pairJaccard(
-      a.join(b,
-          col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-          ((!col("b.is_new") && col("a.doc_id") =!= col("b.doc_id")) ||
-            col("a.doc_id") < col("b.doc_id")))
-        .select(
-          least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-          when(col("a.doc_id") < col("b.doc_id"), col("a.sz"))
-            .otherwise(col("b.sz")).as("sz_a"),
-          when(col("a.doc_id") < col("b.doc_id"), col("b.sz"))
-            .otherwise(col("a.sz")).as("sz_b")),
-      threshold)
+    a.join(b,
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+        ((!col("b.is_new") && col("a.doc_id") =!= col("b.doc_id")) ||
+          col("a.doc_id") < col("b.doc_id")))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.sz"))
+          .otherwise(col("b.sz")).as("sz_a"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.sz"))
+          .otherwise(col("a.sz")).as("sz_b"))
   }
 
   /** Roll the index forward: append the increment's token rows so the NEXT
@@ -104,6 +126,54 @@ object IncrementalDedup {
     indexTable.append(
       tokenIndexOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId)))
     indexTable.refresh()
+  }
+
+  // -------------------------------------------------- span index
+  /** (doc_id, span) rows of each document's distinct n-token spans — the
+    * accumulated artifact behind incremental span-level dedup, same commit
+    * discipline as the token index. Per-doc rows (not a pre-aggregated
+    * (span, df) table) so stale-watermark retries stay idempotent via the
+    * identical anti-join-by-id trick.
+    */
+  def spanIndexOf(docs: DataFrame, n: Int = 5): DataFrame =
+    Dedup.spanRows(docs, n)
+
+  /** Span-level dedup stats for the INCREMENT's documents against the full
+    * corpus: each new doc's distinct n-token spans scored against document
+    * frequency over (stored span index ∪ increment spans). Only the
+    * increment is tokenized (|Δ| rows); the stored index arrives
+    * pre-exploded and is pruned to Δ-relevant spans by a span-keyed
+    * semi-join BEFORE the df aggregation — at 100 TB the index table is
+    * bucketed by span, so both the semi-join and the df groupBy co-locate
+    * without a corpus-side shuffle. Old docs' stats don't need recomputing
+    * here: a span an increment doc shares with an old doc surfaces in the
+    * NEW doc's dup count, and the old doc's own report is refreshed by the
+    * next full pass (or read from the previous run's output) — the
+    * incremental contract is "stats for what arrived".
+    */
+  def incrementalSpanStats(spark: SparkSession, docsTable: IceTable,
+      spanTable: IceTable, sinceSnapshotId: Long, n: Int = 5): DataFrame = {
+    val newDocs = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
+    val newSpans = CacheRegistry.persist(Dedup.spanRows(newDocs, n))
+    val newIds = newSpans.select(col("doc_id")).distinct()
+    val deltaSpans = newSpans.select(col("span")).distinct()
+    val allSpans = spanTable.scan(spark)
+      .select(col("doc_id"), col("span"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .unionByName(newSpans)
+      // df is only consumed for the increment's spans — prune the corpus
+      // side before aggregating instead of grouping the whole index
+      .join(deltaSpans, Seq("span"), "left_semi")
+    val spanDf = allSpans.groupBy("span").agg(count(lit(1)).as("df"))
+    Dedup.spanStatsRollup(newSpans.join(spanDf, "span"))
+  }
+
+  /** Roll the span index forward — shingle ONLY the increment, append. */
+  def extendSpanIndex(spark: SparkSession, docsTable: IceTable,
+      spanTable: IceTable, sinceSnapshotId: Long, n: Int = 5): Unit = {
+    spanTable.append(
+      Dedup.spanRows(Ingest.changesSince(spark, docsTable, sinceSnapshotId), n))
+    spanTable.refresh()
   }
 
   // -------------------------------------------------- minhash signatures
@@ -254,6 +324,53 @@ object IncrementalDedup {
               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
           FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source) sub
         WHERE jac >= 0.5 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""")),
+
+    // exact containment >= 0.9 pairs touching the increment, against the
+    // SAME persisted token index — one accumulated artifact serves both
+    // pair semantics. Oracle: full-corpus containment restricted to pairs
+    // with a new side
+    QueryDef(
+      "dedup_incremental_containment",
+      (s, dir) => {
+        val f = IceQueries.incremental(s, dir)
+        incrementalContainmentPairs(s, f.docs, f.tokenIndex, f.watermark, 0.9)
+      },
+      Some("""
+        SELECT * FROM (
+          WITH t AS (SELECT doc_id, source, list_distinct(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              LEAST(len(a.ws), len(b.ws)) AS containment
+          FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source) sub
+        WHERE containment >= 0.9 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""")),
+
+    // span-level dedup stats for the increment's docs against the full
+    // corpus, via the persisted 5-gram span index. Oracle: full-corpus
+    // span stats restricted to increment docs (df stays corpus-wide)
+    QueryDef(
+      "dedup_incremental_spans",
+      (s, dir) => {
+        val f = IceQueries.incremental(s, dir)
+        incrementalSpanStats(s, f.docs, f.spanIndex, f.watermark, 5)
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(ws) - 4),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                 ws[i+3] || ' ' || ws[i+4])) AS gs FROM w),
+        e AS (SELECT doc_id, unnest(gs) AS span FROM g),
+        d AS (SELECT span, COUNT(*) AS df FROM e GROUP BY span)
+        SELECT e.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS total_spans,
+          CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+          CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        FROM e JOIN d USING (span)
+        WHERE e.doc_id % 10 = 0
+        GROUP BY e.doc_id""")),
 
     // LSH candidates touching the increment against the persisted MinHash
     // signature table — the probabilistic scale path (probabilistic

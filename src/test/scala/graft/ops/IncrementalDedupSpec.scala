@@ -88,6 +88,54 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c1 == c2)
   }
 
+  test("incremental containment equals full-corpus containment restricted to the increment") {
+    val f = IceQueries.incremental(spark, sfDir)
+    val incremental = pairSet(IncrementalDedup.incrementalContainmentPairs(
+      spark, f.docs, f.tokenIndex, f.watermark, 0.9))
+    val full = pairSet(Dedup.containmentPairs(spark, sfDir, 0.9))
+    val expected = full.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 }
+    assert(incremental == expected)
+    assert(incremental.nonEmpty, "fixture should contain excerpt pairs touching new docs")
+    // same structural guarantee as the jaccard variant: tokens come from
+    // the persisted index, never a pre-watermark document file
+    val oldFiles = f.docs.newScan(snapshotId = Some(f.watermark)).planFiles()
+      .map(t => norm(t.file.filePath)).toSet
+    val planInputs = IncrementalDedup.incrementalContainmentPairs(
+      spark, f.docs, f.tokenIndex, f.watermark, 0.9).inputFiles.map(norm).toSet
+    assert(planInputs.nonEmpty)
+    assert(planInputs.intersect(oldFiles).isEmpty,
+      "containment pair plan scans old document files instead of the token index")
+    CacheRegistry.releaseAll()
+  }
+
+  test("incremental span stats equal full-corpus stats restricted to the increment") {
+    val f = IceQueries.incremental(spark, sfDir)
+    val incremental = IncrementalDedup.incrementalSpanStats(
+        spark, f.docs, f.spanIndex, f.watermark, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // oracle: the FULL corpus pass (df over every doc), restricted to the
+    // increment's docs — a df miss against old docs would show here
+    val full = Dedup.sharedSpanStats(spark, sfDir, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = full.filter { case (id, _) => id % 10 == 0 }
+    assert(incremental == expected)
+    assert(incremental.nonEmpty, "fixture increment should contain spans")
+    assert(incremental.values.exists(_._2 > 0),
+      "increment should share at least one span with the accumulated corpus")
+    // shingles come from the persisted span index, never a pre-watermark
+    // document file
+    val oldFiles = f.docs.newScan(snapshotId = Some(f.watermark)).planFiles()
+      .map(t => norm(t.file.filePath)).toSet
+    val planInputs = IncrementalDedup.incrementalSpanStats(
+      spark, f.docs, f.spanIndex, f.watermark, 5).inputFiles.map(norm).toSet
+    assert(planInputs.nonEmpty)
+    assert(planInputs.intersect(oldFiles).isEmpty,
+      "span plan scans old document files instead of the span index")
+    // the span-index roll appends ONLY the increment's rows: after
+    // extendSpanIndex the index equals the full corpus's span rows
+    CacheRegistry.releaseAll()
+  }
+
   test("incremental minhash: only the increment is signed; recall pinned vs exact pairs") {
     val f = IceQueries.incremental(spark, sfDir)
     val lsh = pairSet(IncrementalDedup.incrementalMinhashCandidates(
