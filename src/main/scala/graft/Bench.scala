@@ -13,15 +13,27 @@ object Bench {
 
   /** Per-query timings parsed from a driver bench artifact. The artifact
     * stores the stdout tail as a JSON STRING, so the pairs arrive
-    * quote-escaped (`\"name\":0.2`); bookkeeping fields are dropped.
+    * quote-escaped (`\"name\":0.2`). Pairs are read from INSIDE the
+    * `"queries":{...}` object when its opening anchor survives — a
+    * denylist over the whole tail would silently corrupt the trend if a
+    * bookkeeping key ever collided with a query name. The tail clips from
+    * the FRONT, though, so when the anchor itself was clipped away the
+    * legacy denylist scrape is the only signal left and remains the
+    * fallback.
     */
   def prevTimings(artifactText: String): Map[String, Double] = {
-    val re = """"([a-z0-9_]+)\\?":([0-9]+\.?[0-9]*)""".r
-    val skip = Set("value", "plan_sec", "ranged_checks", "n_data", "n_deletes",
-      "n", "rc", "cpus", "sf")
-    re.findAllMatchIn(artifactText)
-      .map(m => m.group(1) -> m.group(2).toDouble)
-      .filterNot(kv => skip(kv._1)).toMap
+    val pair = """"([a-z0-9_]+)\\?":([0-9]+\.?[0-9]*)""".r
+    """"queries\\?":\{([^}]*)\}""".r.findFirstMatchIn(artifactText) match {
+      case Some(m) =>
+        pair.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      case None =>
+        val skip = Set("value", "plan_sec", "ranged_checks", "n_data",
+          "n_deletes", "n", "rc", "cpus", "sf", "now", "prev")
+        pair.findAllMatchIn(artifactText)
+          .map(p => p.group(1) -> p.group(2).toDouble)
+          .filterNot(kv => skip(kv._1)).toMap
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,7 +110,13 @@ object Bench {
       if (failed.contains(name)) (name, a, None)
       else if (a > 1.0 && !name.startsWith("dedup_clusters")) {
         val b = once()
-        (name, math.min(a, b), Some((a, b)))
+        if (failed.contains(name)) {
+          // only the REPEAT threw: the first run's timing is valid — keep
+          // it on the board (no misleading [a, 0.00] repeat pair) instead
+          // of discarding a measured success as a failure
+          failed -= name
+          (name, a, None)
+        } else (name, math.min(a, b), Some((a, b)))
       } else (name, a, None)
     }
     // failed queries carry no meaningful timing: keep them OUT of the totals
@@ -161,9 +179,12 @@ object Bench {
     // driver stores (per-query "name":sec pairs survive the clip).
     val commonPrev = try {
       import scala.jdk.CollectionConverters._
+      // numeric round sort: lexicographic order picks BENCH_r99 over
+      // BENCH_r100 (and depends on zero-padding that may never come)
       val benches = java.nio.file.Files.list(java.nio.file.Paths.get("."))
         .iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("BENCH_r\\d+\\.json")).toSeq.sorted
+        .filter(_.matches("BENCH_r\\d+\\.json")).toSeq
+        .sortBy(n => "\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(0))
       benches.lastOption.map { fname =>
         val prev = prevTimings(
           java.nio.file.Files.readString(java.nio.file.Paths.get(fname)))

@@ -338,8 +338,12 @@ object PipelineOps {
         col("effective_tokens").cast(DoubleType) /
           col("inventory_tokens").cast(DoubleType))
       .withColumn("share",
-        col("effective_tokens").cast(DoubleType) /
-          sum(col("effective_tokens")).over(all).cast(DoubleType))
+        // an all-empty corpus (every source at zero inventory) would make
+        // this 0/0 = NaN; report zero shares instead
+        when(sum(col("effective_tokens")).over(all) > 0L,
+          col("effective_tokens").cast(DoubleType) /
+            sum(col("effective_tokens")).over(all).cast(DoubleType))
+          .otherwise(lit(0.0)))
       .select("source", "n_docs", "inventory_tokens", "target_tokens",
         "effective_tokens", "shortfall_tokens", "epochs", "share")
   }

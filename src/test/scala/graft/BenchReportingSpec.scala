@@ -35,4 +35,21 @@ final class BenchReportingSpec extends AnyFunSuite {
     val prev = Bench.prevTimings(artifact)
     assert(prev == Map("q1_pricing_summary" -> 0.5, "ice_dv_scan" -> 13.8))
   }
+
+  test("prevTimings is anchored to the queries block — a colliding bookkeeping key cannot corrupt it") {
+    // a hypothetical future bookkeeping field named like a query must not
+    // leak into the trend numbers while the anchor survives
+    val artifact =
+      """"tail": "{\"metric\":\"total\",\"queries\":{\"q1\":0.5},\"sf\":\"sf0.1\",\"q1_lookalike\":9.9,\"value\":1.0}""""
+    assert(Bench.prevTimings(artifact) == Map("q1" -> 0.5))
+  }
+
+  test("prevTimings falls back to the denylist scrape when the front-clipped tail lost the anchor") {
+    // the driver stores only the LAST 2000 chars of stdout: the line's
+    // front (metric + the queries anchor) is what clipping removes first
+    val clipped = """ry\":0.5,\"ice_dv_scan\":13.8},\"sf\":\"sf0.1\",\"value\":158.01}""""
+    val prev = Bench.prevTimings(clipped)
+    assert(prev.get("ice_dv_scan").contains(13.8))
+    assert(!prev.contains("value"))
+  }
 }

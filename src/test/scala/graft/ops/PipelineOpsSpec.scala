@@ -51,6 +51,11 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val odd = PipelineOps.mixtureWeights(d, budget = 301L, maxEpochs = 100)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(odd == Map("a" -> 101L, "b" -> 100L, "c" -> 100L))
+    // degenerate plan (zero effective tokens everywhere): shares must be
+    // 0.0, never the NaN a raw 0/0 division would produce
+    val zero = PipelineOps.mixtureWeights(d, budget = 0L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
+    assert(zero == Map("a" -> 0.0, "b" -> 0.0, "c" -> 0.0))
   }
 
   test("decontaminate flags exactly the docs sharing a 5-gram with the benchmark") {
