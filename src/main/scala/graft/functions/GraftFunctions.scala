@@ -69,6 +69,13 @@ object GraftFunctions {
     "graft_zorder" -> { args =>
       arity(args, 1, "graft_zorder")
       ZOrderArrayExpr(args.head)
+    },
+    // bounded per-group top-k aggregate (score desc, id asc) — the
+    // partial-aggregating re-rank primitive, exposed to SQL GROUP BY users
+    "graft_top_k_by_score" -> { args =>
+      arity(args, 3, "graft_top_k_by_score")
+      TopKByScore(args.head, args(1), litInt(args(2), "graft_top_k_by_score"))
+        .toAggregateExpression()
     })
 
   private def info(name: String): ExpressionInfo =

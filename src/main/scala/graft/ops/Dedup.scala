@@ -413,6 +413,13 @@ object Dedup {
         .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")),
       threshold)
 
+  /** Test hook: exact jaccard pairs over an in-memory document frame. */
+  private[ops] def jaccardPairsOverDocs(documents: DataFrame,
+      threshold: Double): DataFrame =
+    countJoinJaccard(
+      documents.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")),
+      threshold)
+
   /** Inverted-index count-join: count shared tokens per pair by joining the
     * exploded token streams on (token, source) — no array payloads through
     * the shuffle, cost Σ_tok C(df,2). The exact plan of choice when token
@@ -686,6 +693,39 @@ object Dedup {
     spanStatsRollup(exploded.join(spanDf, "span"))
   }
 
+  // ---------------------------------------------------- dedup verdict
+  /** Per-document dedup VERDICT — the decision a curation pipeline actually
+    * executes once the pair/cluster machinery has run: does this document
+    * survive (keep), and which representative replaces it otherwise.
+    * Composes the two EXACT signals: content-hash families (byte-identical
+    * copies, same md5 normalization as `dedup_exact`) and near-dup clusters
+    * over the materialized jaccard pair graph (min-id labels from
+    * [[duplicateClusters]]). `rep_id` is the smaller of the two
+    * representatives; `keep` ⇔ the doc represents itself in both. Flags are
+    * 0/1 BIGINTs, not booleans, so the oracle hash is render-stable.
+    *
+    * Scale shape: one map-side-combinable groupBy on the content hash, a
+    * hash-keyed join back, and a left join against the cluster labels —
+    * which are pair-fringe-sized and arrive from the persisted artifact,
+    * so the only corpus-wide work is the hash scan.
+    */
+  def dedupVerdict(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      md5(col("text").cast(BinaryType)).as("h"))
+    val families = hashed.groupBy("h").agg(min(col("doc_id")).as("exact_rep"))
+    hashed.join(families, "h")
+      .join(clusters.select(col("doc_id"), col("cluster_id").as("near_rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_rep"),
+        coalesce(col("near_rep"), col("doc_id")).as("near_rep"))
+      .withColumn("exact_dup", (col("doc_id") =!= col("exact_rep")).cast(LongType))
+      .withColumn("near_dup", (col("doc_id") =!= col("near_rep")).cast(LongType))
+      .withColumn("keep",
+        (col("exact_dup") === 0L && col("near_dup") === 0L).cast(LongType))
+      .withColumn("rep_id", least(col("exact_rep"), col("near_rep")))
+      .select("doc_id", "exact_dup", "near_dup", "keep", "rep_id")
+  }
+
   private def jaccardPairsOver(docsWithTokens: DataFrame, threshold: Double): DataFrame =
     jaccardPairsOverPersisted(tokensPersisted(docsWithTokens), threshold)
 
@@ -840,6 +880,41 @@ object Dedup {
           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
             CAST(COUNT(*) AS DOUBLE) AS dup_frac
         FROM e JOIN d USING (span) GROUP BY e.doc_id""")),
+
+    // per-document dedup verdict: exact-hash families + near-dup clusters
+    // (over the materialized pair graph) composed into the keep/drop +
+    // representative decision a pipeline executes — the last dedup step
+    QueryDef(
+      "dedup_verdict",
+      (s, dir) => dedupVerdict(
+        t(s, dir, "documents"),
+        duplicateClusters(
+          IceQueries.pairGraph(s, dir).select(col("doc_a"), col("doc_b")))),
+      Some("""
+        WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source
+            AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src),
+        cl AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+               FROM reach GROUP BY src),
+        fam AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))
+                  AS exact_rep FROM documents)
+        SELECT f.doc_id,
+          CAST(f.doc_id <> f.exact_rep AS BIGINT) AS exact_dup,
+          CAST(f.doc_id <> COALESCE(cl.cluster_id, f.doc_id) AS BIGINT) AS near_dup,
+          CAST(f.doc_id = f.exact_rep
+            AND f.doc_id = COALESCE(cl.cluster_id, f.doc_id) AS BIGINT) AS keep,
+          LEAST(f.exact_rep, COALESCE(cl.cluster_id, f.doc_id)) AS rep_id
+        FROM fam f LEFT JOIN cl USING (doc_id)""")),
 
     // MinHash/LSH near-dup candidates (probabilistic — rows-only check)
     QueryDef(

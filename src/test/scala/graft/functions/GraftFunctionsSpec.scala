@@ -61,6 +61,21 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(frac - 0.5) < 1e-9)
   }
 
+  test("graft_top_k_by_score aggregates per group, ranked (score desc, id asc)") {
+    val rows = spark.sql("""
+      SELECT g, graft_top_k_by_score(s, i, 2) AS top FROM VALUES
+        (1, 0.5D, 10L), (1, 0.9D, 11L), (1, 0.9D, 7L), (1, 0.1D, 12L),
+        (2, 0.3D, 20L)
+      AS t(g, s, i) GROUP BY g ORDER BY g""").collect()
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // ties on score break by SMALLER id first; k=2 bounds the group
+    assert(g1 == Seq((7L, 0.9), (11L, 0.9)))
+    val g2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(g2 == Seq((20L, 0.3)))
+  }
+
   test("graft_zorder2 and graft_zorder evaluate in SQL and agree") {
     val z2 = spark.sql("SELECT graft_zorder2(0L, -1L) AS z").head.getAs[Array[Byte]](0)
     assert((z2(0) & 0xff) == 0x95 && (z2(1) & 0xff) == 0x55,

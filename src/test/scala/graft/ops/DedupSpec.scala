@@ -242,6 +242,35 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_._2 > 0), "fixture should contain cross-doc spans")
   }
 
+  test("dedup verdict composes exact families and near-dup clusters into keep/drop") {
+    val s = spark
+    import s.implicits._
+    // 1 and 2: byte-identical copies (exact family AND a jaccard-1.0
+    // cluster); 3: near-dup of 1 (shares 3 of its 4 tokens — jaccard 0.6 —
+    // but not byte-identical); 4: unique
+    val planted = Seq(
+      (1L, "alpha beta gamma delta", "src"),
+      (2L, "alpha beta gamma delta", "src"),
+      (3L, "alpha beta gamma zeta", "src"),
+      (4L, "totally different words entirely", "src"))
+      .toDF("doc_id", "text", "source")
+    try {
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardPairsOverDocs(planted, 0.5))
+      val got = Dedup.dedupVerdict(planted, clusters).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // (exact_dup, near_dup, keep, rep_id)
+      assert(got(1L) == ((0L, 0L, 1L, 1L)))
+      assert(got(2L) == ((1L, 1L, 0L, 1L)))
+      assert(got(3L) == ((0L, 1L, 0L, 1L)))
+      assert(got(4L) == ((0L, 0L, 1L, 4L)))
+      // law: every document's representative keeps itself
+      val reps = got.values.map(_._4).toSet
+      assert(reps.forall(r => got(r)._3 == 1L))
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("minhash LSH recall against exact jaccard at high threshold") {
     val exact = Dedup.jaccardPairs(spark, sfDir, 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
