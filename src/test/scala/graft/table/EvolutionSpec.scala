@@ -212,6 +212,19 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("r_regionkey").exceptAll(region.select("r_regionkey")).isEmpty)
   }
 
+  test("streaming exact dedup: state survives micro-batch boundaries, equals batch families") {
+    import org.apache.spark.sql.functions.{col, count, lit, md5, min}
+    val (res, batches) = graft.ops.StreamingOps.streamedDedupExact(spark, sfDir)
+    // without multiple batches the cross-batch state claim is vacuous
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(md5(col("text").cast(org.apache.spark.sql.types.BinaryType)))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == expected, "streamed families diverge from the batch dedup")
+  }
+
   test("sessionize under multi-batch delivery: 3 time-ranged files, maxFilesPerTrigger=1") {
     import org.apache.spark.sql.functions.col
     // self-generated NANOS fixture: this case exercises long-nanos delivery
