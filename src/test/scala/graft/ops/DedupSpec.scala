@@ -86,6 +86,29 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally CacheRegistry.releaseAll()
   }
 
+  test("containment prefix-probe plan: doc-keyed ranking window, token-keyed candidate join") {
+    // force the prefix plan regardless of the corpus moment and audit the
+    // shape the 100 TB path relies on
+    val docs = QueryDef.t(spark, sfDir, "documents")
+    try {
+      val p = Dedup.adaptiveContainment(docs, 0.9, statsHint = Some(1e18))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"cartesian in prefix-probe plan:\n$p")
+      // candidates come from a token-keyed join (prefix side vs full index)
+      assert("(BroadcastHash|SortMerge)Join \\[tok".r.findFirstIn(p).nonEmpty ||
+        "hashpartitioning\\([^)]*tok".r.findFirstIn(p).nonEmpty,
+        s"candidate join not keyed on the token:\n$p")
+      // the ONLY ranking window partitions by doc_id — per-document prefix
+      // selection, never a corpus-wide single-key window
+      val rnSpecs = """row_number\(\) windowspecdefinition\(([^,]+),"""
+        .r.findAllMatchIn(p).map(_.group(1)).toList
+      assert(rnSpecs.nonEmpty, s"prefix ranking window missing:\n$p")
+      assert(rnSpecs.forall(_.contains("doc_id")),
+        s"ranking window not keyed per-document: $rnSpecs\n$p")
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("containment prefix plan survives the IEEE ceil hazard at the boundary") {
     val s = spark
     import s.implicits._
