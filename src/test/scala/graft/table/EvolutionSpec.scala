@@ -225,6 +225,25 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, "streamed families diverge from the batch dedup")
   }
 
+  test("streaming dedup state runs on the RocksDB store — the 100 TB state backend") {
+    // the default HDFS-backed store holds state on the JVM heap; a corpus-
+    // scale hash-dedup state only fits the RocksDB provider. Same job, same
+    // families — proves the operator carries no provider assumptions
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (res, batches) = graft.ops.StreamingOps.streamedDedupExact(spark, sfDir)
+      assert(batches >= 2)
+      import org.apache.spark.sql.functions.{col, count, lit, md5, min}
+      val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+        .groupBy(md5(col("text").cast(org.apache.spark.sql.types.BinaryType)))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, "RocksDB-backed run diverged from batch families")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize under multi-batch delivery: 3 time-ranged files, maxFilesPerTrigger=1") {
     import org.apache.spark.sql.functions.col
     // self-generated NANOS fixture: this case exercises long-nanos delivery
