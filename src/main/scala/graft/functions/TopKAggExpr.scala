@@ -124,14 +124,17 @@ object TopKByScore {
       }
     private val heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
 
-    def offer(score: Double, id: Long): Unit =
-      if (heap.size < k) heap.enqueue((score, id))
-      else {
-        val (ws, wi) = heap.head
-        if (score > ws || (score == ws && id < wi)) {
-          heap.dequeue(); heap.enqueue((score, id))
-        }
+    def offer(score: Double, id: Long): Unit = {
+      val e = (score, id)
+      if (heap.size < k) heap.enqueue(e)
+      // comparator-based (never primitive <): java.lang.Double.compare
+      // totally orders NaN as the LARGEST double, exactly like the SQL
+      // descending sort this aggregate replaces — a primitive `score >`
+      // would silently drop NaN candidates the window would have ranked
+      else if (worstFirst.compare(e, heap.head) < 0) {
+        heap.dequeue(); heap.enqueue(e)
       }
+    }
 
     def offer(e: (Double, Long)): Unit = offer(e._1, e._2)
     def foreach(f: ((Double, Long)) => Unit): Unit = heap.foreach(f)
