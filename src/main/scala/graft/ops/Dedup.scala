@@ -726,6 +726,16 @@ object Dedup {
       .select("doc_id", "exact_dup", "near_dup", "keep", "rep_id")
   }
 
+  /** The curated corpus: documents surviving the dedup verdict — the
+    * pipeline's actual deliverable. A broadcast-light LEFT SEMI join of the
+    * corpus against the verdict's keep set (keep rows are ≤ one per doc,
+    * and at 100 TB the semi-join keys on doc_id, co-partitionable with the
+    * corpus layout); no text column travels through any shuffle.
+    */
+  def applyVerdict(docs: DataFrame, verdict: DataFrame): DataFrame =
+    docs.join(verdict.where(col("keep") === 1L).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   private def jaccardPairsOver(docsWithTokens: DataFrame, threshold: Double): DataFrame =
     jaccardPairsOverPersisted(tokensPersisted(docsWithTokens), threshold)
 
@@ -915,6 +925,40 @@ object Dedup {
             AND f.doc_id = COALESCE(cl.cluster_id, f.doc_id) AS BIGINT) AS keep,
           LEAST(f.exact_rep, COALESCE(cl.cluster_id, f.doc_id)) AS rep_id
         FROM fam f LEFT JOIN cl USING (doc_id)""")),
+
+    // the curated corpus: documents surviving the verdict — what the
+    // pipeline actually ships. Oracle re-states the verdict's keep set as
+    // a NOT EXISTS over exact copies and near-dup cluster labels
+    QueryDef(
+      "pipeline_curated_corpus",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        applyVerdict(docs, dedupVerdict(docs, duplicateClusters(
+            IceQueries.pairGraph(s, dir).select(col("doc_a"), col("doc_b")))))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      },
+      Some("""
+        WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source
+            AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src),
+        cl AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+               FROM reach GROUP BY src),
+        fam AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))
+                  AS exact_rep FROM documents)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN fam f USING (doc_id) LEFT JOIN cl USING (doc_id)
+        WHERE f.doc_id = f.exact_rep
+          AND f.doc_id = COALESCE(cl.cluster_id, f.doc_id)""")),
 
     // MinHash/LSH near-dup candidates (probabilistic — rows-only check)
     QueryDef(

@@ -13,6 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - top-n queries always carry a unique tiebreak key in the ORDER BY;
   *   - every aggregate/computed column is cast to an identical type and
   *     aliased to an identical name on both sides;
+  *   - boolean flags are emitted as BIGINT 0/1 on both engines (pyarrow
+  *     renders Python True, DuckDB true — a direct boolean column would
+  *     hash-mismatch on rendering alone);
   *   - NO final output column may be DECIMAL (or DuckDB HUGEINT): the
   *     driver renders Spark parquet decimals as python Decimal ('253942.00')
   *     but DuckDB results as float64 ('253942.0'), so trailing-zero scale

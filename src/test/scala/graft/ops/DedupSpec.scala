@@ -291,6 +291,13 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       // law: every document's representative keeps itself
       val reps = got.values.map(_._4).toSet
       assert(reps.forall(r => got(r)._3 == 1L))
+      // the curated corpus is exactly the keep set: the copy and the
+      // near-dup are gone, their shared representative and the unique
+      // document survive
+      val curated = Dedup.applyVerdict(planted,
+          Dedup.dedupVerdict(planted, clusters))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(curated == Set(1L, 4L))
     } finally CacheRegistry.releaseAll()
   }
 
