@@ -76,6 +76,29 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2 == Seq((20L, 0.3)))
   }
 
+  test("top-k aggregate buffer survives the shuffle serialize/deserialize round-trip") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.functions.TopKByScore(
+      Literal.default(DoubleType), Literal.default(LongType), 3)
+    val buf = agg.createAggregationBuffer()
+    Seq((0.5, 10L), (0.9, 11L), (0.9, 7L), (0.1, 12L), (Double.NaN, 5L))
+      .foreach { case (s, i) => buf.offer(s, i) }
+    val restored = agg.deserialize(agg.serialize(buf))
+    // compare through doubleToLongBits: a tuple == on (NaN, id) is always
+    // false under IEEE NaN semantics even for identical entries
+    def bits(e: (Double, Long)) = (java.lang.Double.doubleToLongBits(e._1), e._2)
+    assert(restored.sortedBestFirst.map(bits).toSeq ==
+      buf.sortedBestFirst.map(bits).toSeq)
+    // NaN ranks LARGEST (the SQL descending-sort contract), ties by id
+    assert(buf.sortedBestFirst.map(_._2).toSeq == Seq(5L, 7L, 11L))
+    // merging two buffers equals offering the union
+    val other = agg.createAggregationBuffer()
+    Seq((0.95, 2L), (0.2, 3L)).foreach { case (s, i) => other.offer(s, i) }
+    val merged = agg.merge(buf, other)
+    assert(merged.sortedBestFirst.map(_._2).toSeq == Seq(5L, 2L, 7L))
+  }
+
   test("graft_zorder2 and graft_zorder evaluate in SQL and agree") {
     val z2 = spark.sql("SELECT graft_zorder2(0L, -1L) AS z").head.getAs[Array[Byte]](0)
     assert((z2(0) & 0xff) == 0x95 && (z2(1) & 0xff) == 0x55,
