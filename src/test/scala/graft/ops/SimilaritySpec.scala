@@ -41,6 +41,40 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.25, s"LSH recall $recall below floor (|lsh|=${lsh.size}, |exact|=${exact.size})")
   }
 
+  test("partial top-k matches an independent ranking on a LARGE query batch") {
+    // the window formulation this aggregate replaced made nQueries
+    // corpus-sized partitions — the failure mode only shows at batch
+    // scale, so rank 200 queries (40% of the sf0.001 corpus) and compare
+    // against a driver-side oracle that mirrors the codegen cosine
+    // bit-for-bit (float→double, index-order accumulation, HALF_UP round)
+    val k = 5
+    val nQ = 200
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (0L until nQ.toLong).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }
+        .take(k).zipWithIndex
+        .map { case ((n, c), i) => (q, n, c, i + 1) }
+    }.toSet
+    val got = Similarity.bruteForceTopK(spark, sfDir, nQ, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected, s"batch top-k diverged (${got.size} vs ${expected.size})")
+    CacheRegistry.releaseAll()
+  }
+
   test("IVF-Flat ANN recall against the exact top-k") {
     val exact = Similarity.bruteForceTopK(spark, sfDir, 5, 10)
       .select("query_id", "neighbor_id").collect()
