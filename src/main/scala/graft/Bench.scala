@@ -70,6 +70,7 @@ object Bench {
     // consumers (clustering) read it. dedup_jaccard_pairs still times the
     // pair-generation plan itself every round
     try { graft.ops.IceQueries.pairGraph(spark, sfDir); () } catch { case _: Throwable => }
+    try { graft.ops.IceQueries.lshCandidates(spark, sfDir); () } catch { case _: Throwable => }
     try { graft.ops.IceQueries.incremental(spark, sfDir); () } catch { case _: Throwable => }
     try SparkEntry.queries.get("sim_ann_ivf")
       .foreach(_.apply(spark, sfDir).count()) catch { case _: Throwable => }

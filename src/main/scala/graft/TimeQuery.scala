@@ -31,6 +31,7 @@ object TimeQuery {
       }
     warm("curation") { graft.ops.IceQueries.curation(spark, sfDir); () }
     warm("pair graph") { graft.ops.IceQueries.pairGraph(spark, sfDir); () }
+    warm("lsh candidates") { graft.ops.IceQueries.lshCandidates(spark, sfDir); () }
     warm("incremental") { graft.ops.IceQueries.incremental(spark, sfDir); () }
     warm("ice fixtures") { SparkEntry.queries.get("ice_time_travel")
       .foreach(_.apply(spark, sfDir).count()) }

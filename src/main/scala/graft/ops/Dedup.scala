@@ -970,10 +970,13 @@ object Dedup {
     // actually affords (exact pairs are the oracle-checkable baseline
     // above). Probabilistic candidates → rows-only check; the clustering
     // itself is exact for whatever graph it's given (DedupSpec union-find).
+    // Same artifact discipline as dedup_clusters: candidates arrive from
+    // the persisted set the generation pass leaves behind
+    // (IceQueries.lshCandidates); dedup_minhash_lsh above times generation
     QueryDef(
       "dedup_clusters_lsh",
       (s, dir) => duplicateClusters(
-        minhashCandidates(s, dir, 0.5).select(col("doc_a"), col("doc_b"))),
+        IceQueries.lshCandidates(s, dir).select(col("doc_a"), col("doc_b"))),
       None),
 
     // SimHash near-dup candidates (probabilistic — rows-only check)

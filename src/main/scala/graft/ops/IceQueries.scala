@@ -275,6 +275,30 @@ object IceQueries {
     spark.read.parquet(path)
   }
 
+  private val lshCandidateArtifacts = new ConcurrentHashMap[String, String]()
+
+  /** The MATERIALIZED MinHash/LSH candidate-pair set for the curation
+    * documents table's current snapshot — the probabilistic sibling of
+    * [[pairGraph]], same accumulated-artifact discipline: candidate
+    * generation (sign + band + bucket-join + signature verify) is paid once
+    * per snapshot and persisted; downstream clustering reads the pairs.
+    * `dedup_minhash_lsh` stays the timed candidate-generation benchmark.
+    */
+  def lshCandidates(spark: SparkSession, dir: String,
+      estThreshold: Double = 0.5): DataFrame = {
+    val (docsTable, _) = curation(spark, dir)
+    val snap = docsTable.currentSnapshot.map(_.snapshotId).getOrElse(0L)
+    val key = s"$dir|$snap|$estThreshold"
+    val path = lshCandidateArtifacts.computeIfAbsent(key, _ => {
+      val p = s"${docsTable.location}/artifacts/" +
+        s"lsh-candidates-t${math.round(estThreshold * 100)}-s$snap"
+      Dedup.minhashCandidates(spark, dir, estThreshold)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** Incremental-dedup fixture state: the two-snapshot documents table, the
     * accumulated token index and MinHash signature tables (both covering
     * exactly the FIRST snapshot), and the watermark snapshot id.
