@@ -48,6 +48,19 @@ object Dedup {
     bandsOf(docs.select(col("doc_id"), col("source"),
       minhashSig(wordSet(col("text"))).as("sig")))
 
+  /** Arithmetic band fold: a small modular polynomial over a band's
+    * signature components (each first reduced to its low 32 bits). Replaces
+    * Spark's engine-private `hash()` so a SQL oracle can restate the fold
+    * verbatim; every intermediate stays under 2^52 — overflow-free in
+    * checked-arithmetic engines. Collisions (2^31 space) only ADD candidate
+    * pairs, which the signature-agreement verify filters identically in
+    * both engines.
+    */
+  private def bandFold(ss: Seq[Column]): Column =
+    ss.foldLeft(lit(0L): Column) { (acc, s) =>
+      (acc * lit(1000003L) + (s % lit(4294967296L))) % lit(2147483647L)
+    }
+
   /** Band hashes derived from an existing signature frame
     * (doc_id, source, sig) — so a cached signature pass is computed once
     * and every consumer (banding, verify join) reads the cache.
@@ -56,8 +69,44 @@ object Dedup {
     val rows = NumHashes / BandCount
     sigs.select(col("doc_id") +: col("source") +: extra.map(col) :+ posexplode(
         array((0 until BandCount).map(b =>
-          hash((0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*)): _*)
+          bandFold((0 until rows).map(r => col("sig")(b * rows + r)))): _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  // ------------------------------------------------ minhash oracle SQL
+  /** The signature/band/candidate CTEs every MinHash-LSH oracle shares —
+    * generated from the SAME coefficient arrays and fold constants the
+    * codegen expressions use, so the SQL restatement cannot drift from the
+    * engine. `hx` parses the first 4 MD5 bytes exactly as
+    * [[graft.functions.TokenHash.hash32]]; `sg` is 64 per-permutation MIN
+    * aggregates; `bands` is the [[bandFold]] polynomial via list_reduce.
+    */
+  private[ops] def minhashCandCtes: String = {
+    import graft.functions.MinHashSig.{NumHashes => N, Prime, coeffA, coeffB}
+    val mins = (0 until N)
+      .map(i => s"min((${coeffA(i)}*x + ${coeffB(i)}) % $Prime)")
+      .mkString(", ")
+    s"""t AS (SELECT doc_id, source, list_distinct(string_split(
+    regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS ws FROM documents),
+hx AS (SELECT doc_id, source,
+    CAST(('0x' || substr(md5(u.tok),1,8)) AS BIGINT) AS x
+  FROM t, unnest(ws) AS u(tok)),
+sg AS (SELECT doc_id, source, [$mins] AS sig FROM hx GROUP BY doc_id, source),
+bands AS (SELECT doc_id, source, b.band,
+    list_reduce([0] || sig[4*b.band+1:4*b.band+4], (acc, s) ->
+      (acc*1000003 + (s % 4294967296)) % 2147483647) AS band_hash
+  FROM sg, (SELECT unnest(range(0,16)) AS band) b),
+mh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    AND a.source = b.source AND a.doc_id < b.doc_id),
+mh_pairs AS (
+  SELECT doc_a, doc_b, est_jaccard FROM (
+    SELECT cd.doc_a, cd.doc_b,
+      CAST(len(list_filter(range(0,$N), i -> sa.sig[i+1] = sb.sig[i+1]))
+        AS DOUBLE) / $N AS est_jaccard
+    FROM mh_cand cd JOIN sg sa ON sa.doc_id = cd.doc_a
+      JOIN sg sb ON sb.doc_id = cd.doc_b) z
+  WHERE est_jaccard >= 0.5)"""
   }
 
   /** LSH candidate pairs: docs sharing any band bucket, with the estimated
@@ -127,6 +176,27 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** SimHash oracle CTEs: the 62 per-bit sign votes as one GROUP BY with 62
+    * CASE aggregates, token hash restated from
+    * [[graft.functions.TokenHash.hash62]] (two masked 31-bit MD5 words).
+    */
+  private[ops] def simhashCtes: String = {
+    import graft.functions.SimHashSig.{Bits}
+    val bits = (0 until Bits).map(j =>
+      s"(CASE WHEN sum(CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""t AS (SELECT doc_id, source, list_distinct(string_split(
+    regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS ws FROM documents),
+hx AS (SELECT doc_id, source,
+    (CAST(('0x' || substr(md5(u.tok),1,8)) AS BIGINT) & 2147483647) * 2147483648 +
+    (CAST(('0x' || substr(md5(u.tok),9,8)) AS BIGINT) & 2147483647) AS x
+  FROM t, unnest(ws) AS u(tok)),
+sh AS (SELECT doc_id, source, $bits AS simhash FROM hx GROUP BY doc_id, source),
+banded AS (SELECT doc_id, source, b.band,
+    (simhash >> (16*b.band)) & 65535 AS band_val, simhash
+  FROM sh, (SELECT unnest(range(0,4)) AS band) b)"""
   }
 
   // ---------------------------------------------------- exact jaccard
@@ -960,16 +1030,22 @@ object Dedup {
         WHERE f.doc_id = f.exact_rep
           AND f.doc_id = COALESCE(cl.cluster_id, f.doc_id)""")),
 
-    // MinHash/LSH near-dup candidates (probabilistic — rows-only check)
+    // MinHash/LSH near-dup candidates — deterministic end-to-end since r12
+    // (MD5-derived token hashes, overflow-free affine permutations, the
+    // arithmetic band fold), so the FULL pipeline faces a DuckDB oracle
+    // that restates signature → band → bucket-join → signature-verify.
+    // Candidate recall stays a design property (pinned in DedupSpec)
     QueryDef(
       "dedup_minhash_lsh",
       (s, dir) => minhashCandidates(s, dir, 0.5),
-      None),
+      Some(s"""
+        WITH $minhashCandCtes
+        SELECT doc_a, doc_b, est_jaccard FROM mh_pairs""")),
 
     // clustering over the LSH candidate graph — the pairing a 100 TB corpus
     // actually affords (exact pairs are the oracle-checkable baseline
-    // above). Probabilistic candidates → rows-only check; the clustering
-    // itself is exact for whatever graph it's given (DedupSpec union-find).
+    // above). Since r12 the candidate set is deterministic, so the oracle
+    // restates LSH candidates + the recursive connected-component closure.
     // Same artifact discipline as dedup_clusters: candidates arrive from
     // the persisted set the generation pass leaves behind
     // (IceQueries.lshCandidates); dedup_minhash_lsh above times generation
@@ -977,12 +1053,33 @@ object Dedup {
       "dedup_clusters_lsh",
       (s, dir) => duplicateClusters(
         IceQueries.lshCandidates(s, dir).select(col("doc_a"), col("doc_b"))),
-      None),
+      Some(s"""
+        WITH RECURSIVE $minhashCandCtes,
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+              UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src)
+        SELECT src AS doc_id, MIN(node) AS cluster_id
+        FROM reach GROUP BY src""")),
 
-    // SimHash near-dup candidates (probabilistic — rows-only check)
+    // SimHash near-dup candidates — deterministic since r12 (62-bit MD5
+    // sign votes), oracle restates votes → bands → bucket-join → hamming
     QueryDef(
       "dedup_simhash",
       (s, dir) => simhashCandidates(s, dir, 8),
-      None)
+      Some(s"""
+        WITH $simhashCtes,
+        sh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b ON a.band = b.band
+            AND a.band_val = b.band_val
+            AND a.source = b.source AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT doc_a, doc_b,
+            CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+          FROM sh_cand) z
+        WHERE hamming <= 8"""))
   )
 }

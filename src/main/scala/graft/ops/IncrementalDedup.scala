@@ -373,9 +373,13 @@ object IncrementalDedup {
         GROUP BY e.doc_id""")),
 
     // LSH candidates touching the increment against the persisted MinHash
-    // signature table — the probabilistic scale path (probabilistic
-    // candidates → rows-only check; recall vs the exact incremental pairs
-    // is pinned in IncrementalDedupSpec)
+    // signature + band-bucket tables — the probabilistic scale path.
+    // Deterministic since r12 (MD5-arith signatures + band fold), so the
+    // oracle restates the FULL-corpus LSH pipeline restricted to pairs with
+    // an increment side — exactly the incremental contract: a missed stored
+    // bucket, a stale-watermark double-count, or a banding drift between
+    // the persisted artifact and the fresh path all break the hash. Recall
+    // vs the exact incremental pairs stays pinned in IncrementalDedupSpec
     QueryDef(
       "dedup_incremental_minhash",
       (s, dir) => {
@@ -383,6 +387,9 @@ object IncrementalDedup {
         incrementalMinhashCandidatesBanded(
           s, f.docs, f.signatures, f.bandBuckets, f.watermark, 0.5)
       },
-      None)
+      Some(s"""
+        WITH ${Dedup.minhashCandCtes}
+        SELECT doc_a, doc_b, est_jaccard FROM mh_pairs
+        WHERE doc_a % 10 = 0 OR doc_b % 10 = 0"""))
   )
 }

@@ -60,24 +60,73 @@ object Similarity {
       k)
   }
 
-  /** Multi-table random-hyperplane LSH: L tables of k planes each (higher
-    * recall at the same bucket sparsity). Planes are deterministic from the
-    * spec murmur3; the bucket computation is the native codegen expression
-    * [[graft.functions.LshBucketsExpr]] (bit-identical to the Scala UDF it
-    * replaced).
+  /** Per-vector symmetric int8 quantization: `code_i = round(x_i / scale)`
+    * with `scale = max(max_i |x_i|, 1e-12) / 127` — codes in [-127, 127],
+    * one float scale per vector (a 4× at-rest/bandwidth reduction for the
+    * candidate passes that read only codes). DETERMINISTIC BY CONSTRUCTION:
+    * scale is a max (no accumulation order), the division+round is one IEEE
+    * op per element with identical half-away-from-zero semantics in Spark
+    * and DuckDB, and every downstream dot product over codes is an exact
+    * small-integer sum — which is what lets the LSH/quantized ANN oracles
+    * restate candidate generation bit-for-bit in SQL.
     */
-  private def lshBuckets(c: Column): Column =
+  private[ops] def withInt8Codes(emb: DataFrame,
+      embCol: String = "embedding"): DataFrame =
+    emb.withColumn("qscale",
+        greatest(array_max(transform(col(embCol), x => abs(x.cast(DoubleType)))),
+          lit(1e-12)) / lit(127.0))
+      .withColumn("codes",
+        transform(col(embCol), x =>
+          round(x.cast(DoubleType) / col("qscale")).cast(LongType)))
+      .drop("qscale")
+
+  /** The codes CTE of every embedding oracle — the SQL statement of
+    * [[withInt8Codes]], verbatim.
+    */
+  private def codesCteSql: String = """
+c AS (
+  SELECT vec_id, label, embedding,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+      (greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-12)/127.0))
+      AS BIGINT)) AS codes
+  FROM embeddings)"""
+
+  /** The per-table LSH bucket expressions over the codes CTE, generated
+    * from the SAME [[graft.functions.LshBuckets.plane]] integers the
+    * codegen expression uses — the two engines cannot drift.
+    */
+  private def bucketColsSql: String = {
+    import graft.functions.LshBuckets.{Tables, PlanesPerTable, plane}
+    (0 until Tables).map { tb =>
+      val planes = (0 until PlanesPerTable).map { p =>
+        val proj = (0 until 64).map(d => s"(${plane(tb, p, d)})*codes[${d + 1}]")
+          .mkString(" + ")
+        s"(CASE WHEN ($proj) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($planes) AS b$tb"
+    }.mkString(", ")
+  }
+
+  /** Multi-table hyperplane LSH over int8 codes: L tables of k planes each
+    * (higher recall at the same bucket sparsity). Planes are deterministic
+    * LCG integers and projections are exact integer sums — the bucket
+    * computation is the native codegen expression
+    * [[graft.functions.LshBucketsExpr]], restated verbatim by the oracle.
+    */
+  private def lshBuckets(codes: Column): Column =
     org.apache.spark.sql.graftshim.GraftShim.column(
       graft.functions.LshBucketsExpr(
-        org.apache.spark.sql.graftshim.GraftShim.expression(c)))
+        org.apache.spark.sql.graftshim.GraftShim.expression(codes)))
 
   /** ANN via multi-table LSH: neighbors searched only among bucket-mates of
-    * any table (probabilistic recall — rows-only check). The shuffle key is
-    * (table, bucket); the corpus is never self-joined all-pairs.
+    * any table. The shuffle key is (table, bucket); the corpus is never
+    * self-joined all-pairs. Bucket recall is a design property, but the
+    * OUTPUT is deterministic (integer buckets + rounded-cosine verify), so
+    * the oracle restates the whole pipeline.
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-      .withColumn("buckets", lshBuckets(col("embedding")))
+    val emb = withInt8Codes(t(spark, dir, "embeddings"))
+      .withColumn("buckets", lshBuckets(col("codes")))
     val banded = emb.select(col("vec_id"), col("embedding"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val queries = banded.where(col("vec_id") < nQueries)
@@ -101,14 +150,14 @@ object Similarity {
     * the recall against the exact blocked join.
     */
   def embeddingNearDupLSH(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = withInt8Codes(t(spark, dir, "embeddings"))
       .transform(CacheRegistry.persist(_))
     // candidate generation is ID-only: a pair surfaces once per shared
     // bucket, so dedup BEFORE attaching the 64-float vectors — the distinct
     // then shuffles slim (id, id, label) rows, not array payloads
     val banded = emb
       .select(col("vec_id"), col("label"),
-        posexplode(lshBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
+        posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -311,55 +360,47 @@ object Similarity {
   }
 
   /** Scalar int8 quantization + quantized ANN — the memory/IO scale path.
-    * Per-dimension corpus (min, max) — ONE aggregate row of 2×64 floats,
-    * broadcast as literals — maps each float32 vector to 64 one-byte
-    * codes: a 4× at-rest and scan-bandwidth reduction, which at 100 TB of
-    * embeddings is the difference between an in-memory and a disk-bound
-    * candidate pass. Candidate generation scores DEQUANTIZED codes only
-    * (the narrow representation is all the corpus pass reads); the exact
-    * re-rank then fetches original vectors for just the k×oversample
-    * candidate ids per query — a candidate-keyed lookup, never a second
-    * corpus pass.
+    * Per-vector symmetric codes ([[withInt8Codes]]) map each float32 vector
+    * to 64 one-byte codes + one scale: a 4× at-rest and scan-bandwidth
+    * reduction, which at 100 TB of embeddings is the difference between an
+    * in-memory and a disk-bound candidate pass. Candidate generation scores
+    * CODES only — cosine over code vectors, an exact integer dot product
+    * (scales cancel in cosine up to quantization error, so candidates never
+    * read the scale either); the exact re-rank then fetches original
+    * vectors for just the k×oversample candidate ids per query — a
+    * candidate-keyed lookup, never a second corpus pass.
     *
-    * Rows-only (quantized candidate recall is probabilistic by
-    * construction); SimilaritySpec pins recall against the exact top-k and
-    * the per-dimension reconstruction-error bound (≤ scale/2).
+    * Candidate RECALL is approximate by construction, but every arithmetic
+    * step is cross-engine exact (integer dots, IEEE sqrt/divide, rounded
+    * re-rank), so the oracle restates the whole pipeline and hash-matches;
+    * SimilaritySpec additionally pins recall against the exact top-k and
+    * the per-element reconstruction-error bound (≤ scale/2).
     */
   def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       oversample: Int = 4): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val dim = 64
-    val statsRow = emb.agg(
-      array((0 until dim).map(i => min(element_at(col("embedding"), i + 1))): _*)
-        .as("mins"),
-      array((0 until dim).map(i => max(element_at(col("embedding"), i + 1))): _*)
-        .as("maxs"))
-      .head()
-    val mins = statsRow.getSeq[Float](0).map(_.toDouble)
-    val maxs = statsRow.getSeq[Float](1).map(_.toDouble)
-    val minsLit = array(mins.map(lit): _*)
-    // degenerate (constant) dimensions keep a nonzero scale so the code is 0
-    val scalesLit = array(mins.indices.map(i =>
-      lit(math.max(maxs(i) - mins(i), 1e-30) / 255.0)): _*)
-    def quantize(c: Column): Column = transform(c, (v, i) =>
-      round((v.cast(DoubleType) - element_at(minsLit, i + 1)) /
-        element_at(scalesLit, i + 1)).cast(IntegerType))
-    def dequantize(q: Column): Column = transform(q, (code, i) =>
-      element_at(minsLit, i + 1) +
-        code.cast(DoubleType) * element_at(scalesLit, i + 1))
-    val coded = emb
-      .select(col("vec_id"), quantize(col("embedding")).as("codes"))
+    val coded = withInt8Codes(emb)
+      // codes as doubles for the exact fused cosine loop (small-int values:
+      // every product/sum below 2^53 is exact, so accumulation order is
+      // irrelevant — unlike float inputs); all-zero codes (a zero vector)
+      // would make cosine 0/0 — flag once per vector, score -2 (ranked last)
+      .select(col("vec_id"),
+        transform(col("codes"), _.cast(DoubleType)).as("codesd"),
+        (array_max(transform(col("codes"), x => abs(x))) === 0L).as("qzero"))
       .transform(CacheRegistry.persist(_))
     val queries = coded.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), dequantize(col("codes")).as("dq_q"))
+      .select(col("vec_id").as("query_id"), col("codesd").as("qcodes"),
+        col("qzero").as("q_zero"))
     // approx candidate stage: same partial top-k aggregate (k·oversample
-    // per query) — the corpus-sized dequantized scores never cross an
+    // per query) — the corpus-sized quantized scores never cross an
     // exchange un-reduced
     val cand = coded
-      .select(col("vec_id").as("neighbor_id"), dequantize(col("codes")).as("dq_n"))
+      .select(col("vec_id").as("neighbor_id"), col("codesd").as("ncodes"),
+        col("qzero").as("n_zero"))
       .crossJoin(broadcast(queries))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("dq_q"), col("dq_n")))
+      .withColumn("cos_sim", when(col("q_zero") || col("n_zero"), lit(-2.0))
+        .otherwise(cosine(col("qcodes"), col("ncodes"))))
       .transform(perQueryTopK(_, k * oversample))
       .select("query_id", "neighbor_id")
     exactRerank(cand, emb, nQueries, k)
@@ -382,29 +423,21 @@ object Similarity {
         .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4)),
       k)
 
-  /** Test hook: the per-dimension quantization machinery, exposed so the
-    * spec can pin the reconstruction-error bound directly.
+  /** Test hook: the per-vector quantization machinery round-tripped, exposed
+    * so the spec can pin the reconstruction-error bound (≤ qscale/2 per
+    * element) directly.
     */
   private[ops] def quantizeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val dim = 64
-    val statsRow = emb.agg(
-      array((0 until dim).map(i => min(element_at(col("embedding"), i + 1))): _*),
-      array((0 until dim).map(i => max(element_at(col("embedding"), i + 1))): _*))
-      .head()
-    val mins = statsRow.getSeq[Float](0).map(_.toDouble)
-    val maxs = statsRow.getSeq[Float](1).map(_.toDouble)
-    val minsLit = array(mins.map(lit): _*)
-    val scalesLit = array(mins.indices.map(i =>
-      lit(math.max(maxs(i) - mins(i), 1e-30) / 255.0)): _*)
-    emb.select(col("vec_id"), col("embedding"),
-      transform(
-        transform(col("embedding"), (v, i) =>
-          round((v.cast(DoubleType) - element_at(minsLit, i + 1)) /
-            element_at(scalesLit, i + 1)).cast(IntegerType)),
-        (code, i) => element_at(minsLit, i + 1) +
-          code.cast(DoubleType) * element_at(scalesLit, i + 1)).as("dequantized"),
-      scalesLit.as("scales"))
+    val scale = greatest(
+      array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))),
+      lit(1e-12)) / lit(127.0)
+    emb.select(col("vec_id"), col("embedding"), scale.as("qscale"),
+        transform(col("embedding"), x =>
+          round(x.cast(DoubleType) / col("qscale")).cast(LongType)).as("codes"))
+      .select(col("vec_id"), col("embedding"), col("qscale"),
+        transform(col("codes"), c => c.cast(DoubleType) * col("qscale"))
+          .as("dequantized"))
   }
 
   /** Label centroid distances: per-label mean vector, then each vector's
@@ -442,13 +475,64 @@ object Similarity {
           WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id) sub
         WHERE rn <= 10""")),
 
-    QueryDef("sim_ann_lsh", (s, dir) => lshTopK(s, dir, 5, 10), None),
+    // multi-table LSH ANN, fully deterministic since r12 (integer planes
+    // over int8 codes): the oracle restates codes → buckets → bucket-mate
+    // candidates → rounded-cosine top-k and hash-matches
+    QueryDef("sim_ann_lsh", (s, dir) => lshTopK(s, dir, 5, 10),
+      Some(s"""
+        WITH $codesCteSql,
+        bk AS (SELECT vec_id, embedding, $bucketColsSql FROM c),
+        cand AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            q.embedding AS qe, n.embedding AS ne
+          FROM bk q, bk n
+          WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id
+            AND (q.b0 = n.b0 OR q.b1 = n.b1 OR q.b2 = n.b2 OR q.b3 = n.b3))
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT query_id, neighbor_id,
+            round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+              CAST(ne AS DOUBLE[])), 4) AS cos_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                CAST(ne AS DOUBLE[])), 4) DESC, neighbor_id) AS rn
+          FROM cand) z WHERE rn <= 10""")),
 
-    // int8-quantized candidate generation + exact re-rank (probabilistic
-    // candidate recall → rows-only; recall + reconstruction bound pinned
-    // in SimilaritySpec)
+    // int8-quantized candidate generation + exact re-rank — deterministic
+    // end-to-end since r12 (integer code dots, IEEE sqrt/divide, rounded
+    // re-rank), so the whole pipeline faces the oracle; recall +
+    // reconstruction bound additionally pinned in SimilaritySpec
     QueryDef("sim_quantized_topk",
-      (s, dir) => quantizedTopK(s, dir, 5, 10), None),
+      (s, dir) => quantizedTopK(s, dir, 5, 10),
+      Some(s"""
+        WITH $codesCteSql,
+        n AS (SELECT vec_id, codes,
+            list_reduce(list_transform(codes, x -> x*x), (a,b) -> a+b) AS nrm
+          FROM c),
+        scored AS (
+          SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+            CASE WHEN q.nrm = 0 OR b.nrm = 0 THEN -2.0
+              ELSE CAST(list_reduce(list_transform(range(1,65),
+                  i -> q.codes[i]*b.codes[i]), (x,y) -> x+y) AS DOUBLE)
+                / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+              END AS approx
+          FROM n q, n b WHERE q.vec_id < 5 AND b.vec_id <> q.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY approx DESC, neighbor_id) AS crn
+            FROM scored) z WHERE crn <= 40),
+        rer AS (
+          SELECT cd.query_id, cd.neighbor_id,
+            round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+              CAST(ne.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM cand cd JOIN embeddings qe ON qe.vec_id = cd.query_id
+            JOIN embeddings ne ON ne.vec_id = cd.neighbor_id)
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM rer) z WHERE rn <= 10""")),
 
     // the exact RE-RANK stage oracle-tightened: over a DETERMINISTIC
     // candidate rule both engines state identically (neighbor_id % 5 <>
@@ -502,10 +586,22 @@ object Similarity {
           WHERE a.label = b.label AND a.vec_id < b.vec_id) sub
         WHERE cos_sim >= 0.2""")),
 
-    // LSH-candidate near-dup (probabilistic recall, exact verify — the
-    // shape that survives unbounded label blocks; rows-only check)
+    // LSH-candidate near-dup — the shape that survives unbounded label
+    // blocks. Bucket recall is a design property, but the output is
+    // deterministic since r12 (integer planes over int8 codes + exact
+    // rounded-cosine verify), so the oracle restates the full pipeline
     QueryDef("dedup_embedding_lsh",
-      (s, dir) => embeddingNearDupLSH(s, dir, 0.2), None),
+      (s, dir) => embeddingNearDupLSH(s, dir, 0.2),
+      Some(s"""
+        WITH $codesCteSql,
+        bk AS (SELECT vec_id, label, embedding, $bucketColsSql FROM c)
+        SELECT vec_a, vec_b, label, cos_sim FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM bk a JOIN bk b ON a.label = b.label AND a.vec_id < b.vec_id
+            AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)) z
+        WHERE cos_sim >= 0.2""")),
 
     // SemDeDup: cluster (IVF cells), dedup within clusters, keep one rep
     // per duplicate group — the label-free semantic dedup for web-scale

@@ -200,10 +200,11 @@ class PropertySpec extends AnyFunSuite {
       val sigA = graft.functions.MinHashSig.compute(arr(a)).toLongArray()
       val sigB = graft.functions.MinHashSig.compute(arr(b)).toLongArray()
       sigU.indices.foreach(i => assert(sigU(i) == math.min(sigA(i), sigB(i))))
-      // lsh buckets: 4 per vector, each within 4 plane bits
-      val vec = new GenericArrayData(
-        Array.fill(64)(rnd.nextFloat() * 2 - 1).map(Float.box(_): Any))
-      val buckets = graft.functions.LshBuckets.compute(vec).toIntArray()
+      // lsh buckets (over int8 quantization codes): 4 per vector, each
+      // within 4 plane bits
+      val codes = new GenericArrayData(
+        Array.fill(64)((rnd.nextInt(255) - 127).toLong).map(Long.box(_): Any))
+      val buckets = graft.functions.LshBuckets.compute(codes).toIntArray()
       assert(buckets.length == 4 && buckets.forall(v => v >= 0 && v < 16))
     }
   }

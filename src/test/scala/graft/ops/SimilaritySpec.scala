@@ -110,17 +110,17 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally CacheRegistry.releaseAll()
   }
 
-  test("int8 quantization reconstruction error is within scale/2 per dimension") {
+  test("int8 quantization reconstruction error is within qscale/2 per element") {
     val rows = Similarity.quantizeRoundTrip(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val orig = r.getSeq[Float](1)
-      val deq = r.getSeq[Double](2)
-      val scales = r.getSeq[Double](3)
+      val qscale = r.getDouble(2)
+      val deq = r.getSeq[Double](3)
       orig.indices.foreach { i =>
         val err = math.abs(orig(i).toDouble - deq(i))
-        assert(err <= scales(i) / 2.0 + 1e-12,
-          s"vec ${r.getLong(0)} dim $i error $err > ${scales(i) / 2.0}")
+        assert(err <= qscale / 2.0 + 1e-12,
+          s"vec ${r.getLong(0)} dim $i error $err > ${qscale / 2.0}")
       }
     }
   }
