@@ -74,15 +74,20 @@ object PipelineOps {
     * One-sided error: a contaminated gram is NEVER missed (no false
     * negatives — PipelineOpsSpec pins exact ⊆ bloom). False positives
     * compound PER DOCUMENT: a clean doc with g distinct grams is flagged
-    * with probability ≈ g·fpp, so the per-GRAM fpp must be sized from the
-    * per-DOC target (fpp ≈ doc_fp_target / avg_grams_per_doc — the 1e-4
-    * default holds doc-level noise near 1% for ~100-gram docs, at ~2.9 MB
-    * of sketch per million benchmark grams). The right deployment runs
-    * this as the cheap first pass and the exact join only on the flagged
-    * survivors.
+    * with probability ≈ g·fpp, so the per-GRAM rate must be sized from the
+    * per-DOC target — the fixed 20-bits/key, k=13 sizing
+    * ([[graft.functions.GraftBloom]]) holds the gram-level rate near 1e-4
+    * (doc-level noise ≈ 1% for ~100-gram docs) at 2.5 MB of sketch per
+    * million benchmark grams. The right deployment runs this as the cheap
+    * first pass and the exact join only on the flagged survivors.
+    *
+    * Oracle-gated since r12: [[graft.functions.GraftBloom]]'s MD5 probe
+    * positions are engine-portable, so the DuckDB oracle rebuilds the SAME
+    * bit set and reproduces the false positives exactly — the sketch's
+    * error pattern is part of the spec, not an engine accident.
     */
   def decontaminateBloom(documents: org.apache.spark.sql.DataFrame,
-      benchMaxId: Long, fpp: Double = 1e-4): org.apache.spark.sql.DataFrame = {
+      benchMaxId: Long): org.apache.spark.sql.DataFrame = {
     val docs = documents.select(col("doc_id"), words.as("w"))
     val g5 = docs.select(col("doc_id"),
       explode(distinctGrams(col("w"), 5)).as("gram"))
@@ -90,7 +95,7 @@ object PipelineOps {
     // both actions touch only the BENCHMARK slice (eval-suite-sized however
     // big the corpus is) — same plan-time cost class as the IVF codebook fit
     val expected = math.max(bench.count(), 1L)
-    val bloom = bench.stat.bloomFilter("gram", expected, fpp)
+    val bloom = graft.functions.GraftBloom.build(bench, "gram", expected)
     g5.where(col("doc_id") >= benchMaxId)
       .where(graft.functions.BloomExprs.mightContain(col("gram"), bloom))
       .groupBy("doc_id")
@@ -234,14 +239,14 @@ object PipelineOps {
     * Scoring joins the per-token log-ratio back on the token explode
     * (vocabulary-scale shuffle join) and reduces per doc.
     *
-    * Determinism: a plain double-sum over shuffled tokens is
-    * order-dependent, so the per-doc reduction COLLECTS the doc's (token,
-    * ratio) pairs (bounded by doc length) and folds them SORTED — the
-    * summation order is a function of the data alone, making the score
-    * bit-stable across runs and partitionings. ln() keeps the output off
-    * the SQL oracle (rows-only); PipelineOpsSpec pins perfect separation
-    * on a planted two-vocabulary corpus, exact class counts, and run
-    * determinism.
+    * Determinism (r12): each per-token log-likelihood ratio is rounded to
+    * INTEGER micro-units (1e-4) the moment it leaves ln(), so the per-doc
+    * reduction is an exact integer SUM — order-independent (plain
+    * map-side-combinable aggregation, no sorted-fold workaround) and
+    * restatable bit-for-bit by the DuckDB oracle: both engines' ln() agree
+    * to ≲2 ulp on integer inputs, and the 1e-4 rounding absorbs that
+    * everywhere except a measure-zero boundary coincidence. The final
+    * log_odds is ONE IEEE division of two exact integers.
     */
   def nbQualityScores(documents: org.apache.spark.sql.DataFrame,
       goodSources: Seq[String]): org.apache.spark.sql.DataFrame = {
@@ -253,27 +258,28 @@ object PipelineOps {
       sum(when(!col("y"), 1L).otherwise(0L)).as("c0"))
     val totals = counts.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
       count(lit(1)).as("v"))
-    // Laplace-smoothed per-token log-likelihood ratio
+    // Laplace-smoothed per-token log-likelihood ratio, in integer micro-units
     val lr = counts.join(broadcast(totals))
       .select(col("token"),
-        (log((col("c1") + 1).cast(DoubleType)) -
-         log((col("n1") + col("v")).cast(DoubleType)) -
-         log((col("c0") + 1).cast(DoubleType)) +
-         log((col("n0") + col("v")).cast(DoubleType))).as("lr"))
+        round((log((col("c1") + 1).cast(DoubleType)) -
+          log((col("n1") + col("v")).cast(DoubleType)) -
+          log((col("c0") + 1).cast(DoubleType)) +
+          log((col("n0") + col("v")).cast(DoubleType))) * lit(1e4))
+          .cast(LongType).as("lr_micro"))
     val prior = documents.agg(
-      (log(sum(when(col("source").isin(goodSources: _*), 1L).otherwise(0L))
-        .cast(DoubleType)) -
-       log(sum(when(!col("source").isin(goodSources: _*), 1L).otherwise(0L))
-        .cast(DoubleType))).as("log_prior"))
+      round((log(sum(when(col("source").isin(goodSources: _*), 1L).otherwise(0L))
+          .cast(DoubleType)) -
+        log(sum(when(!col("source").isin(goodSources: _*), 1L).otherwise(0L))
+          .cast(DoubleType))) * lit(1e4))
+        .cast(LongType).as("prior_micro"))
     toks.join(lr, "token")
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("token"), col("lr"))).as("tl"))
+      .agg(sum(col("lr_micro")).as("sum_micro"))
       .join(broadcast(prior))
+      .withColumn("score_micro", col("prior_micro") + col("sum_micro"))
       .select(col("doc_id"),
-        (col("log_prior") + aggregate(sort_array(col("tl")), lit(0.0),
-          (acc, x) => acc + x.getField("lr"))).as("log_odds"))
-      .withColumn("predicted_good", col("log_odds") > 0)
-      .select("doc_id", "log_odds", "predicted_good")
+        (col("score_micro").cast(DoubleType) / lit(1e4)).as("log_odds"),
+        (col("score_micro") > 0L).cast(LongType).as("predicted_good"))
   }
 
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -387,21 +393,76 @@ object PipelineOps {
                ELSE 'test' END AS split
         FROM documents""")),
 
-    // NB quality classifier: ln() keeps the double scores off the SQL
-    // oracle (rows-only); separation/determinism pinned in PipelineOpsSpec
+    // NB quality classifier — oracle-gated since r12: per-token log-ratios
+    // round to integer micro-units before the (now order-independent)
+    // per-doc sum, so the DuckDB restatement hash-matches; separation/
+    // determinism stay pinned in PipelineOpsSpec
     QueryDef(
       "pipeline_quality_classifier",
       (s, dir) => nbQualityScores(t(s, dir, "documents"),
         goodSources = (0 to 4).map(i => s"src$i")),
-      None),
+      Some("""
+        WITH toks AS (SELECT doc_id, source, unnest(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+          FROM documents),
+        lab AS (SELECT doc_id, token,
+            source IN ('src0','src1','src2','src3','src4') AS y FROM toks),
+        counts AS (SELECT token,
+            SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+            SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c0
+          FROM lab GROUP BY token),
+        tot AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0, COUNT(*) AS v FROM counts),
+        lr AS (SELECT token,
+            CAST(round((ln(c1 + 1) - ln(n1 + v) - ln(c0 + 1) + ln(n0 + v))
+              * 10000) AS BIGINT) AS lr_micro
+          FROM counts, tot),
+        pr AS (SELECT CAST(round((
+            ln(SUM(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                   THEN 1 ELSE 0 END)) -
+            ln(SUM(CASE WHEN source NOT IN ('src0','src1','src2','src3','src4')
+                   THEN 1 ELSE 0 END))) * 10000) AS BIGINT) AS prior_micro
+          FROM documents),
+        s AS (SELECT t.doc_id, SUM(lr.lr_micro) AS sum_micro
+          FROM toks t JOIN lr USING (token) GROUP BY t.doc_id)
+        SELECT s.doc_id,
+          CAST(sum_micro + prior_micro AS DOUBLE) / 10000 AS log_odds,
+          CAST(sum_micro + prior_micro > 0 AS BIGINT) AS predicted_good
+        FROM s, pr""")),
 
-    // Bloom scale path of decontamination: sketch membership is engine-
-    // specific (Spark's sketch hashing), so rows-only; PipelineOpsSpec
-    // pins the one-sided error against the exact join
+    // Bloom scale path of decontamination — oracle-gated since r12: the
+    // portable MD5 probe spec lets DuckDB rebuild the identical bit set
+    // (bench probe positions) and restate membership as an all-k-probes-hit
+    // join, reproducing even the false positives. PipelineOpsSpec keeps the
+    // one-sided-error pin against the exact join
     QueryDef(
       "pipeline_decontaminate_bloom",
       (s, dir) => decontaminateBloom(t(s, dir, "documents"), benchMaxId = 50L),
-      None),
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(ws) - 4),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                 ws[i+3] || ' ' || ws[i+4]))) AS gram FROM w),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+        nn AS (SELECT greatest(64, ${graft.functions.GraftBloom.BitsPerKey} * COUNT(*)) AS m
+          FROM bench),
+        hp AS (SELECT gram,
+            CAST(('0x' || substr(md5(gram),1,8)) AS BIGINT) & 2147483647 AS h1,
+            CAST(('0x' || substr(md5(gram),9,8)) AS BIGINT) & 2147483647 AS h2
+          FROM (SELECT DISTINCT gram FROM g)),
+        bench_pos AS (SELECT DISTINCT (h.h1 + u.i*h.h2) % nn.m AS pos
+          FROM bench b JOIN hp h USING (gram), nn,
+            unnest(range(0, ${graft.functions.GraftBloom.NumHashes})) AS u(i)),
+        probes AS (SELECT g.doc_id, g.gram, (h.h1 + u.i*h.h2) % nn.m AS pos
+          FROM g JOIN hp h USING (gram), nn,
+            unnest(range(0, ${graft.functions.GraftBloom.NumHashes})) AS u(i)
+          WHERE g.doc_id >= 50),
+        hits AS (SELECT doc_id, gram, COUNT(*) AS c
+          FROM probes JOIN bench_pos USING (pos) GROUP BY doc_id, gram)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_grams
+        FROM hits WHERE c = ${graft.functions.GraftBloom.NumHashes}
+        GROUP BY doc_id""")),
 
     QueryDef(
       "pipeline_sample",

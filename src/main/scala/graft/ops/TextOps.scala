@@ -207,18 +207,24 @@ object TextOps {
     val bgCounts = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c_bg"))
     val ctxCounts = bgCounts.groupBy("prev").agg(sum(col("c_bg")).as("c_ctx"))
     val vocab = bigrams.agg(countDistinct(col("cur")).as("v"))
+    // per-bigram negative log-likelihood in INTEGER micro-units (1e-4):
+    // rounded the moment it leaves ln(), so the per-doc reduction is an
+    // exact order-independent integer sum (map-side-combinable, no
+    // sorted-fold workaround) the DuckDB oracle restates bit-for-bit;
+    // avg_nll is then ONE IEEE division of two exact integers, and only
+    // ppl needs a final rounding to absorb cross-engine exp() ulps
     val cost = bgCounts.join(ctxCounts, "prev").join(broadcast(vocab))
       .select(col("prev"), col("cur"),
-        (log((col("c_ctx") + col("v")).cast(DoubleType)) -
-         log((col("c_bg") + 1).cast(DoubleType))).as("nll"))
+        round((log((col("c_ctx") + col("v")).cast(DoubleType)) -
+          log((col("c_bg") + 1).cast(DoubleType))) * lit(1e4))
+          .cast(LongType).as("nll_micro"))
     bigrams.join(cost, Seq("prev", "cur"))
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("prev"), col("cur"), col("nll"))).as("bl"))
-      .select(col("doc_id"),
-        size(col("bl")).cast(LongType).as("n_bigrams"),
-        (aggregate(sort_array(col("bl")), lit(0.0),
-          (acc, x) => acc + x.getField("nll")) / size(col("bl"))).as("avg_nll"))
-      .withColumn("ppl", exp(col("avg_nll")))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_micro").cast(DoubleType) /
+          (col("n_bigrams") * lit(10000L)).cast(DoubleType)).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 6))
       .select("doc_id", "n_bigrams", "avg_nll", "ppl")
   }
 
@@ -553,12 +559,32 @@ object TextOps {
         FROM st JOIN tt USING (token) JOIN srct USING (source) CROSS JOIN tot
         GROUP BY st.source, srct.ns, tot.n""")),
 
-    // bigram-LM self-perplexity (ln → rows-only; PipelineOpsSpec pins a
-    // hand-computed corpus and bit-determinism under repartitioning)
+    // bigram-LM self-perplexity — oracle-gated since r12: per-bigram nll in
+    // integer micro-units, exact per-doc sums, one final division; ppl
+    // rounded to absorb cross-engine exp() ulps. PipelineOpsSpec keeps the
+    // hand-computed corpus and repartition-stability pins
     QueryDef(
       "text_lm_perplexity",
       (s, dir) => lmPerplexity(t(s, dir, "documents")),
-      None),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        bg AS (SELECT doc_id, ws[g.i] AS prev, ws[g.i+1] AS cur
+          FROM w, unnest(generate_series(1, len(ws) - 1)) AS g(i)),
+        bgc AS (SELECT prev, cur, COUNT(*) AS c_bg FROM bg GROUP BY prev, cur),
+        ctx AS (SELECT prev, SUM(c_bg) AS c_ctx FROM bgc GROUP BY prev),
+        voc AS (SELECT COUNT(DISTINCT cur) AS v FROM bg),
+        cost AS (SELECT b.prev, b.cur,
+            CAST(round((ln(c.c_ctx + voc.v) - ln(b.c_bg + 1)) * 10000)
+              AS BIGINT) AS nll_micro
+          FROM bgc b JOIN ctx c USING (prev), voc),
+        per AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+            SUM(cost.nll_micro) AS sum_micro
+          FROM bg JOIN cost USING (prev, cur) GROUP BY bg.doc_id)
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+          CAST(sum_micro AS DOUBLE) / (n_bigrams * 10000) AS avg_nll,
+          round(exp(CAST(sum_micro AS DOUBLE) / (n_bigrams * 10000)), 6) AS ppl
+        FROM per""")),
 
     // ------------------------------------------------ per-source tf-idf
     // Top-k characteristic terms per source by tf-idf — the corpus-

@@ -132,14 +132,14 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = (21L to 40L).map(i => (i, s"spam junk noise shared w$i", "crawl"))
     val d = docs(good ++ bad: _*)
     val out = PipelineOps.nbQualityScores(d, goodSources = Seq("trusted"))
-      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(out.size == 40)
-    (1L to 20L).foreach(i => assert(out(i)._2, s"doc $i misclassified: ${out(i)}"))
-    (21L to 40L).foreach(i => assert(!out(i)._2, s"doc $i misclassified: ${out(i)}"))
-    // deterministic to the bit under a different partitioning: the sorted
-    // fold makes the double-summation order a function of the data alone
+    (1L to 20L).foreach(i => assert(out(i)._2 == 1L, s"doc $i misclassified: ${out(i)}"))
+    (21L to 40L).foreach(i => assert(out(i)._2 == 0L, s"doc $i misclassified: ${out(i)}"))
+    // deterministic to the bit under a different partitioning: micro-unit
+    // integer sums make the reduction order irrelevant
     val repart = PipelineOps.nbQualityScores(d.repartition(7), Seq("trusted"))
-      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(repart == out)
   }
 
@@ -158,11 +158,13 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bgC = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val ctxC = bgs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     val v = bgs.map(_._2).distinct.size.toLong
-    def nll(bg: (String, String)): Double =
-      math.log(ctxC(bg._1) + v.toDouble) - math.log(bgC(bg) + 1.0)
+    // mirror the engine's micro-unit rounding (nll values are positive, so
+    // math.round == HALF_UP here) — the comparison stays exact
+    def nllMicro(bg: (String, String)): Long =
+      math.round((math.log(ctxC(bg._1) + v.toDouble) - math.log(bgC(bg) + 1.0)) * 1e4)
     corpus.zipWithIndex.foreach { case (ws, i) =>
       val pairs = ws.zip(ws.tail)
-      val expected = pairs.map(nll).sorted.sum / pairs.size
+      val expected = pairs.map(nllMicro).sum.toDouble / (pairs.size * 10000.0)
       val (n, got) = out(i + 1L)
       assert(n == pairs.size)
       assert(math.abs(got - expected) < 1e-12, s"doc ${i + 1}: $got vs $expected")
