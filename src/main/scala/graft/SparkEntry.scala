@@ -11,7 +11,8 @@ import graft.ops._
 object SparkEntry {
 
   private def all: Seq[QueryDef] =
-    Relational.defs ++ Relational2.defs ++ Relational3.defs ++ TextOps.defs ++
+    Relational.defs ++ Relational2.defs ++ Relational3.defs ++
+      Relational4.defs ++ TextOps.defs ++
       PipelineOps.defs ++ IceQueries.defs ++ Dedup.defs ++
       IncrementalDedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ StreamingOps.defs
