@@ -245,8 +245,6 @@ object IceQueries {
       (dt, et)
     })
 
-  private val pairGraphs = new ConcurrentHashMap[String, String]()
-
   /** The MATERIALIZED jaccard pair graph for the curation documents table's
     * current snapshot — the durable artifact a pair-generation pass leaves
     * behind for every downstream consumer (clustering, representative
@@ -264,18 +262,33 @@ object IceQueries {
       threshold: Double = 0.5): DataFrame = {
     val (docsTable, _) = curation(spark, dir)
     val snap = docsTable.currentSnapshot.map(_.snapshotId).getOrElse(0L)
-    val key = s"$dir|$snap|$threshold"
-    val path = pairGraphs.computeIfAbsent(key, _ => {
-      val p = s"${docsTable.location}/artifacts/" +
-        s"jaccard-pairs-t${math.round(threshold * 100)}-s$snap"
-      Dedup.jaccardPairsForTable(spark, docsTable, threshold)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = artifact(spark, s"${docsTable.location}/artifacts/" +
+        s"jaccard-pairs-t$threshold-s$snap")(
+      Dedup.jaccardPairsForTable(spark, docsTable, threshold))
     spark.read.parquet(path)
   }
 
-  private val lshCandidateArtifacts = new ConcurrentHashMap[String, String]()
+  /** Artifact materialization discipline shared by [[pairGraph]] and
+    * [[lshCandidates]]: the path encodes the EXACT parameters + snapshot id
+    * (an earlier rounded encoding aliased 0.5 and 0.501 onto the same path,
+    * silently serving one threshold's pairs for the other), and generation
+    * short-circuits when the parquet already exists COMPLETE on disk
+    * (committer `_SUCCESS` marker) — so a fresh JVM reuses what a previous
+    * process built for the same snapshot instead of overwriting it, which
+    * is the actual "built once per snapshot" contract at 100 TB. The
+    * in-memory map only dedups concurrent builders within this process.
+    */
+  private val artifactBuilds = new ConcurrentHashMap[String, String]()
+
+  private def artifact(spark: SparkSession, path: String)(
+      build: => DataFrame): String =
+    artifactBuilds.computeIfAbsent(path, p => {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p), graft.meta.FileIO.conf)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")))
+        build.write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** The MATERIALIZED MinHash/LSH candidate-pair set for the curation
     * documents table's current snapshot — the probabilistic sibling of
@@ -288,14 +301,9 @@ object IceQueries {
       estThreshold: Double = 0.5): DataFrame = {
     val (docsTable, _) = curation(spark, dir)
     val snap = docsTable.currentSnapshot.map(_.snapshotId).getOrElse(0L)
-    val key = s"$dir|$snap|$estThreshold"
-    val path = lshCandidateArtifacts.computeIfAbsent(key, _ => {
-      val p = s"${docsTable.location}/artifacts/" +
-        s"lsh-candidates-t${math.round(estThreshold * 100)}-s$snap"
-      Dedup.minhashCandidates(spark, dir, estThreshold)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = artifact(spark, s"${docsTable.location}/artifacts/" +
+        s"lsh-candidates-t$estThreshold-s$snap")(
+      Dedup.minhashCandidates(spark, dir, estThreshold))
     spark.read.parquet(path)
   }
 

@@ -36,7 +36,11 @@ object Similarity {
     * grows. The aggregate reduces each map task's slice to ≤k entries per
     * query BEFORE the exchange (the per-group TakeOrderedAndProject
     * discipline), with the identical (score desc, id asc) ordering, so
-    * results are bit-unchanged.
+    * results are bit-unchanged — for NON-NULL scores: the aggregate skips
+    * null-scored rows, whereas the window ranked them nulls-last, so a
+    * query with fewer than k non-null candidates returns fewer rows here.
+    * Every current caller scores with cosine over non-null embeddings;
+    * a future caller with nullable scores must pre-filter.
     */
   private[ops] def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")

@@ -138,45 +138,77 @@ object StreamingOps {
     * form of `dedup_exact`: documents arrive across micro-batches (the file
     * source throttled to one file per trigger over a range-sliced staging
     * of the corpus) and the state store carries each hash's (min doc_id,
-    * copies) across batch boundaries. Complete mode surfaces the final
-    * families, so under AvailableNow the result is deterministic and
-    * batch-SQL checkable WHATEVER the batch slicing — the spec additionally
-    * pins that more than one batch actually carried rows, or the
-    * cross-batch state claim would be vacuous. At scale the staging dir is
-    * the table itself ([[graft.streaming.IceTableSource]] delivers
-    * snapshots as batches) and the state store is RocksDB-backed.
+    * copies) across batch boundaries.
+    *
+    * DEPLOYMENT SHAPE (r12): UPDATE output mode into a `foreachBatch`
+    * equality-delete UPSERT on an [[graft.table.IceTable]] keyed by the
+    * content hash. Update mode emits only the hashes whose state CHANGED in
+    * the batch — per-trigger output is batch-sized, never state-sized —
+    * and the upsert retires each emitted hash's previous row, so the table
+    * converges to exactly the final families. The previous complete-mode
+    * memory sink re-materialized the ENTIRE corpus-sized state on the
+    * driver every trigger — fine at sf0.1, a driver-side collect per
+    * micro-batch at 100 TB. Returns the sink-table scan plus the per-batch
+    * emitted-row counts (the spec pins emitted == that batch's distinct
+    * hashes, the non-vacuous form of "changed keys only"). At scale the
+    * staging dir is the table itself ([[graft.streaming.IceTableSource]]
+    * delivers snapshots as batches) and the state store is RocksDB-backed.
     */
   // staging is fixture setup (a deployment's stream reads the table, not a
-  // per-query re-staging) — pay the slice-and-write once per corpus dir
+  // per-query re-staging) — pay the slice-and-write once per corpus CONTENT
+  // (keyed by the source file's mtime+size, so a regenerated testdata file
+  // re-stages instead of serving stale slices)
   private val dedupStaging =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def streamedDedupExact(spark: SparkSession, dir: String): (DataFrame, Int) = {
+  def streamedDedupExact(spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
     import org.apache.spark.sql.types.BinaryType
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val srcAttrs = java.nio.file.Files.readAttributes(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val stageKey = s"$dir|${srcAttrs.lastModifiedTime.toMillis}|${srcAttrs.size}"
     // slice the corpus into several files so dedup state MUST survive
     // micro-batch boundaries (a single-batch run would prove nothing)
-    val srcDir = dedupStaging.computeIfAbsent(dir, _ => {
+    val srcDir = dedupStaging.computeIfAbsent(stageKey, _ => {
       val d = java.nio.file.Files.createTempDirectory("stream-dedup")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
       docs.repartitionByRange(3, col("doc_id"))
         .write.mode("overwrite").parquet(d.toString)
       d.toString
     })
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir.toString)
+      .parquet(srcDir)
       .groupBy(md5(col("text").cast(BinaryType)).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-    val sinkName = s"stream_dedup_${math.abs(dir.hashCode)}"
+    val wh = java.nio.file.Files.createTempDirectory("stream-dedup-sink")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+    val catalog = new FileCatalog(wh.toString)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var sink: IceTable = null
+    val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val rows = batch.persist()
+      try {
+        emitted.synchronized { emitted += rows.count() }
+        if (sink == null)
+          sink = IceTable.create(catalog, "dedup_families",
+            graft.core.SchemaConv.fromSpark(rows.schema))
+        sink.upsert(rows.sparkSession, rows, Seq("h"))
+        sink.refresh()
+      } finally rows.unpersist()
+    }
     val q = stream.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("complete")
+      .outputMode("update")
+      .foreachBatch(onBatch)
       .trigger(Trigger.AvailableNow())
       .start()
     require(q.awaitTermination(120000), "streaming dedup job did not finish in 120s")
-    val batches = q.recentProgress.count(_.numInputRows > 0)
-    (spark.table(sinkName).select("doc_id", "n_copies"), batches)
+    (sink.scan(spark).select("doc_id", "n_copies"), emitted.toSeq)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -1558,6 +1558,34 @@ final class IceTable private (
       fs.delete(new org.apache.hadoop.fs.Path(p), false))
     result
   }
+
+  /** Garbage-collect derived-artifact directories (`artifacts/<name>-s<id>`
+    * — the pair graphs / LSH candidate sets
+    * [[graft.ops.IceQueries.pairGraph]] persists per snapshot): a directory
+    * whose trailing `-s<snapshotId>` no longer names a LIVE snapshot is
+    * invalidated state and is deleted; anything else (live ids, or names
+    * without the suffix) is left untouched. Run after [[expireSnapshots]] —
+    * without this, continuous ingest accumulates one dead artifact per
+    * expired snapshot forever. Returns the deleted directory paths.
+    */
+  def expireArtifacts(dryRun: Boolean = false): Seq[String] = {
+    val live = meta.snapshots.map(_.snapshotId).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), graft.meta.FileIO.conf)
+    val root = new org.apache.hadoop.fs.Path(s"$location/artifacts")
+    if (!fs.exists(root)) return Seq.empty
+    val suffix = ".*-s(\\d+)$".r
+    val dead = fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName match {
+        case suffix(id) if !live.contains(id.toLong) =>
+          Some(st.getPath.toUri.getPath)
+        case _ => None
+      }
+    }
+    if (!dryRun) dead.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    dead
+  }
 }
 
 object IceTable {

@@ -34,6 +34,41 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
 
+  test("artifact GC: expired-snapshot artifacts deleted, live ones untouchable") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(catalog, "li_artifact_gc",
+      SchemaConv.fromSpark(region.schema))
+    val s1 = t.append(region.limit(1))
+    t.refresh()
+    Thread.sleep(5)
+    val cutoff = System.currentTimeMillis()
+    val s2 = t.append(region.limit(2))
+    t.refresh()
+    // one derived artifact per snapshot (the pairGraph naming convention),
+    // plus a non-conforming directory that must never be touched
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(t.location), graft.meta.FileIO.conf)
+    def mk(name: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"${t.location}/artifacts/$name")
+      fs.mkdirs(p)
+      fs.create(new org.apache.hadoop.fs.Path(p, "part-0.parquet")).close()
+      p
+    }
+    val dead = mk(s"jaccard-pairs-t0.5-s${s1.snapshotId}")
+    val live = mk(s"jaccard-pairs-t0.5-s${s2.snapshotId}")
+    val foreign = mk("scratch-notes")
+    // nothing expired yet → dry run reports nothing, both snapshots live
+    assert(t.expireArtifacts(dryRun = true).isEmpty)
+    t.expireSnapshots(olderThanMs = cutoff, retainLast = 1)
+    t.refresh()
+    assert(t.metadata.snapshots.map(_.snapshotId) == Seq(s2.snapshotId))
+    val deleted = t.expireArtifacts()
+    assert(deleted == Seq(dead.toUri.getPath), s"deleted: $deleted")
+    assert(!fs.exists(dead))
+    assert(fs.exists(live), "live-snapshot artifact must survive GC")
+    assert(fs.exists(foreign), "non-snapshot-keyed directory must survive GC")
+  }
+
   test("ref retention policies drive expiry (refs.go:40-45)") {
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val t = IceTable.create(catalog, "li_ref_retention",
