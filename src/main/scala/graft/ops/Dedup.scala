@@ -257,7 +257,7 @@ banded AS (SELECT doc_id, source, b.band,
   /** (doc_id, source, ws) → + set size, persisted — the shared first stage
     * of every exact-jaccard plan.
     */
-  private def tokensPersisted(docsWithTokens: DataFrame): DataFrame =
+  private[ops] def tokensPersisted(docsWithTokens: DataFrame): DataFrame =
     docsWithTokens.withColumn("sz", size(col("ws")))
       .transform(CacheRegistry.persist(_))
 
@@ -809,7 +809,11 @@ banded AS (SELECT doc_id, source, b.band,
   private def jaccardPairsOver(docsWithTokens: DataFrame, threshold: Double): DataFrame =
     jaccardPairsOverPersisted(tokensPersisted(docsWithTokens), threshold)
 
-  private def jaccardPairsOverPersisted(docsAll: DataFrame, threshold: Double): DataFrame = {
+  /** The prefix plan's CANDIDATE stage, exposed `private[ops]` so the skew
+    * stress spec can pin its row count under a planted stopword (the count
+    * the plan's only data-dependent shuffle carries).
+    */
+  private[ops] def prefixCandidates(docsAll: DataFrame, threshold: Double): DataFrame = {
     // blocked by `source`: the standard blocking-key pattern — near-dups
     // are sought within a corpus shard, bounding candidate fan-out
     val docs = docsAll.where(col("sz") > 0)
@@ -821,11 +825,16 @@ banded AS (SELECT doc_id, source, b.band,
         Window.partitionBy("doc_id").orderBy(col("tok_df"), col("tok"))))
       .where(col("rn") <= col("sz") - ceil(col("sz") * threshold) + lit(1))
       .select("doc_id", "source", "tok")
-    val cand = ranked.as("a").join(ranked.as("b"),
+    ranked.as("a").join(ranked.as("b"),
         col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private def jaccardPairsOverPersisted(docsAll: DataFrame, threshold: Double): DataFrame = {
+    val docs = docsAll.where(col("sz") > 0)
+    val cand = prefixCandidates(docsAll, threshold)
     val left = docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("sz").as("sz_a"))
     val right = docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
     cand.join(left, "doc_a").join(right, "doc_b")

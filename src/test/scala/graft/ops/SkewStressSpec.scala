@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-plane skew stress: a planted pathological-df corpus (one stopword in
+  * EVERY document) at a scale where the count-join is provably quadratic.
+  * PlanningStress covers metadata skew; this pins the DATA side: the
+  * cost-based chooser must flip to the prefix plan, and the prefix plan's
+  * shuffles must stay CORPUS-linear — row counts read from the executed
+  * plan's shuffle-write metrics, not wall time.
+  */
+final class SkewStressSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private var dir: String = _
+  private val N = 25000L // C(N,2) = 3.12e8 joined rows > CountJoinMaxPairs
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("skew-stress-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // every doc: the stopword + three unique tokens → df("the") = N while
+    // every prefix under rarity ranking holds only unique tokens
+    val d = java.nio.file.Files.createTempDirectory("skew-corpus")
+    spark.range(N).select(col("id").as("doc_id"), lit("s").as("source"),
+        concat_ws(" ", lit("the"), concat(lit("u"), col("id")),
+          concat(lit("v"), col("id")), concat(lit("w"), col("id"))).as("text"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    dir = d.toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planted: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+
+  /** All shuffle-write record counts in the executed (post-AQE) plan. */
+  private def shuffleRecordCounts(df: DataFrame): Seq[Long] = {
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(expand)
+    }
+    expand(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("shuffleRecordsWritten"))
+      .map(_.value)
+  }
+
+  test("planted stopword makes the count-join quadratic and the estimate sees it") {
+    // cap above N → sampling probability 1 → the moment estimate is EXACT
+    val est = Dedup.sampleJoinedRows(planted, cap = 60000L)
+    assert(est > Dedup.CountJoinMaxPairs,
+      s"estimate $est should exceed the count-join budget ${Dedup.CountJoinMaxPairs}")
+    assert(math.abs(est - N.toDouble * (N - 1) / 2.0) < 1.0,
+      s"exact-sample estimate $est should equal C(N,2)")
+  }
+
+  test("prefix plan's candidate stage and shuffles stay corpus-linear under the stopword") {
+    try {
+      val docs = Dedup.tokensPersisted(planted
+        .select(col("doc_id"), col("source"), Dedup.wordSet(col("text")).as("ws")))
+      // candidate pairs: rarity ranking keeps the stopword out of every
+      // prefix, so the planted corpus yields ZERO candidates — versus the
+      // 3.1e8 joined rows the count-join would shuffle
+      val cand = Dedup.prefixCandidates(docs, 0.5)
+      assert(cand.count() == 0L, "unique-token prefixes must yield no candidates")
+      // full registered-shape plan, then read the ACTUAL shuffle-write
+      // metrics: every exchange must stay linear in the corpus (explode
+      // width 4, plus AQE bookkeeping) — nothing within 100x of C(N,2)
+      val pairs = Dedup.jaccardPairsPrefix(spark, dir, 0.5)
+      assert(pairs.count() == 0L)
+      val counts = shuffleRecordCounts(pairs)
+      assert(counts.nonEmpty, "expected shuffle metrics in the executed plan")
+      val bound = 10L * N
+      assert(counts.max <= bound,
+        s"a shuffle carried ${counts.max} rows (> $bound) under the planted stopword")
+    } finally CacheRegistry.releaseAll()
+  }
+
+  test("containment chooser flips to the prefix-probe plan under the stopword") {
+    try {
+      val before = Dedup.containmentPrefixPlans.get()
+      val out = Dedup.adaptiveContainment(planted, 0.9, statsHint = None)
+      assert(out.count() == 0L)
+      assert(Dedup.containmentPrefixPlans.get() == before + 1,
+        "quadratic-moment corpus must route containment to the prefix-probe plan")
+      val counts = shuffleRecordCounts(out)
+      assert(counts.nonEmpty && counts.max <= 10L * N,
+        s"containment prefix-probe shuffle carried ${counts.max} rows")
+    } finally CacheRegistry.releaseAll()
+  }
+}
