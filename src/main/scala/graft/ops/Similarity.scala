@@ -129,8 +129,13 @@ c AS (
     * the oracle restates the whole pipeline.
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    // persisted: the quantization transform is an interpreted HOF (its
+    // array_max scale sub-expression inlines per element under projection
+    // collapse), and the banded frame is read by BOTH join sides — without
+    // the cache the codes evaluate twice per row
     val emb = withInt8Codes(t(spark, dir, "embeddings"))
       .withColumn("buckets", lshBuckets(col("codes")))
+      .transform(CacheRegistry.persist(_))
     val banded = emb.select(col("vec_id"), col("embedding"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val queries = banded.where(col("vec_id") < nQueries)

@@ -192,7 +192,13 @@ object StreamingOps {
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
     var sink: IceTable = null
     val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      val rows = batch.persist()
+      // one file per commit side: the update output arrives in
+      // shuffle-partition-many slivers, and writing 32 tiny data + 32 tiny
+      // delete files per micro-batch made footer/manifest overhead dominate
+      // the stream (batch output is changed-keys-sized, so one task holds it
+      // comfortably; a 100 TB deployment would size this to its batch
+      // volume, not to the aggregation's shuffle width)
+      val rows = batch.coalesce(1).persist()
       try {
         emitted.synchronized { emitted += rows.count() }
         if (sink == null)
@@ -202,12 +208,23 @@ object StreamingOps {
         sink.refresh()
       } finally rows.unpersist()
     }
-    val q = stream.writeStream
-      .outputMode("update")
-      .foreachBatch(onBatch)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    require(q.awaitTermination(120000), "streaming dedup job did not finish in 120s")
+    // the state layout is fixed at the checkpoint's FIRST run, and this
+    // operator creates a fresh checkpoint per invocation — size the state
+    // width to the job instead of inheriting the batch session's 32 (3
+    // micro-batches × 32 state-store tasks is pure task-latency overhead at
+    // test scale; a real deployment sizes this once per long-lived query)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = stream.writeStream
+        .outputMode("update")
+        .foreachBatch(onBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // conf restore must wait for termination: the stream records the
+      // state width from the LIVE conf while its first batch plans
+      require(q.awaitTermination(120000), "streaming dedup job did not finish in 120s")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     (sink.scan(spark).select("doc_id", "n_copies"), emitted.toSeq)
   }
 
