@@ -14,8 +14,10 @@ import scala.collection.concurrent.TrieMap
   * `rest`/`http`/`https` → [[RestCatalog]] (`rest.go:89-97`; `credential`
   * becomes the bearer token), `sql`/`jdbc` → [[SqlCatalog]] (`sql.go:70-96`),
   * plus this library's `file` ([[FileCatalog]]) and `memory`
-  * ([[InMemoryCatalog]]) warehouses. Glue is intentionally absent (no cloud
-  * SDK in scope); registering one here is the extension point.
+  * ([[InMemoryCatalog]]) warehouses, and `glue` → [[GlueCatalog]] over the
+  * in-process [[GlueStubService]] (the real AWS client would implement the
+  * same [[GlueApi]] seam — the SDK itself is out of scope in this
+  * zero-egress environment).
   */
 object CatalogRegistry {
 
@@ -78,4 +80,13 @@ object CatalogRegistry {
 
   register("memory", (_, p) =>
     new InMemoryCatalog(required(p, "warehouse", "memory")))
+
+  // Glue-SHAPED catalog (the reference's `catalog/glue` surface behind its
+  // own mocked-API seam): the registry default binds the in-process
+  // conformance stub, which is as far as a no-cloud-SDK environment can go;
+  // a deployment implements [[GlueApi]] with the real AWS client and
+  // constructs [[GlueCatalog]] directly.
+  register("glue", (_, p) =>
+    new GlueCatalog(new GlueStubService, required(p, "warehouse", "glue"),
+      database = p.getOrElse("namespace", "default")))
 }
