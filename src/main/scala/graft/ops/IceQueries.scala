@@ -24,7 +24,8 @@ object IceQueries {
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
       liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable,
       liDv: IceTable, ordersUp: IceTable, restSupplier: IceTable,
-      sqlCustomer: IceTable, v1Part: IceTable, ordersZ: IceTable)
+      sqlCustomer: IceTable, v1Part: IceTable, ordersZ: IceTable,
+      glueRegion: IceTable)
 
   // computeIfAbsent (NOT TrieMap.getOrElseUpdate, whose thunk can run in
   // two racing threads with the loser's fully-built temp warehouse leaked):
@@ -199,6 +200,21 @@ object IceQueries {
         t.refresh()
         t
       }
+      val fGlue = Future {
+        // catalog interop: region behind the Glue-protocol catalog (pointer
+        // state in table Parameters, VersionId-locked commits) — two commits
+        // so the previous_metadata_location history is exercised too
+        val glue = new GlueCatalog(new GlueStubService,
+          Files.createTempDirectory("graft-glue-wh").toString)
+        val region = spark.read.parquet(s"$dir/region.parquet")
+        val t = IceTable.create(glue, "region",
+          SchemaConv.fromSpark(region.schema))
+        t.append(region.where("r_regionkey < 2"))
+        t.refresh()
+        t.append(region.where("r_regionkey >= 2"))
+        t.refresh()
+        t
+      }
       val (li, snap1Id) = Await.result(fLi, Duration.Inf)
       Fixture(li, snap1Id,
         Await.result(fPart, Duration.Inf),
@@ -212,7 +228,8 @@ object IceQueries {
         Await.result(fRest, Duration.Inf),
         Await.result(fSql, Duration.Inf),
         Await.result(fV1, Duration.Inf),
-        Await.result(fZ, Duration.Inf))
+        Await.result(fZ, Duration.Inf),
+        Await.result(fGlue, Duration.Inf))
     })
 
   private val curationTables = new ConcurrentHashMap[String, (IceTable, IceTable)]()
@@ -517,6 +534,12 @@ object IceQueries {
       Some("""
         SELECT s_suppkey, s_name, s_acctbal FROM supplier
         WHERE s_acctbal >= 5000""")),
+
+    QueryDef(
+      "ice_glue_catalog_scan",
+      (s, dir) => fixture(s, dir).glueRegion.scan(s,
+        selected = Some(Seq("r_regionkey", "r_name"))),
+      Some("SELECT r_regionkey, r_name FROM region")),
 
     QueryDef(
       "ice_sql_catalog_scan",
