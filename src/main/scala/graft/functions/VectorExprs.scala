@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Cosine similarity over embedding arrays as a NATIVE codegen expression.
@@ -125,6 +126,62 @@ final case class EqualFracExpr(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Per-vector symmetric int8 quantization codes as ONE fused loop:
+  * `code_i = round(x_i / scale)`, `scale = max(max_i |x_i|, 1e-12) / 127`.
+  * The `transform(...)/array_max(...)` formulation it replaces is a chain
+  * of interpreted higher-order functions whose scale sub-expression gets
+  * INLINED PER ELEMENT under projection collapse (64×64 ops/row); this
+  * expression computes maxabs once and rounds with the same
+  * half-away-from-zero semantics as Spark's `round` (BigDecimal HALF_UP on
+  * nonnegative-scaled magnitudes ≡ floor(|x|/scale + 0.5) with the sign
+  * restored), so codes are bit-identical to the SQL-stated oracle rule.
+  */
+object Int8Codes {
+  def compute(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    val scale = math.max(maxabs, 1e-12) / 127.0
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble / scale
+      out(i) = if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+final case class Int8CodesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "int8_codes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_codes needs an array<float>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Int8Codes.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Int8Codes.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8CodesExpr =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column form: cosine similarity of two float/double array columns. */
   def cosineSim(a: Column, b: Column): Column =
@@ -133,4 +190,8 @@ object VectorExprs {
   /** Column form: fraction of equal components of two long-array columns. */
   def equalFrac(a: Column, b: Column): Column =
     GraftShim.column(EqualFracExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Column form: per-vector symmetric int8 quantization codes. */
+  def int8Codes(c: Column): Column =
+    GraftShim.column(Int8CodesExpr(GraftShim.expression(c)))
 }

@@ -76,13 +76,8 @@ object Similarity {
     */
   private[ops] def withInt8Codes(emb: DataFrame,
       embCol: String = "embedding"): DataFrame =
-    emb.withColumn("qscale",
-        greatest(array_max(transform(col(embCol), x => abs(x.cast(DoubleType)))),
-          lit(1e-12)) / lit(127.0))
-      .withColumn("codes",
-        transform(col(embCol), x =>
-          round(x.cast(DoubleType) / col("qscale")).cast(LongType)))
-      .drop("qscale")
+    emb.withColumn("codes",
+      graft.functions.VectorExprs.int8Codes(col(embCol)))
 
   /** The codes CTE of every embedding oracle — the SQL statement of
     * [[withInt8Codes]], verbatim.
