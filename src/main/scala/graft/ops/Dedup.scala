@@ -845,6 +845,47 @@ banded AS (SELECT doc_id, source, b.band,
       .select("doc_a", "doc_b", "jac")
   }
 
+  // ---------------------------------------------------- chunk-level dedup
+  /** CCNet-style sub-document exact dedup: each document splits into
+    * consecutive `chunkWords`-word chunks (the corpus carries no newline
+    * structure, so the fixed word window stands in for the paragraph
+    * boundary CCNet hashes), and a chunk survives only at its FIRST corpus
+    * occurrence — first = smallest (doc_id, chunk_idx). Emits per-document
+    * retention counts, the unit a pipeline reads to decide between dropping
+    * boilerplate chunks and dropping whole documents.
+    *
+    * 100 TB shape: chunk text never crosses a shuffle — chunks reduce to
+    * their 16-byte md5 on the map side, the min-(doc_id, chunk_idx)
+    * representative is a map-side-combinable aggregate keyed on that hash,
+    * and per-doc kept counts come from re-aggregating the REPRESENTATIVES
+    * by their owning doc (duplicate-fringe-sized), not from joining the
+    * hash back against every occurrence — so a boilerplate chunk repeated
+    * 10⁹ times costs one combiner cell per map task and never builds a
+    * skewed join key. The only corpus-sized exchanges are keyed on chunk
+    * hash and doc_id: high-cardinality, no skew.
+    */
+  def chunkDedupStats(documents: DataFrame, chunkWords: Int): DataFrame = {
+    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    // exact integer ceil(len/chunkWords); size >= 1 so always >= 1 chunk
+    val nChunks = floor((size(col("w")) + lit(chunkWords - 1)) /
+      lit(chunkWords.toDouble)).cast(IntegerType)
+    val chunks = documents.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => md5(concat_ws(" ",
+          slice(col("w"), i * chunkWords + 1, lit(chunkWords))).cast(BinaryType)))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "h")
+    val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val kept = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .groupBy(col("first.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept_chunks"))
+    perDoc.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept_chunks"), lit(0L)).as("n_kept_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept_chunks"), lit(0L)))
+          .as("n_dup_chunks"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // exact word-set duplicate families — one shuffle on the content key
     QueryDef(
@@ -859,6 +900,27 @@ banded AS (SELECT doc_id, source, b.band,
         FROM documents
         GROUP BY array_to_string(list_sort(list_distinct(
           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))), ' ')""")),
+
+    // CCNet-style chunk-level exact dedup: 20-word chunks, first corpus
+    // occurrence (min doc_id, chunk_idx) survives; per-doc retention counts.
+    // The oracle restates "first occurrence" as rn=1 of a row_number window
+    // — equivalent to the engine's min-struct representative aggregate
+    QueryDef(
+      "dedup_paragraph_exact",
+      (s, dir) => chunkDedupStats(t(s, dir, "documents"), chunkWords = 20),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        c AS (SELECT doc_id, i AS chunk_idx,
+            md5(array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ')) AS h
+          FROM w, unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS u(i)),
+        r AS (SELECT doc_id, h,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+          FROM c)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+          CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        FROM r GROUP BY doc_id""")),
 
     // exact jaccard >= 0.5 pairs — oracle is brute force. The REGISTERED
     // plan is cost-based (see jaccardPairsAdaptive): the count-join when its

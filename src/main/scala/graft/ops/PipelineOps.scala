@@ -129,6 +129,48 @@ object PipelineOps {
         "is_repetitive")
   }
 
+  /** Gopher-style document quality rules (the deterministic pre-filters a
+    * pretraining pipeline runs before any model-based scoring): per-doc 0/1
+    * flags for
+    *   1. word count within [minWords, maxWords];
+    *   2. mean word length within [3, 10] chars;
+    *   3. at least 2 distinct stop words present (the natural-language
+    *      signal);
+    *   4. most frequent word at most 20% of the document (boilerplate/spam);
+    * plus their conjunction. Every threshold is cross-multiplied so NO
+    * division exists anywhere — the flags are integer-exact and the oracle
+    * hash-matches bit-for-bit.
+    *
+    * 100 TB shape: one exploded pass; the (doc_id, token) term-frequency
+    * pre-aggregate and the per-doc rollup are both map-side combinable,
+    * keys are high-cardinality, and there are no joins and no UDFs.
+    */
+  def gopherRules(documents: org.apache.spark.sql.DataFrame,
+      minWords: Long, maxWords: Long): org.apache.spark.sql.DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in")
+    val tf = documents
+      .select(col("doc_id"), explode(words).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val rWc = col("n_words") >= minWords && col("n_words") <= maxWords
+    val rMwl = col("n_word_chars") >= col("n_words") * 3 &&
+      col("n_word_chars") <= col("n_words") * 10
+    val rStop = col("n_stop") >= 2
+    val rMaxTf = col("max_tf") * 5 <= col("n_words")
+    tf.groupBy("doc_id").agg(
+        sum(col("tf")).as("n_words"),
+        sum(col("tf") * length(col("token"))).as("n_word_chars"),
+        max(col("tf")).as("max_tf"),
+        // grouped by (doc, token), so each distinct token contributes once
+        sum(when(col("token").isInCollection(stop), 1L).otherwise(0L))
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        rWc.cast(LongType).as("r_word_count"),
+        rMwl.cast(LongType).as("r_mean_word_len"),
+        rStop.cast(LongType).as("r_stop_words"),
+        rMaxTf.cast(LongType).as("r_max_word_freq"),
+        (rWc && rMwl && rStop && rMaxTf).cast(LongType).as("pass_gopher"))
+  }
+
   /** Greedy sequential sequence packing: within each source (the pipeline's
     * shard key), documents in doc_id order accumulate into fixed-token-budget
     * packs — the batch-construction step before tokenizer sharding. The
@@ -355,6 +397,35 @@ object PipelineOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // Gopher-style rule filter — integer-exact flags (no division anywhere)
+    QueryDef(
+      "pipeline_gopher_rules",
+      (s, dir) => gopherRules(t(s, dir, "documents"),
+        minWords = 30L, maxWords = 50000L),
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+          FROM toks GROUP BY doc_id, token),
+        d AS (SELECT doc_id,
+            SUM(tf) AS n_words,
+            SUM(tf * length(token)) AS n_word_chars,
+            MAX(tf) AS max_tf,
+            SUM(CASE WHEN token IN ('the','a','of','to','and','in')
+                THEN 1 ELSE 0 END) AS n_stop
+          FROM tf GROUP BY doc_id)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          CAST(n_words BETWEEN 30 AND 50000 AS BIGINT) AS r_word_count,
+          CAST(n_word_chars BETWEEN 3*n_words AND 10*n_words AS BIGINT)
+            AS r_mean_word_len,
+          CAST(n_stop >= 2 AS BIGINT) AS r_stop_words,
+          CAST(5*max_tf <= n_words AS BIGINT) AS r_max_word_freq,
+          CAST((n_words BETWEEN 30 AND 50000)
+            AND (n_word_chars BETWEEN 3*n_words AND 10*n_words)
+            AND n_stop >= 2 AND 5*max_tf <= n_words AS BIGINT) AS pass_gopher
+        FROM d""")),
+
     QueryDef(
       "pipeline_mixture_weights",
       (s, dir) => mixtureWeights(t(s, dir, "documents"),

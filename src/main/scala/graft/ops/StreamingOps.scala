@@ -32,9 +32,27 @@ object StreamingOps {
   }
 
   /** Hourly tumbling-window event counts computed by a streaming job with a
-    * 1-hour watermark (complete mode: all windows surface at end of input).
+    * 1-hour watermark.
+    *
+    * DEPLOYMENT SHAPE (r12, same as [[streamedDedupExact]]): UPDATE output
+    * mode into a `foreachBatch` equality-delete upsert on an
+    * [[graft.table.IceTable]] keyed by (hour, event_type). Update mode emits
+    * only the windows a batch actually touched, and the watermark evicts
+    * finalized windows from the state store — so both the per-trigger output
+    * and the state are window-count-sized, never history-sized. The previous
+    * complete-mode memory sink re-emitted EVERY window ever seen into the
+    * driver each trigger: bounded by hours×event_types rather than by the
+    * corpus, but still a shape that grows forever under continuous ingest.
+    * Cross-batch state continuity is pinned by `stream_dedup_exact` /
+    * `ice_stream_source`; this query's AvailableNow run over the single
+    * staged file arrives as one batch, which a 1-hour watermark then cannot
+    * clip (late data across batches is the one semantic complete mode hides
+    * — a deployment re-ordering files must stage them timestamp-ordered, as
+    * [[sessionStatsStream]] documents).
     */
   def streamedHourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet") // batch read for the schema
     // the streaming file source monitors a DIRECTORY; stage the table file
@@ -48,16 +66,36 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val sinkName = s"stream_hourly_${math.abs(dir.hashCode)}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    require(q.awaitTermination(120000), "streaming hourly-count job did not finish in 120s")
-    spark.table(sinkName)
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
+    val wh = java.nio.file.Files.createTempDirectory("stream-hourly-sink")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+    val catalog = new FileCatalog(wh.toString)
+    var sink: IceTable = null
+    val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      // one file per commit side — update output is changed-windows-sized
+      // (see streamedDedupExact's sizing note)
+      val rows = batch.coalesce(1)
+      if (sink == null)
+        sink = IceTable.create(catalog, "hourly_counts",
+          graft.core.SchemaConv.fromSpark(rows.schema))
+      sink.upsert(rows.sparkSession, rows, Seq("hour", "event_type"))
+      sink.refresh()
+    }
+    // fresh checkpoint per invocation — size the state width to the job
+    // (same rationale as streamedDedupExact's sizing note below)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = stream.writeStream
+        .outputMode("update")
+        .foreachBatch(onBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // conf restore must wait for termination (state width reads live conf)
+      require(q.awaitTermination(120000), "streaming hourly-count job did not finish in 120s")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    sink.scan(spark).select("hour", "event_type", "n_events")
   }
 
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
@@ -81,8 +119,9 @@ object StreamingOps {
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // unsigned render: math.abs(Int.MinValue) is negative (ADVICE r11)
     sessionStatsStream(spark, srcDir.toString, raw.schema,
-      s"stream_sessions_${math.abs(dir.hashCode)}")._1
+      s"stream_sessions_${java.lang.Integer.toUnsignedString(dir.hashCode)}")._1
   }
 
   /** The sessionization stream over an arbitrary staged source directory.
@@ -92,6 +131,11 @@ object StreamingOps {
     * when files arrive in timestamp order (stage them oldest-first).
     * Returns the aggregated result and the number of micro-batches that
     * actually carried rows.
+    *
+    * Emission shape: append mode emits one row per user TOUCHED in the
+    * batch — already the changed-keys-sized output the upsert sinks above
+    * enforce; the memory sink here accumulates at most one row per (batch,
+    * touched user), bounded by the event count, never by total state.
     */
   def sessionStatsStream(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType, sinkName: String,

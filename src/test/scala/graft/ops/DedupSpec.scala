@@ -322,4 +322,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashes(1L) == hashes(2L))
     assert(hashes(1L) != hashes(3L))
   }
+
+  test("chunk-level dedup keeps each chunk at its first (doc_id, idx) occurrence") {
+    val s = spark
+    import s.implicits._
+    // chunkWords=3: d1 owns both its chunks; d2 re-uses d1's first chunk;
+    // d3 is entirely d1's second chunk twice; d4 repeats a chunk WITHIN the
+    // doc (first instance kept, second dropped) and has a short tail chunk
+    val docs = Seq(
+      (1L, "a b c d e f", "src"),
+      (2L, "a b c x y z", "src"),
+      (3L, "d e f d e f", "src"),
+      (4L, "p q r p q r p", "src")).toDF("doc_id", "text", "source")
+    val out = Dedup.chunkDedupStats(docs, chunkWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 0L)))
+    assert(out(2L) == ((2L, 1L, 1L)))
+    assert(out(3L) == ((2L, 0L, 2L)))
+    assert(out(4L) == ((3L, 2L, 1L)))
+    // conservation: kept totals across docs = distinct chunks in the corpus
+    // ({a b c, d e f, x y z, p q r, p} = 5), and kept+dup = chunks per doc
+    assert(out.values.map(_._2).sum == 5L)
+    assert(out.values.forall { case (n, k, d) => k + d == n })
+  }
 }

@@ -31,6 +31,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text", "source")
   }
 
+  test("gopher rules: each rule isolated on a planted doc, boundaries inclusive") {
+    def words(n: Int, len: Int, prefix: String) =
+      (1 to n).map(i => (prefix + "%02d".format(i)).padTo(len, 'x')).mkString(" ")
+    val d = docs(
+      // A: 30 words (boundary), 2 stopwords, all distinct, mean len ok -> pass
+      (1L, "the of " + words(28, 4, "aa"), "s"),
+      // B: 3 words -> fails word count, mean len (8/3 < 3), AND max freq
+      // (5*1 > 3: a 3-word doc can't keep any word under 20%)
+      (2L, "the of cat", "s"),
+      // C: no stopwords, everything else fine -> fails only r_stop_words
+      (3L, words(30, 4, "cc"), "s"),
+      // D: 'spam' x7 of 30 words -> 5*7 > 30 fails only max-word-freq
+      (4L, "the of " + ("spam " * 7).trim + " " + words(21, 4, "dd"), "s"),
+      // E: 'spam' x6 of 30 -> 5*6 = 30, boundary PASSES
+      (5L, "the of " + ("spam " * 6).trim + " " + words(22, 4, "ee"), "s"),
+      // F: 28 distinct 3-char words -> chars 3+2+84 = 89, one char under
+      // the 3*30 floor: fails only mwl, at the tightest possible margin
+      (6L, "the of " + words(28, 3, "f"), "s"))
+    val out = PipelineOps.gopherRules(d, minWords = 30L, maxWords = 50000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out(1L) == ((30L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(2L) == ((3L, 0L, 0L, 1L, 0L, 0L)))
+    assert(out(3L) == ((30L, 1L, 1L, 0L, 1L, 0L)))
+    assert(out(4L) == ((30L, 1L, 1L, 1L, 0L, 0L)))
+    assert(out(5L) == ((30L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(6L) == ((30L, 1L, 0L, 1L, 1L, 0L)))
+  }
+
   test("mixture weights split the budget uniformly, cap at maxEpochs, report shortfall") {
     // source a: 4 tokens inventory; b: 40; c: 400. budget 300 over 3
     // sources -> target 100 each. a caps at 4 epochs (16 tokens, shortfall
