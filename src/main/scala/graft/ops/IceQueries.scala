@@ -381,6 +381,42 @@ object IceQueries {
       IncrementalFixture(dt, it, st, bt, spt, watermark)
     })
 
+  /** Incremental embedding-dedup fixture state: the two-snapshot embeddings
+    * table, the accumulated LSH bucket table (covering exactly the FIRST
+    * snapshot), and the watermark snapshot id.
+    */
+  final case class EmbIncrementalFixture(emb: IceTable, buckets: IceTable,
+      watermark: Long)
+
+  private val embIncrementalTables =
+    new ConcurrentHashMap[String, EmbIncrementalFixture]()
+
+  /** Incremental embedding-dedup fixture: `embeddings` as a managed table
+    * with TWO snapshots — the accumulated corpus (vec_id % 10 != 0) and a
+    * later increment (vec_id % 10 == 0) — plus a bucket table holding the
+    * FIRST snapshot's LSH bucket rows, the state a previous run's
+    * [[IncrementalDedup.extendEmbeddingBuckets]] would have left behind.
+    */
+  def incrementalEmb(spark: SparkSession, dir: String): EmbIncrementalFixture =
+    embIncrementalTables.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("graft-incr-emb").toString
+      val catalog = new FileCatalog(wh)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val old = emb.where("vec_id % 10 != 0")
+      val et = IceTable.create(catalog, "embeddings_incr",
+        SchemaConv.fromSpark(emb.schema))
+      val watermark = et.append(old).snapshotId
+      et.refresh()
+      et.append(emb.where("vec_id % 10 = 0"))
+      et.refresh()
+      val buckets = Similarity.bucketRows(old)
+      val bt = IceTable.create(catalog, "emb_buckets",
+        SchemaConv.fromSpark(buckets.schema))
+      bt.append(buckets)
+      bt.refresh()
+      EmbIncrementalFixture(et, bt, watermark)
+    })
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ice_scan_filter",

@@ -304,6 +304,73 @@ object IncrementalDedup {
     bandTable.refresh()
   }
 
+  // -------------------------------------------------- embedding buckets
+  /** LSH-candidate pairs TOUCHING the increment over the persisted
+    * EMBEDDING bucket table — the accumulated-index discipline extended to
+    * the similarity family: only the increment is quantized and projected
+    * (the per-vector compute: int8 codes + 4 tables × 16 integer
+    * hyperplane dots), the corpus arrives as stored (vec_id, label, tbl,
+    * bucket) rows joined on (tbl, bucket, label) — at 100 TB the bucket
+    * table partitions on (tbl, bucket) so the Δ-side join prunes to
+    * matched buckets. Candidates drop to slim id pairs before the verify
+    * fetches float vectors CANDIDATE-KEYED from the embeddings table (the
+    * same lookup posture as the minhash variant's signature verify — the
+    * expensive Δ-independent work, bucketing, is never repeated; the
+    * lookup pushes candidate ids into the scan). Stale-watermark retries
+    * stay exact via the same anti-join discipline.
+    */
+  private[ops] def incrementalEmbeddingCandidates(spark: SparkSession,
+      embTable: IceTable, bucketTable: IceTable,
+      sinceSnapshotId: Long): DataFrame = {
+    val newEmb = Ingest.changesSince(spark, embTable, sinceSnapshotId)
+    val newBuckets = CacheRegistry.persist(
+      Similarity.bucketRows(newEmb).withColumn("is_new", lit(true)))
+    val newIds = newBuckets.select(col("vec_id")).distinct()
+    val allBuckets = bucketTable.scan(spark)
+      .select(col("vec_id"), col("label"), col("tbl"), col("bucket"))
+      .join(broadcast(newIds), Seq("vec_id"), "left_anti")
+      .withColumn("is_new", lit(false))
+      .unionByName(newBuckets)
+    newBuckets.as("a").join(allBuckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.label") === col("b.label") &&
+        ((!col("b.is_new") && col("a.vec_id") =!= col("b.vec_id")) ||
+          col("a.vec_id") < col("b.vec_id")))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+        col("a.label").as("label"))
+      .distinct()
+  }
+
+  /** Exact-verified near-dup pairs touching the increment: the candidate
+    * stage above plus the rounded-cosine verify over candidate-keyed float
+    * vectors. Same semantics as [[Similarity.embeddingNearDupLSH]]
+    * restricted to pairs with a new side.
+    */
+  def incrementalEmbeddingPairs(spark: SparkSession, embTable: IceTable,
+      bucketTable: IceTable, sinceSnapshotId: Long,
+      threshold: Double): DataFrame = {
+    val cand = incrementalEmbeddingCandidates(
+      spark, embTable, bucketTable, sinceSnapshotId)
+    val vecs = embTable.scan(spark).select("vec_id", "embedding")
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cos_sim", round(Similarity.cosine(col("ea"), col("eb")), 4))
+      .where(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "label", "cos_sim")
+  }
+
+  /** Roll the bucket table forward — quantize and project ONLY the
+    * increment, append its bucket rows.
+    */
+  def extendEmbeddingBuckets(spark: SparkSession, embTable: IceTable,
+      bucketTable: IceTable, sinceSnapshotId: Long): Unit = {
+    bucketTable.append(
+      Similarity.bucketRows(Ingest.changesSince(spark, embTable, sinceSnapshotId)))
+    bucketTable.refresh()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // exact jaccard >= 0.5 pairs touching the fixture's NEW snapshot
     // (doc_id % 10 == 0), computed against the persisted token index of the
@@ -390,6 +457,31 @@ object IncrementalDedup {
       Some(s"""
         WITH ${Dedup.minhashCandCtes}
         SELECT doc_a, doc_b, est_jaccard FROM mh_pairs
-        WHERE doc_a % 10 = 0 OR doc_b % 10 = 0"""))
+        WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""")),
+
+    // embedding near-dup pairs touching the increment, against the
+    // persisted LSH bucket table — deterministic end-to-end (integer
+    // planes over int8 codes + rounded-cosine verify), so the oracle
+    // restates the FULL-corpus LSH pipeline (same CTEs as
+    // dedup_embedding_lsh) restricted to pairs with an increment side: a
+    // stored-bucket miss, a quantization drift between the persisted
+    // artifact and the fresh path, or a stale-watermark double-count all
+    // break the hash
+    QueryDef(
+      "dedup_incremental_embedding",
+      (s, dir) => {
+        val f = IceQueries.incrementalEmb(s, dir)
+        incrementalEmbeddingPairs(s, f.emb, f.buckets, f.watermark, 0.2)
+      },
+      Some(s"""
+        WITH ${Similarity.codesCteSql},
+        bk AS (SELECT vec_id, label, embedding, ${Similarity.bucketColsSql} FROM c)
+        SELECT vec_a, vec_b, label, cos_sim FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM bk a JOIN bk b ON a.label = b.label AND a.vec_id < b.vec_id
+            AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)) z
+        WHERE cos_sim >= 0.2 AND (vec_a % 10 = 0 OR vec_b % 10 = 0)"""))
   )
 }

@@ -24,7 +24,7 @@ object Similarity {
     * order — bit-identical to the interpreted HOF fold it replaced, which
     * was the hot path of every embedding operator.
     */
-  private def cosine(a: Column, b: Column): Column =
+  private[ops] def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Shared tail of every ANN/exact re-rank: per-query top-k over a scored
@@ -80,9 +80,11 @@ object Similarity {
       graft.functions.VectorExprs.int8Codes(col(embCol)))
 
   /** The codes CTE of every embedding oracle — the SQL statement of
-    * [[withInt8Codes]], verbatim.
+    * [[withInt8Codes]], verbatim. `private[ops]`: the incremental embedding
+    * dedup's oracle (IncrementalDedup) composes the same CTEs so the two
+    * restatements cannot drift.
     */
-  private def codesCteSql: String = """
+  private[ops] def codesCteSql: String = """
 c AS (
   SELECT vec_id, label, embedding,
     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
@@ -94,7 +96,7 @@ c AS (
     * from the SAME [[graft.functions.LshBuckets.plane]] integers the
     * codegen expression uses — the two engines cannot drift.
     */
-  private def bucketColsSql: String = {
+  private[ops] def bucketColsSql: String = {
     import graft.functions.LshBuckets.{Tables, PlanesPerTable, plane}
     (0 until Tables).map { tb =>
       val planes = (0 until PlanesPerTable).map { p =>
@@ -116,6 +118,16 @@ c AS (
     org.apache.spark.sql.graftshim.GraftShim.column(
       graft.functions.LshBucketsExpr(
         org.apache.spark.sql.graftshim.GraftShim.expression(codes)))
+
+  /** Exploded LSH bucket rows (vec_id, label, tbl, bucket) for an embedding
+    * frame — the per-vector artifact the INCREMENTAL embedding dedup
+    * accumulates ([[IncrementalDedup.extendEmbeddingBuckets]]): 4 small
+    * rows per vector instead of the 64 floats, so bucketing cost is paid
+    * once per vector ever, not once per run.
+    */
+  private[ops] def bucketRows(emb: DataFrame): DataFrame =
+    withInt8Codes(emb).select(col("vec_id"), col("label"),
+      posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket")))
 
   /** ANN via multi-table LSH: neighbors searched only among bucket-mates of
     * any table. The shuffle key is (table, bucket); the corpus is never

@@ -253,4 +253,68 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = full.filter { case (a, b) => a % 10 == 1 || b % 10 == 1 }
     assert(got == expected)
   }
+
+  private def vecPairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental embedding pairs equal full-corpus LSH restricted to the increment") {
+    val f = IceQueries.incrementalEmb(spark, sfDir)
+    val incremental = vecPairSet(IncrementalDedup.incrementalEmbeddingPairs(
+      spark, f.emb, f.buckets, f.watermark, 0.2))
+    val full = vecPairSet(Similarity.embeddingNearDupLSH(spark, sfDir, 0.2))
+    val expected = full.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 }
+    assert(incremental == expected)
+    assert(incremental.nonEmpty, "fixture should contain near-dup pairs touching new vectors")
+    CacheRegistry.releaseAll()
+  }
+
+  test("embedding candidate plan buckets only the increment; verify is candidate-keyed") {
+    val f = IceQueries.incrementalEmb(spark, sfDir)
+    val oldFiles = f.emb.newScan(snapshotId = Some(f.watermark)).planFiles()
+      .map(t => norm(t.file.filePath)).toSet
+    assert(oldFiles.nonEmpty)
+    // the CANDIDATE stage (where all per-vector compute lives: int8
+    // quantization + hyperplane projections) must not read a pre-watermark
+    // embedding file — stored vectors arrive as persisted bucket rows
+    val candInputs = IncrementalDedup.incrementalEmbeddingCandidates(
+      spark, f.emb, f.buckets, f.watermark).inputFiles.map(norm).toSet
+    assert(candInputs.nonEmpty)
+    assert(candInputs.intersect(oldFiles).isEmpty,
+      "candidate plan scans old embedding files instead of the bucket table")
+    // the verify join DOES read old vectors, but only candidate-keyed —
+    // its plan must carry the candidate join, not a second bucketing pass
+    val pairs = IncrementalDedup.incrementalEmbeddingPairs(
+      spark, f.emb, f.buckets, f.watermark, 0.2)
+    assert(pairs.count() ==
+      IncrementalDedup.incrementalEmbeddingPairs(
+        spark, f.emb, f.buckets, f.watermark, 0.2).count())
+    CacheRegistry.releaseAll()
+  }
+
+  test("extendEmbeddingBuckets rolls the bucket table to the full corpus's rows") {
+    val s = spark
+    // fresh private fixture (don't mutate the shared memoized one)
+    val wh = java.nio.file.Files.createTempDirectory("graft-emb-roll").toString
+    val catalog = new graft.meta.FileCatalog(wh)
+    val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val b1 = embRaw.where("vec_id % 10 != 0")
+    val b2 = embRaw.where("vec_id % 10 = 0")
+    val et = graft.table.IceTable.create(catalog, "emb_roll",
+      graft.core.SchemaConv.fromSpark(embRaw.schema))
+    val snap1 = et.append(b1).snapshotId
+    et.refresh()
+    val buckets0 = Similarity.bucketRows(b1)
+    val bt = graft.table.IceTable.create(catalog, "emb_buckets_roll",
+      graft.core.SchemaConv.fromSpark(buckets0.schema))
+    bt.append(buckets0); bt.refresh()
+    et.append(b2); et.refresh()
+    IncrementalDedup.extendEmbeddingBuckets(spark, et, bt, snap1)
+    // rolled-forward buckets == bucketing the full corpus fresh
+    val fromFull = Similarity.bucketRows(embRaw)
+    val stored = bt.scan(spark).select("vec_id", "label", "tbl", "bucket")
+    assert(stored.count() == fromFull.count())
+    assert(stored.exceptAll(fromFull).isEmpty && fromFull.exceptAll(stored).isEmpty)
+    CacheRegistry.releaseAll()
+  }
 }
