@@ -886,6 +886,65 @@ banded AS (SELECT doc_id, source, b.band,
           .as("n_dup_chunks"))
   }
 
+  /** Quality-aware cluster representatives: instead of the min-doc_id
+    * canonical label, each near-dup cluster keeps its HIGHEST-QUALITY
+    * member — the policy real pipelines ship (when five crawls of one page
+    * near-duplicate, keep the cleanest, not the lowest id). The quality
+    * rule is integer-exact so the choice is deterministic and cross-engine:
+    * best = max (q_pass, q_words, −doc_id) — rule-passing beats failing,
+    * longer beats shorter, smallest id breaks ties.
+    *
+    * Scale shape: `clusters` is duplicate-fringe-sized (never the corpus),
+    * the quality join keys on doc_id, and the per-cluster argmax is one
+    * map-side-combinable aggregate — no window, no skew (a mega-cluster
+    * reduces to one combiner cell per map task).
+    */
+  def qualityRepresentatives(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q_pass"), col("q_words"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.neg_id")).as("rep_id"))
+
+  /** The chunk-dedup APPLY step: materialize each document's cleaned form
+    * — its first-occurrence chunks re-joined in order — the way
+    * [[applyVerdict]] materializes the doc-level keep set. Emits the
+    * cleaned length and a fingerprint (not the text) so the result stays
+    * hash-comparable.
+    *
+    * Scale shape: the wide exchanges carry only (hash) and (doc_id,
+    * chunk_idx) — never chunk text. The kept set is the first-occurrence
+    * representative list ([[chunkDedupStats]]' aggregate), re-joined to the
+    * corpus on doc_id (unique key, no skew — NOT on the chunk hash, where a
+    * boilerplate chunk would concentrate), and each doc's cleaned text is
+    * rebuilt DOC-LOCALLY by re-slicing its own word array at the kept
+    * indices.
+    */
+  def chunkScrub(documents: DataFrame, chunkWords: Int): DataFrame = {
+    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val nChunks = floor((size(col("w")) + lit(chunkWords - 1)) /
+      lit(chunkWords.toDouble)).cast(IntegerType)
+    val chunks = documents.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => md5(concat_ws(" ",
+          slice(col("w"), i * chunkWords + 1, lit(chunkWords))).cast(BinaryType)))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "h")
+    val keptIdx = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .groupBy(col("first.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("first.chunk_idx"))).as("idxs"))
+    documents.select(col("doc_id"), w.as("w")).join(keptIdx, "doc_id")
+      .withColumn("clean", array_join(transform(col("idxs"),
+        i => concat_ws(" ", slice(col("w"), i * chunkWords + 1, lit(chunkWords)))),
+        " "))
+      .select(col("doc_id"),
+        size(col("idxs")).cast(LongType).as("n_kept_chunks"),
+        length(col("clean")).cast(LongType).as("clean_chars"),
+        substring(md5(col("clean").cast(BinaryType)), 1, 16).as("clean_fp"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // exact word-set duplicate families — one shuffle on the content key
     QueryDef(
@@ -921,6 +980,77 @@ banded AS (SELECT doc_id, source, b.band,
           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM r GROUP BY doc_id""")),
+
+    // the chunk-dedup APPLY step: cleaned length + fingerprint of each
+    // doc's first-occurrence chunks re-joined in order — what the pipeline
+    // ships after sub-document dedup
+    QueryDef(
+      "pipeline_chunk_scrub",
+      (s, dir) => chunkScrub(t(s, dir, "documents"), chunkWords = 20),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        c AS (SELECT doc_id, i AS chunk_idx,
+            array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ') AS chunk
+          FROM w, unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS u(i)),
+        r AS (SELECT doc_id, chunk_idx, chunk,
+            row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+          FROM c)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_chunks,
+          CAST(length(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS BIGINT) AS clean_chars,
+          substr(md5(string_agg(chunk, ' ' ORDER BY chunk_idx)), 1, 16) AS clean_fp
+        FROM r WHERE rn = 1 GROUP BY doc_id""")),
+
+    // quality-aware cluster representatives over the materialized pair
+    // graph: keep the cleanest member (gopher pass, then length, then min
+    // id) — integer-exact rule, so the argmax hash-matches the oracle's
+    // ranked window
+    QueryDef(
+      "dedup_rep_quality",
+      (s, dir) => qualityRepresentatives(
+        duplicateClusters(
+          IceQueries.pairGraph(s, dir).select(col("doc_a"), col("doc_b"))),
+        PipelineOps.gopherRules(t(s, dir, "documents"), 30L, 50000L)
+          .select(col("doc_id"), col("pass_gopher").as("q_pass"),
+            col("n_words").as("q_words"))),
+      Some("""
+        WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source
+            AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src),
+        cl AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+               FROM reach GROUP BY src),
+        toks AS (SELECT doc_id, unnest(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+          FROM documents),
+        tfq AS (SELECT doc_id, token, COUNT(*) AS tf
+          FROM toks GROUP BY doc_id, token),
+        q AS (SELECT doc_id, SUM(tf) AS n_words,
+            CAST((SUM(tf) BETWEEN 30 AND 50000)
+              AND (SUM(tf * length(token)) BETWEEN 3*SUM(tf) AND 10*SUM(tf))
+              AND SUM(CASE WHEN token IN ('the','a','of','to','and','in')
+                    THEN 1 ELSE 0 END) >= 2
+              AND 5*MAX(tf) <= SUM(tf) AS BIGINT) AS pass
+          FROM tfq GROUP BY doc_id),
+        j AS (SELECT cl.cluster_id, cl.doc_id, q.pass, q.n_words
+              FROM cl JOIN q USING (doc_id)),
+        r AS (SELECT cluster_id, doc_id,
+            row_number() OVER (PARTITION BY cluster_id
+              ORDER BY pass DESC, n_words DESC, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM j)
+        SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+          doc_id AS rep_id
+        FROM r WHERE rn = 1""")),
 
     // exact jaccard >= 0.5 pairs — oracle is brute force. The REGISTERED
     // plan is cost-based (see jaccardPairsAdaptive): the count-join when its

@@ -275,7 +275,60 @@ object TextOps {
         FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p
               FROM documents) t1) t2) t3"""
 
+  /** Per-document word-distribution Shannon entropy + type-token ratio —
+    * the lexical-diversity signals (low entropy = repetitive/boilerplate,
+    * high TTR = varied vocabulary). Portable-arithmetic discipline (the
+    * lm_perplexity pattern): H = ln(n) − (Σ tf·ln tf)/n restated as
+    * (n·round(ln n·1e4) − Σ tf·round(ln tf·1e4)) / (n·1e4) — every ln is
+    * rounded to integer micro-nats the moment it's computed, the per-doc
+    * reduction is an exact order-independent integer sum, and entropy/TTR
+    * are each ONE IEEE division of exact integers, so the doubles
+    * hash-match cross-engine.
+    *
+    * 100 TB shape: same as the other tf rollups — one exploded pass, both
+    * aggregations map-side combinable, doc_id/token keys, no joins.
+    */
+  def wordEntropy(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val tf = documents.select(col("doc_id"), explode(w).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id").agg(
+        sum(col("tf")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf") *
+          round(log(col("tf").cast(DoubleType)) * lit(1e4)).cast(LongType))
+          .as("s_micro"))
+      .select(col("doc_id"), col("n_words"), col("n_types"),
+        ((col("n_words") *
+            round(log(col("n_words").cast(DoubleType)) * lit(1e4)).cast(LongType) -
+          col("s_micro")).cast(DoubleType) /
+          (col("n_words") * lit(10000L)).cast(DoubleType)).as("entropy"),
+        (col("n_types").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("ttr"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // word-distribution entropy + TTR, integer micro-nat arithmetic —
+    // hash-exact like lm_perplexity
+    QueryDef(
+      "text_entropy",
+      (s, dir) => wordEntropy(t(s, dir, "documents")),
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+          FROM toks GROUP BY doc_id, token),
+        d AS (SELECT doc_id, SUM(tf) AS n, COUNT(*) AS types,
+            SUM(tf * CAST(round(ln(tf) * 10000) AS BIGINT)) AS s_micro
+          FROM tf GROUP BY doc_id)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+          CAST(types AS BIGINT) AS n_types,
+          CAST(n * CAST(round(ln(n) * 10000) AS BIGINT) - s_micro AS DOUBLE)
+            / (n * 10000) AS entropy,
+          CAST(types AS DOUBLE) / CAST(n AS DOUBLE) AS ttr
+        FROM d""")),
+
     // ------------------------------------------------------- language id
     QueryDef(
       "text_lang_id",

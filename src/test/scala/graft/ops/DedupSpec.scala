@@ -346,4 +346,43 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._2).sum == 5L)
     assert(out.values.forall { case (n, k, d) => k + d == n })
   }
+
+  test("chunk scrub rebuilds each doc from its kept chunks; fully-duplicated docs vanish") {
+    val s = spark
+    import s.implicits._
+    // same corpus as the stats test: d3 is entirely d1's second chunk twice
+    // -> zero kept chunks -> no output row (the doc dissolves)
+    val docs = Seq(
+      (1L, "a b c d e f", "src"),
+      (2L, "a b c x y z", "src"),
+      (3L, "d e f d e f", "src"),
+      (4L, "p q r p q r p", "src")).toDF("doc_id", "text", "source")
+    val out = Dedup.chunkScrub(docs, chunkWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 11L))) // "a b c d e f"
+    assert(out(2L) == ((1L, 5L)))  // "x y z"
+    assert(out(4L) == ((2L, 7L)))  // "p q r p" (kept idx 0 and the tail)
+    assert(!out.contains(3L))
+  }
+
+  test("quality representatives pick the cleanest member, min-id on ties") {
+    val s = spark
+    import s.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    // cluster 1: only doc 2 passes the quality gate -> rep 2 despite id 1
+    // cluster 4: both pass with equal length -> min id 4 wins the tie
+    val quality = Seq((1L, 0L, 50L), (2L, 1L, 10L), (3L, 0L, 99L),
+      (4L, 1L, 20L), (5L, 1L, 20L)).toDF("doc_id", "q_pass", "q_words")
+    val out = Dedup.qualityRepresentatives(clusters, quality)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 2L)))
+    assert(out(4L) == ((2L, 4L)))
+    // among gate-passers, longer wins
+    val q2 = Seq((4L, 1L, 20L), (5L, 1L, 21L)).toDF("doc_id", "q_pass", "q_words")
+    val out2 = Dedup.qualityRepresentatives(
+      clusters.where("cluster_id = 4"), q2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2(4L) == 5L)
+  }
 }

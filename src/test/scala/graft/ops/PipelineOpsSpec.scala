@@ -61,6 +61,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == ((30L, 1L, 0L, 1L, 1L, 0L)))
   }
 
+  test("word entropy: uniform doc hits ln(n), constant doc hits 0, mix is exact") {
+    val d = docs(
+      (1L, "w1 w2 w3 w4", "s"),   // uniform over 4 -> round(ln 4 * 1e4)/1e4
+      (2L, "x x x x", "s"),       // one type -> exactly 0
+      (3L, "a a b b", "s"))       // hand-computed micro-nat arithmetic
+    val out = TextOps.wordEntropy(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 4L, math.round(math.log(4) * 1e4) / 1e4, 1.0)))
+    assert(out(2L) == ((4L, 1L, 0.0, 0.25)))
+    // s_micro = 2*round(ln 2 * 1e4)*2 = 27724; n*ln(n)_micro = 4*13863
+    assert(out(3L) == ((4L, 2L, (4L * 13863L - 27724L).toDouble / 40000L, 0.5)))
+    // bit-determinism across runs (the hash-exactness the oracle relies on)
+    val again = TextOps.wordEntropy(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out.forall { case (id, (_, _, e, _)) => again(id) == e })
+  }
+
   test("mixture weights split the budget uniformly, cap at maxEpochs, report shortfall") {
     // source a: 4 tokens inventory; b: 40; c: 400. budget 300 over 3
     // sources -> target 100 each. a caps at 4 epochs (16 tokens, shortfall
