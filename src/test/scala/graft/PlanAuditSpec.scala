@@ -108,6 +108,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ivf_probe"), s"codegen probe expression missing:\n$p")
   }
 
+  test("chunk dedup: representative aggregate with no window and no UDF on the hash") {
+    val p = plan("dedup_paragraph_exact")
+    // kept counts re-aggregate the min-(doc,idx) representatives — a
+    // row_number window over the chunk hash (the skew-prone alternative)
+    // must not appear, and the aggregate must combine map-side
+    assert(!p.contains("Window"), s"chunk dedup windows over the hash:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"no map-side combine on the chunk hash:\n$p")
+    assert(!p.contains("ScalaUDF"), s"per-row UDF in the chunk pass:\n$p")
+  }
+
+  test("gopher rules and entropy are pure two-phase aggregations — no joins at all") {
+    for (name <- Seq("pipeline_gopher_rules", "text_entropy")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name joins where an aggregate suffices:\n$p")
+      assert(p.contains("partial_sum"), s"$name lacks map-side combine:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$name uses a per-row UDF:\n$p")
+    }
+  }
+
+  test("incremental embedding dedup: increment ids broadcast, no cartesian, no UDF") {
+    val f = ops.IceQueries.incrementalEmb(spark, sfDir)
+    val df = ops.IncrementalDedup.incrementalEmbeddingPairs(
+      spark, f.emb, f.buckets, f.watermark, 0.2)
+    val p = df.queryExecution.executedPlan.toString
+    // the stored bucket table excludes the increment via a broadcast
+    // anti-join (the id set is Δ-sized); candidates join on bucket keys
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"increment exclusion is not a broadcast anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the candidate join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"per-row UDF in the bucketing pass:\n$p")
+    ops.CacheRegistry.releaseAll()
+  }
+
   test("vocabulary top-k is a distributed TakeOrdered — the full vocabulary never globally sorts") {
     val p = plan("text_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")

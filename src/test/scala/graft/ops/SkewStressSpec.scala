@@ -88,6 +88,36 @@ final class SkewStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally CacheRegistry.releaseAll()
   }
 
+  test("chunk dedup under a planted boilerplate chunk: no hash key ever carries the corpus") {
+    // every doc: one IDENTICAL 3-word boilerplate chunk + one unique chunk.
+    // The design claim (chunkDedupStats scaladoc): the boilerplate hash is
+    // reduced by the map-side partial aggregate to one combiner cell per
+    // task BEFORE the exchange, and kept counts re-aggregate the
+    // representatives — never a join back on the hot hash. The executed
+    // plan's shuffle-write metrics prove it: with 2N chunk rows, a design
+    // that shuffled raw occurrences (or windowed over the hash) would carry
+    // ~2N rows into the hash exchange; the partial-aggregated exchange
+    // carries ~N (the unique chunks) plus a handful of boilerplate partials.
+    val docs = spark.range(N).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("b1 b2 b3"), concat(lit("u"), col("id")),
+        concat(lit("v"), col("id")), concat(lit("w"), col("id"))).as("text"))
+    val out = Dedup.chunkDedupStats(docs, chunkWords = 3)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == N)
+    assert(rows.forall(_._2 == 2L), "every doc splits into exactly 2 chunks")
+    // exactly one doc (doc 0) keeps the boilerplate; every doc keeps its
+    // unique chunk
+    assert(rows.map(_._3).sum == N + 1)
+    assert(rows.count(_._4 == 1L) == N - 1)
+    val counts = shuffleRecordCounts(out)
+    assert(counts.nonEmpty, "expected shuffle metrics in the executed plan")
+    val bound = N + N / 10
+    assert(counts.max <= bound,
+      s"a shuffle carried ${counts.max} rows (> $bound) — the boilerplate " +
+        "chunk reached an exchange unreduced")
+  }
+
   test("containment chooser flips to the prefix-probe plan under the stopword") {
     try {
       val before = Dedup.containmentPrefixPlans.get()
