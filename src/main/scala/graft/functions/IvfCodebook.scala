@@ -47,6 +47,76 @@ object IvfCodebook {
     centers
   }
 
+  /** Round half away from zero — the semantics BOTH Spark SQL's and
+    * DuckDB's `round()` implement (scala's `math.round` rounds half toward
+    * +∞, which disagrees on negative half-integers — a real hash-mismatch
+    * vector for quantized embeddings).
+    */
+  def halfAwayRound(v: Double): Long =
+    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+
+  /** Lloyd's k-means in PURE INTEGER arithmetic over micro-quantized points
+    * (each coordinate pre-rounded to an integer, e.g. 1e-4 units): integer
+    * squared distances, ties to the lowest cell, centroid update by floor
+    * division, empty cells keep their previous center, a FIXED iteration
+    * count. Every step is order-independent or explicitly sequenced, so a
+    * SQL engine restates the whole fit bit-for-bit — this is what converts
+    * the IVF/semantic-dedup family from rows-only checks to hash-exact
+    * oracle rows. Seeds are the same evenly-spaced sample indexes as
+    * [[fit]].
+    *
+    * `floorDiv` here ≡ `floor(CAST(sum AS DOUBLE)/n)` in SQL: with |sum| ≤
+    * sampleCap·|micro| ≪ 2^53 the double quotient is correctly rounded, and
+    * a non-integer rational with denominator ≤ sampleCap sits ≥ 1/sampleCap
+    * from any integer — far beyond one ulp — so the floors agree exactly.
+    */
+  def fitPortable(points: Array[Array[Long]], k: Int,
+      iters: Int = 2): Array[Array[Long]] = {
+    if (points.isEmpty) return Array.empty
+    val kk = math.min(k, points.length)
+    val dim = points(0).length
+    var centers = Array.tabulate(kk)(i =>
+      points(((i.toLong * points.length) / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Long](dim))
+      val counts = new Array[Long](kk)
+      points.foreach { p =>
+        val c = nearestPortable(centers, p)
+        val s = sums(c)
+        var d = 0
+        while (d < dim) { s(d) += p(d); d += 1 }
+        counts(c) += 1
+      }
+      centers = Array.tabulate(kk) { c =>
+        if (counts(c) == 0L) centers(c)
+        else Array.tabulate(dim)(d => Math.floorDiv(sums(c)(d), counts(c)))
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Integer-distance nearest center (ties to the lowest index). */
+  def nearestPortable(centers: Array[Array[Long]], p: Array[Long]): Int = {
+    var best = 0
+    var bestDist = Long.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var dist = 0L
+      var d = 0
+      while (d < p.length && d < ctr.length) {
+        val diff = p(d) - ctr(d)
+        dist += diff * diff
+        d += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Index of the euclidean-nearest center (ties to the lowest index). */
   def nearest(centers: Array[Array[Double]], p: Array[Double]): Int = {
     var best = 0

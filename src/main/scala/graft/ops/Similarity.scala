@@ -246,25 +246,35 @@ c AS (
   }
 
   /** Fit an IVF codebook from a DETERMINISTIC row-capped sample: order by
-    * a hash of the id (a pseudo-random but stable permutation), take the
-    * first `sampleCap` (a distributed top-k, one pass, no full sort), run
-    * Lloyd's on the driver. At 100 TB the sample is still `sampleCap` rows —
-    * codebook cost never scales with the corpus.
+    * md5 of the id (a pseudo-random but stable AND engine-portable
+    * permutation — the pipeline_split discipline), take the first
+    * `sampleCap` (a distributed top-k, one pass, no full sort), run the
+    * PORTABLE integer Lloyd's ([[graft.functions.IvfCodebook.fitPortable]])
+    * on the driver over micro-quantized coordinates, then release the
+    * centers as doubles via one exact division each. At 100 TB the sample
+    * is still `sampleCap` rows — codebook cost never scales with the
+    * corpus. Every step is restatable in SQL, which is what lets the DuckDB
+    * oracle reproduce the codebook — and therefore the whole IVF pipeline —
+    * bit-for-bit.
     */
   /** Test hook: counts codebook fits. With a Puffin-persisted codebook the
     * table path must load metadata without ever incrementing this.
     */
   val codebookFits = new java.util.concurrent.atomic.AtomicLong()
 
+  private[ops] val MicroScale = 10000d
+
   private[ops] def fitCodebook(emb: DataFrame, nCells: Int,
       sampleCap: Int = 4096): Array[Array[Double]] = {
+    import graft.functions.IvfCodebook
     codebookFits.incrementAndGet()
     val sample = emb.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)), col("vec_id"))
       .limit(sampleCap)
       .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    graft.functions.IvfCodebook.fit(sample, nCells)
+      .map(_.getSeq[Float](1)
+        .map(f => IvfCodebook.halfAwayRound(f.toDouble * MicroScale)).toArray)
+    IvfCodebook.fitPortable(sample, nCells).map(_.map(_ / MicroScale))
   }
 
   /** IVF-Flat ANN over a given codebook: one corpus pass assigns each
@@ -355,7 +365,8 @@ c AS (
       .join(clusters, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("rep_id"),
-        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+          .cast(LongType).as("keep"))
   }
 
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double,
@@ -475,6 +486,65 @@ c AS (
       .select("label", "n_vectors", "avg_cos_to_centroid")
   }
 
+  /** The portable-IVF fit + corpus-assignment CTEs the IVF/semantic oracles
+    * share — the SQL restatement of [[fitCodebook]] (md5-ordered capped
+    * sample, micro quantization, two integer Lloyd rounds with floor-div
+    * centroids and empty-cells-keep-previous) followed by the
+    * double-arithmetic argmin assignment of
+    * [[graft.functions.IvfCodebook.nearest]] (sequential dim sums — DuckDB's
+    * left-fold `list_reduce` adds in the same order as the Scala loop, so
+    * the doubles are bitwise identical).
+    */
+  private def ivfFitCtes: String = """
+samp AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS m,
+    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+  FROM embeddings QUALIFY srn <= 4096),
+scnt AS (SELECT COUNT(*) AS n FROM samp),
+seed AS (
+  SELECT g.i AS cell, s.m
+  FROM (SELECT unnest(range(0, 16)) AS i) g, scnt, samp s
+  WHERE s.srn = (g.i * scnt.n) // 16 + 1),
+a1 AS (
+  SELECT s.srn, s.m, c.cell,
+    row_number() OVER (PARTITION BY s.srn ORDER BY
+      list_reduce(list_transform(range(1, 65),
+        i -> (s.m[i] - c.m[i]) * (s.m[i] - c.m[i])), (a, b) -> a + b), c.cell) AS r
+  FROM samp s, seed c),
+g1 AS (SELECT srn, m, cell FROM a1 WHERE r = 1),
+c1e AS (
+  SELECT cell, u.i AS d,
+    CAST(floor(CAST(SUM(m[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM g1, unnest(range(1, 65)) u(i) GROUP BY cell, u.i),
+c1m AS (SELECT cell, list(v ORDER BY d) AS m FROM c1e GROUP BY cell),
+c1 AS (SELECT s.cell, COALESCE(c1m.m, s.m) AS m
+       FROM seed s LEFT JOIN c1m USING (cell)),
+a2 AS (
+  SELECT s.srn, s.m, c.cell,
+    row_number() OVER (PARTITION BY s.srn ORDER BY
+      list_reduce(list_transform(range(1, 65),
+        i -> (s.m[i] - c.m[i]) * (s.m[i] - c.m[i])), (a, b) -> a + b), c.cell) AS r
+  FROM samp s, c1 c),
+g2 AS (SELECT srn, m, cell FROM a2 WHERE r = 1),
+c2e AS (
+  SELECT cell, u.i AS d,
+    CAST(floor(CAST(SUM(m[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM g2, unnest(range(1, 65)) u(i) GROUP BY cell, u.i),
+c2m AS (SELECT cell, list(v ORDER BY d) AS m FROM c2e GROUP BY cell),
+c2 AS (SELECT s.cell, COALESCE(c2m.m, s.m) AS m
+       FROM c1 s LEFT JOIN c2m USING (cell)),
+cb AS (SELECT cell, list_transform(m, v -> CAST(v AS DOUBLE) / 10000) AS c FROM c2),
+emb2 AS (SELECT vec_id, label, embedding,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+asgn AS (
+  SELECT vec_id, label, embedding, e, cell FROM (
+    SELECT v.vec_id, v.label, v.embedding, v.e, cb.cell,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> (v.e[i] - cb.c[i]) * (v.e[i] - cb.c[i])), (a, b) -> a + b), cb.cell) AS r
+    FROM emb2 v, cb) z WHERE r = 1)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "sim_bruteforce_topk",
@@ -582,11 +652,42 @@ c AS (
             AND b.vec_id % 5 <> a.vec_id % 5) sub
         WHERE rn <= 10""")),
 
-    // IVF-Flat ANN (probabilistic recall — rows-only; recall pinned vs the
-    // exact top-k in SimilaritySpec). Table-backed: the codebook persists
-    // as a Puffin blob on first use, so repeat invocations fit nothing.
+    // IVF-Flat ANN — hash-exact since r12's portable integer-Lloyd fit:
+    // the oracle restates the ENTIRE pipeline (md5-sampled fit, two integer
+    // Lloyd rounds, double argmin assignment, cosine-ranked multi-probe,
+    // rounded re-rank), so a codebook drift, an assignment tie-flip, or a
+    // probe-order change all break the hash. Table-backed: the codebook
+    // persists as a Puffin blob on first use, so repeat invocations fit
+    // nothing; recall vs the exact top-k stays pinned in SimilaritySpec.
     QueryDef("sim_ann_ivf",
-      (s, dir) => ivfTopKForTable(s, IceQueries.curation(s, dir)._2, 5, 10), None),
+      (s, dir) => ivfTopKForTable(s, IceQueries.curation(s, dir)._2, 5, 10),
+      Some(s"""
+        WITH $ivfFitCtes,
+        prb AS (
+          SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, cb.cell,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                (list_reduce(list_transform(range(1, 65),
+                   i -> q.e[i] * cb.c[i]), (a, b) -> a + b) /
+                 (sqrt(list_reduce(list_transform(range(1, 65),
+                    i -> q.e[i] * q.e[i]), (a, b) -> a + b)) *
+                  sqrt(list_reduce(list_transform(range(1, 65),
+                    i -> cb.c[i] * cb.c[i]), (a, b) -> a + b)) + 1e-12)) DESC,
+                cb.cell) AS r
+            FROM emb2 q, cb WHERE q.vec_id < 5) z WHERE r <= 4),
+        cand AS (
+          SELECT p.query_id, n.vec_id AS neighbor_id,
+            round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(n.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM prb p JOIN asgn n USING (cell)
+            JOIN embeddings q ON q.vec_id = p.query_id
+          WHERE n.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM cand) z
+        WHERE rn <= 10""")),
 
     // embedding-cosine near-dup pairs, blocked by label (exact within block;
     // the oracle-checkable baseline — dedup_embedding_lsh is the scale path)
@@ -621,13 +722,34 @@ c AS (
 
     // SemDeDup: cluster (IVF cells), dedup within clusters, keep one rep
     // per duplicate group — the label-free semantic dedup for web-scale
-    // corpora. Cell blocking is probabilistic recall → rows-only check;
-    // SimilaritySpec pins planted-duplicate recall and determinism.
-    // 0.4 sits above the synthetic corpus's noise floor (cos 0.2 matches
-    // ~6% of ALL pairs — a dedup there would chain whole cells together)
-    // and selects the genuine near-dup tail.
+    // corpora. Hash-exact since r12's portable fit: cells, within-cell
+    // rounded-cosine pairs, the recursive closure, and the keep map all
+    // restate in SQL (cross-cell recall stays a design property — of the
+    // OPERATOR, no longer of the check). 0.4 sits above the synthetic
+    // corpus's noise floor (cos 0.2 matches ~6% of ALL pairs — a dedup
+    // there would chain whole cells together) and selects the genuine
+    // near-dup tail. SimilaritySpec keeps planted-duplicate recall pinned.
     QueryDef("dedup_semantic",
-      (s, dir) => semanticDedupForTable(s, IceQueries.curation(s, dir)._2, 0.4), None),
+      (s, dir) => semanticDedupForTable(s, IceQueries.curation(s, dir)._2, 0.4),
+      Some(s"""
+        WITH RECURSIVE $ivfFitCtes,
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])), 4) >= 0.4),
+        eg AS (SELECT vec_a AS src, vec_b AS dst FROM p
+               UNION ALL SELECT vec_b, vec_a FROM p),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM eg)
+          UNION
+          SELECT r.src, eg.dst FROM reach r JOIN eg ON r.node = eg.src),
+        cl AS (SELECT src AS vec_id, MIN(node) AS cluster_id
+               FROM reach GROUP BY src)
+        SELECT m.vec_id,
+          COALESCE(cl.cluster_id, m.vec_id) AS rep_id,
+          CAST(COALESCE(cl.cluster_id, m.vec_id) = m.vec_id AS BIGINT) AS keep
+        FROM embeddings m LEFT JOIN cl USING (vec_id)""")),
 
     // exact oracle: per-(label, dim) centroid via UNNEST, cosine re-derived
     // per vector, avg rounded to 3 decimals (double math both sides; the

@@ -176,16 +176,17 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val corpus = emb.select("vec_id", "embedding", "label").unionByName(clones)
     val centers = Similarity.fitCodebook(corpus, 16)
     val out = Similarity.semanticDedupFrom(corpus, centers, 0.999999)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
-    // one row per corpus vector, keep == (rep_id == vec_id)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // one row per corpus vector, keep == (rep_id == vec_id), as BIGINT 0/1
+    // per the oracle determinism contract (QueryDef scaladoc)
     assert(out.size == emb.count().toInt + 2)
-    assert(out.forall { case (id, (rep, keep)) => keep == (rep == id) })
+    assert(out.forall { case (id, (rep, keep)) => (keep == 1L) == (rep == id) })
     // each planted clone pair collapsed to the original (minimum) id
-    assert(out(100003L) == ((3L, false)) && out(3L)._1 == 3L)
-    assert(out(100007L) == ((7L, false)) && out(7L)._1 == 7L)
+    assert(out(100003L) == ((3L, 0L)) && out(3L)._1 == 3L)
+    assert(out(100007L) == ((7L, 0L)) && out(7L)._1 == 7L)
     // determinism: a second run is bit-identical
     val again = Similarity.semanticDedupFrom(corpus, centers, 0.999999)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(again == out)
   }
 
