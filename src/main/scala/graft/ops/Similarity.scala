@@ -158,6 +158,35 @@ c AS (
       k)
   }
 
+  /** The k-NN GRAPH: every corpus vector's top-k neighbors among its LSH
+    * bucket-mates — the neighbor structure graph-based curation consumes
+    * (SemDeDup variants, graph clustering, coverage sampling). Unlike the
+    * query-batch ANN ops there is no broadcastable query side: the
+    * candidate stage is a bucket-keyed SELF-join (shuffle keys (tbl,
+    * bucket) — never all-pairs), candidate pairs drop to slim id pairs and
+    * dedup BEFORE any vector payload is attached, and the per-vector top-k
+    * is the partial-aggregating [[graft.functions.TopKByScore]] — each map
+    * task reduces to ≤k per vector before the exchange, so the corpus-sized
+    * scored frame never crosses a shuffle unreduced. Deterministic
+    * end-to-end (integer planes, rounded cosine, (score desc, id asc)
+    * ranking): the oracle restates the whole graph.
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = withInt8Codes(t(spark, dir, "embeddings"))
+      .transform(CacheRegistry.persist(_))
+    val banded = emb.select(col("vec_id"),
+      posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val vb = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+    perQueryTopK(cand.join(va, "query_id").join(vb, "neighbor_id")
+      .withColumn("cos_sim", round(cosine(col("qvec"), col("nvec")), 4)), k)
+  }
+
   /** Embedding near-dup via LSH pre-candidates + exact cosine verify — the
     * 100 TB plan: the only shuffle keys are (table, bucket, label), so cost
     * is Σ_bucket C(n,2) over bucket populations instead of C(n,2) over whole
@@ -688,6 +717,28 @@ asgn AS (
               ORDER BY cos_sim DESC, neighbor_id) AS rn
           FROM cand) z
         WHERE rn <= 10""")),
+
+    // the all-corpus k-NN graph over LSH buckets — deterministic
+    // end-to-end, the oracle restates codes → buckets → bucket-mate pairs
+    // → rounded-cosine top-k per vector
+    QueryDef("sim_knn_graph", (s, dir) => knnGraph(s, dir, 5),
+      Some(s"""
+        WITH $codesCteSql,
+        bk AS (SELECT vec_id, embedding, $bucketColsSql FROM c),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            q.embedding AS qe, n.embedding AS ne
+          FROM bk q, bk n
+          WHERE n.vec_id <> q.vec_id
+            AND (q.b0 = n.b0 OR q.b1 = n.b1 OR q.b2 = n.b2 OR q.b3 = n.b3))
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT query_id, neighbor_id,
+            round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+              CAST(ne AS DOUBLE[])), 4) AS cos_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                CAST(ne AS DOUBLE[])), 4) DESC, neighbor_id) AS rn
+          FROM cand) z WHERE rn <= 5""")),
 
     // embedding-cosine near-dup pairs, blocked by label (exact within block;
     // the oracle-checkable baseline — dedup_embedding_lsh is the scale path)

@@ -75,6 +75,29 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     CacheRegistry.releaseAll()
   }
 
+  test("kNN graph: complete ranked per-vector output, recall vs exact on the query slice") {
+    val g = Similarity.knnGraph(spark, sfDir, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = g.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    // ranks are 1..n gap-free and scores non-increasing per vector
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+    // recall vs the exact top-5 on the same query slice the ANN ops pin
+    val exact = Similarity.bruteForceTopK(spark, sfDir, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = g.filter(_._1 < 5).map(t => (t._1, t._2)).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.25, s"kNN graph recall $recall")
+    CacheRegistry.releaseAll()
+  }
+
   test("IVF-Flat ANN recall against the exact top-k") {
     val exact = Similarity.bruteForceTopK(spark, sfDir, 5, 10)
       .select("query_id", "neighbor_id").collect()
