@@ -926,7 +926,9 @@ banded AS (SELECT doc_id, source, b.band,
     val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
     val nChunks = floor((size(col("w")) + lit(chunkWords - 1)) /
       lit(chunkWords.toDouble)).cast(IntegerType)
-    val chunks = documents.select(col("doc_id"), w.as("w"))
+    // tokenized once, read by BOTH the chunk-hash pass and the rebuild join
+    val docsW = CacheRegistry.persist(documents.select(col("doc_id"), w.as("w")))
+    val chunks = docsW
       .select(col("doc_id"), posexplode(transform(sequence(lit(0), nChunks - 1),
         i => md5(concat_ws(" ",
           slice(col("w"), i * chunkWords + 1, lit(chunkWords))).cast(BinaryType)))))
@@ -935,7 +937,7 @@ banded AS (SELECT doc_id, source, b.band,
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
       .groupBy(col("first.doc_id").as("doc_id"))
       .agg(sort_array(collect_list(col("first.chunk_idx"))).as("idxs"))
-    documents.select(col("doc_id"), w.as("w")).join(keptIdx, "doc_id")
+    docsW.join(keptIdx, "doc_id")
       .withColumn("clean", array_join(transform(col("idxs"),
         i => concat_ws(" ", slice(col("w"), i * chunkWords + 1, lit(chunkWords)))),
         " "))

@@ -523,6 +523,11 @@ c AS (
     * [[graft.functions.IvfCodebook.nearest]] (sequential dim sums — DuckDB's
     * left-fold `list_reduce` adds in the same order as the Scala loop, so
     * the doubles are bitwise identical).
+    *
+    * Precondition: the corpus has ≥ 16 vectors — the seed CTE hardcodes 16
+    * cells, while `fitPortable` clamps to min(16, n). Every driver SF has
+    * ≥ 500; a sub-16-vector corpus would diverge here and must not be
+    * oracle-gated through these CTEs.
     */
   private def ivfFitCtes: String = """
 samp AS (

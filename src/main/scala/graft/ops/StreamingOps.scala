@@ -31,6 +31,19 @@ object StreamingOps {
     case _ => expr("unix_micros(cast(ts as timestamp))")
   }
 
+  /** One-symlink staging dir for the streaming file source (it monitors a
+    * DIRECTORY; the symlink avoids a data copy), registered for
+    * shutdown-hook cleanup so repeated invocations don't leak inodes.
+    */
+  private def stagedSymlinkDir(prefix: String, file: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"), java.nio.file.Paths.get(file))
+    d
+  }
+
   /** Hourly tumbling-window event counts computed by a streaming job with a
     * 1-hour watermark.
     *
@@ -55,12 +68,7 @@ object StreamingOps {
     import graft.table.IceTable
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet") // batch read for the schema
-    // the streaming file source monitors a DIRECTORY; stage the table file
-    // into one (symlink — no data copy)
-    val srcDir = java.nio.file.Files.createTempDirectory("stream-events")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val srcDir = stagedSymlinkDir("stream-events", s"$dir/events.parquet")
     val stream = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
       .withColumn("ts", tsAsTimestamp(raw.schema("ts").dataType))
       .withWatermark("ts", "1 hour")
@@ -115,10 +123,7 @@ object StreamingOps {
   def streamedSessionStats(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val srcDir = java.nio.file.Files.createTempDirectory("stream-sess")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val srcDir = stagedSymlinkDir("stream-sess", s"$dir/events.parquet")
     // unsigned render: math.abs(Int.MinValue) is negative (ADVICE r11)
     sessionStatsStream(spark, srcDir.toString, raw.schema,
       s"stream_sessions_${java.lang.Integer.toUnsignedString(dir.hashCode)}")._1
