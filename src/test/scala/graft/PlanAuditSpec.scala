@@ -142,6 +142,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     ops.CacheRegistry.releaseAll()
   }
 
+  test("kNN graph: no cartesian, no window — candidates dedup before vectors attach") {
+    val p = plan("sim_knn_graph")
+    assert(!p.contains("CartesianProduct"), s"kNN candidate stage went all-pairs:\n$p")
+    // per-vector ranking is the partial top-k aggregate, never a window
+    // (a window would shuffle every scored pair into per-vector partitions)
+    assert(!p.contains("Window"), s"kNN ranking fell back to a window:\n$p")
+    assert(p.contains("top_k_by_score"), s"partial top-k aggregate missing:\n$p")
+    ops.CacheRegistry.releaseAll()
+  }
+
   test("vocabulary top-k is a distributed TakeOrdered — the full vocabulary never globally sorts") {
     val p = plan("text_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
