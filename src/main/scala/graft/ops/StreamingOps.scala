@@ -137,15 +137,20 @@ object StreamingOps {
     * Returns the aggregated result and the number of micro-batches that
     * actually carried rows.
     *
-    * Emission shape: append mode emits one row per user TOUCHED in the
-    * batch — already the changed-keys-sized output the upsert sinks above
-    * enforce; the memory sink here accumulates at most one row per (batch,
-    * touched user), bounded by the event count, never by total state.
+    * Emission shape (r12, same as the other two streaming ops): append
+    * mode emits one cumulative row per user TOUCHED in the batch, and a
+    * `foreachBatch` equality-delete upsert keyed on user_id retires each
+    * user's previous row — the table converges to the final per-user
+    * stats, per-trigger output is batch-sized, and nothing corpus-sized
+    * ever reaches the driver (the previous memory sink accumulated every
+    * batch's emissions and needed a groupBy-max read on top).
     */
   def sessionStatsStream(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType, sinkName: String,
       filesPerTrigger: Option[Int] = None): (DataFrame, Int) = {
     import spark.implicits._
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val typed = reader.parquet(srcDir)
@@ -166,21 +171,36 @@ object StreamingOps {
           }
           val st = SessState(n, prev, st0.nEvents + sorted.length)
           state.update(st)
-          // cumulative per batch: the reader keeps the per-user MAX, which is
-          // the final value however many batches the source delivered
+          // cumulative per batch; the upsert retires the previous row, so
+          // the sink holds the latest value per user after the final batch
           Iterator.single(UserSessions(uid, st.nSessions, st.nEvents))
       }
-    val q = sessions.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    require(q.awaitTermination(120000), "streaming session job did not finish in 120s")
+    val wh = java.nio.file.Files.createTempDirectory(s"stream-sess-$sinkName")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+    val catalog = new FileCatalog(wh.toString)
+    var sink: IceTable = null
+    val onBatch: (org.apache.spark.sql.Dataset[UserSessions], Long) => Unit =
+      (batch, _) => {
+        val rows = batch.toDF().coalesce(1)
+        if (sink == null)
+          sink = IceTable.create(catalog, "user_sessions",
+            graft.core.SchemaConv.fromSpark(rows.schema))
+        sink.upsert(rows.sparkSession, rows, Seq("user_id"))
+        sink.refresh()
+      }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = sessions.writeStream
+        .foreachBatch(onBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(query.awaitTermination(120000), "streaming session job did not finish in 120s")
+      query
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val batches = q.recentProgress.count(_.numInputRows > 0)
-    (spark.table(sinkName).groupBy("user_id")
-      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events")),
-      batches)
+    (sink.scan(spark).select("user_id", "n_sessions", "n_events"), batches)
   }
 
   /** Exact content-hash dedup as a STREAMING job — the continuous-ingest
