@@ -864,16 +864,25 @@ banded AS (SELECT doc_id, source, b.band,
     * skewed join key. The only corpus-sized exchanges are keyed on chunk
     * hash and doc_id: high-cardinality, no skew.
     */
-  def chunkDedupStats(documents: DataFrame, chunkWords: Int): DataFrame = {
+  /** (doc_id, chunk_idx, h) rows — each document's consecutive
+    * `chunkWords`-word chunks reduced to their md5 on the map side. Shared
+    * by the full-corpus stats, the scrub step, and the incremental variant
+    * (whose accumulated chunk index stores these rows' per-hash minimum).
+    */
+  def chunkRows(documents: DataFrame, chunkWords: Int): DataFrame = {
     val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
     // exact integer ceil(len/chunkWords); size >= 1 so always >= 1 chunk
     val nChunks = floor((size(col("w")) + lit(chunkWords - 1)) /
       lit(chunkWords.toDouble)).cast(IntegerType)
-    val chunks = documents.select(col("doc_id"), w.as("w"))
+    documents.select(col("doc_id"), w.as("w"))
       .select(col("doc_id"), posexplode(transform(sequence(lit(0), nChunks - 1),
         i => md5(concat_ws(" ",
           slice(col("w"), i * chunkWords + 1, lit(chunkWords))).cast(BinaryType)))))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "h")
+  }
+
+  def chunkDedupStats(documents: DataFrame, chunkWords: Int): DataFrame = {
+    val chunks = chunkRows(documents, chunkWords)
     val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
     val kept = chunks.groupBy("h")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))

@@ -330,7 +330,7 @@ object IceQueries {
     */
   final case class IncrementalFixture(docs: IceTable, tokenIndex: IceTable,
       signatures: IceTable, bandBuckets: IceTable, spanIndex: IceTable,
-      watermark: Long)
+      chunkIndex: IceTable, watermark: Long)
 
   private val incrementalTables =
     new ConcurrentHashMap[String, IncrementalFixture]()
@@ -378,7 +378,21 @@ object IceQueries {
         SchemaConv.fromSpark(spans.schema))
       spt.append(spans)
       spt.refresh()
-      IncrementalFixture(dt, it, st, bt, spt, watermark)
+      // the chunk index over the first snapshot: one row per distinct
+      // chunk hash with its first (doc_id, chunk_idx) — what a previous
+      // run's extendChunkIndex would have accumulated
+      val chunkReps = Dedup.chunkRows(old, 20)
+        .groupBy("h")
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.struct(col("doc_id"), col("chunk_idx")))
+          .as("first"))
+        .select(col("h"), col("first.doc_id").as("doc_id"),
+          col("first.chunk_idx").as("chunk_idx"))
+      val ct = IceTable.create(catalog, "chunk_index",
+        SchemaConv.fromSpark(chunkReps.schema))
+      ct.append(chunkReps)
+      ct.refresh()
+      IncrementalFixture(dt, it, st, bt, spt, ct, watermark)
     })
 
   /** Incremental embedding-dedup fixture state: the two-snapshot embeddings

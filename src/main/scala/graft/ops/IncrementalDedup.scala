@@ -371,6 +371,74 @@ object IncrementalDedup {
     bucketTable.refresh()
   }
 
+  // -------------------------------------------------- chunk index
+  /** Chunk-level dedup stats for the INCREMENT's documents against a
+    * persisted CHUNK INDEX — the accumulated artifact is one row per
+    * distinct chunk hash carrying its first (doc_id, chunk_idx) occurrence
+    * (index size = distinct chunks, not occurrences). Only the increment
+    * is tokenized and hashed; the stored index is pruned to Δ-relevant
+    * hashes by a semi-join BEFORE the first-occurrence merge (at 100 TB
+    * the index is bucketed by hash, so the prune co-locates). "First" is
+    * the GLOBAL min (doc_id, chunk_idx): the stored per-hash minimum
+    * merged with the increment's occurrences — min of mins — so an
+    * increment doc with a smaller id than a stored doc correctly claims
+    * the chunk, exactly as the full-corpus pass would. Stale-watermark
+    * retries stay exact via the same anti-join-by-id discipline.
+    */
+  def incrementalChunkStats(spark: SparkSession, docsTable: IceTable,
+      chunkTable: IceTable, sinceSnapshotId: Long,
+      chunkWords: Int): DataFrame = {
+    val newDocs = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
+    val newChunks = CacheRegistry.persist(Dedup.chunkRows(newDocs, chunkWords))
+    val newIds = newChunks.select(col("doc_id")).distinct()
+    val deltaH = newChunks.select(col("h")).distinct()
+    val stored = chunkTable.scan(spark)
+      .select(col("h"), col("doc_id"), col("chunk_idx"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .join(deltaH, Seq("h"), "left_semi")
+    val firsts = stored.unionByName(newChunks)
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+    val perDoc = newChunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    // kept counts re-aggregate the representatives (the skew-free shape of
+    // the full-corpus pass); only increment docs can appear here besides
+    // stored owners, and only increment docs are reported
+    val kept = firsts
+      .groupBy(col("first.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept_chunks"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_semi")
+    perDoc.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept_chunks"), lit(0L)).as("n_kept_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept_chunks"), lit(0L)))
+          .as("n_dup_chunks"))
+  }
+
+  /** Roll the chunk index forward: recompute the global first occurrence
+    * for the Δ's hashes (stored min merged with the increment's) and
+    * UPSERT by hash — the write is changed-hash-sized, and a chunk whose
+    * first occurrence MOVED to a smaller increment doc_id is corrected in
+    * place by the equality-delete retire.
+    */
+  def extendChunkIndex(spark: SparkSession, docsTable: IceTable,
+      chunkTable: IceTable, sinceSnapshotId: Long, chunkWords: Int): Unit = {
+    val newChunks = Dedup.chunkRows(
+      Ingest.changesSince(spark, docsTable, sinceSnapshotId), chunkWords)
+    val newIds = newChunks.select(col("doc_id")).distinct()
+    val deltaH = newChunks.select(col("h")).distinct()
+    val stored = chunkTable.scan(spark)
+      .select(col("h"), col("doc_id"), col("chunk_idx"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .join(deltaH, Seq("h"), "left_semi")
+    val merged = stored.unionByName(newChunks)
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("doc_id"),
+        col("first.chunk_idx").as("chunk_idx"))
+    chunkTable.upsert(spark, merged, Seq("h"))
+    chunkTable.refresh()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // exact jaccard >= 0.5 pairs touching the fixture's NEW snapshot
     // (doc_id % 10 == 0), computed against the persisted token index of the
@@ -458,6 +526,31 @@ object IncrementalDedup {
         WITH ${Dedup.minhashCandCtes}
         SELECT doc_a, doc_b, est_jaccard FROM mh_pairs
         WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""")),
+
+    // chunk-level dedup stats for the increment's docs against the
+    // persisted chunk index — oracle: the full-corpus chunk stats (global
+    // first occurrence over ALL docs) restricted to increment docs, so a
+    // stored-min miss or a first-occurrence that failed to move to a
+    // smaller increment id breaks the hash
+    QueryDef(
+      "dedup_incremental_chunks",
+      (s, dir) => {
+        val f = IceQueries.incremental(s, dir)
+        incrementalChunkStats(s, f.docs, f.chunkIndex, f.watermark, 20)
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        c AS (SELECT doc_id, i AS chunk_idx,
+            md5(array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ')) AS h
+          FROM w, unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS u(i)),
+        r AS (SELECT doc_id, h,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+          FROM c)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+          CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        FROM r WHERE doc_id % 10 = 0 GROUP BY doc_id""")),
 
     // embedding near-dup pairs touching the increment, against the
     // persisted LSH bucket table — deterministic end-to-end (integer

@@ -254,6 +254,79 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("incremental chunk stats equal full-corpus stats restricted to the increment") {
+    val f = IceQueries.incremental(spark, sfDir)
+    val incremental = IncrementalDedup.incrementalChunkStats(
+        spark, f.docs, f.chunkIndex, f.watermark, 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val full = Dedup.chunkDedupStats(docs, 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = full.filter { case (id, _) => id % 10 == 0 }
+    assert(incremental == expected)
+    assert(incremental.nonEmpty)
+    // the increment's doc_ids (0, 10, 20…) are often SMALLER than stored
+    // ids, so this equality exercises first-occurrence MOVES, not just
+    // lookups — and the chunk plan reads no pre-watermark document file
+    val oldFiles = f.docs.newScan(snapshotId = Some(f.watermark)).planFiles()
+      .map(t => norm(t.file.filePath)).toSet
+    val planInputs = IncrementalDedup.incrementalChunkStats(
+      spark, f.docs, f.chunkIndex, f.watermark, 20).inputFiles.map(norm).toSet
+    assert(planInputs.nonEmpty)
+    assert(planInputs.intersect(oldFiles).isEmpty,
+      "chunk stats plan scans old document files instead of the chunk index")
+    CacheRegistry.releaseAll()
+  }
+
+  test("extendChunkIndex upserts moved first-occurrences; stale retry stays exact") {
+    val s = spark
+    // fresh private fixture (don't mutate the shared memoized one)
+    val wh = java.nio.file.Files.createTempDirectory("graft-chunk-roll").toString
+    val catalog = new graft.meta.FileCatalog(wh)
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b1 = docsRaw.where("doc_id % 10 != 0")
+    val b2 = docsRaw.where("doc_id % 10 = 0")
+    val dt = graft.table.IceTable.create(catalog, "docs_chunk_roll",
+      graft.core.SchemaConv.fromSpark(docsRaw.schema))
+    val snap1 = dt.append(b1).snapshotId
+    dt.refresh()
+    val reps0 = Dedup.chunkRows(b1, 20).groupBy("h")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("chunk_idx"))).as("first"))
+      .select(org.apache.spark.sql.functions.col("h"),
+        org.apache.spark.sql.functions.col("first.doc_id").as("doc_id"),
+        org.apache.spark.sql.functions.col("first.chunk_idx").as("chunk_idx"))
+    val ct = graft.table.IceTable.create(catalog, "chunk_roll",
+      graft.core.SchemaConv.fromSpark(reps0.schema))
+    ct.append(reps0); ct.refresh()
+    dt.append(b2); dt.refresh()
+    val before = IncrementalDedup.incrementalChunkStats(spark, dt, ct, snap1, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    IncrementalDedup.extendChunkIndex(spark, dt, ct, snap1, 20)
+    // rolled index == the full corpus's first-occurrence representatives —
+    // including hashes whose first MOVED to a smaller increment doc_id
+    val fromFull = Dedup.chunkRows(docsRaw, 20).groupBy("h")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("chunk_idx"))).as("first"))
+      .select(org.apache.spark.sql.functions.col("h"),
+        org.apache.spark.sql.functions.col("first.doc_id").as("doc_id"),
+        org.apache.spark.sql.functions.col("first.chunk_idx").as("chunk_idx"))
+    val stored = ct.scan(spark).select("h", "doc_id", "chunk_idx")
+    assert(stored.count() == fromFull.count())
+    assert(stored.exceptAll(fromFull).isEmpty && fromFull.exceptAll(stored).isEmpty)
+    // a retry with a STALE watermark after the roll must not double-merge
+    val staleRerun = IncrementalDedup.incrementalChunkStats(spark, dt, ct, snap1, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(staleRerun == before)
+    CacheRegistry.releaseAll()
+  }
+
   private def vecPairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
