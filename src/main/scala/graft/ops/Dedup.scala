@@ -499,7 +499,12 @@ banded AS (SELECT doc_id, source, b.band,
   private def countJoinJaccard(docsWithTokens: DataFrame, threshold: Double): DataFrame =
     countJoinJaccardPersisted(tokensPersisted(docsWithTokens), threshold)
 
-  private def countJoinJaccardPersisted(docs: DataFrame, threshold: Double): DataFrame = {
+  /** `private[ops]`: the incremental-verdict FIXTURE builds its old-old
+    * pair artifact through this explicit plan (no sampling job — the
+    * zero-sampling pin on registered paths must hold through fixture
+    * construction too).
+    */
+  private[ops] def countJoinJaccardPersisted(docs: DataFrame, threshold: Double): DataFrame = {
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
     pairJaccard(

@@ -330,7 +330,8 @@ object IceQueries {
     */
   final case class IncrementalFixture(docs: IceTable, tokenIndex: IceTable,
       signatures: IceTable, bandBuckets: IceTable, spanIndex: IceTable,
-      chunkIndex: IceTable, watermark: Long)
+      chunkIndex: IceTable, hashIndex: IceTable, pairIndex: IceTable,
+      watermark: Long)
 
   private val incrementalTables =
     new ConcurrentHashMap[String, IncrementalFixture]()
@@ -392,7 +393,30 @@ object IceQueries {
         SchemaConv.fromSpark(chunkReps.schema))
       ct.append(chunkReps)
       ct.refresh()
-      IncrementalFixture(dt, it, st, bt, spt, ct, watermark)
+      // content-hash index over the first snapshot (h → min doc_id) and
+      // the old-old pair artifact — what a previous run's extendHashIndex
+      // / extendPairIndex would have accumulated. The pair build takes the
+      // count-join plan EXPLICITLY: no sampling job may run inside a
+      // registered query's fixture (the zero-sampling pin)
+      val hashes = old.select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(col("text")
+          .cast(org.apache.spark.sql.types.BinaryType)).as("h"))
+        .groupBy("h")
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        .select(col("h"), col("doc_id"))
+      val ht = IceTable.create(catalog, "hash_index",
+        SchemaConv.fromSpark(hashes.schema))
+      ht.append(hashes)
+      ht.refresh()
+      val oldPairs = Dedup.countJoinJaccardPersisted(
+        Dedup.tokensPersisted(old.select(col("doc_id"), col("source"),
+          Dedup.wordSet(col("text")).as("ws"))), 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val pt = IceTable.create(catalog, "pair_index",
+        SchemaConv.fromSpark(oldPairs.schema))
+      pt.append(oldPairs)
+      pt.refresh()
+      IncrementalFixture(dt, it, st, bt, spt, ct, ht, pt, watermark)
     })
 
   /** Incremental embedding-dedup fixture state: the two-snapshot embeddings

@@ -439,6 +439,88 @@ object IncrementalDedup {
     chunkTable.refresh()
   }
 
+  // -------------------------------------------------- verdict
+  /** The incremental family's CAPSTONE: the per-document dedup VERDICT for
+    * only the increment's documents. Exact families come from a persisted
+    * CONTENT-HASH index (h → min doc_id, rolled by [[extendHashIndex]]'s
+    * min-of-mins upsert — same discipline as the chunk index); near-dup
+    * clusters come from the PREVIOUS run's pair artifact UNION the
+    * increment-touching pairs of [[incrementalJaccardPairs]] — old-old
+    * pairs are append-only history, so the pair index rolls by plain
+    * append. Every pair in the corpus is old-old (stored), old-new or
+    * new-new (the incremental join), so the closure over the union labels
+    * the increment's components EXACTLY as a full-corpus pass would —
+    * including an increment doc that BRIDGES two previously-separate old
+    * clusters. Reported rows: the increment's docs only ("verdict for what
+    * arrived"); old docs' refreshed labels are a read of the same closure,
+    * not a recompute of any pair.
+    */
+  def incrementalVerdict(spark: SparkSession, docsTable: IceTable,
+      tokenIndex: IceTable, hashIndex: IceTable, pairIndex: IceTable,
+      sinceSnapshotId: Long, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val newDocs = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
+    val newHashed = CacheRegistry.persist(newDocs.select(col("doc_id"),
+      md5(col("text").cast(BinaryType)).as("h")))
+    val newIds = newHashed.select(col("doc_id")).distinct()
+    val deltaH = newHashed.select(col("h")).distinct()
+    val storedH = hashIndex.scan(spark).select(col("h"), col("doc_id"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .join(deltaH, Seq("h"), "left_semi")
+    val exactRep = storedH.unionByName(newHashed)
+      .groupBy("h").agg(min(col("doc_id")).as("exact_rep"))
+    val incPairs = incrementalJaccardPairs(
+      spark, docsTable, tokenIndex, sinceSnapshotId, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairIndex.scan(spark).select(col("doc_a"), col("doc_b"))
+      .unionByName(incPairs)
+    val clusters = Dedup.duplicateClusters(edges)
+    newHashed.join(exactRep, "h")
+      .join(clusters.select(col("doc_id"), col("cluster_id").as("near_rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_rep"),
+        coalesce(col("near_rep"), col("doc_id")).as("near_rep"))
+      .withColumn("exact_dup", (col("doc_id") =!= col("exact_rep")).cast(LongType))
+      .withColumn("near_dup", (col("doc_id") =!= col("near_rep")).cast(LongType))
+      .withColumn("keep",
+        (col("exact_dup") === 0L && col("near_dup") === 0L).cast(LongType))
+      .withColumn("rep_id", least(col("exact_rep"), col("near_rep")))
+      .select("doc_id", "exact_dup", "near_dup", "keep", "rep_id")
+  }
+
+  /** Roll the content-hash index: min-of-mins per Δ hash, upsert by hash
+    * (the chunk-index discipline — a family whose minimum moved to a
+    * smaller increment id is corrected in place).
+    */
+  def extendHashIndex(spark: SparkSession, docsTable: IceTable,
+      hashIndex: IceTable, sinceSnapshotId: Long): Unit = {
+    import org.apache.spark.sql.types.BinaryType
+    val newHashed = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
+      .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
+    val newIds = newHashed.select(col("doc_id")).distinct()
+    val deltaH = newHashed.select(col("h")).distinct()
+    val merged = hashIndex.scan(spark).select(col("h"), col("doc_id"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .join(deltaH, Seq("h"), "left_semi")
+      .unionByName(newHashed)
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("h"), col("doc_id"))
+    hashIndex.upsert(spark, merged, Seq("h"))
+    hashIndex.refresh()
+  }
+
+  /** Roll the pair index: the increment-touching pairs append — old-old
+    * pairs are immutable history, so no upsert is needed.
+    */
+  def extendPairIndex(spark: SparkSession, docsTable: IceTable,
+      tokenIndex: IceTable, pairIndex: IceTable, sinceSnapshotId: Long,
+      threshold: Double): Unit = {
+    pairIndex.append(incrementalJaccardPairs(
+      spark, docsTable, tokenIndex, sinceSnapshotId, threshold)
+      .select(col("doc_a"), col("doc_b")))
+    pairIndex.refresh()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // exact jaccard >= 0.5 pairs touching the fixture's NEW snapshot
     // (doc_id % 10 == 0), computed against the persisted token index of the
@@ -551,6 +633,46 @@ object IncrementalDedup {
           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM r WHERE doc_id % 10 = 0 GROUP BY doc_id""")),
+
+    // the incremental verdict — exact families via the persisted hash
+    // index, near-dup clusters via stored old-old pairs ∪ incremental
+    // pairs. Oracle: the FULL-corpus verdict (global hash families +
+    // recursive closure over ALL pairs) restricted to increment docs — a
+    // bridged-cluster mislabel, a hash-family min that failed to move, or
+    // a missing stored pair all break the hash
+    QueryDef(
+      "dedup_incremental_verdict",
+      (s, dir) => {
+        val f = IceQueries.incremental(s, dir)
+        incrementalVerdict(s, f.docs, f.tokenIndex, f.hashIndex, f.pairIndex,
+          f.watermark, 0.5)
+      },
+      Some("""
+        WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS ws FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a, t b WHERE a.doc_id < b.doc_id AND a.source = b.source
+            AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src),
+        cl AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+               FROM reach GROUP BY src),
+        fam AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))
+                  AS exact_rep FROM documents)
+        SELECT f.doc_id,
+          CAST(f.doc_id <> f.exact_rep AS BIGINT) AS exact_dup,
+          CAST(f.doc_id <> COALESCE(cl.cluster_id, f.doc_id) AS BIGINT) AS near_dup,
+          CAST(f.doc_id = f.exact_rep
+            AND f.doc_id = COALESCE(cl.cluster_id, f.doc_id) AS BIGINT) AS keep,
+          LEAST(f.exact_rep, COALESCE(cl.cluster_id, f.doc_id)) AS rep_id
+        FROM fam f LEFT JOIN cl USING (doc_id)
+        WHERE f.doc_id % 10 = 0""")),
 
     // embedding near-dup pairs touching the increment, against the
     // persisted LSH bucket table — deterministic end-to-end (integer

@@ -327,6 +327,94 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     CacheRegistry.releaseAll()
   }
 
+  test("incremental verdict equals the full verdict restricted to the increment") {
+    val f = IceQueries.incremental(spark, sfDir)
+    val inc = IncrementalDedup.incrementalVerdict(spark, f.docs, f.tokenIndex,
+        f.hashIndex, f.pairIndex, f.watermark, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val full = Dedup.dedupVerdict(docs, Dedup.duplicateClusters(
+        Dedup.jaccardPairs(spark, sfDir, 0.5).select("doc_a", "doc_b")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val expected = full.filter { case (id, _) => id % 10 == 0 }
+    assert(inc == expected)
+    assert(inc.nonEmpty)
+    // the verdict plan reads no pre-watermark document file: hashes come
+    // from the hash index, tokens from the token index, old-old pairs from
+    // the pair index
+    val oldFiles = f.docs.newScan(snapshotId = Some(f.watermark)).planFiles()
+      .map(t => norm(t.file.filePath)).toSet
+    val planInputs = IncrementalDedup.incrementalVerdict(spark, f.docs,
+      f.tokenIndex, f.hashIndex, f.pairIndex, f.watermark, 0.5)
+      .inputFiles.map(norm).toSet
+    assert(planInputs.nonEmpty)
+    assert(planInputs.intersect(oldFiles).isEmpty,
+      "verdict plan scans old document files instead of the persisted indexes")
+    CacheRegistry.releaseAll()
+  }
+
+  test("hash/pair index rolls reproduce full-corpus state; stale verdict retry exact") {
+    import org.apache.spark.sql.functions.{col, md5, min => fmin}
+    val wh = java.nio.file.Files.createTempDirectory("graft-verdict-roll").toString
+    val catalog = new graft.meta.FileCatalog(wh)
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b1 = docsRaw.where("doc_id % 10 != 0")
+    val b2 = docsRaw.where("doc_id % 10 = 0")
+    val dt = graft.table.IceTable.create(catalog, "docs_verdict_roll",
+      graft.core.SchemaConv.fromSpark(docsRaw.schema))
+    val snap1 = dt.append(b1).snapshotId
+    dt.refresh()
+    val idx0 = IncrementalDedup.tokenIndexOf(b1)
+    val it = graft.table.IceTable.create(catalog, "tok_verdict_roll",
+      graft.core.SchemaConv.fromSpark(idx0.schema))
+    it.append(idx0); it.refresh()
+    val h0 = b1.select(col("doc_id"),
+        md5(col("text").cast(org.apache.spark.sql.types.BinaryType)).as("h"))
+      .groupBy("h").agg(fmin(col("doc_id")).as("doc_id"))
+      .select(col("h"), col("doc_id"))
+    val ht = graft.table.IceTable.create(catalog, "hash_verdict_roll",
+      graft.core.SchemaConv.fromSpark(h0.schema))
+    ht.append(h0); ht.refresh()
+    val p0 = Dedup.countJoinJaccardPersisted(
+      Dedup.tokensPersisted(b1.select(col("doc_id"), col("source"),
+        Dedup.wordSet(col("text")).as("ws"))), 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val pt = graft.table.IceTable.create(catalog, "pair_verdict_roll",
+      graft.core.SchemaConv.fromSpark(p0.schema))
+    pt.append(p0); pt.refresh()
+    dt.append(b2); dt.refresh()
+    val before = IncrementalDedup.incrementalVerdict(
+        spark, dt, it, ht, pt, snap1, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // roll all three artifacts (pair roll consumes the PRE-roll token index)
+    IncrementalDedup.extendPairIndex(spark, dt, it, pt, snap1, 0.5)
+    IncrementalDedup.extendHashIndex(spark, dt, ht, snap1)
+    IncrementalDedup.extendIndex(spark, dt, it, snap1)
+    // rolled pair index == the FULL corpus pair set (old-old ∪ touching
+    // covers every pair) and rolled hash index == global per-hash minima
+    val fullPairs = pairSet(Dedup.jaccardPairs(spark, sfDir, 0.5))
+    val storedPairs = pt.scan(spark).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedPairs == fullPairs)
+    val fullMins = docsRaw.select(col("doc_id"),
+        md5(col("text").cast(org.apache.spark.sql.types.BinaryType)).as("h"))
+      .groupBy("h").agg(fmin(col("doc_id")).as("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val storedMins = ht.scan(spark).select("h", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(storedMins == fullMins)
+    // a STALE-watermark retry after all rolls must return the same verdict
+    // (duplicate edges are harmless to the closure; the hash anti-join +
+    // re-union reproduces the same minima)
+    val staleRerun = IncrementalDedup.incrementalVerdict(
+        spark, dt, it, ht, pt, snap1, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(staleRerun == before)
+    CacheRegistry.releaseAll()
+  }
+
   private def vecPairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
