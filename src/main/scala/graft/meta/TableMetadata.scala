@@ -349,6 +349,22 @@ object TableMetadataJson {
         fail("v2 metadata requires schemas + current-schema-id")
       if (!n.has("last-sequence-number")) fail("v2 metadata requires last-sequence-number")
       if (!n.has("table-uuid")) fail("v2 metadata requires table-uuid")
+      // the reference's golden invalid variants pin these two as hard
+      // requirements too (TableMetadataV2MissingPartitionSpecs / -LastPartitionId)
+      if (!n.has("partition-specs")) fail("v2 metadata requires partition-specs")
+      if (!n.has("last-partition-id")) fail("v2 metadata requires last-partition-id")
+      if (!n.has("sort-orders")) fail("v2 metadata requires sort-orders")
+    } else {
+      // v1 may use the MODERN list keys, but then their pointers are
+      // required — a schemas list without current-schema-id (or
+      // partition-specs without default-spec-id) has no unambiguous
+      // current configuration (reference golden variants
+      // TableMetadataV1SchemasWithoutCurrentId / -NoValidSchema /
+      // -PartitionSpecsWithoutDefaultId)
+      if (n.has("schemas") && !n.has("current-schema-id"))
+        fail("v1 metadata with a schemas list requires current-schema-id")
+      if (n.has("partition-specs") && !n.has("default-spec-id"))
+        fail("v1 metadata with partition-specs requires default-spec-id")
     }
     val schemas =
       if (n.has("schemas")) iter(n.get("schemas")).map(schemaFromJson)

@@ -66,6 +66,57 @@ class MetadataJsonSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("v2 metadata requires"))
   }
 
+  test("the reference's golden files: V2Valid parses field-for-field, every invalid variant fails") {
+    val dir = java.nio.file.Paths.get("/root/reference/table/testdata")
+    assume(java.nio.file.Files.isDirectory(dir), s"reference golden dir not present: $dir")
+    def slurp(f: String) = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve(f)), java.nio.charset.StandardCharsets.UTF_8)
+    val m = TableMetadataJson.read(slurp("TableMetadataV2Valid.json"))
+    assert(m.formatVersion == 2)
+    assert(m.tableUuid == "9c12d441-03fe-4693-9a96-a0705ddf69c1")
+    assert(m.location == "s3://bucket/test/location")
+    assert(m.lastSequenceNumber == 34L)
+    assert(m.lastColumnId == 3)
+    assert(m.schemas.map(_.schemaId) == Seq(0, 1))
+    assert(m.currentSchema.schemaId == 1)
+    assert(m.currentSchema.identifierFieldIds == Seq(1, 2))
+    assert(m.currentSchema.fields.map(_.name) == Seq("x", "y", "z"))
+    assert(m.currentSchema.findByName("y").flatMap(_.doc).contains("comment"))
+    assert(m.defaultSpec.fields == Seq(PartitionField(1, 1000, "x", IdentityTransform)))
+    assert(m.lastPartitionId == 1000)
+    assert(m.defaultSortOrderId == 3)
+    assert(m.sortOrders.map(_.orderId) == Seq(3))
+    assert(m.sortOrders.head.fields == Seq(
+      SortField(2, IdentityTransform, ascending = true, nullsFirst = true),
+      SortField(3, BucketTransform(4), ascending = false, nullsFirst = false)))
+    assert(m.currentSnapshotId.contains(3055729675574597004L))
+    assert(m.snapshots.map(_.snapshotId) ==
+      Seq(3051729675574597004L, 3055729675574597004L))
+    val cur = m.snapshots.last
+    assert(cur.parentSnapshotId.contains(3051729675574597004L))
+    assert(cur.sequenceNumber == 1L)
+    assert(cur.manifestList == "s3://a/b/2.avro")
+    assert(cur.summary.get("operation").contains("append"))
+    assert(cur.schemaId == 1)
+    assert(m.snapshotLog.map(_.snapshotId) ==
+      Seq(3051729675574597004L, 3055729675574597004L))
+    // our writer round-trips the reference's document
+    assert(TableMetadataJson.read(TableMetadataJson.write(m)) == m)
+    // every invalid golden variant must fail with a diagnostic, never parse
+    val invalids = java.nio.file.Files.list(dir).iterator()
+    var checked = 0
+    invalids.forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".json") && name != "TableMetadataV2Valid.json") {
+        checked += 1
+        val ex = intercept[IllegalArgumentException](
+          TableMetadataJson.read(slurp(name)))
+        assert(ex.getMessage.nonEmpty, s"$name: empty diagnostic")
+      }
+    }
+    assert(checked == 8, s"expected the 8 invalid golden variants, saw $checked")
+  }
+
   test("current-schema-id must resolve into the schema list") {
     val bad = v1Json
       .replace("\"format-version\": 1,", "\"format-version\": 1, \"current-schema-id\": 42,")
