@@ -17,7 +17,11 @@ import graft.table.IceTable
 object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { println(usage); sys.exit(2) }
-    val catalog = new FileCatalog(args(0))
+    // args(0) is either a warehouse directory (FileCatalog, the historical
+    // form) or a config YAML — `cfg.yaml` (default-catalog entry) or
+    // `cfg.yaml#name` — resolved through the same CatalogRegistry the API
+    // uses (reference config.go + cmd/iceberg: the CLI's named catalogs)
+    val catalog: graft.meta.Catalog = resolveCatalog(args(0))
     def table = IceTable.load(catalog, args(2))
 
     args(1) match {
@@ -81,8 +85,26 @@ object Main {
     }
   }
 
+  private[cli] def resolveCatalog(spec: String): graft.meta.Catalog =
+    if (spec.matches(".*\\.ya?ml(#.+)?")) {
+      val (path, name) = spec.split("#", 2) match {
+        case Array(p, n) => (p, Some(n))
+        case other => (other(0), None)
+      }
+      val cfg = CliConfig.load(java.nio.file.Paths.get(path)).getOrElse(
+        throw new IllegalArgumentException(s"config file not readable: $path"))
+      val catName = name.orElse(cfg.defaultCatalog).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: no default-catalog and no #name suffix given"))
+      val cc = cfg.catalogs.getOrElse(catName,
+        throw new IllegalArgumentException(
+          s"$path: catalog '$catName' not configured " +
+            s"(configured: ${cfg.catalogs.keys.toSeq.sorted.mkString(", ")})"))
+      graft.meta.CatalogRegistry.load(catName, cc.props)
+    } else new FileCatalog(spec)
+
   private val usage =
-    """usage: graft.cli.Main <warehouse> <verb> [args]
+    """usage: graft.cli.Main <warehouse-dir | config.yaml[#catalog]> <verb> [args]
       |  list | describe <t> | schema <t> | spec <t> | uuid <t> | location <t>
       |  properties <t> | files <t> | snapshots <t> | refs <t> | create <t> <parquet>
       |  rename <t> <newName> | drop <t> | register <t> <metadataJsonPath>
