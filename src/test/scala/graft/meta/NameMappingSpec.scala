@@ -1,0 +1,48 @@
+package graft.meta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Name-mapping JSON conformance: the reference's `TestNameMappingFromJson`
+  * fixture (`name_mapping_test.go:84-108`) parsed verbatim — including the
+  * id-less rule and multi-alias nested fields — plus a write→parse round
+  * trip and the alias-index laws the scan relies on.
+  */
+class NameMappingSpec extends AnyFunSuite {
+
+  private val referenceFixture = """[
+    {"names": ["foo", "bar"]},
+    {"field-id": 1, "names": ["id", "record_id"]},
+    {"field-id": 2, "names": ["data"]},
+    {"field-id": 3, "names": ["location"], "fields": [
+      {"field-id": 4, "names": ["latitude", "lat"]},
+      {"field-id": 5, "names": ["longitude", "long"]}
+    ]}
+  ]"""
+
+  test("the reference's FromJson fixture parses structure-for-structure") {
+    val m = NameMapping.parse(referenceFixture)
+    assert(m == Seq(
+      MappedField(None, Seq("foo", "bar")),
+      MappedField(Some(1), Seq("id", "record_id")),
+      MappedField(Some(2), Seq("data")),
+      MappedField(Some(3), Seq("location"), Seq(
+        MappedField(Some(4), Seq("latitude", "lat")),
+        MappedField(Some(5), Seq("longitude", "long"))))))
+    // write → parse round-trips the same structure
+    assert(NameMapping.parse(NameMapping.toJson(m)) == m)
+  }
+
+  test("alias index: every alias of every rule resolves; id-less rules resolve nothing") {
+    val idx = NameMapping.index(NameMapping.parse(referenceFixture))
+    assert(idx.get("id").contains(1) && idx.get("record_id").contains(1))
+    assert(idx.get("data").contains(2))
+    assert(idx.get("location").contains(3))
+    // nested fields resolve by dotted path under EVERY parent alias
+    assert(idx.get("location.latitude").contains(4))
+    assert(idx.get("location.lat").contains(4))
+    assert(idx.get("location.longitude").contains(5))
+    assert(idx.get("location.long").contains(5))
+    // the id-less rule maps no path
+    assert(!idx.contains("foo") && !idx.contains("bar"))
+  }
+}
