@@ -380,6 +380,45 @@ object TextOps {
     // per-source duplicate-rate report — the dedup DASHBOARD number a
     // curation run is judged by. Exact copies counted by content hash
     // (md5, same normalization as dedup_exact); dup_frac is one IEEE
+    // cross-source overlap matrix: for each unordered source pair, the
+    // number of distinct 5-token spans appearing in BOTH — the provenance
+    // report that exposes one crawl syndicating/mirroring another (exact
+    // whole-doc hashes rarely cross sources; shared spans are the signal
+    // that does). 100 TB shape: the corpus reduces map-side to distinct
+    // (source, span-hash) rows; the pair join keys on the span hash, whose
+    // fan-out is bounded by |sources|² per span — never by copies — and
+    // the output is |sources|² rows, dashboard-sized
+    QueryDef(
+      "dedup_cross_source_overlap",
+      (s, dir) => {
+        val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+        val spans = t(s, dir, "documents")
+          .select(col("source"), w.as("ws"))
+          .where(size(col("ws")) >= 5)
+          .select(col("source"), explode(transform(
+            sequence(lit(0), size(col("ws")) - 5),
+            i => md5(concat_ws(" ", (0 until 5).map(k =>
+              element_at(col("ws"), i + k + 1)): _*).cast(BinaryType)))).as("h"))
+          .distinct()
+        spans.as("a").join(spans.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared_spans"))
+          .select("source_a", "source_b", "n_shared_spans")
+      },
+      Some("""
+        WITH w AS (SELECT source, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        sp AS (SELECT DISTINCT source, md5(
+            ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+            ws[i+3] || ' ' || ws[i+4]) AS h
+          FROM w, unnest(generate_series(1, len(ws) - 4)) AS u(i)
+          WHERE len(ws) >= 5)
+        SELECT a.source AS source_a, b.source AS source_b,
+          CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+        FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source""")),
+
     // division of exact integers. One map-side-combinable groupBy on
     // (source, hash), then a source-keyed rollup over unique rows.
     QueryDef(
