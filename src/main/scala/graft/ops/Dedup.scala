@@ -911,7 +911,11 @@ banded AS (SELECT doc_id, source, b.band,
     * Scale shape: `clusters` is duplicate-fringe-sized (never the corpus),
     * the quality join keys on doc_id, and the per-cluster argmax is one
     * map-side-combinable aggregate — no window, no skew (a mega-cluster
-    * reduces to one combiner cell per map task).
+    * reduces to one combiner cell per map task). At 100 TB the `quality`
+    * frame is the PERSISTED output of the quality-scoring stage (computed
+    * once per corpus pass, like the pair graph), not a fresh scan — the
+    * registered query derives it inline only because the bench corpus is
+    * small; the operator itself touches nothing but the two keyed frames.
     */
   def qualityRepresentatives(clusters: DataFrame, quality: DataFrame): DataFrame =
     clusters.join(quality, "doc_id")
