@@ -180,6 +180,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("projection inclusiveness: a row-matching predicate never prunes its partition") {
+    // THE pruning-soundness law: for any value v and predicate P with
+    // P(v) true, the projected partition predicate must accept
+    // transform(v) — a violation is silent data loss at scale. Randomized
+    // across every projectable transform and comparison op, with literals
+    // clustered near the value so boundary arithmetic (truncate floors,
+    // pre-epoch time floors, IEEE-safe ceils) is exercised, not dodged.
+    val rnd = new Random(48)
+    def asLong(a: Any): Long = a match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => fail(s"unexpected projected value type: $other")
+    }
+    def partHolds(p: Pred, pv: Any): Boolean = {
+      val v = asLong(pv)
+      val ls = p.literals.map(asLong)
+      p.op match {
+        case Op.Eq => v == ls.head
+        case Op.NotEq => v != ls.head
+        case Op.Lt => v < ls.head
+        case Op.LtEq => v <= ls.head
+        case Op.Gt => v > ls.head
+        case Op.GtEq => v >= ls.head
+        case Op.In => ls.contains(v)
+        case Op.NotIn => !ls.contains(v)
+        case other => fail(s"unexpected projected op: $other")
+      }
+    }
+    val ops = Seq(Op.Eq, Op.Lt, Op.LtEq, Op.Gt, Op.GtEq, Op.In)
+    val intSchema = IceSchema(0, Seq(NestedField(1, "c", IceInt, required = true)))
+    val tsSchema = IceSchema(0, Seq(NestedField(1, "c", IceTimestamp, required = true)))
+    val dayUs = 86400000000L
+    (1 to 4000).foreach { _ =>
+      val op = ops(rnd.nextInt(ops.size))
+      val (schema, tpe, t, v0, lits0): (IceSchema, IceType, Transform, Any, Seq[Any]) =
+        if (rnd.nextBoolean()) {
+          val t = Seq(YearTransform, MonthTransform, DayTransform,
+            HourTransform)(rnd.nextInt(4))
+          // ±100 years of µs timestamps, literals within ±30 days of v
+          val v = rnd.nextLong() % (100L * 365 * dayUs)
+          def near = v + rnd.nextLong() % (30L * dayUs)
+          (tsSchema, IceTimestamp, t, v,
+            if (op == Op.In) Seq(near, near, v) else Seq(near))
+        } else {
+          val t = Seq(IdentityTransform, BucketTransform(1 + rnd.nextInt(64)),
+            TruncateTransform(1 + rnd.nextInt(100)))(rnd.nextInt(3))
+          val v = rnd.nextInt()
+          def near = (v.toLong + rnd.nextInt(201) - 100).toInt
+          (intSchema, IceInt, t, v,
+            if (op == Op.In) Seq(near, near, v) else Seq(near))
+        }
+      Predicates.bind(Pred(op, "c", lits0), schema) match {
+        case bp: BoundPred =>
+          val rowMatches = Predicates.evaluate(bp, _ => Some(v0))
+          if (rowMatches) t.project("p", bp).foreach { pp =>
+            val pv = t.apply(tpe, v0)
+            assert(partHolds(pp, pv),
+              s"$t projected $bp to $pp which PRUNES transform($v0)=$pv")
+          }
+        case _ => () // bind-time fold (e.g. dedup'd In) — nothing to project
+      }
+    }
+  }
+
   test("signature laws: simhash order-invariant; minhash is elementwise-min under union") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
