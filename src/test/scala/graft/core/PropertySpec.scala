@@ -180,6 +180,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("file metrics evaluators: inclusive keeps any-match files, strict implies all-match") {
+    // the two pruning laws as a randomized pair over real row evaluation:
+    // if ANY row (incl. null rows) matches, the inclusive evaluator must
+    // keep the file; if the strict evaluator claims a whole-file match,
+    // EVERY row must actually match (overwriteWhere deletes whole files on
+    // that claim — the dual violation is silent data loss on write).
+    val rnd = new Random(49)
+    val s1 = IceSchema(0, Seq(NestedField(1, "x", IceInt)))
+    (1 to 1500).foreach { _ =>
+      val values = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(400) - 200)
+      val nulls = rnd.nextInt(3)
+      val f = graft.meta.DataFile(
+        content = 0, filePath = "/f", fileFormat = "PARQUET",
+        partition = Nil, recordCount = values.size + nulls, fileSizeInBytes = 1,
+        valueCounts = Map(1 -> (values.size + nulls).toLong),
+        nullValueCounts = Map(1 -> nulls.toLong),
+        lowerBounds = Map(1 -> Bounds.encode(IceInt, values.min)),
+        upperBounds = Map(1 -> Bounds.encode(IceInt, values.max)))
+      val anchor = values(rnd.nextInt(values.size))
+      val lit = if (rnd.nextBoolean()) anchor else anchor + rnd.nextInt(21) - 10
+      val preds = Seq(P.lt("x", lit), P.ltEq("x", lit), P.gt("x", lit),
+        P.gtEq("x", lit), P.equalTo("x", lit), P.notEqualTo("x", lit),
+        P.in("x", Seq(lit, lit + 37)), P.isNull("x"), P.notNull("x"))
+      preds.foreach { p =>
+        val bound = P.bind(p, s1)
+        val rows: Seq[Int => Option[Any]] =
+          values.map(v => (_: Int) => Some(v)) ++
+            Seq.fill(nulls)((_: Int) => None)
+        val matches = rows.map(r => Predicates.evaluate(bound, r))
+        if (matches.exists(identity))
+          assert(Evaluators.fileMayMatch(bound, f),
+            s"$p pruned a file containing a matching row (values=$values, nulls=$nulls)")
+        if (Evaluators.fileMustMatch(bound, f))
+          assert(matches.forall(identity),
+            s"$p claimed whole-file match over a non-matching row (values=$values, nulls=$nulls)")
+      }
+    }
+  }
+
   test("projection inclusiveness: a row-matching predicate never prunes its partition") {
     // THE pruning-soundness law: for any value v and predicate P with
     // P(v) true, the projected partition predicate must accept
