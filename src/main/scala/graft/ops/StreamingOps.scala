@@ -103,6 +103,7 @@ object StreamingOps {
       // conf restore must wait for termination (state width reads live conf)
       require(q.awaitTermination(120000), "streaming hourly-count job did not finish in 120s")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    require(sink != null, "hourly stream delivered no batches — empty source dir?")
     sink.scan(spark).select("hour", "event_type", "n_events")
   }
 
@@ -200,6 +201,7 @@ object StreamingOps {
       query
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(sink != null, "session stream delivered no batches — empty source dir?")
     (sink.scan(spark).select("user_id", "n_sessions", "n_events"), batches)
   }
 
@@ -294,6 +296,7 @@ object StreamingOps {
       // state width from the LIVE conf while its first batch plans
       require(q.awaitTermination(120000), "streaming dedup job did not finish in 120s")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    require(sink != null, "dedup stream delivered no batches — empty staging dir?")
     (sink.scan(spark).select("doc_id", "n_copies"), emitted.toSeq)
   }
 
