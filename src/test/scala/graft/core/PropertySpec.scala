@@ -277,6 +277,13 @@ class PropertySpec extends AnyFunSuite {
             val pv = t.apply(tpe, v0)
             assert(partHolds(pp, pv),
               s"$t projected $bp to $pp which PRUNES transform($v0)=$pv")
+            // and the PRODUCTION partition evaluator agrees end-to-end:
+            // bind the projected predicate against the partition schema and
+            // drive the same partitionMayMatch the planner uses
+            val partSchema = IceSchema(-1, Seq(NestedField(1000, "p", IceInt)))
+            assert(Evaluators.partitionMayMatch(
+              Predicates.bind(pp, partSchema), partSchema, Seq(pv)),
+              s"partitionMayMatch pruned $pp over transform($v0)=$pv")
           }
         case _ => () // bind-time fold (e.g. dedup'd In) — nothing to project
       }
