@@ -361,6 +361,46 @@ object IncrementalDedup {
       .select("vec_a", "vec_b", "label", "cos_sim")
   }
 
+  /** Incremental kNN: each INCREMENT vector's top-k neighbors among its
+    * LSH bucket-mates across the WHOLE corpus — the production ANN query
+    * ("embed today's documents, find their neighbors") in the
+    * accumulated-index discipline: only the increment is quantized and
+    * projected, stored vectors arrive as persisted bucket rows (no label
+    * blocking — neighbors come from anywhere), candidates drop to id pairs
+    * before the candidate-keyed float fetch, and the per-query ranking is
+    * the partial top-k aggregate. Deterministic end-to-end, so the oracle
+    * restates the full-corpus kNN graph restricted to increment queries —
+    * bucket-identity between the fresh path and the stored artifact is
+    * exactly what the hash checks.
+    */
+  def incrementalKnn(spark: SparkSession, embTable: IceTable,
+      bucketTable: IceTable, sinceSnapshotId: Long, k: Int): DataFrame = {
+    val newEmb = Ingest.changesSince(spark, embTable, sinceSnapshotId)
+    val newBuckets = CacheRegistry.persist(
+      Similarity.bucketRows(newEmb).withColumn("is_new", lit(true)))
+    val newIds = newBuckets.select(col("vec_id")).distinct()
+    val allBuckets = bucketTable.scan(spark)
+      .select(col("vec_id"), col("label"), col("tbl"), col("bucket"))
+      .join(broadcast(newIds), Seq("vec_id"), "left_anti")
+      .withColumn("is_new", lit(false))
+      .unionByName(newBuckets)
+    // per-QUERY orientation (the near-dup variant canonicalizes a<b; a kNN
+    // list is owned by its query): every bucket-mate of an increment vector
+    val cand = newBuckets.as("a").join(allBuckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val vecs = embTable.scan(spark).select("vec_id", "embedding")
+    Similarity.perQueryTopK(cand
+      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
+        "neighbor_id")
+      .withColumn("cos_sim", round(Similarity.cosine(col("qvec"), col("nvec")), 4)),
+      k)
+  }
+
   /** Roll the bucket table forward — quantize and project ONLY the
     * increment, append its bucket rows.
     */
@@ -697,6 +737,34 @@ object IncrementalDedup {
               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
           FROM bk a JOIN bk b ON a.label = b.label AND a.vec_id < b.vec_id
             AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)) z
-        WHERE cos_sim >= 0.2 AND (vec_a % 10 = 0 OR vec_b % 10 = 0)"""))
+        WHERE cos_sim >= 0.2 AND (vec_a % 10 = 0 OR vec_b % 10 = 0)""")),
+
+    // incremental kNN: the increment's vectors' top-5 bucket-mate
+    // neighbors against the persisted bucket index — oracle: the
+    // full-corpus kNN graph restricted to increment queries (ranks are
+    // per-query, so restricting queries commutes with ranking)
+    QueryDef(
+      "sim_incremental_knn",
+      (s, dir) => {
+        val f = IceQueries.incrementalEmb(s, dir)
+        incrementalKnn(s, f.emb, f.buckets, f.watermark, 5)
+      },
+      Some(s"""
+        WITH ${Similarity.codesCteSql},
+        bk AS (SELECT vec_id, embedding, ${Similarity.bucketColsSql} FROM c),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            q.embedding AS qe, n.embedding AS ne
+          FROM bk q, bk n
+          WHERE q.vec_id % 10 = 0 AND n.vec_id <> q.vec_id
+            AND (q.b0 = n.b0 OR q.b1 = n.b1 OR q.b2 = n.b2 OR q.b3 = n.b3))
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT query_id, neighbor_id,
+            round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+              CAST(ne AS DOUBLE[])), 4) AS cos_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                CAST(ne AS DOUBLE[])), 4) DESC, neighbor_id) AS rn
+          FROM cand) z WHERE rn <= 5"""))
   )
 }

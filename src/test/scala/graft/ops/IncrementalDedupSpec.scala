@@ -453,6 +453,22 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     CacheRegistry.releaseAll()
   }
 
+  test("incremental kNN equals the full kNN graph restricted to increment queries") {
+    val f = IceQueries.incrementalEmb(spark, sfDir)
+    val inc = IncrementalDedup.incrementalKnn(spark, f.emb, f.buckets, f.watermark, 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val full = Similarity.knnGraph(spark, sfDir, 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val expected = full.filter(_._1 % 10 == 0)
+    // bit-identical ranked lists: a stored-bucket miss or a fresh-path
+    // bucketing drift would change a neighbor or a rank
+    assert(inc == expected)
+    assert(inc.nonEmpty)
+    CacheRegistry.releaseAll()
+  }
+
   test("extendEmbeddingBuckets rolls the bucket table to the full corpus's rows") {
     val s = spark
     // fresh private fixture (don't mutate the shared memoized one)
