@@ -454,6 +454,45 @@ object IncrementalDedup {
           .as("n_dup_chunks"))
   }
 
+  /** The incremental chunk-scrub APPLY step: the cleaned form of ONLY the
+    * increment's documents — their first-occurrence chunks (global
+    * min-of-mins against the persisted index, as in
+    * [[incrementalChunkStats]]) re-joined in order, with the text rebuilt
+    * DOC-LOCALLY from the increment's own word arrays. What a daily
+    * pipeline actually ships for the day's arrivals; wide exchanges carry
+    * only hashes and (doc_id, chunk_idx) pairs.
+    */
+  def incrementalChunkScrub(spark: SparkSession, docsTable: IceTable,
+      chunkTable: IceTable, sinceSnapshotId: Long,
+      chunkWords: Int): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val newDocs = CacheRegistry.persist(
+      Ingest.changesSince(spark, docsTable, sinceSnapshotId))
+    val newChunks = CacheRegistry.persist(Dedup.chunkRows(newDocs, chunkWords))
+    val newIds = newChunks.select(col("doc_id")).distinct()
+    val deltaH = newChunks.select(col("h")).distinct()
+    val stored = chunkTable.scan(spark)
+      .select(col("h"), col("doc_id"), col("chunk_idx"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .join(deltaH, Seq("h"), "left_semi")
+    val keptIdx = stored.unionByName(newChunks)
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("first.chunk_idx").as("chunk_idx"))
+      .join(broadcast(newIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("chunk_idx"))).as("idxs"))
+    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    newDocs.select(col("doc_id"), w.as("w")).join(keptIdx, "doc_id")
+      .withColumn("clean", array_join(transform(col("idxs"),
+        i => concat_ws(" ", slice(col("w"), i * chunkWords + 1, lit(chunkWords)))),
+        " "))
+      .select(col("doc_id"),
+        size(col("idxs")).cast(LongType).as("n_kept_chunks"),
+        length(col("clean")).cast(LongType).as("clean_chars"),
+        substring(md5(col("clean").cast(BinaryType)), 1, 16).as("clean_fp"))
+  }
+
   /** Roll the chunk index forward: recompute the global first occurrence
     * for the Δ's hashes (stored min merged with the increment's) and
     * UPSERT by hash — the write is changed-hash-sized, and a chunk whose
@@ -673,6 +712,29 @@ object IncrementalDedup {
           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM r WHERE doc_id % 10 = 0 GROUP BY doc_id""")),
+
+    // the incremental chunk-scrub apply: cleaned increment docs against
+    // the persisted chunk index. Oracle: the full-corpus scrub restricted
+    // to increment docs (rn over ALL occurrences — stored and new)
+    QueryDef(
+      "pipeline_incremental_scrub",
+      (s, dir) => {
+        val f = IceQueries.incremental(s, dir)
+        incrementalChunkScrub(s, f.docs, f.chunkIndex, f.watermark, 20)
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        c AS (SELECT doc_id, i AS chunk_idx,
+            array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ') AS chunk
+          FROM w, unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS u(i)),
+        r AS (SELECT doc_id, chunk_idx, chunk,
+            row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+          FROM c)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_chunks,
+          CAST(length(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS BIGINT) AS clean_chars,
+          substr(md5(string_agg(chunk, ' ' ORDER BY chunk_idx)), 1, 16) AS clean_fp
+        FROM r WHERE rn = 1 AND doc_id % 10 = 0 GROUP BY doc_id""")),
 
     // the incremental verdict — exact families via the persisted hash
     // index, near-dup clusters via stored old-old pairs ∪ incremental

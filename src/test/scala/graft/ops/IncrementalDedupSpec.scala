@@ -280,6 +280,24 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     CacheRegistry.releaseAll()
   }
 
+  test("incremental chunk scrub equals the full scrub restricted to the increment") {
+    val f = IceQueries.incremental(spark, sfDir)
+    val inc = IncrementalDedup.incrementalChunkScrub(
+        spark, f.docs, f.chunkIndex, f.watermark, 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val full = Dedup.chunkScrub(docs, 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val expected = full.filter { case (id, _) => id % 10 == 0 }
+    // fingerprints included: the rebuilt text must be byte-identical, and
+    // increment docs whose every chunk is owned elsewhere must dissolve
+    assert(inc == expected)
+    assert(inc.nonEmpty)
+    CacheRegistry.releaseAll()
+  }
+
   test("extendChunkIndex upserts moved first-occurrences; stale retry stays exact") {
     val s = spark
     // fresh private fixture (don't mutate the shared memoized one)
