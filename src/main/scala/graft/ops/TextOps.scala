@@ -735,6 +735,100 @@ object TextOps {
               ORDER BY score DESC, term) AS INTEGER) AS rank
           FROM scored)
         SELECT source, rank, term, tf, doc_freq, score
-        FROM ranked WHERE rank <= 10"""))
+        FROM ranked WHERE rank <= 10""")),
+
+    // --------------------------------------------------- BM25 retrieval
+    // Okapi BM25 top-k for a fixed query term set (k1=1.2, b=0.75), the
+    // retrieval scorer a corpus-search / decontamination-audit pass runs.
+    // idf is the Lucene variant ln(1 + (N-df+0.5)/(df+0.5)) — always
+    // positive — rounded to integer 1e-4 units the moment it leaves ln()
+    // (the lm_perplexity discipline). The tf saturation fraction is
+    // restated RATIONALLY: multiplying numerator and denominator by 10·T
+    // (T = corpus token count) turns tf·(k1+1) / (tf + k1(1-b+b·dl·N/T))
+    // into 22·T·tf / (10·T·tf + 3·T + 9·N·dl) — exact integers on both
+    // engines, so each per-term contribution is one identical IEEE
+    // divide+multiply, rounded to 1e-6 score units, and the per-doc sum
+    // is an exact integer reduction. Hash-exact despite ln().
+    //
+    // Scale shape: the explode filters to the query terms IMMEDIATELY
+    // (predicate on the generator output — candidate rows are |Q|-bounded
+    // per doc, never vocabulary-sized); df/idf for |Q| terms and the
+    // 1-row corpus stats broadcast; the only corpus-keyed shuffle is the
+    // per-doc reduction on doc_id; top-k is orderBy+limit (TakeOrdered,
+    // per-partition heaps), never a global window over the corpus.
+    QueryDef(
+      "text_bm25_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val qTerms = Seq("hash", "join", "vector", "stream", "spark")
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("ws"))
+          .select(col("doc_id"), col("ws"),
+            size(col("ws")).cast(LongType).as("dl"))
+          .transform(CacheRegistry.persist(_)) // corpus-stats pass + tf pass
+        val corpus = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("t_tokens"))
+        val qt = docs
+          .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+          .where(col("term").isin(qTerms: _*))
+        val idf = qt.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("doc_freq"))
+          .join(broadcast(corpus))
+          .select(col("term"), round(log(lit(1.0) +
+            (col("n_docs") - col("doc_freq") + lit(0.5)) /
+              (col("doc_freq") + lit(0.5))) * lit(1e4))
+            .cast(LongType).as("idf_micro"))
+        val tf = qt.groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).as("tf"))
+        val contrib = tf.join(broadcast(idf), "term").join(broadcast(corpus))
+          .select(col("doc_id"),
+            round(col("idf_micro").cast(DoubleType) *
+              ((lit(22L) * col("t_tokens") * col("tf")).cast(DoubleType) /
+                (lit(10L) * col("t_tokens") * col("tf") +
+                  lit(3L) * col("t_tokens") +
+                  lit(9L) * col("n_docs") * col("dl")).cast(DoubleType)) *
+              lit(100)).cast(LongType).as("c_micro"))
+        val perDoc = contrib.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("c_micro")).as("s_micro"))
+        val topk = perDoc.orderBy(col("s_micro").desc, col("doc_id")).limit(100)
+        val w = Window.orderBy(col("s_micro").desc, col("doc_id"))
+        topk.withColumn("rank", row_number().over(w).cast(IntegerType))
+          .select(col("rank"), col("doc_id"),
+            col("n_terms").cast(LongType).as("n_terms"),
+            (col("s_micro").cast(DoubleType) / lit(1e6)).as("score"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+          FROM documents),
+        dd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+        corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dd),
+        qt AS (SELECT doc_id, dl, term FROM (
+            SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+          WHERE term IN ('hash', 'join', 'vector', 'stream', 'spark')),
+        idf AS (SELECT term, CAST(round(ln(1 +
+              (c.n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) * 10000)
+              AS BIGINT) AS idf_micro
+          FROM (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                  AS doc_freq FROM qt GROUP BY term), corpus c),
+        tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM qt GROUP BY 1, 2, 3),
+        contrib AS (SELECT tf.doc_id,
+            CAST(round(CAST(idf.idf_micro AS DOUBLE) *
+              (CAST(22 * c.t_tokens * tf.tf AS DOUBLE) /
+               CAST(10 * c.t_tokens * tf.tf + 3 * c.t_tokens +
+                 9 * c.n_docs * tf.dl AS DOUBLE)) * 100) AS BIGINT)
+              AS c_micro
+          FROM tf JOIN idf USING (term), corpus c),
+        per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+            CAST(SUM(c_micro) AS BIGINT) AS s_micro FROM contrib
+          GROUP BY doc_id),
+        ranked AS (SELECT doc_id, n_terms, s_micro,
+            CAST(ROW_NUMBER() OVER (ORDER BY s_micro DESC, doc_id)
+              AS INTEGER) AS rank FROM per)
+        SELECT rank, doc_id, n_terms,
+          CAST(s_micro AS DOUBLE) / 1000000.0 AS score
+        FROM ranked WHERE rank <= 100"""))
   )
 }
