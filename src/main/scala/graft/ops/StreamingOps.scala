@@ -300,7 +300,150 @@ object StreamingOps {
     (sink.scan(spark).select("doc_id", "n_copies"), emitted.toSeq)
   }
 
+  final case class AsofEv(user_id: Long, ts_us: Long, event_id: Long,
+      is_click: Boolean)
+  final case class AsofMatch(purchase_id: Long, user_id: Long, click_id: Long,
+      lag_us: Long)
+  /** The latest click seen for a user — ALL the state a streaming as-of
+    * join carries: one (ts, id) pair per key, bounded by key cardinality,
+    * never by stream length.
+    */
+  final case class ClickState(tsUs: Long, id: Long)
+
+  // staging is fixture setup, content-keyed like dedupStaging: slice the
+  // events into 3 strict time-ranged files with ascending mtimes so
+  // micro-batches deliver in event-time order — the ordering contract a
+  // deployment gets from IceTableSource's snapshot replay
+  private val asofStaging =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stream-to-stream AS-OF join as a STATEFUL streaming job — the
+    * continuous form of [[Temporal.asofJoin]]: clicks and purchases arrive
+    * interleaved across micro-batches; per-user state carries the latest
+    * click (one pair per key) across batch boundaries, and each purchase
+    * emits its match EXACTLY ONCE, in the batch it arrives.
+    *
+    * This is the streaming-enrichment shape a 100 TB deployment runs
+    * continuously: state is key-cardinality-sized (RocksDB-backed at
+    * scale), per-trigger output is batch-sized, and the table sink
+    * converges by purchase-keyed upsert (idempotent under retries).
+    * Correctness across batches needs event-time-ordered delivery per key,
+    * which the strict time-ranged staging provides here and a table
+    * source's snapshot order provides in production.
+    */
+  def streamedAsofJoin(spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
+    import spark.implicits._
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
+    val ev = QueryDef.t(spark, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"), (col("event_type") === "click").as("is_click"))
+    val srcAttrs = java.nio.file.Files.readAttributes(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val stageKey = s"$dir|${srcAttrs.lastModifiedTime.toMillis}|${srcAttrs.size}"
+    val srcDir = asofStaging.computeIfAbsent(stageKey, _ => {
+      val d = java.nio.file.Files.createTempDirectory("stream-asof")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+      // exact tercile boundaries; <=/> keeps same-instant rows in ONE file,
+      // so no batch boundary can split an as-of tie
+      val Array(b1, b2) = ev.stat.approxQuantile("ts_us", Array(0.34, 0.67), 0.0)
+      def stage(df: DataFrame, idx: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"asof-part$idx")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get
+        val target = d.resolve(f"events-$idx%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000L + idx * 60000L))
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
+      }
+      stage(ev.where(col("ts_us") <= b1.toLong), 0)
+      stage(ev.where(col("ts_us") > b1.toLong && col("ts_us") <= b2.toLong), 1)
+      stage(ev.where(col("ts_us") > b2.toLong), 2)
+      d.toString
+    })
+    val stagedSchema = spark.read
+      .parquet(s"$srcDir/events-00.parquet").schema
+    val matches = spark.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .as[AsofEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickState, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state) =>
+          // within a batch: event-time order, clicks before purchases at
+          // the same instant, id-ascending — the batch operator's exact
+          // tie rule, so the running state IS the window's running last
+          val sorted = evs.toArray
+            .sortBy(e => (e.ts_us, if (e.is_click) 0 else 1, e.event_id))
+          var st = state.getOption.getOrElse(ClickState(Long.MinValue, Long.MinValue))
+          val out = Array.newBuilder[AsofMatch]
+          sorted.foreach { e =>
+            if (e.is_click) {
+              if (e.ts_us > st.tsUs || (e.ts_us == st.tsUs && e.event_id > st.id))
+                st = ClickState(e.ts_us, e.event_id)
+            } else if (st.id != Long.MinValue) {
+              out += AsofMatch(e.event_id, uid, st.id, e.ts_us - st.tsUs)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+    val wh = java.nio.file.Files.createTempDirectory("stream-asof-sink")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+    val catalog = new FileCatalog(wh.toString)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var sink: IceTable = null
+    val onBatch: (org.apache.spark.sql.Dataset[AsofMatch], Long) => Unit =
+      (batch, _) => {
+        val rows = batch.toDF().coalesce(1).persist()
+        try {
+          emitted.synchronized { emitted += rows.count() }
+          if (sink == null)
+            sink = IceTable.create(catalog, "asof_matches",
+              graft.core.SchemaConv.fromSpark(rows.schema))
+          sink.upsert(rows.sparkSession, rows, Seq("purchase_id"))
+          sink.refresh()
+        } finally rows.unpersist()
+      }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = matches.writeStream
+        .foreachBatch(onBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "streaming as-of join did not finish in 120s")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    require(sink != null, "as-of stream delivered no batches — empty staging dir?")
+    (sink.scan(spark).select("purchase_id", "user_id", "click_id", "lag_us"),
+      emitted.toSeq)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_asof_join",
+      (s, dir) => streamedAsofJoin(s, dir)._1,
+      Some("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+                max(c.ts) AS c_ts
+              FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+              GROUP BY 1, 2, 3)
+        SELECT m.purchase_id, m.user_id, max(c.event_id) AS click_id,
+          CAST(epoch_us(m.p_ts) - epoch_us(m.c_ts) AS BIGINT) AS lag_us
+        FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.c_ts
+        GROUP BY m.purchase_id, m.user_id, m.p_ts, m.c_ts""")),
+
     QueryDef(
       "stream_dedup_exact",
       (s, dir) => streamedDedupExact(s, dir)._1,

@@ -215,6 +215,32 @@ object Temporal {
           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        FROM events GROUP BY user_id"""))
+        FROM events GROUP BY user_id""")),
+
+    // --------------------------------------------------- set operations
+    // EXCEPT / INTERSECT cohort analysis — the set-operator family no
+    // other registered query exercises. Both compile to distinct +
+    // left-anti / left-semi hash joins on the (small, post-distinct) key
+    // sets; at 100 TB the distincts are the only corpus-keyed shuffles.
+    QueryDef(
+      "q_set_ops",
+      (s, dir) => {
+        def users(typ: String) = t(s, dir, "events")
+          .where(col("event_type") === typ).select("user_id").distinct()
+        val clicks = users("click"); val buys = users("purchase")
+        clicks.except(buys).withColumn("cohort", lit("click_only"))
+          .unionByName(clicks.intersect(buys).withColumn("cohort", lit("both")))
+          .select(col("user_id"), col("cohort"))
+      },
+      Some("""
+        SELECT user_id, 'click_only' AS cohort FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT user_id, 'both' AS cohort FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')"""))
   )
 }

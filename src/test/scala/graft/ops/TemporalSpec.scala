@@ -120,6 +120,20 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq(("click", 2L, 7L, 3.5), ("view", 1L, 10L, 10.0)))
   }
 
+  test("streaming as-of join: multi-batch state continuity, equality with the batch operator") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (res, emitted) = StreamingOps.streamedAsofJoin(spark, sfDir)
+    assert(emitted.count(_ > 0) >= 2,
+      s"state continuity unproven — matches must emit across >=2 micro-batches, got $emitted")
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Temporal.asofJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want, "streamed as-of diverged from the batch as-of join")
+    assert(emitted.sum === want.size.toLong,
+      "each purchase must emit exactly once across the stream")
+  }
+
   test("cube: all four grouping sets with sentinel subtotal keys") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
@@ -148,6 +162,17 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq(
       (1L, Seq(2L, 0L, 0L, 0L, 1L)),
       (2L, Seq(0L, 0L, 1L, 0L, 0L))))
+  }
+
+  test("set ops: except/intersect cohorts partition the click users") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0, "{}"),
+      (2L, "2024-01-01 10:01:00", 2L, "click", 0.0, "{}"),
+      (3L, "2024-01-01 10:02:00", 2L, "purchase", 0.0, "{}"),
+      (4L, "2024-01-01 10:03:00", 3L, "purchase", 0.0, "{}")))
+    val got = SparkEntry.queries("q_set_ops")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "click_only"), (2L, "both")))
   }
 
   test("bm25: length normalization, multi-term accumulation, non-matching docs absent") {
