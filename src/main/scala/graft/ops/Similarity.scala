@@ -595,6 +595,33 @@ asgn AS (
           WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id) sub
         WHERE rn <= 10""")),
 
+    // RANGE (radius) similarity search — the fixed-threshold sibling of
+    // top-k: ALL neighbors with cosine >= θ, however many there are. The
+    // brute-force exactness baseline (queries broadcast, one corpus scan,
+    // selective threshold filter directly on the codegen cosine — no
+    // per-query state at all); the bucketed scale path for radius queries
+    // is the same LSH candidate machinery sim_ann_lsh rides.
+    QueryDef("sim_range_search",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+          .crossJoin(broadcast(queries))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim", round(cosine(col("qvec"), col("embedding")), 4))
+          .where(col("cos_sim") >= 0.2)
+          .select("query_id", "neighbor_id", "cos_sim")
+      },
+      Some("""
+        SELECT query_id, neighbor_id, cos_sim FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
+        WHERE cos_sim >= 0.2""")),
+
     // multi-table LSH ANN, fully deterministic since r12 (integer planes
     // over int8 codes): the oracle restates codes → buckets → bucket-mate
     // candidates → rounded-cosine top-k and hash-matches

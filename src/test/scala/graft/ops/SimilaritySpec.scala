@@ -224,4 +224,22 @@ final class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val capped = Similarity.fitCodebook(emb, 16, sampleCap = 256)
     assert(capped.length == 16)
   }
+
+  test("range search equals the threshold-filtered exhaustive scoring") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("sim_range_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent restatement: score every (query, neighbor) pair, filter
+    val emb = graft.ops.QueryDef.t(spark, sfDir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val want = emb.crossJoin(q).where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.VectorExprs.cosineSim(col("qe"), col("embedding")), 4)
+          .as("cos"))
+      .where(col("cos") >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "fixture should contain in-radius pairs at cos >= 0.2")
+    assert(got === want)
+  }
 }

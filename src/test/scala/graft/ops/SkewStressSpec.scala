@@ -118,6 +118,52 @@ final class SkewStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         "chunk reached an exchange unreduced")
   }
 
+  test("banded range join's shuffles stay event-linear under a hot user") {
+    // hot user 0: 200 views inside one hour + 50 purchases in the next;
+    // 1000 cold users with one view + one purchase each. A plan that
+    // pre-joined on user alone would carry ~|p|x|v| = 1.3e6 candidate rows
+    // for the hot key; the banded plan's exchanges carry each view once
+    // and each purchase twice (the 2-bucket explode) — event-linear.
+    val d = java.nio.file.Files.createTempDirectory("skew-events")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val hot = spark.range(200).select(
+      col("id").as("event_id"),
+      expr(s"timestamp_millis($base + id * 17000)").as("ts"), // inside hour 10
+      lit(0L).as("user_id"), lit("view").as("event_type"),
+      lit(1.5).as("value"), lit("{}").as("props"))
+      .unionByName(spark.range(50).select(
+        (col("id") + 1000).as("event_id"),
+        expr(s"timestamp_millis($base + 3630000 + id * 1000)").as("ts"), // hour 11
+        lit(0L).as("user_id"), lit("purchase").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props")))
+    val cold = spark.range(1000).select(
+      (col("id") + 10000).as("event_id"),
+      expr(s"timestamp_millis($base + 7200000 + id * 100)").as("ts"),
+      (col("id") + 1).as("user_id"), lit("view").as("event_type"),
+      lit(2.0).as("value"), lit("{}").as("props"))
+      .unionByName(spark.range(1000).select(
+        (col("id") + 20000).as("event_id"),
+        expr(s"timestamp_millis($base + 7260000 + id * 100)").as("ts"),
+        (col("id") + 1).as("user_id"), lit("purchase").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props")))
+    hot.unionByName(cold).coalesce(2)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    val out = Temporal.rangeJoin(spark, d.toString)
+    val rows = out.collect()
+    assert(rows.length == 1050, "every purchase row is kept")
+    // the hot purchases each see the hot views inside their lookback
+    val hotMatches = rows.filter(_.getLong(1) == 0L).map(_.getLong(2))
+    assert(hotMatches.forall(_ > 0L), "hot purchases must match hot views")
+    val counts = shuffleRecordCounts(out)
+    assert(counts.nonEmpty, "expected shuffle metrics in the executed plan")
+    // events-linear bound: 1200 views + 2x1050 exploded purchases + agg
+    // rows, with AQE slack — versus the 1.3e6 per-user candidate product
+    val bound = 10000L
+    assert(counts.max <= bound,
+      s"a shuffle carried ${counts.max} rows (> $bound) under the hot user")
+  }
+
   test("containment chooser flips to the prefix-probe plan under the stopword") {
     try {
       val before = Dedup.containmentPrefixPlans.get()
