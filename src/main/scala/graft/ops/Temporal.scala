@@ -217,6 +217,68 @@ object Temporal {
           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events GROUP BY user_id""")),
 
+    // -------------------------------------------------- gap-filled series
+    // Hourly event counts with MISSING HOURS FILLED with zeros over the
+    // corpus's [min, max] hour span — the densification every monitoring /
+    // time-series consumer needs before windowed math. The hour spine is
+    // generated from the 1-row min/max aggregate (sequence + explode —
+    // driver never loops), cross-joined with the 5 event types, and the
+    // real counts LEFT-join onto it: the spine is |hours|x|types| rows
+    // (tiny), the only corpus-keyed work is the count aggregate itself.
+    QueryDef(
+      "q_events_gapfill",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        val counts = ev.groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+        val span = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        val hours = span.select(explode(
+          expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+        val types = ev.select("event_type").distinct()
+        hours.crossJoin(broadcast(types))
+          .join(counts, Seq("hour", "event_type"), "left")
+          .select(col("hour"), col("event_type"),
+            coalesce(col("n"), lit(0L)).cast(LongType).as("n"))
+      },
+      Some("""
+        WITH e AS (SELECT date_trunc('hour', ts) AS hour, event_type FROM events),
+        counts AS (SELECT hour, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        spine AS (SELECT unnest(generate_series(
+            (SELECT min(hour) FROM e), (SELECT max(hour) FROM e),
+            INTERVAL 1 HOUR)) AS hour),
+        types AS (SELECT DISTINCT event_type FROM e)
+        SELECT s.hour, t.event_type,
+          CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type""")),
+
+    // ------------------------------------------------ sliding-frame agg
+    // Per-user 3-event moving sum of value in event-time order — the
+    // rows-frame window family (sliding aggregates) no other query
+    // exercises. Values sum in exact 1e-4 integer units inside the frame,
+    // so the frame reduction is order-free and cross-engine exact; one
+    // shuffle on user_id, frames evaluated in the per-key sort.
+    QueryDef(
+      "q_events_moving_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * lit(1e4)).cast(LongType).as("v_micro"))
+          .withColumn("mv", sum(col("v_micro")).over(w))
+          .select(col("event_id"), col("user_id"),
+            (col("mv").cast(DoubleType) / lit(10000.0)).as("moving_value"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+          CAST(SUM(v_micro) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0
+            AS moving_value
+        FROM (SELECT event_id, user_id, ts,
+                CAST(round(value * 10000) AS BIGINT) AS v_micro
+              FROM events)""")),
+
     // --------------------------------------------------- set operations
     // EXCEPT / INTERSECT cohort analysis — the set-operator family no
     // other registered query exercises. Both compile to distinct +

@@ -164,6 +164,33 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, Seq(0L, 0L, 1L, 0L, 0L))))
   }
 
+  test("gap fill: missing hours appear with zero counts across the full span") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:05:00", 1L, "click", 0.0, "{}"),
+      // hour 11 has NO events — must still appear with n=0
+      (2L, "2024-01-01 12:10:00", 1L, "click", 0.0, "{}"),
+      (3L, "2024-01-01 12:20:00", 1L, "view", 0.0, "{}")))
+    val got = SparkEntry.queries("q_events_gapfill")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00.0", "click", 1L), ("2024-01-01 10:00:00.0", "view", 0L),
+      ("2024-01-01 11:00:00.0", "click", 0L), ("2024-01-01 11:00:00.0", "view", 0L),
+      ("2024-01-01 12:00:00.0", "click", 1L), ("2024-01-01 12:00:00.0", "view", 1L)))
+  }
+
+  test("moving sum: 3-row frame in event-time order per user") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 2.0, "{}"),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 4.0, "{}"),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 8.0, "{}"),
+      (5L, "2024-01-01 10:00:00", 2L, "view", 16.0, "{}")))
+    val got = SparkEntry.queries("q_events_moving_sum")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 3.0, 3L -> 7.0, 4L -> 14.0, 5L -> 16.0))
+  }
+
   test("set ops: except/intersect cohorts partition the click users") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 10:00:00", 1L, "click", 0.0, "{}"),
