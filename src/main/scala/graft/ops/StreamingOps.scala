@@ -316,6 +316,47 @@ object StreamingOps {
   // deployment gets from IceTableSource's snapshot replay
   private val asofStaging =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val rangeStaging =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Content-keyed key for a source file: path + mtime + size. */
+  private def contentKey(path: String): String = {
+    val a = java.nio.file.Files.readAttributes(
+      java.nio.file.Paths.get(path),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    s"$path|${a.lastModifiedTime.toMillis}|${a.size}"
+  }
+
+  /** Stage `frame` (must carry a `ts_us` long column) as 3 strict
+    * time-tercile files with ascending mtimes under a fresh temp dir —
+    * micro-batches then arrive in event-time order. `<=`/`>` boundaries
+    * keep same-instant rows in ONE file, so no batch boundary can split a
+    * temporal tie. Cached per content key; cleanup via shutdown hook.
+    */
+  private def stageTimeTerciles(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      key: String, prefix: String, frame: => DataFrame): String =
+    cache.computeIfAbsent(key, _ => {
+      val ev = frame
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+      val Array(b1, b2) = ev.stat.approxQuantile("ts_us", Array(0.34, 0.67), 0.0)
+      def stage(df: DataFrame, idx: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-part$idx")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get
+        val target = d.resolve(f"events-$idx%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000L + idx * 60000L))
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
+      }
+      stage(ev.where(col("ts_us") <= b1.toLong), 0)
+      stage(ev.where(col("ts_us") > b1.toLong && col("ts_us") <= b2.toLong), 1)
+      stage(ev.where(col("ts_us") > b2.toLong), 2)
+      d.toString
+    })
 
   /** Stream-to-stream AS-OF join as a STATEFUL streaming job — the
     * continuous form of [[Temporal.asofJoin]]: clicks and purchases arrive
@@ -339,33 +380,8 @@ object StreamingOps {
       .where(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
         col("event_id"), (col("event_type") === "click").as("is_click"))
-    val srcAttrs = java.nio.file.Files.readAttributes(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      classOf[java.nio.file.attribute.BasicFileAttributes])
-    val stageKey = s"$dir|${srcAttrs.lastModifiedTime.toMillis}|${srcAttrs.size}"
-    val srcDir = asofStaging.computeIfAbsent(stageKey, _ => {
-      val d = java.nio.file.Files.createTempDirectory("stream-asof")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
-      // exact tercile boundaries; <=/> keeps same-instant rows in ONE file,
-      // so no batch boundary can split an as-of tie
-      val Array(b1, b2) = ev.stat.approxQuantile("ts_us", Array(0.34, 0.67), 0.0)
-      def stage(df: DataFrame, idx: Int): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"asof-part$idx")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
-          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get
-        val target = d.resolve(f"events-$idx%02d.parquet")
-        java.nio.file.Files.move(part, target)
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000L + idx * 60000L))
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
-      }
-      stage(ev.where(col("ts_us") <= b1.toLong), 0)
-      stage(ev.where(col("ts_us") > b1.toLong && col("ts_us") <= b2.toLong), 1)
-      stage(ev.where(col("ts_us") > b2.toLong), 2)
-      d.toString
-    })
+    val srcDir = stageTimeTerciles(asofStaging,
+      contentKey(s"$dir/events.parquet"), "stream-asof", ev)
     val stagedSchema = spark.read
       .parquet(s"$srcDir/events-00.parquet").schema
     val matches = spark.readStream.schema(stagedSchema)
@@ -426,7 +442,90 @@ object StreamingOps {
       emitted.toSeq)
   }
 
+  /** Watermarked STREAM-STREAM range join — Structured Streaming's
+    * flagship join: views and purchases arrive as two streams (same staged
+    * tercile files, two file-source instances advancing in lock-step), and
+    * the time-range condition `v_ts in (p_ts - 1h, p_ts]` joins them with
+    * BOTH sides watermarked, so the join state holds only the 1-hour
+    * matching horizon behind each watermark and EVICTS everything older —
+    * the property that makes an unbounded 100 TB/day stream joinable at
+    * all. Returns the matched pairs plus the final state-store row count
+    * so the spec can prove eviction actually happened (state ≪ stream).
+    *
+    * Emission: append-mode pairs, each exactly once (inner join, no late
+    * data by the staging's event-time ordering), upserted by
+    * (purchase_id, view_id) — idempotent under retries.
+    */
+  def streamedRangeJoin(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
+    val ev = QueryDef.t(spark, dir, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"), col("event_type"))
+    val srcDir = stageTimeTerciles(rangeStaging,
+      contentKey(s"$dir/events.parquet"), "stream-range", ev)
+    val stagedSchema = spark.read.parquet(s"$srcDir/events-00.parquet").schema
+    def src() = spark.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        expr("timestamp_micros(ts_us)").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        expr("timestamp_micros(ts_us)").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(views, expr(
+      "v_user = p_user AND v_ts > p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    val wh = java.nio.file.Files.createTempDirectory("stream-range-sink")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+    val catalog = new FileCatalog(wh.toString)
+    var sink: IceTable = null
+    val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val rows = batch.coalesce(1)
+      if (sink == null)
+        sink = IceTable.create(catalog, "range_matches",
+          graft.core.SchemaConv.fromSpark(rows.schema))
+      sink.upsert(rows.sparkSession, rows, Seq("purchase_id", "view_id"))
+      sink.refresh()
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = joined.writeStream
+        .foreachBatch(onBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(query.awaitTermination(120000), "stream-stream range join did not finish in 120s")
+      query
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    require(sink != null, "range-join stream delivered no batches — empty staging dir?")
+    val progress = q.recentProgress
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    val streamedRows = progress.map(_.numInputRows).sum
+    (sink.scan(spark).select("purchase_id", "view_id", "user_id", "lag_us"),
+      stateRows, streamedRows)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_range_join",
+      (s, dir) => streamedRangeJoin(s, dir)._1,
+      Some("""
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+              FROM events WHERE event_type = 'view')
+        SELECT p.purchase_id, v.view_id, p.user_id,
+          CAST(epoch_us(p.p_ts) - epoch_us(v.v_ts) AS BIGINT) AS lag_us
+        FROM p JOIN v ON v.user_id = p.user_id
+          AND v.v_ts > p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts""")),
+
     QueryDef(
       "stream_asof_join",
       (s, dir) => streamedAsofJoin(s, dir)._1,

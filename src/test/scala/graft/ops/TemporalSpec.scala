@@ -134,6 +134,29 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "each purchase must emit exactly once across the stream")
   }
 
+  test("stream-stream range join: watermark evicts state, pairs equal the batch join") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val (res, stateRows, streamedRows) = StreamingOps.streamedRangeJoin(spark, sfDir)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = QueryDef.t(spark, sfDir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("u"), col("ts").as("pts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("u2"), col("ts").as("vts"))
+    val want = p.join(v, col("u") === col("u2") &&
+        col("vts") > col("pts") - expr("INTERVAL 1 HOUR") && col("vts") <= col("pts"))
+      .select("pid", "vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture should contain in-window (purchase, view) pairs")
+    assert(got === want, "streamed range join diverged from the batch inequality join")
+    // the non-vacuous watermark claim: the final join state holds only the
+    // matching horizon, not the stream — a stateless-eviction bug would
+    // retain every buffered row
+    assert(stateRows >= 0 && stateRows < streamedRows / 4,
+      s"join state ($stateRows rows) should be far below the streamed volume ($streamedRows)")
+  }
+
   test("cube: all four grouping sets with sentinel subtotal keys") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
