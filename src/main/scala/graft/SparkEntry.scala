@@ -12,7 +12,7 @@ object SparkEntry {
 
   private def all: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++
-      Relational4.defs ++ Temporal.defs ++ TextOps.defs ++
+      Relational4.defs ++ Temporal.defs ++ Analytics.defs ++ TextOps.defs ++
       PipelineOps.defs ++ IceQueries.defs ++ Dedup.defs ++
       IncrementalDedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ StreamingOps.defs

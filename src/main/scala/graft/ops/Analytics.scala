@@ -1,0 +1,422 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Behavioral / graph analytics over the event stream plus full-corpus
+  * clustering over the embeddings table — the product-analytics layer
+  * (funnels, cohort retention, path mining) and the two iterative
+  * algorithms (PageRank, Lloyd's k-means) every large-scale pipeline
+  * eventually needs, each expressed as a fixed, SQL-restatable iteration
+  * count so the DuckDB oracle can replay the whole computation and
+  * hash-match it.
+  *
+  * Determinism discipline (the `sim_ann_ivf` lineage): every iterative
+  * value is carried in EXACT integer arithmetic — micro-quantized
+  * coordinates for k-means, 1e12 fixed-point mass for PageRank — so no
+  * accumulation-order ulp can diverge between Spark's shuffled partial
+  * aggregation and DuckDB's single-threaded fold. The only doubles in any
+  * output are single IEEE divisions of two exact integers, which both
+  * engines compute bit-identically.
+  *
+  * Scale posture (100 TB):
+  *   - funnel / retention / paths are each one-or-two shuffles keyed on
+  *     user_id (the same key every stage — Spark reuses the exchange);
+  *     per-user state is a handful of timestamps, never a materialized
+  *     event list (paths cap the per-session prefix at 5 rows BEFORE the
+  *     aggregation).
+  *   - PageRank shuffles on node id per iteration; edge weights aggregate
+  *     map-side first. Rank mass is int64 1e12 fixed-point: exact up to
+  *     ~9e6 transitions of one (src,dst) pair — past that a deployment
+  *     drops to double p = w/ow (documented, not needed at bench scale).
+  *   - k-means is the MLlib shape: assignment is a broadcast-codebook
+  *     codegen expression over one corpus pass; the M-step reduces to
+  *     k×64 rows map-side (partial sum/count per (cluster, dim)) before
+  *     the driver sees them, so driver traffic never scales with the
+  *     corpus.
+  */
+object Analytics {
+  import QueryDef.t
+
+  // ------------------------------------------------------------ funnel
+
+  /** Staged conversion funnel view → click → purchase: stage n counts the
+    * users whose earliest qualifying event strictly follows their stage
+    * n−1 time. Two chained (join + min) aggregations, all keyed on
+    * user_id. Each stage emits exactly one row even when empty (single-row
+    * aggregate, not a groupBy), so the 3-row shape matches the oracle's
+    * UNION ALL of scalar counts.
+    */
+  private[ops] def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, n: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).cast(LongType).as("users"))
+        .select(lit(n.toLong).as("stage"), lit(name).as("stage_name"), col("users"))
+    val stages = stage(v, 1, "view")
+      .unionByName(stage(c, 2, "click_after_view"))
+      .unionByName(stage(p, 3, "purchase_after_click"))
+    // 3-row frame: the global window is trivially cheap
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stages.withColumn("conversion",
+      col("users").cast(DoubleType) /
+        max(when(col("stage") === 1, col("users"))).over(all).cast(DoubleType))
+  }
+
+  // --------------------------------------------------------- retention
+
+  /** Weekly cohort retention. Week index is a pure integer
+    * `epoch_us div week_us` (no calendar semantics for the engines to
+    * disagree on); cohort = a user's first active week; retention is the
+    * single exact division active/cohort_size. Offset-0 always carries the
+    * full cohort by construction, which is what the window max reads.
+    */
+  private[ops] def retention(s: SparkSession, dir: String): DataFrame = {
+    val wkUs = 604800000000L
+    val uw = t(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $wkUs").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val act = uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).cast(LongType).as("active_users"))
+    val byCohort = Window.partitionBy("cohort_wk")
+    act.withColumn("retention",
+      col("active_users").cast(DoubleType) /
+        max(when(col("week_offset") === 0, col("active_users"))).over(byCohort)
+          .cast(DoubleType))
+      .select(col("cohort_wk").cast(LongType).as("cohort_wk"),
+        col("week_offset").cast(LongType).as("week_offset"),
+        col("active_users"), col("retention"))
+  }
+
+  // --------------------------------------------------------- top paths
+
+  /** Top-10 session opening paths: the first ≤5 event types of each
+    * session (q_sessionize's 30-minute-gap rule, same (ts, event_id)
+    * order), joined with '>'. The per-session prefix is capped BEFORE the
+    * aggregation — per-group state is ≤5 rows however long the session —
+    * and the path string is assembled from an rn-sorted struct array, so
+    * its order never depends on collect_list's arrival order.
+    */
+  private[ops] def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bySess = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(bySess))
+      .where(col("rn") <= 5)
+      .groupBy("user_id", "session_idx")
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).cast(LongType).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------- PageRank
+
+  /** Fixed-point scale for PageRank mass: ranks live in int64 units of
+    * 1e-12, so iteration arithmetic is exact integer — truncating division
+    * (`div` here, `//` in DuckDB: both toward zero, all operands
+    * non-negative) is part of the stated update rule, not an error term.
+    */
+  private val RankScale = 1000000000000L
+
+  /** 3-iteration PageRank (d = 17/20) over the item-transition graph:
+    * nodes are the JSON `k` item of each event, edges the consecutive
+    * (ts, event_id)-ordered same-user transitions between distinct items,
+    * weighted by count. Update rule, identical on both engines:
+    *
+    *   r'(v) = (3·S) div (20·N)  +  (17 · Σ_{u→v} (r(u)·w) div ow(u)) div 20
+    *
+    * Dangling nodes leak their mass (standard simplification; the rule is
+    * the contract). Edges persist across the 3 iterations; each iteration
+    * is one join + one aggregation on node id.
+    */
+  private[ops] def itemPagerank(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+    val edges = CacheRegistry.persist(
+      ev.withColumn("nk", lead("k", 1).over(byUser))
+        .where(col("nk").isNotNull && col("nk") =!= col("k"))
+        .groupBy(col("k").as("src"), col("nk").as("dst"))
+        .agg(count(lit(1)).cast(LongType).as("w")))
+    val eNorm = edges.join(
+        edges.groupBy("src").agg(sum("w").as("ow")), "src")
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+    val nodes = CacheRegistry.persist(ev.select(col("k").as("node")).distinct())
+    val n = nodes.agg(count(lit(1)).cast(LongType).as("n_nodes"))
+    val base = nodes.crossJoin(n)
+    var r: DataFrame = base.select(col("node"),
+      expr(s"$RankScale div n_nodes").as("rank_e12"))
+    for (_ <- 1 to 3) {
+      val contrib = r.join(eNorm, r("node") === eNorm("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_e12 * w div ow")).as("c"))
+      r = base.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"(3 * ${RankScale}L) div (20 * n_nodes)") +
+            expr("17 * coalesce(c, 0L) div 20")).as("rank_e12"))
+    }
+    r.select(col("node"), col("rank_e12").cast(LongType).as("rank_e12"),
+      (col("rank_e12").cast(DoubleType) / lit(1e12)).as("rank"))
+  }
+
+  // ----------------------------------------------------------- k-means
+
+  private val KmK = 8
+  private val KmScale = 10000d
+
+  /** Σ_i (m_i − c_i)² over micro-quantized int64 coordinates — exact
+    * integer, bounded by 64·(2·5774)² ≈ 8.5e9 for unit-norm-ish
+    * embeddings, far inside int64.
+    */
+  private def idist2(m: Column, center: Array[Long]): Column =
+    aggregate(
+      zip_with(m, typedlit(center.toSeq), (x, c) => (x - c) * (x - c)),
+      lit(0L), (a, b) => a + b)
+
+  /** Nearest center index under (dist², center-index) — the struct
+    * array_min gives the deterministic low-index tiebreak. Pure builtin
+    * codegen expressions; the codebook is literal broadcast state.
+    */
+  private def assignTo(m: Column, centers: Array[Array[Long]]): Column = {
+    val scored = centers.zipWithIndex.map { case (cm, j) =>
+      struct(idist2(m, cm).as("d"), lit(j.toLong).as("c"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** One distributed M-step: per (cluster, dim) the floor of the mean
+    * micro-coordinate (`floor(sum/count)` in DOUBLE — the exact
+    * `ivfFitCtes` centroid rule, and exact here because the int64 sums are
+    * ≤ 2^53). The reduce output is k×64 rows after map-side partial
+    * aggregation; clusters that lost every member keep their previous
+    * center (COALESCE on the oracle side, map fallback here).
+    */
+  private def mStep(assigned: DataFrame, prev: Array[Array[Long]]): Array[Array[Long]] = {
+    val rows = assigned
+      .select(col("cluster"), posexplode(col("m")).as(Seq("d", "v")))
+      .groupBy("cluster", "d")
+      .agg(floor(sum("v").cast(DoubleType) / count(lit(1))).cast(LongType).as("cv"))
+      .collect()
+    val next = prev.map(_.clone())
+    rows.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
+    next
+  }
+
+  /** Full-corpus Lloyd's k-means, k=8, two iterations, in exact integer
+    * arithmetic end-to-end: micro-quantized coordinates, integer squared
+    * distances, floor-div centroids, low-index tiebreaks, empty clusters
+    * keep their center. Init = the embeddings of the 8 smallest vec_ids.
+    * Output is the final assignment's per-cluster size and EXACT int64
+    * inertia (Σ dist² in micro² units) — hash-stable with no rounding
+    * anywhere. Unlike [[Similarity]]'s sample-capped driver-side IVF fit,
+    * the E and M steps here run over the whole corpus distributed; the
+    * driver only ever sees k×64 partial means per iteration.
+    */
+  private[ops] def kmeansCorpus(s: SparkSession, dir: String): DataFrame = {
+    val emb = CacheRegistry.persist(
+      t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) * lit(KmScale)).cast(LongType)).as("m")))
+    var centers: Array[Array[Long]] = emb.orderBy("vec_id").limit(KmK).collect()
+      .map(_.getSeq[Long](1).toArray)
+    for (_ <- 1 to 2)
+      centers = mStep(
+        emb.withColumn("cluster", assignTo(col("m"), centers)), centers)
+    emb.withColumn("cluster", assignTo(col("m"), centers))
+      .withColumn("d2", array_min(array(centers.zipWithIndex.map { case (cm, j) =>
+        struct(idist2(col("m"), cm).as("d"), lit(j.toLong).as("c"))
+      }.toIndexedSeq: _*)).getField("d"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).cast(LongType).as("n_vectors"),
+        sum("d2").cast(LongType).as("inertia"))
+      .select(col("cluster").cast(LongType).as("cluster"),
+        col("n_vectors"), col("inertia"))
+  }
+
+  // ---------------------------------------------------------- registry
+
+  /** The sessionize window + path CTE chain shared verbatim with
+    * q_sessionize's oracle (same 30-min gap, same (ts, event_id) order).
+    */
+  private val pathCtes = """
+s1 AS (SELECT user_id, event_id, ts, event_type,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s2 AS (SELECT user_id, event_id, ts, event_type,
+    SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM s1),
+s3 AS (SELECT user_id, session_idx, event_type, ts, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+      ORDER BY ts, event_id) AS rn
+  FROM s2)"""
+
+  /** The k-means oracle: full-corpus mirror of the `ivfFitCtes` integer
+    * Lloyd's discipline — `list_reduce` left-folds add in the same order
+    * as Spark's `aggregate` fold (irrelevant here: the terms are exact
+    * ints), `//`/`div` both truncate toward zero, `floor(sum/count)`
+    * matches because the sums sit far inside 2^53.
+    */
+  private val kmeansOracle = """
+WITH m0 AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS m
+  FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, m
+  FROM (SELECT vec_id, m FROM m0 ORDER BY vec_id LIMIT 8)),
+a1 AS (
+  SELECT v.vec_id, v.m, c.c,
+    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      list_reduce(list_transform(range(1, 65),
+        i -> (v.m[i] - c.m[i]) * (v.m[i] - c.m[i])), (a, b) -> a + b), c.c) AS r
+  FROM m0 v, init c),
+g1 AS (SELECT vec_id, m, c FROM a1 WHERE r = 1),
+c1e AS (
+  SELECT c, u.i AS d,
+    CAST(floor(CAST(SUM(m[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM g1, unnest(range(1, 65)) u(i) GROUP BY c, u.i),
+c1m AS (SELECT c, list(v ORDER BY d) AS m FROM c1e GROUP BY c),
+c1 AS (SELECT s.c, COALESCE(c1m.m, s.m) AS m
+       FROM init s LEFT JOIN c1m USING (c)),
+a2 AS (
+  SELECT v.vec_id, v.m, c.c,
+    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      list_reduce(list_transform(range(1, 65),
+        i -> (v.m[i] - c.m[i]) * (v.m[i] - c.m[i])), (a, b) -> a + b), c.c) AS r
+  FROM m0 v, c1 c),
+g2 AS (SELECT vec_id, m, c FROM a2 WHERE r = 1),
+c2e AS (
+  SELECT c, u.i AS d,
+    CAST(floor(CAST(SUM(m[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM g2, unnest(range(1, 65)) u(i) GROUP BY c, u.i),
+c2m AS (SELECT c, list(v ORDER BY d) AS m FROM c2e GROUP BY c),
+c2 AS (SELECT s.c, COALESCE(c2m.m, s.m) AS m
+       FROM c1 s LEFT JOIN c2m USING (c)),
+a3 AS (
+  SELECT vec_id, c, d2 FROM (
+    SELECT v.vec_id, c.c,
+      list_reduce(list_transform(range(1, 65),
+        i -> (v.m[i] - c.m[i]) * (v.m[i] - c.m[i])), (a, b) -> a + b) AS d2,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> (v.m[i] - c.m[i]) * (v.m[i] - c.m[i])), (a, b) -> a + b), c.c) AS r
+    FROM m0 v, c2 c) z WHERE r = 1)
+SELECT CAST(c AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(d2) AS BIGINT) AS inertia
+FROM a3 GROUP BY c"""
+
+  private val pagerankOracle = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events),
+nx AS (SELECT k AS src,
+    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev),
+ed AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM nx WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+en AS (SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS ow FROM ed),
+nodes AS (SELECT DISTINCT k AS node FROM ev),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+r0 AS (SELECT node, 1000000000000 // n_nodes AS rank_e12 FROM nodes, nn),
+r1 AS (
+  SELECT n.node,
+    (3 * 1000000000000) // (20 * nn.n_nodes) + 17 * COALESCE(c.c, 0) // 20 AS rank_e12
+  FROM nodes n CROSS JOIN nn LEFT JOIN (
+    SELECT en.dst AS node, SUM(r0.rank_e12 * en.w // en.ow) AS c
+    FROM r0 JOIN en ON r0.node = en.src GROUP BY 1) c ON c.node = n.node),
+r2 AS (
+  SELECT n.node,
+    (3 * 1000000000000) // (20 * nn.n_nodes) + 17 * COALESCE(c.c, 0) // 20 AS rank_e12
+  FROM nodes n CROSS JOIN nn LEFT JOIN (
+    SELECT en.dst AS node, SUM(r1.rank_e12 * en.w // en.ow) AS c
+    FROM r1 JOIN en ON r1.node = en.src GROUP BY 1) c ON c.node = n.node),
+r3 AS (
+  SELECT n.node,
+    (3 * 1000000000000) // (20 * nn.n_nodes) + 17 * COALESCE(c.c, 0) // 20 AS rank_e12
+  FROM nodes n CROSS JOIN nn LEFT JOIN (
+    SELECT en.dst AS node, SUM(r2.rank_e12 * en.w // en.ow) AS c
+    FROM r2 JOIN en ON r2.node = en.src GROUP BY 1) c ON c.node = n.node)
+SELECT node, CAST(rank_e12 AS BIGINT) AS rank_e12,
+  CAST(rank_e12 AS DOUBLE) / 1e12 AS rank
+FROM r3"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_funnel", (s, dir) => funnel(s, dir),
+      Some("""
+        WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+        st AS (
+          SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS users FROM v
+          UNION ALL
+          SELECT 2, 'click_after_view', COUNT(*) FROM c
+          UNION ALL
+          SELECT 3, 'purchase_after_click', COUNT(*) FROM p)
+        SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+          CAST(users AS BIGINT) AS users,
+          CAST(users AS DOUBLE) /
+            MAX(CASE WHEN stage = 1 THEN users END) OVER () AS conversion
+        FROM st""")),
+
+    QueryDef("events_retention", (s, dir) => retention(s, dir),
+      Some("""
+        WITH uw AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 604800000000 AS wk FROM events),
+        co AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1),
+        r AS (SELECT co.cohort_wk, uw.wk - co.cohort_wk AS week_offset,
+            COUNT(*) AS active_users
+          FROM uw JOIN co ON uw.user_id = co.user_id GROUP BY 1, 2)
+        SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+          CAST(week_offset AS BIGINT) AS week_offset,
+          CAST(active_users AS BIGINT) AS active_users,
+          CAST(active_users AS DOUBLE) /
+            MAX(CASE WHEN week_offset = 0 THEN active_users END)
+              OVER (PARTITION BY cohort_wk) AS retention
+        FROM r""")),
+
+    QueryDef("events_top_paths", (s, dir) => topPaths(s, dir),
+      Some(s"""
+        WITH $pathCtes,
+        p AS (SELECT user_id, session_idx,
+            string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM s3 WHERE rn <= 5 GROUP BY 1, 2)
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM p GROUP BY 1
+        ORDER BY n_sessions DESC, path LIMIT 10""")),
+
+    QueryDef("graph_item_pagerank", (s, dir) => itemPagerank(s, dir),
+      Some(pagerankOracle)),
+
+    QueryDef("sim_kmeans_corpus", (s, dir) => kmeansCorpus(s, dir),
+      Some(kmeansOracle))
+  )
+}

@@ -1,0 +1,197 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-scenario semantics for the behavioral-analytics batch (funnel,
+  * retention, path mining) and the two exact-integer iterative operators
+  * (fixed-point PageRank, micro-quantized Lloyd's k-means). The iterative
+  * tests assert hand-computed integer update values — the same arithmetic
+  * the DuckDB oracle replays — so a drift in the stated update rule fails
+  * here before it fails the cross-engine hash gate.
+  */
+class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("analytics-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def eventsDir(
+      rows: Seq[(Long, String, Long, String, Double, String)]): String = {
+    val dir = Files.createTempDirectory("graft-analytics").toString
+    val sq = spark
+    import sq.implicits._
+    rows.map { case (id, t, u, typ, v, p) => (id, ts(t), u, typ, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel: strictly-after staging, one row per stage, equal-ts click excluded") {
+    // u1 completes all 3 stages; u2's click precedes its view (stage 2 no);
+    // u3 views then purchases with no click (stage 3 needs stage 2 — no);
+    // u4's click lands at EXACTLY its first view ts (strictly-after → no).
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, "{}"),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0, "{}"),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0, "{}"),
+      (4L, "2024-01-01 09:00:00", 2L, "click", 0.0, "{}"),
+      (5L, "2024-01-01 09:30:00", 2L, "view", 0.0, "{}"),
+      (6L, "2024-01-01 08:00:00", 3L, "view", 0.0, "{}"),
+      (7L, "2024-01-01 08:10:00", 3L, "purchase", 0.0, "{}"),
+      (8L, "2024-01-01 07:00:00", 4L, "view", 0.0, "{}"),
+      (9L, "2024-01-01 07:00:00", 4L, "click", 0.0, "{}")))
+    val out = Analytics.funnel(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (1L, "view", 4L, 1.0),
+      (2L, "click_after_view", 1L, 0.25),
+      (3L, "purchase_after_click", 1L, 0.25)))
+  }
+
+  test("funnel: empty stages still emit rows (0 users), matching the oracle's scalar counts") {
+    val dir = eventsDir(Seq((1L, "2024-01-01 10:00:00", 1L, "view", 0.0, "{}")))
+    val out = Analytics.funnel(spark, dir).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(2)).sorted === Seq(0L, 0L, 1L))
+  }
+
+  test("retention: integer week cohorts, offset-0 carries the full cohort") {
+    // Week index = epoch_us div 604800e6 (1970-01-01 is week 0's Thursday).
+    // u1 active wk0 + wk2, u2 wk0 only, u3 wk1 only.
+    val dir = eventsDir(Seq(
+      (1L, "1970-01-02 00:00:00", 1L, "view", 0.0, "{}"),
+      (2L, "1970-01-15 00:00:00", 1L, "view", 0.0, "{}"),
+      (3L, "1970-01-03 00:00:00", 2L, "view", 0.0, "{}"),
+      (4L, "1970-01-09 00:00:00", 3L, "view", 0.0, "{}")))
+    val out = Analytics.retention(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out === Seq(
+      (0L, 0L, 2L, 1.0),
+      (0L, 2L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0)))
+  }
+
+  test("top paths: 30-min gap sessionization, 5-event prefix cap, rn-ordered join") {
+    // u1: one session of 7 events (path capped at first 5), then a >30-min
+    // gap starting a second session; u2 repeats u1's opening pattern.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, "{}"),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0, "{}"),
+      (3L, "2024-01-01 10:02:00", 1L, "click", 0.0, "{}"),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 0.0, "{}"),
+      (5L, "2024-01-01 10:04:00", 1L, "purchase", 0.0, "{}"),
+      (6L, "2024-01-01 10:05:00", 1L, "click", 0.0, "{}"),
+      (7L, "2024-01-01 10:06:00", 1L, "error", 0.0, "{}"),
+      (8L, "2024-01-01 11:00:00", 1L, "signup", 0.0, "{}"),
+      (9L, "2024-01-01 10:00:00", 2L, "view", 0.0, "{}"),
+      (10L, "2024-01-01 10:01:00", 2L, "view", 0.0, "{}"),
+      (11L, "2024-01-01 10:02:00", 2L, "click", 0.0, "{}"),
+      (12L, "2024-01-01 10:03:00", 2L, "view", 0.0, "{}"),
+      (13L, "2024-01-01 10:04:00", 2L, "purchase", 0.0, "{}")))
+    val out = Analytics.topPaths(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Seq(
+      ("view>view>click>view>purchase", 2L),
+      ("signup", 1L)))
+  }
+
+  test("pagerank: hand-computed 3-iteration fixed-point values on a 2-node graph") {
+    // Single transition 1→2. N=2, r0 = 5e11 each. Per the stated rule:
+    //   r1(1) = 3e12 div 40 = 75e9;  r1(2) = 75e9 + 17*5e11 div 20 = 5e11
+    //   r2(2) = 75e9 + 17*75e9 div 20 = 138_750_000_000;  r3 = r2.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 1}"""),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0, """{"k": 2}""")))
+    val out = Analytics.itemPagerank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out === Seq((1L, 75000000000L), (2L, 138750000000L)))
+  }
+
+  test("pagerank: self-transitions and repeated items drop out of the edge set") {
+    // 1→1 (dropped), 1→2, 2→2 (dropped): edges = {1→2} only, so ranks
+    // must equal the 2-node case above.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 1}"""),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0, """{"k": 1}"""),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 0.0, """{"k": 2}"""),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 0.0, """{"k": 2}""")))
+    val out = Analytics.itemPagerank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out === Seq((1L, 75000000000L), (2L, 138750000000L)))
+  }
+
+  private def embeddingsDir(rows: Seq[(Long, Array[Float], Int)]): String = {
+    val dir = Files.createTempDirectory("graft-analytics-emb").toString
+    val sq = spark
+    import sq.implicits._
+    rows.map { case (id, e, l) => (id, e.toSeq, l) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("k-means: duplicated init points converge to zero inertia, size-2 clusters") {
+    // vec 0..7 sit at 8 well-separated points (the init centers); vec
+    // 8..15 duplicate them exactly. Lloyd's must pair each duplicate with
+    // its init center: every cluster n=2, inertia 0.
+    val base = (0 until 8).map { j =>
+      val v = Array.fill(64)(0.0f); v(j) = 0.5f; v
+    }
+    val rows = (0 until 8).map(j => (j.toLong, base(j), j)) ++
+      (0 until 8).map(j => (j.toLong + 8, base(j), j))
+    val dir = embeddingsDir(rows)
+    val out = Analytics.kmeansCorpus(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out === (0L until 8L).map(j => (j, 2L, 0L)))
+  }
+
+  test("k-means: empty clusters keep their center; reassignment is low-index tiebroken") {
+    // All 10 corpus vectors coincide at init center 0's point except the
+    // init rows themselves — clusters 1..7 keep their (never-matched)
+    // centers and vanish from the final assignment; every duplicate lands
+    // in cluster 0 with zero distance.
+    val base = (0 until 8).map { j =>
+      val v = Array.fill(64)(0.0f); v(j) = 0.5f; v
+    }
+    val rows = (0 until 8).map(j => (j.toLong, base(j), j)) ++
+      (8 until 18).map(j => (j.toLong, base(0), 0))
+    val dir = embeddingsDir(rows)
+    val out = Analytics.kmeansCorpus(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // After round 1, cluster 0's center stays at base(0) (it owns vec 0 +
+    // the 10 duplicates); clusters 1..7 own exactly their init row. Final:
+    // cluster 0 has 11 members at inertia 0, clusters 1..7 one member each.
+    assert(out === ((0L, 11L, 0L) +: (1L until 8L).map(j => (j, 1L, 0L))))
+  }
+
+  test("k-means assignment stays in builtin codegen (no UDF, no python eval)") {
+    val base = (0 until 16).map { j =>
+      val v = Array.fill(64)(0.0f); v(j) = 0.5f; v
+    }
+    val dir = embeddingsDir((0 until 16).map(j => (j.toLong, base(j), j)))
+    val plan = Analytics.kmeansCorpus(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython"))
+    assert(!plan.toLowerCase.contains("scalaudf"))
+  }
+}
