@@ -254,6 +254,151 @@ object Analytics {
         col("n_vectors"), col("inertia"))
   }
 
+  // -------------------------------------------------------- engagement
+
+  /** DAU / WAU / MAU per day with the DAU/MAU stickiness ratio. Day is a
+    * pure integer `epoch_us div day_us`. The sliding distinct is the
+    * standard explode shape: each active (user, day) contributes to the
+    * 7-day window of days d..d+6 and the 30-day window of d..d+29 — a
+    * bounded fan-out of 37 rows per active-day, aggregated after a
+    * distinct on (user, target-day), never a per-day re-scan of history.
+    * Target days outside the observed range are clipped so trailing
+    * windows don't invent partial days.
+    */
+  private[ops] def engagement(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val uw = CacheRegistry.persist(t(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .distinct())
+    val bounds = uw.agg(min("day").as("d0"), max("day").as("d1"))
+    def windowed(span: Int, name: String): DataFrame = uw
+      .withColumn("target", explode(sequence(col("day"), col("day") + (span - 1))))
+      .select(col("user_id"), col("target")).distinct()
+      .groupBy("target").agg(count(lit(1)).cast(LongType).as(name))
+    val dau = uw.groupBy(col("day").as("target"))
+      .agg(count(lit(1)).cast(LongType).as("dau"))
+    dau.join(windowed(7, "wau"), "target").join(windowed(30, "mau"), "target")
+      .crossJoin(bounds).where(col("target") <= col("d1"))
+      .select(col("target").cast(LongType).as("day"),
+        col("dau"), col("wau"), col("mau"),
+        (col("dau").cast(DoubleType) / col("mau").cast(DoubleType)).as("stickiness"))
+  }
+
+  // ---------------------------------------------------- exact quantiles
+
+  /** Exact discrete quantiles (percentile_disc semantics: the smallest
+    * value whose cumulative count reaches ceil(q·n)) of document length
+    * per language — computed over the (lang, n_chars) frequency table,
+    * never a per-group sort of the corpus: the shuffle carries one row per
+    * distinct length per language, and the cumulative window runs over
+    * that bounded value domain. All-integer selection rule, no
+    * interpolation arithmetic to diverge on.
+    */
+  private[ops] def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = freq.withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    def pick(pct: Int, name: String): Column =
+      min(when(col("cum") >= expr(s"($pct * n + 99) div 100"), col("n_chars")))
+        .cast(LongType).as(name)
+    cum.groupBy("lang")
+      .agg(max("n").cast(LongType).as("n_docs"),
+        pick(50, "p50_chars"), pick(90, "p90_chars"), pick(99, "p99_chars"))
+  }
+
+  // ---------------------------------------------------------- triangles
+
+  /** Global triangle / edge / node census of the undirected item graph
+    * (edges = distinct consecutive same-user transitions, either
+    * direction). Triangles count via the oriented 3-way join on a < b < c
+    * — each triangle enumerated exactly once, candidate volume bounded by
+    * Σ deg(a)·deg(b) over edges, the standard compact-forward shape. (A
+    * skew-hardened deployment would orient by degree instead of id; the
+    * id orientation is the oracle-restatable contract.)
+    */
+  private[ops] def itemTriangles(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+    val e = CacheRegistry.persist(
+      ev.withColumn("nk", lead("k", 1).over(byUser))
+        .where(col("nk").isNotNull && col("nk") =!= col("k"))
+        .select(least(col("k"), col("nk")).as("a"),
+          greatest(col("k"), col("nk")).as("b"))
+        .distinct())
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .agg(count(lit(1)).cast(LongType).as("n_triangles"))
+    val sizes = e.agg(count(lit(1)).cast(LongType).as("n_edges"),
+      countDistinct(col("a")).cast(LongType).as("na"))
+    val nodes = e.select(col("a").as("v")).union(e.select(col("b")))
+      .distinct().agg(count(lit(1)).cast(LongType).as("n_nodes"))
+    tri.crossJoin(sizes.select("n_edges")).crossJoin(nodes)
+      .select(col("n_triangles"), col("n_edges"), col("n_nodes"))
+  }
+
+  // ------------------------------------------------------------ skyline
+
+  /** Pareto frontier of orders under (earlier o_orderdate, lower
+    * o_totalprice): an order survives iff no other order is ≤ on both
+    * axes and < on at least one. 2-D skyline needs no dominance join at
+    * all: per date keep the min price (cents-exact), then keep the dates
+    * whose min strictly undercuts every earlier date's min — one window
+    * pass over the per-date aggregate, O(distinct dates) state. Duplicate
+    * (date, price) minima don't dominate each other and all survive.
+    */
+  private[ops] def orderSkyline(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+      round(col("o_totalprice") * 100).cast(LongType).as("price_c"))
+    val dmin = o.groupBy("o_orderdate").agg(min("price_c").as("m"))
+    val before = Window.orderBy("o_orderdate")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keepDates = dmin.withColumn("prior", min("m").over(before))
+      .where(col("prior").isNull || col("m") < col("prior"))
+      .select(col("o_orderdate"), col("m"))
+    o.join(keepDates, Seq("o_orderdate"))
+      .where(col("price_c") === col("m"))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("price_c").cast(DoubleType) / 100.0).as("o_totalprice"))
+  }
+
+  // ------------------------------------------------------ frequent pairs
+
+  /** Market-basket item pairs: the top-20 (support desc, pair) item pairs
+    * co-occurring in the same session (q_sessionize's rule), counted once
+    * per session. The candidate space is per-session C(distinct items, 2)
+    * — bounded by the session length cap the 30-minute gap imposes, never
+    * a corpus-wide cross of the item domain — and support aggregates
+    * map-side on the (a, b) pair key.
+    */
+  private[ops] def frequentPairs(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val si = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_idx"), col("k")).distinct()
+    si.as("x").join(si.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.session_idx") === col("y.session_idx") &&
+          col("x.k") < col("y.k"))
+      .groupBy(col("x.k").as("item_a"), col("y.k").as("item_b"))
+      .agg(count(lit(1)).cast(LongType).as("support"))
+      .orderBy(col("support").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------- registry
 
   /** The sessionize window + path CTE chain shared verbatim with
@@ -417,6 +562,86 @@ FROM r3"""
       Some(pagerankOracle)),
 
     QueryDef("sim_kmeans_corpus", (s, dir) => kmeansCorpus(s, dir),
-      Some(kmeansOracle))
+      Some(kmeansOracle)),
+
+    QueryDef("events_engagement", (s, dir) => engagement(s, dir),
+      Some("""
+        WITH uw AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM uw),
+        dau AS (SELECT day AS target, COUNT(*) AS dau FROM uw GROUP BY 1),
+        wau AS (SELECT target, COUNT(*) AS wau FROM (
+            SELECT DISTINCT user_id, day + o.i AS target
+            FROM uw, UNNEST(range(0, 7)) o(i)) GROUP BY 1),
+        mau AS (SELECT target, COUNT(*) AS mau FROM (
+            SELECT DISTINCT user_id, day + o.i AS target
+            FROM uw, UNNEST(range(0, 30)) o(i)) GROUP BY 1)
+        SELECT CAST(dau.target AS BIGINT) AS day,
+          CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+          CAST(mau AS BIGINT) AS mau,
+          CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+        FROM dau JOIN wau ON wau.target = dau.target
+          JOIN mau ON mau.target = dau.target, b
+        WHERE dau.target <= b.d1""")),
+
+    QueryDef("text_length_quantiles", (s, dir) => lengthQuantiles(s, dir),
+      Some("""
+        WITH f AS (SELECT lang, n_chars, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2),
+        cu AS (SELECT lang, n_chars,
+            SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(c) OVER (PARTITION BY lang) AS n
+          FROM f)
+        SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+          CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p50_chars,
+          CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p90_chars,
+          CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p99_chars
+        FROM cu GROUP BY lang""")),
+
+    QueryDef("graph_item_triangles", (s, dir) => itemTriangles(s, dir),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, ts, event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events),
+        nx AS (SELECT k, lead(k) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS nk FROM ev),
+        e AS (SELECT DISTINCT least(k, nk) AS a, greatest(k, nk) AS b
+          FROM nx WHERE nk IS NOT NULL AND nk <> k),
+        tri AS (SELECT COUNT(*) AS n_triangles
+          FROM e ab JOIN e bc ON bc.a = ab.b
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        ne AS (SELECT COUNT(*) AS n_edges FROM e),
+        nn AS (SELECT COUNT(*) AS n_nodes FROM
+          (SELECT a AS v FROM e UNION SELECT b FROM e))
+        SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+          CAST(n_edges AS BIGINT) AS n_edges,
+          CAST(n_nodes AS BIGINT) AS n_nodes
+        FROM tri, ne, nn""")),
+
+    QueryDef("q_skyline_orders", (s, dir) => orderSkyline(s, dir),
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_orderdate,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders)
+        SELECT o_orderkey, o_orderdate,
+          CAST(price_c AS DOUBLE) / 100.0 AS o_totalprice
+        FROM o
+        WHERE NOT EXISTS (SELECT 1 FROM o o2
+          WHERE o2.o_orderdate <= o.o_orderdate AND o2.price_c <= o.price_c
+            AND (o2.o_orderdate < o.o_orderdate OR o2.price_c < o.price_c))""")),
+
+    QueryDef("events_frequent_pairs", (s, dir) => frequentPairs(s, dir),
+      Some(s"""
+        WITH $pathCtes,
+        si AS (SELECT DISTINCT s3.user_id, s3.session_idx,
+            CAST(json_extract_string(e.props, '$$.k') AS BIGINT) AS k
+          FROM s3 JOIN events e ON e.event_id = s3.event_id),
+        pr AS (SELECT x.k AS item_a, y.k AS item_b, COUNT(*) AS support
+          FROM si x JOIN si y ON y.user_id = x.user_id
+            AND y.session_idx = x.session_idx AND x.k < y.k
+          GROUP BY 1, 2)
+        SELECT item_a, item_b, CAST(support AS BIGINT) AS support
+        FROM pr ORDER BY support DESC, item_a, item_b LIMIT 20"""))
   )
 }

@@ -184,6 +184,92 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === ((0L, 11L, 0L) +: (1L until 8L).map(j => (j, 1L, 0L))))
   }
 
+  test("engagement: windows look back, inner-join drops inactive days, range clips") {
+    // u1 active on days 0 and 3, u2 on day 0 (epoch days; 1970-01-01 = 0).
+    // Day 3's WAU/MAU must see both users' day-0 activity; days 1-2 have
+    // no DAU so no row; targets past day 3 are clipped.
+    val dir = eventsDir(Seq(
+      (1L, "1970-01-01 05:00:00", 1L, "view", 0.0, "{}"),
+      (2L, "1970-01-04 05:00:00", 1L, "view", 0.0, "{}"),
+      (3L, "1970-01-01 06:00:00", 2L, "view", 0.0, "{}")))
+    val out = Analytics.engagement(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out === Seq((0L, 2L, 2L, 2L, 1.0), (3L, 1L, 2L, 2L, 0.5)))
+  }
+
+  private def documentsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = Files.createTempDirectory("graft-analytics-docs").toString
+    val sq = spark
+    import sq.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("length quantiles: percentile_disc positions over 1..10 per language") {
+    // ceil(q*n) selection on n=10 distinct lengths: p50=5, p90=9, p99=10.
+    val dir = documentsDir((1 to 10).map(i =>
+      (i.toLong, "x", "en", "crawl", i.toLong)))
+    val out = Analytics.lengthQuantiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Seq(("en", 10L, 5L, 9L, 10L)))
+  }
+
+  test("triangles: a 3-cycle of transitions yields one oriented triangle") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 1}"""),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0, """{"k": 2}"""),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 0.0, """{"k": 3}"""),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 0.0, """{"k": 1}""")))
+    val out = Analytics.itemTriangles(spark, dir).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === ((1L, 3L, 3L)))
+  }
+
+  private def ordersDir(rows: Seq[(Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("graft-analytics-orders").toString
+    val sq = spark
+    import sq.implicits._
+    rows.map { case (k, d, p) => (k, ts(d), p) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("skyline: strictly-improving per-date minima survive, equal minima tie-keep") {
+    // d1 min 50 (first date, kept); d2 min 40 < 50 (kept, BOTH 40.00 rows
+    // — equal points don't dominate each other); d3 min 40 is not < 40
+    // (dominated by d2's earlier equal price, dropped).
+    val dir = ordersDir(Seq(
+      (1L, "1995-01-01 00:00:00", 100.0),
+      (2L, "1995-01-01 00:00:00", 50.0),
+      (3L, "1995-02-01 00:00:00", 40.0),
+      (4L, "1995-02-01 00:00:00", 60.0),
+      (6L, "1995-02-01 00:00:00", 40.0),
+      (5L, "1995-03-01 00:00:00", 40.0)))
+    val out = Analytics.orderSkyline(spark, dir)
+      .collect().map(_.getLong(0)).sorted
+    assert(out === Seq(2L, 3L, 6L))
+  }
+
+  test("frequent pairs: per-session distinct co-occurrence, cross-session support adds up") {
+    // u1 session A items {1,2,3} (item 2 repeats — counted once), then a
+    // >30-min gap starts session B {1,2}; u2 has {1,2}. Support:
+    // (1,2)=3, (1,3)=1, (2,3)=1.
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 1}"""),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0, """{"k": 2}"""),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 0.0, """{"k": 2}"""),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 0.0, """{"k": 3}"""),
+      (5L, "2024-01-01 11:00:00", 1L, "view", 0.0, """{"k": 1}"""),
+      (6L, "2024-01-01 11:01:00", 1L, "view", 0.0, """{"k": 2}"""),
+      (7L, "2024-01-01 10:00:00", 2L, "view", 0.0, """{"k": 1}"""),
+      (8L, "2024-01-01 10:05:00", 2L, "view", 0.0, """{"k": 2}""")))
+    val out = Analytics.frequentPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("k-means assignment stays in builtin codegen (no UDF, no python eval)") {
     val base = (0 until 16).map { j =>
       val v = Array.fill(64)(0.0f); v(j) = 0.5f; v
