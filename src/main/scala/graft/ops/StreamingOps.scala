@@ -336,7 +336,9 @@ object StreamingOps {
   private def stageTimeTerciles(cache: java.util.concurrent.ConcurrentHashMap[String, String],
       key: String, prefix: String, frame: => DataFrame): String =
     cache.computeIfAbsent(key, _ => {
-      val ev = frame
+      // one source scan feeds the quantile probe + 3 tercile writes —
+      // unpersisted after staging since the staged files are the fixture
+      val ev = frame.persist()
       val d = java.nio.file.Files.createTempDirectory(prefix)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
@@ -355,6 +357,7 @@ object StreamingOps {
       stage(ev.where(col("ts_us") <= b1.toLong), 0)
       stage(ev.where(col("ts_us") > b1.toLong && col("ts_us") <= b2.toLong), 1)
       stage(ev.where(col("ts_us") > b2.toLong), 2)
+      ev.unpersist(blocking = false)
       d.toString
     })
 
@@ -486,16 +489,31 @@ object StreamingOps {
     val catalog = new FileCatalog(wh.toString)
     var sink: IceTable = null
     val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      val rows = batch.coalesce(1)
-      if (sink == null)
-        sink = IceTable.create(catalog, "range_matches",
-          graft.core.SchemaConv.fromSpark(rows.schema))
-      sink.upsert(rows.sparkSession, rows, Seq("purchase_id", "view_id"))
-      sink.refresh()
+      // persist before the upsert's two write jobs — without it each job
+      // re-executes the stream-stream join micro-batch (state restore and
+      // all), which tripled this query's wall time at sf0.1
+      val rows = batch.coalesce(1).persist()
+      try {
+        val n = rows.count()
+        if (sink == null)
+          sink = IceTable.create(catalog, "range_matches",
+            graft.core.SchemaConv.fromSpark(rows.schema))
+        // the watermark-finalization batch AvailableNow appends is empty
+        // here — an upsert of 0 rows would still pay a full commit
+        if (n > 0) {
+          sink.upsert(rows.sparkSession, rows, Seq("purchase_id", "view_id"))
+          sink.refresh()
+        }
+      } finally rows.unpersist()
     }
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // a stream-stream join keeps FOUR state stores per partition (two
+      // sides x two index maps), each paying a delta-file commit per
+      // micro-batch — at these batch sizes 2 partitions (8 stores) beat 8
+      // partitions (32 stores) on pure state-commit overhead. Production
+      // sizes this to keys/partition, not store count.
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
       val query = joined.writeStream
         .foreachBatch(onBatch)
         .trigger(Trigger.AvailableNow())
