@@ -94,7 +94,7 @@ object StreamingOps {
     // (same rationale as streamedDedupExact's sizing note below)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
       val q = stream.writeStream
         .outputMode("update")
         .foreachBatch(onBatch)
@@ -192,7 +192,7 @@ object StreamingOps {
       }
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
       val query = sessions.writeStream
         .foreachBatch(onBatch)
         .trigger(Trigger.AvailableNow())
@@ -286,7 +286,7 @@ object StreamingOps {
     // test scale; a real deployment sizes this once per long-lived query)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
       val q = stream.writeStream
         .outputMode("update")
         .foreachBatch(onBatch)
@@ -433,7 +433,9 @@ object StreamingOps {
       }
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // state-commit overhead dominates at these batch sizes — same
+      // store-count trade as the range join (one store per partition here)
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
       val q = matches.writeStream
         .foreachBatch(onBatch)
         .trigger(Trigger.AvailableNow())
