@@ -32,6 +32,32 @@ object IceQueries {
   // the builder runs at most once per dir, concurrent callers block on it
   private val fixtures = new ConcurrentHashMap[String, Fixture]()
 
+  private val wapFixtures = new ConcurrentHashMap[String, IceTable]()
+
+  /** Write-audit-publish fixture: documents with n_chars <= 300 land on
+    * main; the long-document half is STAGED on the `audit` branch
+    * ([[IceTable.appendToBranch]] — main does not move), audited via a
+    * branch-ref scan (the gate here: no negative n_chars, a check the
+    * synthetic corpus passes), then published by fast-forwarding main.
+    * The registered query scans the published table — matching the plain
+    * whole-table oracle proves the staged snapshot carried its rows
+    * losslessly THROUGH the branch ref and the metadata-only publish.
+    */
+  private[ops] def wapFixture(spark: SparkSession, dir: String): IceTable =
+    wapFixtures.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("graft-wap").toString
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val table = IceTable.create(new FileCatalog(wh), "documents_wap",
+        SchemaConv.fromSpark(docs.schema))
+      table.append(docs.where("n_chars <= 300"))
+      table.appendToBranch(docs.where("n_chars > 300"), "audit")
+      val staged = table.newScan(ref = Some("audit")).toDF(spark)
+      require(staged.where(col("n_chars") < 0).isEmpty, "audit gate failed")
+      table.fastForwardMain("audit")
+      table.refresh()
+      table
+    })
+
   private def fixture(spark: SparkSession, dir: String): Fixture =
     fixtures.computeIfAbsent(dir, _ => {
       import scala.concurrent.{Await, Future}
@@ -456,6 +482,12 @@ object IceQueries {
     })
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ice_wap_publish",
+      (s, dir) => wapFixture(s, dir).scan(s,
+        selected = Some(Seq("doc_id", "lang", "source", "n_chars"))),
+      Some("SELECT doc_id, lang, source, n_chars FROM documents")),
+
     QueryDef(
       "ice_scan_filter",
       (s, dir) => fixture(s, dir).li.scan(s,

@@ -153,6 +153,100 @@ final class IceTable private (
         lastUpdatedMs = System.currentTimeMillis())
     })
 
+  /** Write-audit-publish STAGE step: append `df` as a snapshot committed to
+    * `branch` only — `main` (and the table's current snapshot) do not move,
+    * so readers keep seeing the pre-stage data until [[fastForwardMain]]
+    * publishes the branch. The staged snapshot's parent is the branch head
+    * (or main's head when the branch is new), it consumes sequence numbers
+    * and v3 row-ids from the same table counters as main commits, and the
+    * branch ref keeps it safe from snapshot expiry. Reference semantics:
+    * branch refs per `table/refs.go`; the WAP pattern itself is the
+    * audit-branch workflow Iceberg documents around `wap.branch`.
+    */
+  def appendToBranch(df: DataFrame, branch: String, retries: Int = 3): Snapshot =
+    synchronized {
+      val files = DataWriter.write(df, location, schema, spec, sortOrder, meta.properties)
+      def attempt(r: Int): Snapshot = try {
+        val snapId = meta.reserveSnapshotId()
+        val seq = meta.lastSequenceNumber + 1
+        val commitUuid = UUID.randomUUID().toString
+        val entries = files.map(f =>
+          ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+        val mf = ManifestIO.writeManifest(s"$location/metadata/$commitUuid-m0.avro",
+            entries, spec, schema, formatVersion = meta.formatVersion)
+          .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+        val parent = meta.refs.get(branch)
+          .flatMap(ref => meta.snapshotById(ref.snapshotId))
+          .orElse(meta.currentSnapshot)
+        val parentManifests =
+          parent.map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
+        val listPath = s"$location/metadata/snap-$snapId-1-$commitUuid.avro"
+        ManifestIO.writeManifestList(listPath, mf +: parentManifests, meta.formatVersion)
+        val now = System.currentTimeMillis()
+        val addedRecords = files.map(_.recordCount).sum
+        val summary = Map(
+          "operation" -> "append",
+          "added-data-files" -> files.size.toString,
+          "added-records" -> addedRecords.toString,
+          "total-records" -> (parent.flatMap(_.summary.get("total-records"))
+            .map(_.toLong).getOrElse(0L) + addedRecords).toString,
+          "total-data-files" -> (parent.flatMap(_.summary.get("total-data-files"))
+            .map(_.toLong).getOrElse(0L) + files.size).toString)
+        val firstRowId =
+          if (meta.formatVersion >= 3) Some(meta.nextRowId.getOrElse(0L)) else None
+        val snap = Snapshot(snapId, parent.map(_.snapshotId), seq, now, listPath,
+          summary, meta.currentSchemaId, firstRowId = firstRowId)
+        val branchRef = meta.refs.get(branch).map(_.copy(snapshotId = snapId))
+          .getOrElse(SnapshotRef(snapId, "branch"))
+        // NO currentSnapshotId / main / snapshot-log movement: the stage is
+        // invisible to readers until published
+        commitMeta(meta.copy(
+          lastSequenceNumber = seq,
+          lastUpdatedMs = now,
+          snapshots = meta.snapshots :+ snap,
+          refs = meta.refs + (branch -> branchRef),
+          nextRowId = firstRowId.map(_ + addedRecords)))
+        maintainMetadata()
+        snap
+      } catch {
+        case _: CommitConflictException if r > 0 => refresh(); attempt(r - 1)
+      }
+      attempt(retries)
+    }
+
+  /** Write-audit-publish PUBLISH step: fast-forward `main` to `branch`'s
+    * head. Requires main's current head to be an ancestor of the branch
+    * head (the fast-forward condition — anything else would silently drop
+    * main-only commits; that case needs a cherry-pick, which this engine
+    * doesn't model). Metadata-only: current pointer, main ref, and a
+    * snapshot-log entry; no data or manifest movement.
+    */
+  def fastForwardMain(branch: String): Unit =
+    commitWithRequirements(Seq(AssertTableUUID(meta.tableUuid)), { m =>
+      val target = m.refs.getOrElse(branch,
+        throw new IllegalArgumentException(s"no branch $branch"))
+      require(m.refs.get(branch).forall(_.refType == "branch"),
+        s"$branch is not a branch")
+      @annotation.tailrec
+      def isAncestor(of: Option[Long], anc: Long): Boolean = of match {
+        case None => false
+        case Some(id) if id == anc => true
+        case Some(id) => isAncestor(m.snapshotById(id).flatMap(_.parentSnapshotId), anc)
+      }
+      m.currentSnapshotId.foreach(head =>
+        require(isAncestor(Some(target.snapshotId), head),
+          s"main head $head is not an ancestor of $branch head " +
+            s"${target.snapshotId} — fast-forward would drop commits"))
+      val now = System.currentTimeMillis()
+      m.copy(
+        currentSnapshotId = Some(target.snapshotId),
+        refs = m.refs + ("main" -> m.refs.get("main")
+          .map(_.copy(snapshotId = target.snapshotId))
+          .getOrElse(SnapshotRef(target.snapshotId, "branch"))),
+        snapshotLog = m.snapshotLog :+ SnapshotLogEntry(now, target.snapshotId),
+        lastUpdatedMs = now)
+    })
+
   /** Attach the spec's per-ref retention policy (reference
     * `table/refs.go:40-45`): expiry reads these over its call arguments.
     * `None` keeps a field unset — "retain forever" for `maxRefAgeMs`,
