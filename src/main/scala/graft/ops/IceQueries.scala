@@ -483,6 +483,29 @@ object IceQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "ice_stats_agg",
+      (s, dir) => {
+        // COUNT/MIN/MAX straight from manifest stats — zero data bytes
+        // read (StatsAggSpec proves it by answering after the data dir is
+        // gone). The li fixture carries no deletes, so the contract holds.
+        val (rows, mm) = fixture(s, dir).li
+          .statsAggregate(Seq("l_quantity", "l_extendedprice"))
+        val sq = s
+        import sq.implicits._
+        Seq((rows,
+          mm("l_quantity")._1.asInstanceOf[Double],
+          mm("l_quantity")._2.asInstanceOf[Double],
+          mm("l_extendedprice")._1.asInstanceOf[Double],
+          mm("l_extendedprice")._2.asInstanceOf[Double]))
+          .toDF("n_rows", "min_qty", "max_qty", "min_price", "max_price")
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+          MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        FROM lineitem""")),
+
+    QueryDef(
       "ice_wap_publish",
       (s, dir) => wapFixture(s, dir).scan(s,
         selected = Some(Seq("doc_id", "lang", "source", "n_chars"))),

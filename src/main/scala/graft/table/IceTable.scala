@@ -1397,6 +1397,76 @@ final class IceTable private (
       })
   }
 
+  /** COUNT / MIN / MAX answered ENTIRELY from manifest statistics — zero
+    * data-file bytes read, cost proportional to the manifest count however
+    * large the table. This is the aggregate-pushdown endgame a 100 TB
+    * deployment wants for footer-shaped questions: the answer comes from
+    * the same per-file (recordCount, lowerBounds, upperBounds) the planner
+    * already maintains.
+    *
+    * Exactness contract (refused with IllegalStateException otherwise):
+    *   - no delete content anywhere in the snapshot (position/equality/DV
+    *     would make file-level counts over-counts);
+    *   - every live data file carries both bounds for every requested
+    *     column (parquet drops double/float stats when NaNs are present,
+    *     and an all-null column writes none — absent bounds mean the
+    *     footer could not vouch for the file, so neither can we);
+    *   - requested columns are primitives with byte-comparable exact
+    *     bounds (no truncated string bounds).
+    */
+  def statsAggregate(columns: Seq[String]): (Long, Map[String, (Any, Any)]) = {
+    val schemaNow = schema
+    val colIds = columns.map { c =>
+      val id = schemaNow.idByName.getOrElse(c,
+        throw new IllegalArgumentException(s"no such column: $c"))
+      val t = schemaNow.byId(id).tpe
+      t match {
+        case IceInt | IceLong | IceFloat | IceDouble | IceDate | IceTime |
+             IceTimestamp | IceTimestampTz | IceTimestampNs | IceTimestampTzNs |
+             IceDecimal(_, _) => ()
+        case other => throw new IllegalStateException(
+          s"stats aggregate needs exact-bounded primitives; $c is $other")
+      }
+      (c, id, t)
+    }
+    val current = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("empty table"))
+    val manifests = ManifestIO.readManifestList(current.manifestList)
+    if (manifests.exists(_.content != 0))
+      throw new IllegalStateException(
+        "stats aggregate refused: snapshot carries delete files")
+    var rows = 0L
+    var acc = Map.empty[String, (Any, Any)]
+    manifests.foreach { m =>
+      ManifestIO.readManifest(m.path, meta.specs, schemaNow)._2
+        .filter(_.status != ManifestEntryStatus.Deleted)
+        .foreach { e =>
+          val f = e.dataFile
+          if (f.content != 0) throw new IllegalStateException(
+            "stats aggregate refused: snapshot carries delete files")
+          rows += f.recordCount
+          colIds.foreach { case (c, id, t) =>
+            val allNull = f.nullValueCounts.get(id).contains(f.recordCount)
+            if (!allNull) {
+              val lo = f.lowerBounds.get(id).map(Bounds.decode(t, _))
+                .getOrElse(throw new IllegalStateException(
+                  s"stats aggregate refused: ${f.filePath} has no lower bound for $c"))
+              val hi = f.upperBounds.get(id).map(Bounds.decode(t, _))
+                .getOrElse(throw new IllegalStateException(
+                  s"stats aggregate refused: ${f.filePath} has no upper bound for $c"))
+              acc += (c -> (acc.get(c) match {
+                case None => (lo, hi)
+                case Some((l0, h0)) => (
+                  if (Bounds.compare(t, lo, l0) < 0) lo else l0,
+                  if (Bounds.compare(t, hi, h0) > 0) hi else h0)
+              }))
+            }
+          }
+        }
+    }
+    (rows, acc)
+  }
+
   // -------------------------------------------------------- metadata views
   def snapshotsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
