@@ -34,6 +34,27 @@ object IceQueries {
 
   private val wapFixtures = new ConcurrentHashMap[String, IceTable]()
 
+  private val cdcFixtures = new ConcurrentHashMap[String, (IceTable, Long)]()
+
+  /** Changelog fixture: even doc_ids land in snapshot 1 (the changelog
+    * start), odd doc_ids in snapshot 2, then a positional MOR delete of
+    * every German document in snapshot 3. The changelog since snapshot 1
+    * must therefore be exactly (odd docs, 'I', seq 2) ∪ (German docs,
+    * 'D', seq 3) — which is what the oracle states over the raw parquet.
+    */
+  private[ops] def cdcFixture(spark: SparkSession, dir: String): (IceTable, Long) =
+    cdcFixtures.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("graft-cdc").toString
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val table = IceTable.create(new FileCatalog(wh), "documents_cdc",
+        SchemaConv.fromSpark(docs.schema))
+      val s1 = table.append(docs.where("doc_id % 2 = 0"))
+      table.append(docs.where("doc_id % 2 = 1"))
+      table.deleteWhere(spark, P.equalTo("lang", "de"))
+      table.refresh()
+      (table, s1.snapshotId)
+    })
+
   /** Write-audit-publish fixture: documents with n_chars <= 300 land on
     * main; the long-document half is STAGED on the `audit` branch
     * ([[IceTable.appendToBranch]] — main does not move), audited via a
@@ -482,6 +503,22 @@ object IceQueries {
     })
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ice_changelog_scan",
+      (s, dir) => {
+        val (table, s1) = cdcFixture(s, dir)
+        graft.streaming.Ingest.changelogSince(s, table, s1)
+          .select("doc_id", "lang", "source", "n_chars", "change_type", "change_seq")
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars,
+          'I' AS change_type, CAST(2 AS BIGINT) AS change_seq
+        FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars,
+          'D' AS change_type, CAST(3 AS BIGINT) AS change_seq
+        FROM documents WHERE lang = 'de'""")),
+
     QueryDef(
       "ice_stats_agg",
       (s, dir) => {

@@ -3,8 +3,10 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.meta.ManifestIO
-import graft.table.IceTable
+import graft.table.{IceScan, IceTable}
 
 /** Streaming surface (reference §2.9: append-stream ingest +
   * incremental snapshot consumption).
@@ -98,6 +100,103 @@ object Ingest {
     else {
       graft.GraftSession.ensurePrepared(spark)
       spark.read.schema(table.schema.toSpark).parquet(newFiles: _*)
+    }
+  }
+
+  /** CDC changelog from `sinceSnapshotId` (exclusive) to the current head:
+    * every row logically inserted (`change_type = 'I'`) or deleted (`'D'`)
+    * in the range, stamped with the committing snapshot's sequence number
+    * (`change_seq`). See [[changelogBetween]] for the contract.
+    */
+  def changelogSince(spark: SparkSession, table: IceTable,
+      sinceSnapshotId: Long): DataFrame = {
+    val sinceSeq = table.metadata.snapshotById(sinceSnapshotId)
+      .map(_.sequenceNumber)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $sinceSnapshotId"))
+    changelogBetween(spark, table, sinceSeq, Long.MaxValue)
+  }
+
+  /** CDC changelog over (sinceSeq, untilSeq]: appends surface as 'I' rows
+    * (same manifest diff as [[changesBetween]]); positional-delete
+    * snapshots — parquet delete files AND v3 deletion vectors — surface as
+    * 'D' rows, reconstructed by semi-joining the referenced data files
+    * against the snapshot's (file_path, pos) delete set. The D-side cost
+    * is proportional to the files the delete touched, never the table.
+    *
+    * Aborts (like the incremental read) on `overwrite` — equality-delete
+    * upserts record no pre-image to emit — and on `replace`: compaction
+    * inside the range re-homes earlier appends, making the append diff
+    * unreconstructable. A compaction AFTER `untilSeq` is fine as long as
+    * the superseded files haven't been expired + orphan-cleaned yet; a
+    * changelog consumer reads promptly or pins a branch ref.
+    */
+  def changelogBetween(spark: SparkSession, table: IceTable,
+      sinceSeq: Long, untilSeq: Long): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val meta = table.metadata
+    val sparkSchema = table.schema.toSpark
+    def empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      sparkSchema.add("change_type", StringType).add("change_seq", LongType))
+    val until = meta.snapshots.filter(_.sequenceNumber <= untilSeq)
+      .maxByOption(_.sequenceNumber).getOrElse(return empty)
+    require(sinceSeq > 0,
+      "changelog needs a concrete start snapshot — use changesBetween for initial replay")
+    val opOf: Map[Long, String] =
+      meta.snapshots.map(s => s.snapshotId -> s.summary.getOrElse("operation", "append")).toMap
+    val inRange = meta.snapshots.filter(s =>
+      s.sequenceNumber > sinceSeq && s.sequenceNumber <= until.sequenceNumber)
+    val bad = inRange.filter(s => Set("overwrite", "replace").contains(opOf(s.snapshotId)))
+    if (bad.nonEmpty)
+      throw new IllegalStateException("changelog cannot represent: " +
+        bad.map(s => s"${s.snapshotId}(${opOf(s.snapshotId)})").mkString(", "))
+    graft.GraftSession.ensurePrepared(spark)
+    val parts = Seq.newBuilder[DataFrame]
+    // inserts: the until-snapshot's manifest diff, grouped by commit seq
+    ManifestIO.readManifestList(until.manifestList)
+      .filter(m => m.content == 0 && m.sequenceNumber > sinceSeq)
+      .flatMap { m =>
+        ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
+          .filter { e =>
+            val seq = e.sequenceNumber.getOrElse(m.sequenceNumber)
+            e.status == graft.meta.ManifestEntryStatus.Added &&
+              seq > sinceSeq && seq <= until.sequenceNumber &&
+              opOf.get(e.snapshotId).forall(_ == "append")
+          }
+          .map(e => (e.sequenceNumber.getOrElse(m.sequenceNumber), e.dataFile.filePath))
+      }
+      .groupMap(_._1)(_._2).toSeq.sortBy(_._1)
+      .foreach { case (seq, paths) =>
+        parts += spark.read.schema(sparkSchema).parquet(paths: _*)
+          .withColumn("change_type", lit("I")).withColumn("change_seq", lit(seq))
+      }
+    // deletes: each delete snapshot's added (file_path, pos) set, inverted
+    // into rows via a semi-join on the referenced data files
+    inRange.filter(s => opOf(s.snapshotId) == "delete").foreach { s =>
+      val added = ManifestIO.readManifestList(s.manifestList)
+        .filter(m => m.content == 1 && m.sequenceNumber == s.sequenceNumber)
+        .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
+          .filter(e => e.status == graft.meta.ManifestEntryStatus.Added &&
+            e.snapshotId == s.snapshotId)
+          .map(_.dataFile))
+        .filter(_.content == 1)
+      if (added.nonEmpty) {
+        val (dvs, pq) = added.partition(_.fileFormat == "puffin")
+        val pairs = IceScan.positionsOf(spark, pq, dvs)
+        import spark.implicits._
+        val dataPaths = pairs.select("file_path").distinct().as[String].collect()
+        if (dataPaths.nonEmpty)
+          parts += spark.read.schema(sparkSchema).parquet(dataPaths.toIndexedSeq: _*)
+            .withColumn("file_path", IceScan.normalizedMetaPath)
+            .withColumn("pos", col("_metadata.row_index"))
+            .join(pairs, Seq("file_path", "pos"), "leftsemi")
+            .drop("file_path", "pos")
+            .withColumn("change_type", lit("D"))
+            .withColumn("change_seq", lit(s.sequenceNumber))
+      }
+    }
+    parts.result() match {
+      case Seq() => empty
+      case ps => ps.reduce(_.unionByName(_))
     }
   }
 }
