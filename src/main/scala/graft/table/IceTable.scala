@@ -1446,7 +1446,10 @@ final class IceTable private (
             "stats aggregate refused: snapshot carries delete files")
           rows += f.recordCount
           colIds.foreach { case (c, id, t) =>
-            val allNull = f.nullValueCounts.get(id).contains(f.recordCount)
+            // a 0-row file carries no footer stats and contributes nothing;
+            // an all-null column writes no bounds but its nulls are counted
+            val allNull = f.recordCount == 0L ||
+              f.nullValueCounts.get(id).contains(f.recordCount)
             if (!allNull) {
               val lo = f.lowerBounds.get(id).map(Bounds.decode(t, _))
                 .getOrElse(throw new IllegalStateException(
