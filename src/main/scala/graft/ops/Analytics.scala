@@ -399,6 +399,45 @@ object Analytics {
       .limit(20)
   }
 
+  // ---------------------------------------------------- hybrid retrieval
+
+  /** Reciprocal-rank fusion of the two retrieval systems this engine
+    * already ranks with: sparse BM25 ([[TextOps.bm25Ranked]], fixed query
+    * set, top-100 doc ranks) and dense cosine (top-100 neighbors of the
+    * vec_id-0 query embedding — the established first-N-are-queries
+    * pattern, aligning vec_id with doc_id). Per system the contribution is
+    * round(1e9/(60+rank)) in exact int64 micro-units — the standard RRF
+    * k=60 — summed over whichever systems ranked the doc (full outer
+    * fusion; absent ranks surface as −1, never null). Both inputs are
+    * top-100 lists, so the fusion itself is constant-sized however large
+    * the corpus; the corpus-scale work lives in the two (already
+    * scale-shaped) rankers.
+    */
+  private[ops] def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val sparse = TextOps.bm25Ranked(s, dir)
+      .select(col("doc_id"), col("rank").cast(IntegerType).as("sparse_rank"))
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val scored = emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(Similarity.cosine(col("qvec"), col("embedding")), 4))
+      .orderBy(col("cos").desc, col("vec_id")).limit(100)
+    val dense = scored
+      .withColumn("dense_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast(IntegerType))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    def contrib(rank: Column): Column =
+      when(rank.isNotNull,
+        round(lit(1e9) / (lit(60) + rank.cast(DoubleType))).cast(LongType))
+        .otherwise(lit(0L))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (contrib(col("sparse_rank")) + contrib(col("dense_rank"))).as("rrf_micro"),
+        coalesce(col("sparse_rank"), lit(-1)).cast(IntegerType).as("sparse_rank"),
+        coalesce(col("dense_rank"), lit(-1)).cast(IntegerType).as("dense_rank"))
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
+  }
+
   // ---------------------------------------------------------- registry
 
   /** The sessionize window + path CTE chain shared verbatim with
@@ -630,6 +669,30 @@ FROM r3"""
         WHERE NOT EXISTS (SELECT 1 FROM o o2
           WHERE o2.o_orderdate <= o.o_orderdate AND o2.price_c <= o.price_c
             AND (o2.o_orderdate < o.o_orderdate OR o2.price_c < o.price_c))""")),
+
+    QueryDef("sim_hybrid_rrf", (s, dir) => hybridRrf(s, dir),
+      Some(s"""
+        WITH ${TextOps.bm25Ctes},
+        sp AS (SELECT doc_id, CAST(rank AS INTEGER) AS sparse_rank
+          FROM ranked WHERE rank <= 100),
+        den AS (SELECT doc_id, CAST(dr AS INTEGER) AS dense_rank FROM (
+          SELECT b.vec_id AS doc_id,
+            ROW_NUMBER() OVER (ORDER BY
+              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS dr
+          FROM embeddings b,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE b.vec_id <> 0) z WHERE dr <= 100),
+        fus AS (SELECT COALESCE(sp.doc_id, den.doc_id) AS doc_id,
+            COALESCE(CAST(round(1e9 / (60 + sp.sparse_rank)) AS BIGINT), 0) +
+              COALESCE(CAST(round(1e9 / (60 + den.dense_rank)) AS BIGINT), 0)
+              AS rrf_micro,
+            COALESCE(sp.sparse_rank, -1) AS sparse_rank,
+            COALESCE(den.dense_rank, -1) AS dense_rank
+          FROM sp FULL OUTER JOIN den ON den.doc_id = sp.doc_id)
+        SELECT doc_id, rrf_micro, CAST(sparse_rank AS INTEGER) AS sparse_rank,
+          CAST(dense_rank AS INTEGER) AS dense_rank
+        FROM fus ORDER BY rrf_micro DESC, doc_id LIMIT 20""")),
 
     QueryDef("events_frequent_pairs", (s, dir) => frequentPairs(s, dir),
       Some(s"""

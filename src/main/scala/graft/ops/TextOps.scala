@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -758,7 +758,18 @@ object TextOps {
     // per-partition heaps), never a global window over the corpus.
     QueryDef(
       "text_bm25_topk",
-      (s, dir) => {
+      (s, dir) => bm25Ranked(s, dir),
+      Some(s"""
+        WITH $bm25Ctes
+        SELECT rank, doc_id, n_terms,
+          CAST(s_micro AS DOUBLE) / 1000000.0 AS score
+        FROM ranked WHERE rank <= 100"""))
+  )
+
+  /** The BM25 ranking shared by `text_bm25_topk` and the RRF hybrid
+    * fusion: (rank, doc_id, n_terms, score) for the fixed query set.
+    */
+  private[ops] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val qTerms = Seq("hash", "join", "vector", "stream", "spark")
         val docs = t(s, dir, "documents").select(col("doc_id"),
@@ -796,9 +807,12 @@ object TextOps {
           .select(col("rank"), col("doc_id"),
             col("n_terms").cast(LongType).as("n_terms"),
             (col("s_micro").cast(DoubleType) / lit(1e6)).as("score"))
-      },
-      Some("""
-        WITH d AS (SELECT doc_id, string_split(
+  }
+
+  /** WITH-body of the BM25 oracle (through the `ranked` CTE) — shared
+    * verbatim by the topk and hybrid-fusion oracles.
+    */
+  private[ops] def bm25Ctes: String = """d AS (SELECT doc_id, string_split(
             regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
           FROM documents),
         dd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
@@ -827,8 +841,5 @@ object TextOps {
         ranked AS (SELECT doc_id, n_terms, s_micro,
             CAST(ROW_NUMBER() OVER (ORDER BY s_micro DESC, doc_id)
               AS INTEGER) AS rank FROM per)
-        SELECT rank, doc_id, n_terms,
-          CAST(s_micro AS DOUBLE) / 1000000.0 AS score
-        FROM ranked WHERE rank <= 100"""))
-  )
+"""
 }

@@ -270,6 +270,37 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("hybrid RRF: dual-system docs outrank single-system, absent ranks are -1") {
+    val dir = Files.createTempDirectory("graft-analytics-rrf").toString
+    val sq = spark
+    import sq.implicits._
+    // doc 1 hits every BM25 query term AND has the query-identical
+    // embedding; doc 2 is sparse-only; vec 9 is dense-only (no document)
+    Seq(
+      (1L, "hash join vector stream spark", "en", "crawl", 29L),
+      (2L, "hash table lookup", "en", "crawl", 17L),
+      (3L, "nothing relevant at all", "en", "crawl", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def vec(hot: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(hot) = 1.0f; v.toSeq
+    }
+    Seq((0L, vec(0), 0), (1L, vec(0), 0), (9L, vec(3), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = Analytics.hybridRrf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    def c(rank: Int): Long = math.round(1e9 / (60 + rank))
+    // doc 1: sparse rank 1 (only doc with all 5 terms) + dense rank 1
+    // (cosine 1.0 to the query embedding)
+    assert(out.head === ((1L, c(1) + c(1), 1, 1)))
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(2L)._4 === -1, "sparse-only doc must carry dense_rank -1")
+    assert(byDoc(2L)._2 === c(byDoc(2L)._3))
+    assert(byDoc(9L)._3 === -1, "dense-only vec must carry sparse_rank -1")
+    assert(byDoc(9L)._2 === c(byDoc(9L)._4))
+  }
+
   test("k-means assignment stays in builtin codegen (no UDF, no python eval)") {
     val base = (0 until 16).map { j =>
       val v = Array.fill(64)(0.0f); v(j) = 0.5f; v
