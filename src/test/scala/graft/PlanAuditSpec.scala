@@ -294,4 +294,54 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nCross = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     nCross <= 1 // one 1-row total broadcast; anything more is a real cartesian
   }
+
+  test("analytics batch: no cartesians, partial aggregation everywhere") {
+    // frequent pairs' only join is the (user, session) equi-self-join;
+    // funnel/retention/paths shuffle on user_id with map-side combine
+    for (q <- Seq("events_funnel", "events_retention", "events_top_paths",
+        "events_frequent_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum") ||
+        p.contains("partial_min"), s"$q lost map-side combine:\n$p")
+      graft.ops.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("skyline: one window over the per-date aggregate, no dominance join") {
+    val p = plan("q_skyline_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline grew a dominance join:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, s"no window pass:\n$p")
+  }
+
+  test("pagerank: every iteration joins on the node key, never a cartesian") {
+    val p = plan("graph_item_pagerank")
+    // the only nested-loop joins are the 1-row node-count broadcasts
+    // (one per iteration + init); the rank×edge joins must be hash joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"rank-edge join is not keyed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pagerank has a cartesian:\n$p")
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
+  test("k-means M-step reduces map-side: the exchange carries k x dims partials") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    import org.apache.spark.sql.functions._
+    val m = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * lit(10000d)).cast("long")).as("m"))
+      .withColumn("cluster", pmod(col("vec_id"), lit(8)))
+    val p = m.select(col("cluster"), posexplode(col("m")).as(Seq("d", "v")))
+      .groupBy("cluster", "d").agg(sum("v"), count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"M-step shuffle is not pre-reduced:\n$p")
+  }
+
+  test("hybrid RRF: both top-100 cuts are TakeOrdered, never a corpus sort") {
+    val p = plan("sim_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }
