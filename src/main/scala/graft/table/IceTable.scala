@@ -247,6 +247,31 @@ final class IceTable private (
         lastUpdatedMs = now)
     })
 
+  /** Cherry-pick an APPEND snapshot onto the current main head — the
+    * publish path for a WAP branch that [[fastForwardMain]] refuses
+    * because main advanced past the branch point. The staged snapshot's
+    * added files are re-committed as a fresh append at a NEW sequence
+    * number (entries rewritten, not aliased — the files' delete-
+    * applicability horizon must be the publish point, not the stage
+    * point). Only appends are representable: an overwrite/delete snapshot
+    * re-applied onto a moved main could delete rows it never saw.
+    */
+  def cherryPickAppend(snapshotId: Long): Snapshot = synchronized {
+    val src = meta.snapshotById(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    require(src.summary.get("operation").forall(_ == "append"),
+      s"only append snapshots cherry-pick; $snapshotId is " +
+        src.summary.getOrElse("operation", "?"))
+    val files = ManifestIO.readManifestList(src.manifestList)
+      .filter(m => m.content == 0 && m.addedSnapshotId == snapshotId)
+      .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, schema)._2
+        .filter(e => e.status == ManifestEntryStatus.Added &&
+          e.snapshotId == snapshotId)
+        .map(_.dataFile))
+    require(files.nonEmpty, s"snapshot $snapshotId added no data files")
+    commitAddedFiles(files, retries = 3)
+  }
+
   /** Attach the spec's per-ref retention policy (reference
     * `table/refs.go:40-45`): expiry reads these over its call arguments.
     * `None` keeps a field unset — "retain forever" for `maxRefAgeMs`,

@@ -83,6 +83,27 @@ class WapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(spark).count() === 2, "failed publish must not change main")
   }
 
+  test("cherry-pick publishes a staged append after main diverged") {
+    val t = IceTable.create(catalog, "wap_cherry", SchemaConv.fromSpark(region.schema))
+    t.append(region.where("r_regionkey = 0"))
+    val staged = t.appendToBranch(region.where("r_regionkey = 1"), "audit")
+    t.append(region.where("r_regionkey = 2")) // main moves on — ff refused
+    intercept[IllegalArgumentException](t.fastForwardMain("audit"))
+    val picked = t.cherryPickAppend(staged.snapshotId)
+    t.refresh()
+    assert(t.scan(spark).count() === 3)
+    assert(t.metadata.currentSnapshotId === Some(picked.snapshotId))
+    // the cherry-picked files live at the NEW sequence number
+    assert(picked.sequenceNumber > staged.sequenceNumber)
+    // only appends are representable
+    val e = intercept[IllegalArgumentException] {
+      t.deleteWhere(spark, graft.core.Predicates.equalTo("r_regionkey", 0L))
+      t.refresh()
+      t.cherryPickAppend(t.metadata.currentSnapshotId.get)
+    }
+    assert(e.getMessage.contains("only append snapshots"))
+  }
+
   test("expiry keeps the staged snapshot alive while the branch ref exists") {
     val t = IceTable.create(catalog, "wap_expiry", SchemaConv.fromSpark(region.schema))
     t.append(region.where("r_regionkey = 0"))
