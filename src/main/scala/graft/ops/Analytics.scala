@@ -265,11 +265,19 @@ object Analytics {
     * Target days outside the observed range are clipped so trailing
     * windows don't invent partial days.
     */
-  private[ops] def engagement(s: SparkSession, dir: String): DataFrame = {
-    val dayUs = 86400000000L
-    val uw = CacheRegistry.persist(t(s, dir, "events")
-      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+  private[ops] val DayUs = 86400000000L
+
+  private[ops] def engagement(s: SparkSession, dir: String): DataFrame =
+    engagementFrom(t(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"))
       .distinct())
+
+  /** The DAU/WAU/MAU computation over a DISTINCT (user_id, day) activity
+    * frame — shared by the raw-events query and the incremental variant
+    * that feeds it from the accumulated activity index.
+    */
+  private[ops] def engagementFrom(activity: DataFrame): DataFrame = {
+    val uw = CacheRegistry.persist(activity)
     val bounds = uw.agg(min("day").as("d0"), max("day").as("d1"))
     def windowed(span: Int, name: String): DataFrame = uw
       .withColumn("target", explode(sequence(col("day"), col("day") + (span - 1))))
@@ -283,6 +291,65 @@ object Analytics {
         col("dau"), col("wau"), col("mau"),
         (col("dau").cast(DoubleType) / col("mau").cast(DoubleType)).as("stickiness"))
   }
+
+  /** Incremental engagement over the ACCUMULATED ACTIVITY INDEX — the
+    * [[IncrementalDedup]] discipline applied to analytics. The raw event
+    * stream is read ONLY past the watermark snapshot (the incremental
+    * table read); everything older is represented by the compact
+    * (user_id, day) index a previous run's [[extendActivityIndex]] left
+    * behind. At 100 TB the index is users×active-days — orders of
+    * magnitude under the event count — and the recompute reads it instead
+    * of the corpus.
+    *
+    * Idempotence under stale-watermark retries: only the index rows at or
+    * past the increment's first day can collide with the increment (the
+    * index is day-accumulated), so the dedup anti-join's right side is
+    * boundary-sized — a predicate-pruned index scan, broadcast into the
+    * anti-join — never the whole index.
+    */
+  private[ops] def incrementalEngagement(s: SparkSession,
+      events: graft.table.IceTable, index: graft.table.IceTable,
+      watermark: Long): DataFrame = {
+    import graft.core.{Predicates => P}
+    val newUD = CacheRegistry.persist(
+      graft.streaming.Ingest.changesSince(s, events, watermark)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .distinct())
+    val stored = index.scan(s).select("user_id", "day")
+    val fresh = minDayOf(newUD) match {
+      case None => newUD // empty increment
+      case Some(minDay) =>
+        val overlap = index.scan(s, P.gtEq("day", minDay))
+          .select("user_id", "day")
+        newUD.join(broadcast(overlap), Seq("user_id", "day"), "left_anti")
+    }
+    engagementFrom(stored.unionByName(fresh))
+  }
+
+  /** Roll the activity index forward with the increment's fresh
+    * (user_id, day) rows (computed exactly as [[incrementalEngagement]]
+    * dedups them, so a stale-watermark retry appends nothing new).
+    */
+  private[ops] def extendActivityIndex(s: SparkSession,
+      events: graft.table.IceTable, index: graft.table.IceTable,
+      watermark: Long): Unit = {
+    import graft.core.{Predicates => P}
+    val newUD = graft.streaming.Ingest.changesSince(s, events, watermark)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .distinct()
+    minDayOf(newUD).foreach { minDay =>
+      val overlap = index.scan(s, P.gtEq("day", minDay)).select("user_id", "day")
+      index.append(newUD.join(broadcast(overlap), Seq("user_id", "day"), "left_anti"))
+      index.refresh()
+    }
+  }
+
+  /** First active day of the increment — the boundary the index dedup
+    * prunes to. The 1-value collect is planning-grade (codebook pattern).
+    */
+  private def minDayOf(ud: DataFrame): Option[Long] =
+    ud.agg(min("day")).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
 
   // ---------------------------------------------------- exact quantiles
 
@@ -669,6 +736,32 @@ FROM r3"""
         WHERE NOT EXISTS (SELECT 1 FROM o o2
           WHERE o2.o_orderdate <= o.o_orderdate AND o2.price_c <= o.price_c
             AND (o2.o_orderdate < o.o_orderdate OR o2.price_c < o.price_c))""")),
+
+    QueryDef("events_incremental_engagement",
+      (s, dir) => {
+        val f = IceQueries.incrementalEvents(s, dir)
+        incrementalEngagement(s, f.events, f.activityIndex, f.watermark)
+      },
+      // the oracle is FULL-corpus engagement: a missed fresh pair, a
+      // double-counted boundary day, or a stale index row all fail the gate
+      Some("""
+        WITH uw AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM uw),
+        dau AS (SELECT day AS target, COUNT(*) AS dau FROM uw GROUP BY 1),
+        wau AS (SELECT target, COUNT(*) AS wau FROM (
+            SELECT DISTINCT user_id, day + o.i AS target
+            FROM uw, UNNEST(range(0, 7)) o(i)) GROUP BY 1),
+        mau AS (SELECT target, COUNT(*) AS mau FROM (
+            SELECT DISTINCT user_id, day + o.i AS target
+            FROM uw, UNNEST(range(0, 30)) o(i)) GROUP BY 1)
+        SELECT CAST(dau.target AS BIGINT) AS day,
+          CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+          CAST(mau AS BIGINT) AS mau,
+          CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+        FROM dau JOIN wau ON wau.target = dau.target
+          JOIN mau ON mau.target = dau.target, b
+        WHERE dau.target <= b.d1""")),
 
     QueryDef("sim_hybrid_rrf", (s, dir) => hybridRrf(s, dir),
       Some(s"""

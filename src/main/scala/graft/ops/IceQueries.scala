@@ -36,6 +36,46 @@ object IceQueries {
 
   private val cdcFixtures = new ConcurrentHashMap[String, (IceTable, Long)]()
 
+  final case class EventsIncrementalFixture(events: IceTable,
+      activityIndex: IceTable, watermark: Long)
+
+  private val eventsIncrementalTables =
+    new ConcurrentHashMap[String, EventsIncrementalFixture]()
+
+  /** Incremental-analytics fixture: events as a managed table with TWO
+    * snapshots split on the time axis — the accumulated history (all but
+    * the last 7 observed days) and the late increment — plus an activity
+    * index holding the FIRST snapshot's distinct (user_id, day) rows, the
+    * state a previous run's [[Analytics.extendActivityIndex]] would have
+    * accumulated.
+    */
+  def incrementalEvents(spark: SparkSession, dir: String): EventsIncrementalFixture =
+    eventsIncrementalTables.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("graft-incr-events").toString
+      val catalog = new FileCatalog(wh)
+      val dayUs = 86400000000L
+      val ev = QueryDef.t(spark, dir, "events")
+        .withColumn("day", org.apache.spark.sql.functions.expr(
+          s"unix_micros(ts) div $dayUs"))
+      val maxDay = ev.agg(org.apache.spark.sql.functions.max("day"))
+        .collect()(0).getLong(0)
+      val split = maxDay - 6
+      val old = ev.where(col("day") < split).drop("day")
+      val et = IceTable.create(catalog, "events_incr",
+        SchemaConv.fromSpark(old.schema))
+      val watermark = et.append(old).snapshotId
+      et.refresh()
+      et.append(ev.where(col("day") >= split).drop("day"))
+      et.refresh()
+      val idx = ev.where(col("day") < split)
+        .select(col("user_id"), col("day")).distinct()
+      val it = IceTable.create(catalog, "activity_index",
+        SchemaConv.fromSpark(idx.schema))
+      it.append(idx)
+      it.refresh()
+      EventsIncrementalFixture(et, it, watermark)
+    })
+
   /** Changelog fixture: even doc_ids land in snapshot 1 (the changelog
     * start), odd doc_ids in snapshot 2, then a positional MOR delete of
     * every German document in snapshot 3. The changelog since snapshot 1

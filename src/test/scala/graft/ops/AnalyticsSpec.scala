@@ -301,6 +301,44 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byDoc(9L)._2 === c(byDoc(9L)._4))
   }
 
+  test("incremental engagement: equals batch, reads no pre-watermark event file") {
+    val sfDir = "/root/testdata/sf0.001"
+    val f = IceQueries.incrementalEvents(spark, sfDir)
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val inc = Analytics.incrementalEngagement(spark, f.events, f.activityIndex, f.watermark)
+    val batch = Analytics.engagement(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(inc) === rows(batch))
+    // the raw event scan inside the plan is the incremental read only
+    val oldFiles = f.events.newScan(snapshotId = Some(f.watermark)).planFiles()
+      .map(t => norm(t.file.filePath)).toSet
+    assert(oldFiles.nonEmpty)
+    val planInputs = inc.inputFiles.map(norm).toSet
+    assert(planInputs.intersect(oldFiles).isEmpty,
+      s"incremental engagement read pre-watermark event files: ${planInputs.intersect(oldFiles)}")
+    CacheRegistry.releaseAll()
+  }
+
+  test("activity index roll-forward is idempotent under a stale watermark") {
+    val sfDir = "/root/testdata/sf0.001"
+    val f = IceQueries.incrementalEvents(spark, sfDir)
+    val before = f.activityIndex.scan(spark).count()
+    Analytics.extendActivityIndex(spark, f.events, f.activityIndex, f.watermark)
+    val after = f.activityIndex.scan(spark).count()
+    assert(after > before, "extend must append the increment's fresh days")
+    // a retry with the SAME (now stale) watermark appends nothing
+    Analytics.extendActivityIndex(spark, f.events, f.activityIndex, f.watermark)
+    assert(f.activityIndex.scan(spark).count() === after)
+    // and the index now equals the full corpus's distinct (user, day)
+    val full = Analytics.engagement(spark, sfDir) // engagement over raw events
+    val fromIndex = Analytics.engagementFrom(
+      f.activityIndex.scan(spark).select("user_id", "day"))
+    assert(fromIndex.collect().map(_.toString).sorted
+      === full.collect().map(_.toString).sorted)
+    CacheRegistry.releaseAll()
+  }
+
   test("k-means assignment stays in builtin codegen (no UDF, no python eval)") {
     val base = (0 until 16).map { j =>
       val v = Array.fill(64)(0.0f); v(j) = 0.5f; v
