@@ -466,6 +466,27 @@ object Analytics {
       .limit(20)
   }
 
+  // ------------------------------------------------- native session window
+
+  /** Sessionization through Spark's NATIVE `session_window` aggregation —
+    * the declarative form of q_sessionize's hand-rolled lag/sum windows,
+    * and the exact operator the streaming engine merges state with. One
+    * shuffle on (user, merged-window); Catalyst owns the gap-merge.
+    *
+    * Boundary semantics (AnalyticsSpec pins them): session_window's
+    * window spans [ts, ts+30m] INCLUSIVE of the endpoint — an event
+    * landing exactly 30 minutes after its predecessor still merges, the
+    * same `gap > 30min splits` rule q_sessionize states, so the two
+    * sessionizers agree at the boundary and the oracle is shared.
+    */
+  private[ops] def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
   // ---------------------------------------------------- hybrid retrieval
 
   /** Reciprocal-rank fusion of the two retrieval systems this engine
@@ -736,6 +757,25 @@ FROM r3"""
         WHERE NOT EXISTS (SELECT 1 FROM o o2
           WHERE o2.o_orderdate <= o.o_orderdate AND o2.price_c <= o.price_c
             AND (o2.o_orderdate < o.o_orderdate OR o2.price_c < o.price_c))""")),
+
+    QueryDef("q_session_window", (s, dir) => sessionWindows(s, dir),
+      Some("""
+        SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+          CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+          SELECT user_id, ts,
+            SUM(CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+          FROM (
+            SELECT user_id, event_id, ts,
+              lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS prev_ts
+            FROM events) t1) t2
+        GROUP BY user_id, sidx""")),
 
     QueryDef("events_incremental_engagement",
       (s, dir) => {

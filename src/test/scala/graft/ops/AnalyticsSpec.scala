@@ -301,6 +301,19 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byDoc(9L)._2 === c(byDoc(9L)._4))
   }
 
+  test("session_window boundary: exactly 30 minutes MERGES (inclusive endpoint), over-gap splits") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, "{}"),
+      (2L, "2024-01-01 10:30:00", 1L, "view", 0.0, "{}"), // exactly 30m → merges
+      (3L, "2024-01-01 11:00:01", 1L, "view", 0.0, "{}"), // 30m01s → splits
+      (4L, "2024-01-01 09:00:00", 2L, "view", 0.0, "{}")))
+    val out = Analytics.sessionWindows(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted
+    // u1: the exactly-30-minute follow-up merges (same rule as
+    // q_sessionize's `gap > 30min splits`), the 30m01s one starts fresh
+    assert(out === Seq((1L, 2L), (1L, 1L), (2L, 1L)).sorted)
+  }
+
   test("incremental engagement: equals batch, reads no pre-watermark event file") {
     val sfDir = "/root/testdata/sf0.001"
     val f = IceQueries.incrementalEvents(spark, sfDir)
