@@ -466,6 +466,62 @@ object Analytics {
       .limit(20)
   }
 
+  // ------------------------------------------------- schema profile
+
+  /** JSON property-schema profile of the events stream — the drift
+    * detector a pipeline runs when upstream producers change their
+    * payloads: every JSON key's row count and share. One explode + one
+    * aggregation on the (tiny) key domain; share is a single exact
+    * division.
+    */
+  private[ops] def propsProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val total = e.agg(count(lit(1)).cast(LongType).as("n_total"))
+    e.select(explode(json_object_keys(col("props"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).cast(LongType).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_rows"),
+        (col("n_rows").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("share"))
+  }
+
+  // --------------------------------------------------- outlier detection
+
+  /** Per-type z-score outliers of the event `value` — |z| > 3 against the
+    * type's own population mean/variance, in EXACT arithmetic end-to-end:
+    * values in integer 1e-4 units, moment sums in DECIMAL(38,0) (the
+    * sourceDrift overflow discipline — (n·x−s)² crosses int64 at these
+    * scales), and
+    *
+    *   z² = (n·x − s)² / (n·Σx² − s²)
+    *
+    * — both operands exact decimals, emitted through one identical IEEE
+    * division. Per-type moments are 5 rows of broadcast state; the corpus
+    * pass is one aggregation plus one broadcast-joined filter.
+    */
+  private[ops] def valueOutliers(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = t(s, dir, "events").select(col("event_id"), col("event_type"),
+      col("value"), round(col("value") * lit(1e4)).cast(LongType).as("vm"))
+    val moments = e.groupBy("event_type").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("vm").cast(dec)).as("s"),
+      sum(col("vm").cast(dec) * col("vm").cast(dec)).as("sx2"))
+    val num = (col("n") * col("vm").cast(dec) - col("s")) *
+      (col("n") * col("vm").cast(dec) - col("s"))
+    val den = col("n") * col("sx2") - col("s") * col("s")
+    // the ~1e21 decimal operands convert to double one ulp apart across
+    // engines — round the quotient to 6 decimals (the established absorb
+    // discipline) before it reaches the filter or the output
+    // a zero-variance type (den = 0) has no outliers by definition — the
+    // guard also keeps ANSI division happy on both engines
+    e.join(broadcast(moments), "event_type")
+      .where(den > lit(0).cast(dec))
+      .withColumn("z2", round(num.cast(DoubleType) / den.cast(DoubleType), 6))
+      .where(col("z2") > 9.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z2"))
+  }
+
   // ------------------------------------------------- native session window
 
   /** Sessionization through Spark's NATIVE `session_window` aggregation —
@@ -757,6 +813,33 @@ FROM r3"""
         WHERE NOT EXISTS (SELECT 1 FROM o o2
           WHERE o2.o_orderdate <= o.o_orderdate AND o2.price_c <= o.price_c
             AND (o2.o_orderdate < o.o_orderdate OR o2.price_c < o.price_c))""")),
+
+    QueryDef("q_props_profile", (s, dir) => propsProfile(s, dir),
+      Some("""
+        WITH n AS (SELECT COUNT(*) AS n_total FROM events),
+        k AS (SELECT key, COUNT(*) AS n_rows FROM (
+            SELECT unnest(json_keys(props)) AS key FROM events)
+          GROUP BY 1)
+        SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+          CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        FROM k, n""")),
+
+    QueryDef("events_value_outliers", (s, dir) => valueOutliers(s, dir),
+      Some("""
+        WITH e AS (SELECT event_id, event_type, value,
+            CAST(round(value * 10000) AS BIGINT) AS vm FROM events),
+        m AS (SELECT event_type,
+            CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+            SUM(CAST(vm AS DECIMAL(38,0))) AS s,
+            SUM(CAST(vm AS DECIMAL(38,0)) * CAST(vm AS DECIMAL(38,0))) AS sx2
+          FROM e GROUP BY 1)
+        SELECT event_id, event_type, value, z2 FROM (
+          SELECT event_id, e.event_type, value,
+            round(CAST((m.n * e.vm - m.s) * (m.n * e.vm - m.s) AS DOUBLE) /
+              CAST(m.n * m.sx2 - m.s * m.s AS DOUBLE), 6) AS z2
+          FROM e JOIN m ON m.event_type = e.event_type
+          WHERE m.n * m.sx2 - m.s * m.s > 0)
+        WHERE z2 > 9.0""")),
 
     QueryDef("q_session_window", (s, dir) => sessionWindows(s, dir),
       Some("""

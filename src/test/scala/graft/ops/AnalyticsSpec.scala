@@ -314,6 +314,31 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq((1L, 2L), (1L, 1L), (2L, 1L)).sorted)
   }
 
+  test("props profile: every JSON key counted, share is exact") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 1, "src": "ad"}"""),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0, """{"k": 2}"""),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 0.0, """{"other": true}"""),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 0.0, "{}")))
+    val out = Analytics.propsProfile(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out === Seq(("k", 2L, 0.5), ("other", 1L, 0.25), ("src", 1L, 0.25)))
+  }
+
+  test("value outliers: a planted far-out value is the only |z| > 3 event") {
+    // 11 events of one type: ten at 1.0, one at 100.0 — only the spike's
+    // z-score clears 3; a second type with uniform values emits nothing.
+    val rows = (1 to 10).map(i =>
+      (i.toLong, f"2024-01-01 10:${i}%02d:00", 1L, "view", 1.0, "{}")) ++
+      Seq((11L, "2024-01-01 11:00:00", 1L, "view", 100.0, "{}"),
+        (12L, "2024-01-01 11:01:00", 2L, "click", 5.0, "{}"),
+        (13L, "2024-01-01 11:02:00", 2L, "click", 5.0, "{}"))
+    val out = Analytics.valueOutliers(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq(11L))
+    assert(out.head._2 > 9.0)
+  }
+
   test("incremental engagement: equals batch, reads no pre-watermark event file") {
     val sfDir = "/root/testdata/sf0.001"
     val f = IceQueries.incrementalEvents(spark, sfDir)
