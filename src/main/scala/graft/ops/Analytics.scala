@@ -466,6 +466,42 @@ object Analytics {
       .limit(20)
   }
 
+  // -------------------------------------------- markov transitions
+
+  /** First-order Markov transition model of item navigation: for each
+    * (src, dst) consecutive-item edge (the PageRank edge set), the count
+    * and the transition probability w/ow — exact integers plus ONE IEEE
+    * division. The model a recommender's "users who viewed X move to Y"
+    * surface reads; edges aggregate map-side on the pair key.
+    */
+  private[ops] def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+    val edges = ev.withColumn("nk", lead("k", 1).over(byUser))
+      .where(col("nk").isNotNull && col("nk") =!= col("k"))
+      .groupBy(col("k").as("src"), col("nk").as("dst"))
+      .agg(count(lit(1)).cast(LongType).as("w"))
+    edges.join(edges.groupBy("src").agg(sum("w").cast(LongType).as("ow")), "src")
+      .select(col("src"), col("dst"), col("w"),
+        (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("p"))
+  }
+
+  // --------------------------------------------------------- histogram
+
+  /** Fixed-width value histogram per event type (20 units/bin, clamped at
+    * bin 25) — the profiling primitive behind every "distribution
+    * changed?" dashboard. Bin index is exact integer floor-division of
+    * micro-units; counts aggregate map-side on the (type, bin) key.
+    */
+  private[ops] def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        least(expr("cast(round(value * 10000) as bigint) div 200000"), lit(25L)).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .select(col("event_type"), col("bin").cast(LongType).as("bin"), col("n"))
+
   // ------------------------------------------------- schema profile
 
   /** JSON property-schema profile of the events stream — the drift
@@ -813,6 +849,26 @@ FROM r3"""
         WHERE NOT EXISTS (SELECT 1 FROM o o2
           WHERE o2.o_orderdate <= o.o_orderdate AND o2.price_c <= o.price_c
             AND (o2.o_orderdate < o.o_orderdate OR o2.price_c < o.price_c))""")),
+
+    QueryDef("events_markov_transitions", (s, dir) => markovTransitions(s, dir),
+      Some("""
+        WITH ev AS (SELECT user_id, ts, event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events),
+        nx AS (SELECT k AS src, lead(k) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS dst FROM ev),
+        ed AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+          FROM nx WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2)
+        SELECT src, dst, w,
+          CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS p
+        FROM ed""")),
+
+    QueryDef("events_value_histogram", (s, dir) => valueHistogram(s, dir),
+      Some("""
+        SELECT event_type,
+          CAST(least(CAST(round(value * 10000) AS BIGINT) // 200000, 25) AS BIGINT) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2""")),
 
     QueryDef("q_props_profile", (s, dir) => propsProfile(s, dir),
       Some("""

@@ -314,6 +314,37 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq((1L, 2L), (1L, 1L), (2L, 1L)).sorted)
   }
 
+  test("markov transitions: per-source probabilities are exact w/ow and sum to 1") {
+    // path 1,2,3,1,2,1,3 → transitions (1→2)×2, (1→3)×1, (2→3), (3→1), (2→1)
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 1}"""),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0, """{"k": 2}"""),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 0.0, """{"k": 3}"""),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 0.0, """{"k": 1}"""),
+      (5L, "2024-01-01 10:04:00", 1L, "view", 0.0, """{"k": 2}"""),
+      (6L, "2024-01-01 10:05:00", 1L, "view", 0.0, """{"k": 1}"""),
+      (7L, "2024-01-01 10:06:00", 1L, "view", 0.0, """{"k": 3}""")))
+    val out = Analytics.markovTransitions(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((1L, 2L)) === ((2L, 2.0 / 3.0)))
+    assert(out((1L, 3L)) === ((1L, 1.0 / 3.0)))
+    assert(out((2L, 3L)) === ((1L, 0.5)))
+    assert(out((2L, 1L)) === ((1L, 0.5)))
+    assert(out((3L, 1L)) === ((1L, 1.0)))
+  }
+
+  test("value histogram: floor-div binning with the clamp bin") {
+    // 20-unit bins: 0.5→bin 0, 19.9999→bin 0, 20.0→bin 1, 1e6→clamped 25
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.5, "{}"),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 19.9999, "{}"),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 20.0, "{}"),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 1000000.0, "{}")))
+    val out = Analytics.valueHistogram(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(out === Seq((0L, 2L), (1L, 1L), (25L, 1L)))
+  }
+
   test("props profile: every JSON key counted, share is exact") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 1, "src": "ad"}"""),
