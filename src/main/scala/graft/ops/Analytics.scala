@@ -466,6 +466,60 @@ object Analytics {
       .limit(20)
   }
 
+  // ----------------------------------------------- fuzzy record linkage
+
+  /** Blocked fuzzy record linkage between the customer and supplier
+    * registries: candidate pairs share a nation (the blocking key — the
+    * only join condition, so candidate volume is per-block density, never
+    * |C|×|S|) and match when the Levenshtein distance of their numeric
+    * name suffixes is ≤ 1. Edit distance is exact integer on both
+    * engines; the blocked-join-then-residual shape is the standard
+    * entity-resolution plan at any scale.
+    */
+  private[ops] def fuzzyNameMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey").as("nation"), substring(col("c_name"), 10, 9).as("c_sfx"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+      col("s_nationkey").as("nation"), substring(col("s_name"), 10, 9).as("s_sfx"))
+    c.join(sup, "nation")
+      .withColumn("dist", levenshtein(col("c_sfx"), col("s_sfx")).cast(LongType))
+      .where(col("dist") <= 1)
+      .select(col("c_custkey"), col("s_suppkey"), col("nation"), col("dist"))
+  }
+
+  // -------------------------------------------------- PMI collocations
+
+  /** Top-30 PMI collocations (adjacent word pairs): score =
+    * ln(c_ab·N / (c_a·c_b)) over exact integer counts — the ln leaves
+    * exactness once, and is rounded to 1e-4 micro-units immediately (the
+    * lm_perplexity / BM25-idf discipline), so the score column and its
+    * ordering hash-match. Support filter c_ab ≥ 5 keeps the tail noise
+    * out; candidate volume is the bigram type count, aggregated map-side.
+    */
+  private[ops] def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents").select(col("doc_id"),
+      split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("ws"))
+    val uni = CacheRegistry.persist(words
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")))
+    val n = uni.agg(sum("c").cast(LongType).as("n_tokens"))
+    val bi = words
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] as a, ws[i] as b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= 5)
+    bi.join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab").cast(LongType).as("c_ab"),
+        round(log((col("c_ab") * col("n_tokens")).cast(DoubleType) /
+          (col("c_a") * col("c_b")).cast(DoubleType)) * lit(1e4))
+          .cast(LongType).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a"), col("b")).limit(30)
+  }
+
   // -------------------------------------------- markov transitions
 
   /** First-order Markov transition model of item navigation: for each
@@ -849,6 +903,32 @@ FROM r3"""
         WHERE NOT EXISTS (SELECT 1 FROM o o2
           WHERE o2.o_orderdate <= o.o_orderdate AND o2.price_c <= o.price_c
             AND (o2.o_orderdate < o.o_orderdate OR o2.price_c < o.price_c))""")),
+
+    QueryDef("q_fuzzy_name_match", (s, dir) => fuzzyNameMatch(s, dir),
+      Some("""
+        SELECT c_custkey, s_suppkey, CAST(c_nationkey AS BIGINT) AS nation,
+          CAST(levenshtein(substring(c_name, 10, 9),
+            substring(s_name, 10, 9)) AS BIGINT) AS dist
+        FROM customer JOIN supplier ON s_nationkey = c_nationkey
+        WHERE levenshtein(substring(c_name, 10, 9),
+          substring(s_name, 10, 9)) <= 1""")),
+
+    QueryDef("text_pmi_bigrams", (s, dir) => pmiBigrams(s, dir),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(
+            regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+          FROM documents),
+        uni AS (SELECT t.w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(ws) AS w FROM w) t GROUP BY 1),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+        bi AS (SELECT ws[i] AS a, ws[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM w, UNNEST(range(1, len(ws))) u(i)
+          GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT bi.a, bi.b, bi.c_ab,
+          CAST(round(ln(CAST(bi.c_ab * n.n_tokens AS DOUBLE) /
+            CAST(ua.c * ub.c AS DOUBLE)) * 10000) AS BIGINT) AS pmi_micro
+        FROM bi JOIN uni ua ON ua.w = bi.a JOIN uni ub ON ub.w = bi.b, n
+        ORDER BY pmi_micro DESC, a, b LIMIT 30""")),
 
     QueryDef("events_markov_transitions", (s, dir) => markovTransitions(s, dir),
       Some("""

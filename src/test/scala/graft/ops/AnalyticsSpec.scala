@@ -345,6 +345,35 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq((0L, 2L), (1L, 1L), (25L, 1L)))
   }
 
+  test("fuzzy name match: same-nation blocking, edit-distance threshold") {
+    val dir = Files.createTempDirectory("graft-analytics-fuzzy").toString
+    val sq = spark
+    import sq.implicits._
+    Seq((1L, "Customer#000000042", 7L), (2L, "Customer#000000999", 7L),
+      (3L, "Customer#000000042", 8L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    Seq((10L, "Supplier#000000042", 7L), (11L, "Supplier#000000043", 7L),
+      (12L, "Supplier#000000042", 9L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+      .coalesce(1).write.parquet(s"$dir/supplier.parquet")
+    val out = Analytics.fuzzyNameMatch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    // c1 matches s10 (dist 0) and s11 (dist 1) in nation 7; c2's suffix is
+    // 3 edits from both; c3/s12 share suffixes but not nations
+    assert(out === Seq((1L, 10L, 0L), (1L, 11L, 1L)))
+  }
+
+  test("PMI bigrams: hand-computed ln score in micro-units, support filter") {
+    // "x y" ×5 in one doc: c(x,y)=5, c(y,x)=4 (below support), c_x=c_y=5,
+    // N=10 → pmi(x,y) = ln(5·10/25) = ln 2 → 6931 micro
+    val dir = documentsDir(Seq(
+      (1L, "x y x y x y x y x y", "en", "crawl", 19L)))
+    val out = Analytics.pmiBigrams(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(("x", "y", 5L, 6931L)))
+  }
+
   test("props profile: every JSON key counted, share is exact") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 1, "src": "ad"}"""),
