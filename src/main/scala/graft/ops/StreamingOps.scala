@@ -107,6 +107,63 @@ object StreamingOps {
     sink.scan(spark).select("hour", "event_type", "n_events")
   }
 
+  /** Trending items: the streaming-materialized-view + serving-query
+    * pattern. The STREAM maintains per-(hour, item) counts — update-mode
+    * windowed aggregation upserted into an IceTable keyed (hour, k), so
+    * per-trigger output is changed-windows-sized and the watermark bounds
+    * the state exactly as [[streamedHourlyCounts]]. The SERVING side then
+    * ranks the converged table: top-3 items per hour, a
+    * hours-cardinality-sized batch query over the materialized counts —
+    * never over the raw stream. This is how a 100 TB/day "trending now"
+    * surface actually deploys: the corpus-scale work is the incremental
+    * count maintenance; ranking reads the compact view.
+    */
+  def streamedTrendingItems(spark: SparkSession, dir: String): DataFrame = {
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val srcDir = stagedSymlinkDir("stream-trending", s"$dir/events.parquet")
+    val stream = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
+      .withColumn("ts", tsAsTimestamp(raw.schema("ts").dataType))
+      .withColumn("k", get_json_object(col("props"), "$.k")
+        .cast(org.apache.spark.sql.types.LongType))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("k"), col("n"))
+    val wh = java.nio.file.Files.createTempDirectory("stream-trending-sink")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+    val catalog = new FileCatalog(wh.toString)
+    var sink: IceTable = null
+    val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val rows = batch.coalesce(1)
+      if (sink == null)
+        sink = IceTable.create(catalog, "trending_counts",
+          graft.core.SchemaConv.fromSpark(rows.schema))
+      sink.upsert(rows.sparkSession, rows, Seq("hour", "k"))
+      sink.refresh()
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val q = stream.writeStream
+        .outputMode("update")
+        .foreachBatch(onBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "trending stream did not finish in 120s")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    require(sink != null, "trending stream delivered no batches — empty source dir?")
+    import org.apache.spark.sql.expressions.Window
+    val byHour = Window.partitionBy("hour").orderBy(col("n").desc, col("k"))
+    sink.scan(spark).select("hour", "k", "n")
+      .withColumn("rn", row_number().over(byHour)
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .where(col("rn") <= 3)
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   /** Per-user state carried ACROSS micro-batches: open-session continuity
@@ -577,6 +634,19 @@ object StreamingOps {
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
           CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events GROUP BY 1, 2""")),
+
+    QueryDef(
+      "stream_trending_items",
+      (s, dir) => streamedTrendingItems(s, dir),
+      Some("""
+        WITH c AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT hour, k, n, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT hour, k, n, ROW_NUMBER() OVER (PARTITION BY hour
+            ORDER BY n DESC, k) AS rn FROM c) z
+        WHERE rn <= 3""")),
 
     QueryDef(
       "stream_sessionize",
