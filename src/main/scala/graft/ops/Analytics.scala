@@ -466,6 +466,26 @@ object Analytics {
       .limit(20)
   }
 
+  // -------------------------------------------------- ranking functions
+
+  /** The ranking-function family over customer balances per nation —
+    * rank (gap semantics), ntile(4) quartile buckets, percent_rank
+    * ((rank−1)/(n−1), one exact division). One window pass per nation
+    * partition; ties resolved by the unique custkey in the ORDER BY so
+    * every engine ranks identically.
+    */
+  private[ops] def balanceQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("nation"),
+        col("c_acctbal"),
+        rank().over(w).cast(LongType).as("bal_rank"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .where(col("quartile") === 1)
+  }
+
   // ----------------------------------------------- fuzzy record linkage
 
   /** Blocked fuzzy record linkage between the customer and supplier
@@ -903,6 +923,17 @@ FROM r3"""
         WHERE NOT EXISTS (SELECT 1 FROM o o2
           WHERE o2.o_orderdate <= o.o_orderdate AND o2.price_c <= o.price_c
             AND (o2.o_orderdate < o.o_orderdate OR o2.price_c < o.price_c))""")),
+
+    QueryDef("q_balance_quartiles", (s, dir) => balanceQuartiles(s, dir),
+      Some("""
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation, c_acctbal,
+          CAST(rank() OVER w AS BIGINT) AS bal_rank,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          percent_rank() OVER w AS pct_rank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC, c_custkey)
+        QUALIFY quartile = 1""")),
 
     QueryDef("q_fuzzy_name_match", (s, dir) => fuzzyNameMatch(s, dir),
       Some("""

@@ -345,6 +345,20 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq((0L, 2L), (1L, 1L), (25L, 1L)))
   }
 
+  test("balance quartiles: ntile front-loads remainders, percent_rank is (rank-1)/(n-1)") {
+    val dir = Files.createTempDirectory("graft-analytics-ntile").toString
+    val sq = spark
+    import sq.implicits._
+    // 6 customers in one nation: ntile(4) buckets of sizes 2,2,1,1 —
+    // quartile 1 holds the top TWO balances
+    (1 to 6).map(i => (i.toLong, 7L, (100 - i).toDouble))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    val out = Analytics.balanceQuartiles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(5))).sortBy(_._1)
+    assert(out === Seq((1L, 1L, 0.0), (2L, 2L, 0.2)))
+  }
+
   test("fuzzy name match: same-nation blocking, edit-distance threshold") {
     val dir = Files.createTempDirectory("graft-analytics-fuzzy").toString
     val sq = spark
