@@ -79,6 +79,92 @@ class AnalyticsLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
+  test("k-means law: distributed integer Lloyd's equals a sequential reimplementation") {
+    val rnd = new scala.util.Random(0xD00D)
+    // clumpy random vectors (4 loose blobs) with exact duplicates planted
+    val base = Array.fill(4)(Array.fill(64)(rnd.nextInt(9000) - 4500))
+    val vecs: Seq[(Long, Array[Float])] = (0 until 120).map { i =>
+      val b = base(rnd.nextInt(4))
+      val v = b.map(x => (x + rnd.nextInt(400) - 200) / 10000.0f)
+      (i.toLong, v)
+    }
+    val dir = Files.createTempDirectory("graft-law-km").toString
+    val sq = spark
+    import sq.implicits._
+    vecs.map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = Analytics.kmeansCorpus(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+
+    // sequential reimplementation of the exact stated contract
+    val m = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 10000))
+    }.sortBy(_._1)
+    var centers: Array[Array[Long]] = m.take(8).map(_._2.clone()).toArray
+    def d2(a: Array[Long], c: Array[Long]): Long =
+      a.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(v: Array[Long]): Int =
+      centers.zipWithIndex.map { case (c, j) => (d2(v, c), j) }.min._2
+    for (_ <- 1 to 2) {
+      val groups = m.groupBy { case (_, v) => assign(v) }
+      centers = centers.zipWithIndex.map { case (c, j) =>
+        groups.get(j) match {
+          case None => c
+          case Some(members) =>
+            (0 until 64).map { d =>
+              math.floor(members.map(_._2(d)).sum.toDouble / members.size).toLong
+            }.toArray
+        }
+      }
+    }
+    val expect = m.groupBy { case (_, v) => assign(v) }.toSeq
+      .map { case (j, members) =>
+        (j.toLong, members.size.toLong,
+          members.map { case (_, v) => d2(v, centers(j)) }.sum)
+      }.sortBy(_._1)
+    assert(got.toSeq === expect)
+  }
+
+  test("pagerank law: distributed fixed-point iteration equals a sequential one") {
+    val rnd = new scala.util.Random(0xFACE)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, i.toLong * 60, rnd.nextInt(4).toLong, rnd.nextInt(12))
+    }
+    val dir = Files.createTempDirectory("graft-law-pr").toString
+    val sq = spark
+    import sq.implicits._
+    rows.map { case (id, sec, u, k) =>
+      (id, new Timestamp(sec * 1000L), u, "view", 0.0, s"""{"k": $k}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = Analytics.itemPagerank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+    // sequential restatement of the exact integer update rule
+    val ordered = rows.sortBy(r => (r._3, r._2, r._1)) // (user, ts, id)
+    val edges = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    ordered.groupBy(_._3).foreach { case (_, evs) =>
+      evs.map(_._4.toLong).sliding(2).foreach {
+        case Seq(a, b) if a != b => edges((a, b)) = edges.getOrElse((a, b), 0L) + 1
+        case _ => ()
+      }
+    }
+    val nodes = rows.map(_._4.toLong).distinct.sorted
+    val n = nodes.size.toLong
+    val ow = edges.toSeq.groupBy(_._1._1).map { case (s, es) => s -> es.map(_._2).sum }
+    var rank = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case ((s, d), w) =>
+        contrib(d) = contrib.getOrElse(d, 0L) + rank(s) * w / ow(s)
+      }
+      rank = nodes.map(v =>
+        v -> (3L * 1000000000000L / (20L * n) + 17L * contrib.getOrElse(v, 0L) / 20L)).toMap
+    }
+    assert(got.toSeq === nodes.map(v => (v, rank(v))))
+  }
+
   test("frequent-pairs law: session co-occurrence equals brute force with ties") {
     val rnd = new scala.util.Random(0xCAFE)
     // a few users, bursty timestamps with >30-minute gaps planted
