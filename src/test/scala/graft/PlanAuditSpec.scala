@@ -339,6 +339,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"M-step shuffle is not pre-reduced:\n$p")
   }
 
+  test("incremental engagement: a clean split optimizes the dedup join away entirely") {
+    // the registered fixture's increment starts past every indexed day, so
+    // the boundary-pruned overlap is an EMPTY relation and Catalyst's
+    // empty-propagation removes the anti-join outright — the best possible
+    // plan. (The stale-watermark case where the join materializes as a
+    // broadcast anti is pinned in AnalyticsSpec with an overlapping
+    // fixture.)
+    val p = plan("events_incremental_engagement")
+    assert(!p.contains("SortMergeJoin"),
+      s"something in incremental engagement shuffles a join:\n$p")
+    graft.ops.CacheRegistry.releaseAll()
+  }
+
   test("hybrid RRF: both top-100 cuts are TakeOrdered, never a corpus sort") {
     val p = plan("sim_hybrid_rrf")
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")

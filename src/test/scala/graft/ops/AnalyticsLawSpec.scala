@@ -165,6 +165,32 @@ class AnalyticsLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === nodes.map(v => (v, rank(v))))
   }
 
+  test("triangles law: oriented 3-join count equals brute-force enumeration") {
+    val rnd = new scala.util.Random(0x7121)
+    // one long random walk → dense-ish small graph with many triangles
+    val walk = (1 to 400).map(_ => rnd.nextInt(10).toLong)
+    val dir = Files.createTempDirectory("graft-law-tri").toString
+    val sq = spark
+    import sq.implicits._
+    walk.zipWithIndex.map { case (k, i) =>
+      (i.toLong + 1, new Timestamp(60000L * i), 1L, "view", 0.0, s"""{"k": $k}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = Analytics.itemTriangles(spark, dir).collect().head
+    val edges = walk.sliding(2).collect {
+      case Seq(a, b) if a != b => (a min b, a max b)
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tri = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if edges((a, b)) && edges((b, c)) && edges((a, c))
+    } yield 1).size.toLong
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((tri, edges.size.toLong, nodes.size.toLong)))
+    assert(tri > 0, "fixture should contain triangles")
+  }
+
   test("frequent-pairs law: session co-occurrence equals brute force with ties") {
     val rnd = new scala.util.Random(0xCAFE)
     // a few users, bursty timestamps with >30-minute gaps planted

@@ -432,6 +432,54 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     CacheRegistry.releaseAll()
   }
 
+  test("stale-watermark overlap: dedup anti-join materializes as broadcast, result exact") {
+    // increment OVERLAPS the indexed days (the stale-retry scenario): the
+    // boundary-pruned overlap is non-empty, so the anti-join must appear —
+    // and as a broadcast, never a shuffle of the index side
+    import graft.table.IceTable
+    import graft.core.SchemaConv
+    import graft.meta.FileCatalog
+    import org.apache.spark.sql.functions.{col, expr}
+    val wh = Files.createTempDirectory("graft-analytics-stale").toString
+    val catalog = new FileCatalog(wh)
+    val sq = spark
+    import sq.implicits._
+    def ev(ids: Range, dayOf: Int => Int) = ids.map { i =>
+      (i.toLong, new java.sql.Timestamp(86400000L * dayOf(i) + i * 1000L),
+        (i % 5).toLong, "view", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val old = ev(1 to 50, i => i % 8)            // days 0..7
+    val events = IceTable.create(catalog, "ev_stale", SchemaConv.fromSpark(old.schema))
+    val watermark = events.append(old).snapshotId
+    events.refresh()
+    events.append(ev(51 to 80, i => 6 + (i % 4))) // days 6..9 — overlaps 6,7
+    events.refresh()
+    val idx = old.select(col("user_id"),
+      expr(s"unix_micros(ts) div ${Analytics.DayUs}").as("day")).distinct()
+    val index = IceTable.create(catalog, "idx_stale", SchemaConv.fromSpark(idx.schema))
+    index.append(idx)
+    index.refresh()
+    val inc = Analytics.incrementalEngagement(spark, events, index, watermark)
+    val p = inc.queryExecution.executedPlan.toString
+    def deep(sp: org.apache.spark.sql.execution.SparkPlan): String =
+      (sp.toString +: sp.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          deep(s.relation.cachedPlan)
+      }).mkString("\n")
+    val full = deep(inc.queryExecution.executedPlan)
+    assert(full.contains("LeftAnti"), s"overlap did not materialize the anti-join:\n$full")
+    assert(!(full.contains("SortMergeJoin") && full.contains("LeftAnti")) ||
+      "BroadcastHashJoin[^\\n]*LeftAnti".r.findFirstIn(full).isDefined,
+      s"anti-join is not broadcast:\n$full")
+    // and the result still equals engagement over ALL events
+    val allEv = events.scan(spark)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${Analytics.DayUs}").as("day"))
+      .distinct()
+    val expect = Analytics.engagementFrom(allEv).collect().map(_.toString).sorted
+    assert(inc.collect().map(_.toString).sorted === expect)
+    CacheRegistry.releaseAll()
+  }
+
   test("activity index roll-forward is idempotent under a stale watermark") {
     val sfDir = "/root/testdata/sf0.001"
     val f = IceQueries.incrementalEvents(spark, sfDir)
