@@ -16,10 +16,20 @@ import org.apache.spark.sql.SparkSession
   * the conf at all.
   */
 object GraftSession {
-  /** The engine's required read confs. */
+  /** The engine's required read confs. `nanosAsLong` is here rather than
+    * set inside query functions (it has no per-reader option — schema
+    * inference reads it from the session SQLConf): driver testdata has
+    * shipped `events.ts` as parquet TIMESTAMP(NANOS), which Spark rejects
+    * outright without the legacy conf. Reading nanos as long is stable
+    * read-path semantics applied once at preparation, never flipped
+    * mid-session, so concurrent callers on a prepared session see one
+    * consistent schema. [[graft.ops.QueryDef.t]] branches on the ACTUAL
+    * read type, so micros files are unaffected.
+    */
   val ReadConfs: Seq[(String, String)] = Seq(
     "spark.sql.parquet.fieldId.read.enabled" -> "true",
-    "spark.sql.parquet.fieldId.read.ignoreMissing" -> "true")
+    "spark.sql.parquet.fieldId.read.ignoreMissing" -> "true",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
   /** Apply the engine's read confs to a session (idempotent — sets only
     * keys whose current value differs).

@@ -401,11 +401,10 @@ object Analytics {
       .join(e.as("ac"),
         col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
       .agg(count(lit(1)).cast(LongType).as("n_triangles"))
-    val sizes = e.agg(count(lit(1)).cast(LongType).as("n_edges"),
-      countDistinct(col("a")).cast(LongType).as("na"))
+    val sizes = e.agg(count(lit(1)).cast(LongType).as("n_edges"))
     val nodes = e.select(col("a").as("v")).union(e.select(col("b")))
       .distinct().agg(count(lit(1)).cast(LongType).as("n_nodes"))
-    tri.crossJoin(sizes.select("n_edges")).crossJoin(nodes)
+    tri.crossJoin(sizes).crossJoin(nodes)
       .select(col("n_triangles"), col("n_edges"), col("n_nodes"))
   }
 

@@ -46,7 +46,7 @@ object QueryDef {
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.GraftSession.ensurePrepared(spark) // nanos-as-long read conf
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>

@@ -10,8 +10,12 @@ import org.apache.spark.sql.types._
   * Catalyst handles pushdown, pruning, and join planning.
   *
   * Scale notes (100 TB design):
-  *   - dimension tables (region/nation/supplier/part) are broadcast
-  *     explicitly — no shuffle of the fact table for those joins;
+  *   - only genuinely fixed-size inputs (region/nation, single-row
+  *     aggregates) carry explicit broadcast() hints. SF-scaling tables
+  *     (customer/supplier/part and their filtered slices) are left
+  *     unhinted so AQE size-gates broadcast vs shuffled-hash at runtime —
+  *     an explicit hint on a scaling table is honored regardless of size
+  *     and becomes a driver-OOM at 100×;
   *   - fact-fact joins (orders⋈lineitem) shuffle on the join key, which is
   *     the natural co-partitioning key at scale (bucketing both tables on
   *     orderkey removes even that);
@@ -85,7 +89,7 @@ object Relational {
         val li = t(s, dir, "lineitem")
           .where(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(sum(discPrice).cast(d38_6).cast(DoubleType).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -115,7 +119,7 @@ object Relational {
         t(s, dir, "lineitem")
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(supplier),
+          .join(supplier,
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -182,7 +186,7 @@ object Relational {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
-    // ---------------------------------------------------------------- q9-ish (star join, broadcast dims)
+    // --------------- q9-ish (star join; AQE size-gates the dim joins)
     QueryDef(
       "q9_brand_nation_revenue",
       (s, dir) => {
@@ -190,8 +194,8 @@ object Relational {
         val supplier = t(s, dir, "supplier")
         val nation = t(s, dir, "nation")
         t(s, dir, "lineitem")
-          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
+          .join(supplier, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .groupBy("n_name", "p_brand")
           .agg(sum(discPrice).cast(d38_6).cast(DoubleType).as("revenue"))

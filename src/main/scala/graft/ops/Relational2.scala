@@ -49,7 +49,7 @@ object Relational2 {
         t(s, dir, "lineitem")
           .where(col("l_shipdate") >= lit("1997-06-01").cast(TimestampType) &&
             col("l_shipdate") < lit("1997-07-01").cast(TimestampType))
-          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type").startsWith("PROMO"), discPrice)
               .otherwise(lit(0).cast(DecimalType(14, 2)))).cast(d38_6)
@@ -96,7 +96,7 @@ object Relational2 {
       (s, dir) => {
         val part = t(s, dir, "part")
         t(s, dir, "lineitem")
-          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
           .where(
             (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
               col("p_size").between(1, 5)) ||
@@ -124,7 +124,7 @@ object Relational2 {
         val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
           .agg(((sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType) /
             count(lit(1))) * 0.5).as("threshold"))
-        li.join(broadcast(t(s, dir, "part").where(col("p_brand") === "Brand#5")),
+        li.join(t(s, dir, "part").where(col("p_brand") === "Brand#5"),
             col("l_partkey") === col("p_partkey"))
           .join(thresholds, col("l_partkey") === col("t_partkey"))
           .where(col("l_quantity") < col("threshold"))

@@ -51,9 +51,9 @@ object Relational3 {
           .where(col("s_acctbal") < 0)
           .select(col("s_suppkey"))
         t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part").where(col("p_brand") =!= "Brand#1")),
+          .join(t(s, dir, "part").where(col("p_brand") =!= "Brand#1"),
             col("l_partkey") === col("p_partkey"))
-          .join(broadcast(badSuppliers),
+          .join(badSuppliers,
             col("l_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy("p_brand", "p_size")
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -79,7 +79,7 @@ object Relational3 {
             col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
           .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
           .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
           .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
@@ -143,7 +143,7 @@ object Relational3 {
             col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey").as("c_nk"))
         t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part").where(col("p_type") === "STANDARD")),
+          .join(t(s, dir, "part").where(col("p_type") === "STANDARD"),
             col("l_partkey") === col("p_partkey"))
           .join(t(s, dir, "orders")
               .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
@@ -151,7 +151,7 @@ object Relational3 {
             col("l_orderkey") === col("o_orderkey"))
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"), "left_semi")
-          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
             sum(when(col("s_nationkey") === 5, discPrice)
@@ -191,7 +191,7 @@ object Relational3 {
         val mx = rev.agg(max(col("total_revenue")).as("mx"))
         rev.crossJoin(broadcast(mx))
           .where(col("total_revenue") === col("mx"))
-          .join(broadcast(t(s, dir, "supplier")),
+          .join(t(s, dir, "supplier"),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       },
@@ -232,7 +232,7 @@ object Relational3 {
           .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
               .select("o_orderkey"),
             col("l_orderkey") === col("o_orderkey"), "left_semi")
-          .join(broadcast(t(s, dir, "supplier").where(col("s_nationkey") === 3)),
+          .join(t(s, dir, "supplier").where(col("s_nationkey") === 3),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")
           .agg(count(lit(1)).as("numwait"))

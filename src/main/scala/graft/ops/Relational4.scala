@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   *
   * Scale notes: partsupp derives from part (a dimension) — at 100 TB it
   * would be a real table bucketed by ps_partkey; every plan below keeps
-  * the fact-side work shuffled on (partkey[, suppkey]) and broadcasts the
-  * supplier/nation/region dimension chain and the one-row totals.
+  * the fact-side work shuffled on (partkey[, suppkey]). Only fixed-size
+  * inputs (nation/region, one-row totals) carry explicit broadcast()
+  * hints; supplier/part-derived frames scale with SF and are left
+  * unhinted so AQE size-gates the join strategy.
   */
 object Relational4 {
   import QueryDef.t
@@ -75,7 +77,7 @@ ps AS (
               col("n_regionkey") === col("r_regionkey"))),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("s_acctbal"), col("n_name"))
-        val psReg = ps.join(broadcast(regionSupp),
+        val psReg = ps.join(regionSupp,
           col("ps_suppkey") === col("s_suppkey"))
         val minCost = psReg.groupBy("ps_partkey")
           .agg(min("ps_supplycost_cents").as("min_cost"))
@@ -119,7 +121,7 @@ ps AS (
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"))
         val perPart = partsupp(s, dir)
-          .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+          .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
           .groupBy("ps_partkey")
           .agg(sum(col("ps_supplycost_cents") * col("ps_availqty"))
             .as("value_cents"))
@@ -158,7 +160,7 @@ ps AS (
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("qty"))
         val excessSupp = partsupp(s, dir)
-          .join(broadcast(smallParts), col("ps_partkey") === col("p_partkey"))
+          .join(smallParts, col("ps_partkey") === col("p_partkey"))
           .join(shipped, col("ps_partkey") === col("l_partkey") &&
             col("ps_suppkey") === col("l_suppkey"))
           .where((col("ps_availqty") * 2).cast(DecimalType(20, 2)) > col("qty"))

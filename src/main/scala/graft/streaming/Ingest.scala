@@ -19,6 +19,26 @@ import graft.table.{IceScan, IceTable}
   */
 object Ingest {
 
+  /** Snapshots on MAIN's ancestry — the current head walking
+    * `parentSnapshotId` to the root. `meta.snapshots` also holds snapshots
+    * that were never published to main: a WAP branch stage
+    * ([[graft.table.IceTable.appendToBranch]]) and retained post-rollback
+    * heads both land there without moving `main`, and either can carry the
+    * table's highest sequence number. Incremental reads and changelogs
+    * must resolve their `until` bound and their in-range set against THIS
+    * chain, or a CDC consumer sees phantom 'I' rows for data main never
+    * published (ADVICE r12).
+    */
+  private def mainAncestry(meta: graft.meta.TableMetadata): Seq[graft.meta.Snapshot] = {
+    @annotation.tailrec
+    def walk(id: Option[Long], acc: List[graft.meta.Snapshot]): List[graft.meta.Snapshot] =
+      id.flatMap(meta.snapshotById) match {
+        case Some(s) => walk(s.parentSnapshotId, s :: acc)
+        case None => acc
+      }
+    walk(meta.currentSnapshotId, Nil) // root-first; order is not relied on
+  }
+
   /** foreachBatch append: every micro-batch becomes one table snapshot. */
   def appendStream(stream: DataFrame, table: IceTable, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -67,7 +87,9 @@ object Ingest {
   def changesBetween(spark: SparkSession, table: IceTable,
       sinceSeq: Long, untilSeq: Long): DataFrame = {
     val meta = table.metadata
-    val until = meta.snapshots.filter(_.sequenceNumber <= untilSeq)
+    val ancestry = mainAncestry(meta)
+    val ancestryIds = ancestry.map(_.snapshotId).toSet
+    val until = ancestry.filter(_.sequenceNumber <= untilSeq)
       .maxByOption(_.sequenceNumber)
       .getOrElse(return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema.toSpark))
@@ -75,13 +97,16 @@ object Ingest {
       return table.newScan(snapshotId = Some(until.snapshotId)).toDF(spark)
     val opOf: Map[Long, String] =
       meta.snapshots.map(s => s.snapshotId -> s.summary.getOrElse("operation", "append")).toMap
-    val rowChanging = meta.snapshots.filter(s => s.sequenceNumber > sinceSeq &&
+    val rowChanging = ancestry.filter(s => s.sequenceNumber > sinceSeq &&
       s.sequenceNumber <= until.sequenceNumber &&
       Set("overwrite", "delete", "replace").contains(opOf(s.snapshotId)))
     if (rowChanging.nonEmpty)
       throw new IllegalStateException(
         s"cannot read incrementally across row-changing snapshots: " +
           rowChanging.map(s => s"${s.snapshotId}(${opOf(s.snapshotId)})").mkString(", "))
+    // entries in the until manifest list were all committed on its lineage;
+    // the ancestry guard is belt-and-braces (expired committers — absent
+    // from meta.snapshots — stay included, exactly as the opOf guard below)
     val newFiles = ManifestIO.readManifestList(until.manifestList)
       .filter(m => m.content == 0 && m.sequenceNumber > sinceSeq)
       .flatMap { m =>
@@ -90,7 +115,9 @@ object Ingest {
             val seq = e.sequenceNumber.getOrElse(m.sequenceNumber)
             e.status == graft.meta.ManifestEntryStatus.Added &&
               seq > sinceSeq && seq <= until.sequenceNumber &&
-              opOf.get(e.snapshotId).forall(_ == "append")
+              opOf.get(e.snapshotId).forall(_ == "append") &&
+              (ancestryIds.contains(e.snapshotId) ||
+                meta.snapshotById(e.snapshotId).isEmpty)
           }
           .map(_.dataFile.filePath)
       }
@@ -137,13 +164,15 @@ object Ingest {
     val sparkSchema = table.schema.toSpark
     def empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       sparkSchema.add("change_type", StringType).add("change_seq", LongType))
-    val until = meta.snapshots.filter(_.sequenceNumber <= untilSeq)
+    val ancestry = mainAncestry(meta)
+    val ancestryIds = ancestry.map(_.snapshotId).toSet
+    val until = ancestry.filter(_.sequenceNumber <= untilSeq)
       .maxByOption(_.sequenceNumber).getOrElse(return empty)
     require(sinceSeq > 0,
       "changelog needs a concrete start snapshot — use changesBetween for initial replay")
     val opOf: Map[Long, String] =
       meta.snapshots.map(s => s.snapshotId -> s.summary.getOrElse("operation", "append")).toMap
-    val inRange = meta.snapshots.filter(s =>
+    val inRange = ancestry.filter(s =>
       s.sequenceNumber > sinceSeq && s.sequenceNumber <= until.sequenceNumber)
     val bad = inRange.filter(s => Set("overwrite", "replace").contains(opOf(s.snapshotId)))
     if (bad.nonEmpty)
@@ -160,7 +189,9 @@ object Ingest {
             val seq = e.sequenceNumber.getOrElse(m.sequenceNumber)
             e.status == graft.meta.ManifestEntryStatus.Added &&
               seq > sinceSeq && seq <= until.sequenceNumber &&
-              opOf.get(e.snapshotId).forall(_ == "append")
+              opOf.get(e.snapshotId).forall(_ == "append") &&
+              (ancestryIds.contains(e.snapshotId) ||
+                meta.snapshotById(e.snapshotId).isEmpty)
           }
           .map(e => (e.sequenceNumber.getOrElse(m.sequenceNumber), e.dataFile.filePath))
       }
@@ -170,8 +201,29 @@ object Ingest {
           .withColumn("change_type", lit("I")).withColumn("change_seq", lit(seq))
       }
     // deletes: each delete snapshot's added (file_path, pos) set, inverted
-    // into rows via a semi-join on the referenced data files
-    inRange.filter(s => opOf(s.snapshotId) == "delete").foreach { s =>
+    // into rows via a semi-join on the referenced data files. A position is
+    // emitted at most ONCE, at its FIRST deletion (ADVICE r12):
+    // deleteWhere/deleteWhereDV match against raw parquet without
+    // subtracting already-dead positions, so two overlapping predicates
+    // record the same position in two snapshots — and a position killed
+    // before sinceSeq may reappear in an in-range delete file. Both are
+    // subtracted by anti-joining against the accumulated dead set, seeded
+    // with the pre-range delete files still live in the until manifest list.
+    val priorDeleteFiles = ManifestIO.readManifestList(until.manifestList)
+      .filter(_.content == 1)
+      .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
+        .filter(e => e.status != graft.meta.ManifestEntryStatus.Deleted &&
+          e.sequenceNumber.getOrElse(m.sequenceNumber) <= sinceSeq)
+        .map(_.dataFile))
+      .filter(_.content == 1)
+    var dead: Option[DataFrame] =
+      if (priorDeleteFiles.isEmpty) None
+      else {
+        val (dvs, pq) = priorDeleteFiles.partition(_.fileFormat == "puffin")
+        Some(IceScan.positionsOf(spark, pq, dvs))
+      }
+    inRange.filter(s => opOf(s.snapshotId) == "delete")
+      .sortBy(_.sequenceNumber).foreach { s =>
       val added = ManifestIO.readManifestList(s.manifestList)
         .filter(m => m.content == 1 && m.sequenceNumber == s.sequenceNumber)
         .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
@@ -181,7 +233,13 @@ object Ingest {
         .filter(_.content == 1)
       if (added.nonEmpty) {
         val (dvs, pq) = added.partition(_.fileFormat == "puffin")
-        val pairs = IceScan.positionsOf(spark, pq, dvs)
+        val raw = IceScan.positionsOf(spark, pq, dvs)
+        // first-deletion-only: drop positions already dead (delete sets are
+        // metadata-sized, so the anti-join is never corpus-scale)
+        val pairs = dead match {
+          case Some(d) => raw.join(d, Seq("file_path", "pos"), "left_anti")
+          case None => raw
+        }
         import spark.implicits._
         val dataPaths = pairs.select("file_path").distinct().as[String].collect()
         if (dataPaths.nonEmpty)
@@ -192,6 +250,7 @@ object Ingest {
             .drop("file_path", "pos")
             .withColumn("change_type", lit("D"))
             .withColumn("change_seq", lit(s.sequenceNumber))
+        dead = Some(dead.map(_.unionByName(raw)).getOrElse(raw))
       }
     }
     parts.result() match {

@@ -23,6 +23,16 @@ object GraftShim {
       classic.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Clone a session: shared SparkContext/catalog, an independent copy of
+    * the SQL conf. Streaming jobs that need a different state width
+    * (`spark.sql.shuffle.partitions`) run on a clone so the caller's
+    * session is never mutated — `cloneSession` is `private[sql]`, hence
+    * this hop. (`newSession()` is public but resets conf to context
+    * defaults instead of inheriting the caller's read confs.)
+    */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Reliable-checkpoint directory backing a `df.checkpoint(true)` result:
     * the checkpointed Dataset wraps a `LogicalRDD` over the materialized
     * RDD, whose `getCheckpointFile` is the on-disk `rdd-<id>` path. None

@@ -352,6 +352,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.CacheRegistry.releaseAll()
   }
 
+  test("no explicit broadcast hint rides an SF-scaling input — AQE size-gates those joins") {
+    // Spark honors an explicit broadcast() hint regardless of measured
+    // size, so a hint on customer/supplier/part/orders/lineitem (or any
+    // filtered slice — they all grow with the scale factor) is a
+    // driver-OOM at 100× even when correct today (VERDICT r12). Hints are
+    // legitimate only on fixed-size inputs: nation/region and single-row
+    // (global) aggregates.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scalingFiles = Seq("customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").map(n => s"$n.parquet")
+    val relationalNames = (ops.Relational.defs ++ ops.Relational2.defs ++
+      ops.Relational3.defs ++ ops.Relational4.defs).map(_.name)
+    for (name <- relationalNames) {
+      val analyzed = SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint
+            if h.hints.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")) =>
+          // a global aggregate pins the hinted frame to one row no matter
+          // what its leaves scan — always broadcastable
+          val globalAgg = h.child.exists {
+            case a: Aggregate => a.groupingExpressions.isEmpty
+            case _ => false
+          }
+          if (!globalAgg) {
+            val scaling = h.child.collectLeaves().collect {
+              case l: LogicalRelation => l.relation match {
+                case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+                case _ => Seq.empty[String]
+              }
+            }.flatten.filter(p => scalingFiles.exists(p.endsWith))
+            assert(scaling.isEmpty,
+              s"$name: explicit broadcast hint on SF-scaling input(s) $scaling")
+          }
+        case _ => ()
+      }
+    }
+  }
+
   test("hybrid RRF: both top-100 cuts are TakeOrdered, never a corpus sort") {
     val p = plan("sim_hybrid_rrf")
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")

@@ -85,6 +85,58 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("changelog cannot represent"))
   }
 
+  test("WAP branch stage never surfaces as a changelog insert — main ancestry only") {
+    // the branch-staged snapshot lands in meta.snapshots with the HIGHEST
+    // sequence number but never moves main; resolving `until` over all
+    // snapshots (pre-fix) emitted its rows as phantom 'I's that main never
+    // published (ADVICE r12 high)
+    val t = IceTable.create(catalog, "cdc_wap", SchemaConv.fromSpark(nation.schema))
+    val s1 = t.append(nation.where("n_nationkey < 10"))
+    t.append(nation.where("n_nationkey >= 10 AND n_nationkey < 20"))
+    t.appendToBranch(nation.where("n_nationkey >= 20"), "audit")
+    t.refresh()
+    val expect = (10L until 20L).map(k => (k, "I", 2L)).toSet
+    assert(changes(t, s1.snapshotId) === expect,
+      "branch-staged rows must not appear until published")
+    // incremental append read honors the same ancestry bound
+    val inc = Ingest.changesSince(spark, t, s1.snapshotId)
+      .select("n_nationkey").collect().map(_.getAs[Number](0).longValue()).toSet
+    assert(inc === (10L until 20L).toSet)
+    // publishing the branch then surfaces the rows
+    t.fastForwardMain("audit")
+    t.refresh()
+    assert(changes(t, s1.snapshotId) ===
+      expect ++ (20L until 25L).map(k => (k, "I", 3L)).toSet)
+  }
+
+  test("overlapping delete predicates emit each position once, at first deletion") {
+    // deleteWhere matches raw parquet without subtracting prior deletes, so
+    // keys 0-2 appear in BOTH delete snapshots' files — the changelog must
+    // emit them only at seq 2 (ADVICE r12 medium)
+    val t = IceTable.create(catalog, "cdc_overlap", SchemaConv.fromSpark(nation.schema))
+    val s1 = t.append(nation.where("n_nationkey < 10"))
+    t.deleteWhere(spark, P.lt("n_nationkey", 3L)) // seq 2: kills 0-2
+    t.deleteWhere(spark, P.lt("n_nationkey", 5L)) // seq 3: 0-2 again + 3-4
+    t.refresh()
+    val expect =
+      (0L until 3L).map(k => (k, "D", 2L)).toSet ++
+        (3L until 5L).map(k => (k, "D", 3L)).toSet
+    assert(changes(t, s1.snapshotId) === expect)
+  }
+
+  test("a position dead before the range start is not re-emitted") {
+    // the second predicate's delete file re-records 0-2, but they died at
+    // seq 2 — before this consumer's start — so only 3-4 are news
+    val t = IceTable.create(catalog, "cdc_predead", SchemaConv.fromSpark(nation.schema))
+    t.append(nation.where("n_nationkey < 10"))
+    t.deleteWhere(spark, P.lt("n_nationkey", 3L)) // seq 2, pre-range
+    t.refresh()
+    val s2 = t.metadata.currentSnapshot.get
+    t.deleteWhere(spark, P.lt("n_nationkey", 5L)) // seq 3, in range
+    t.refresh()
+    assert(changes(t, s2.snapshotId) === (3L until 5L).map(k => (k, "D", 3L)).toSet)
+  }
+
   test("empty range yields an empty, correctly-shaped frame") {
     val t = IceTable.create(catalog, "cdc_empty", SchemaConv.fromSpark(nation.schema))
     val s1 = t.append(nation)
