@@ -143,6 +143,7 @@ object Evaluators {
   private def statsMustMatch(op: Op, id: Int, t: IceType, lits: Seq[Any], f: DataFile): Boolean = {
     val valueCount = f.valueCounts.get(id)
     val nullCount = f.nullValueCounts.get(id)
+    val nanCount = f.nanValueCounts.get(id)
     def noNulls = nullCount.contains(0L)
     def allNull = (valueCount, nullCount) match {
       case (Some(v), Some(n)) => v == n
@@ -153,7 +154,18 @@ object Evaluators {
     op match {
       case Op.IsNull => allNull
       case Op.NotNull => noNulls
-      case Op.IsNan | Op.NotNan => false // NaN counts are not collected
+      // reference strictMetricsEval.VisitIsNan (`evaluators.go:1273-1279`):
+      // every value NaN ⇔ nanCount == valueCount (value counts include
+      // nulls, so equality also implies no nulls)
+      case Op.IsNan => (nanCount, valueCount) match {
+        case (Some(nan), Some(v)) => nan == v
+        case _ => false
+      }
+      // reference `evaluators.go:1282-1294` additionally must-matches a
+      // nulls-only file (Iceberg's notNaN is 2-valued); OUR row/Catalyst
+      // semantics are SQL 3-valued — `!isnan(NULL)` is NULL, which does
+      // not match — so a file with nulls can never strictly match
+      case Op.NotNan => nanCount.contains(0L) && noNulls
       case Op.Lt => noNulls && upper.exists(up => Bounds.compare(t, up, lits.head) < 0)
       case Op.LtEq => noNulls && upper.exists(up => Bounds.compare(t, up, lits.head) <= 0)
       case Op.Gt => noNulls && lower.exists(lo => Bounds.compare(t, lo, lits.head) > 0)

@@ -17,43 +17,100 @@ final case class MappedField(fieldId: Option[Int], names: Seq[String],
   * footer stats key to the table's IDs through the mapping, and the scan
   * builds its Spark read schema with the mapped names so by-name resolution
   * lands on the right columns even when the file's names differ from the
-  * canonical schema. Struct nesting is mapped by dotted path; list/map
-  * element mapping is not implemented (matches our stats collector, which
-  * only tracks primitive leaf paths of top-level/struct fields).
+  * canonical schema. The full field tree is mapped (reference
+  * `name_mapping.go:440-492` createMapping): struct children by dotted
+  * path, list elements as `element`, map entries as `key`/`value`.
   */
 object NameMapping {
   val PropertyKey = "schema.name-mapping.default"
 
-  /** The identity mapping of a schema: every field maps its own name. */
+  /** The identity mapping of a schema: every field maps its own name —
+    * including list `element` and map `key`/`value` rules, mirroring the
+    * reference's createMappingFromSchema (`name_mapping.go:461-492`).
+    */
   def default(schema: IceSchema): Seq[MappedField] = fromFields(schema.fields)
 
   private def fromFields(fs: Seq[NestedField]): Seq[MappedField] =
-    fs.map { f =>
-      val nested = f.tpe match {
-        case IceStructType(children) => fromFields(children)
-        case _ => Nil
-      }
-      MappedField(Some(f.id), Seq(f.name), nested)
-    }
+    fs.map(f => MappedField(Some(f.id), Seq(f.name), childFields(f.tpe)))
 
-  /** Flat dotted-path alias index: every listed name of every rule → ID. */
+  private def childFields(t: IceType): Seq[MappedField] = t match {
+    case IceStructType(children) => fromFields(children)
+    case IceListType(eid, elem, _) =>
+      Seq(MappedField(Some(eid), Seq("element"), childFields(elem)))
+    case IceMapType(kid, k, vid, v, _) =>
+      Seq(MappedField(Some(kid), Seq("key"), childFields(k)),
+        MappedField(Some(vid), Seq("value"), childFields(v)))
+    case _ => Nil
+  }
+
+  /** Flat dotted-path alias index: every listed name of every rule → ID.
+    * List/map rules additionally register the PARQUET flavor of their
+    * path (`p.list.element`, `p.key_value.key`) — footer column chunks of
+    * a 3-level list/map print those dotted paths, so foreign-file stats
+    * resolve without special-casing in the collector.
+    */
   def index(mapping: Seq[MappedField]): Map[String, Int] = {
     val b = Map.newBuilder[String, Int]
     def walk(prefix: String, fields: Seq[MappedField]): Unit =
       fields.foreach { mf =>
         mf.names.foreach { n =>
           val path = if (prefix.isEmpty) n else s"$prefix.$n"
-          mf.fieldId.foreach(id => b += path -> id)
+          // the parquet flavor rides as a parallel prefix so struct leaves
+          // INSIDE list/map values also resolve by footer path
+          val pqPath =
+            if (prefix.isEmpty) None
+            else n match {
+              case "element" => Some(s"$prefix.list.element")
+              case "key" => Some(s"$prefix.key_value.key")
+              case "value" => Some(s"$prefix.key_value.value")
+              case _ => None
+            }
+          mf.fieldId.foreach { id =>
+            b += path -> id
+            pqPath.foreach(b += _ -> id)
+          }
           walk(path, mf.fields)
+          pqPath.foreach(walk(_, mf.fields))
         }
       }
     walk("", mapping)
     b.result()
   }
 
-  /** First alias per field ID (top level only) — what the scan renames by. */
-  def aliasById(mapping: Seq[MappedField]): Map[Int, String] =
-    mapping.flatMap(mf => mf.fieldId.flatMap(id => mf.names.headOption.map(id -> _))).toMap
+  /** First alias per field ID, ALL levels — the scan renames top-level
+    * columns by it and builds aliased nested read types from it.
+    */
+  def aliasById(mapping: Seq[MappedField]): Map[Int, String] = {
+    val b = Map.newBuilder[Int, String]
+    def walk(fields: Seq[MappedField]): Unit = fields.foreach { mf =>
+      mf.fieldId.foreach(id => mf.names.headOption.foreach(n => b += id -> n))
+      walk(mf.fields)
+    }
+    walk(mapping)
+    b.result()
+  }
+
+  /** Spark read type for an Iceberg type with every nested field renamed
+    * to its mapped alias — what by-name parquet resolution needs to land
+    * on a foreign file's own nested names. The reader casts the result
+    * back to the canonical type (struct casts rename positionally), so
+    * aliased names never escape the scan.
+    */
+  def aliasedSparkType(t: IceType, alias: Int => Option[String])
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case IceStructType(children) => StructType(children.map(c =>
+        StructField(alias(c.id).getOrElse(c.name),
+          aliasedSparkType(c.tpe, alias), nullable = !c.required)))
+      case IceListType(_, elem, elemRequired) =>
+        ArrayType(aliasedSparkType(elem, alias), containsNull = !elemRequired)
+      case IceMapType(_, k, _, v, valueRequired) =>
+        MapType(aliasedSparkType(k, alias), aliasedSparkType(v, alias),
+          valueContainsNull = !valueRequired)
+      case p => IceType.toSpark(p)
+    }
+  }
 
   private val mapper = new ObjectMapper()
 

@@ -142,11 +142,16 @@ object IceQueries {
         (li, snap1.snapshotId)
       }
       val fPart = Future {
-        // partitioned by year(l_shipdate) + bucket(4, l_orderkey)
+        // partitioned by year(l_shipdate) + bucket(4, l_orderkey), written
+        // through the OBJECT-STORAGE location provider (murmur3-entropy
+        // key prefixes, reference locations.go:114-160) — partition
+        // pruning must come from manifests alone, with data keys spread
+        // across 2^12 prefixes the way a 100 TB S3 deployment lays out
         val spec = PartitionSpec.of(0,
           ("l_shipdate", YearTransform, "ship_year"),
           ("l_orderkey", BucketTransform(4), "ok_bucket"))(liSchema)
-        val liPart = IceTable.create(catalog, "lineitem_part", liSchema, spec)
+        val liPart = IceTable.create(catalog, "lineitem_part", liSchema, spec,
+          properties = Map(graft.table.Locations.ObjectStoreEnabledKey -> "true"))
         liPart.append(lineitem)
         liPart
       }

@@ -34,7 +34,12 @@ object DataWriter {
   def write(df: DataFrame, location: String, schema: IceSchema,
       spec: PartitionSpec, sortOrder: SortOrder = SortOrder.Unsorted,
       properties: Map[String, String] = Map.empty): Seq[DataFile] = {
-    val staging = s"$location/data/${UUID.randomUUID()}"
+    // location strategy (reference table/locations.go): write.data.path
+    // override + optional object-storage entropy placement
+    val provider = Locations.forTable(location, properties)
+    val staging =
+      if (provider.objectStore) s"${provider.dataPath}/.staging-${UUID.randomUUID()}"
+      else s"${provider.dataPath}/${UUID.randomUUID()}"
     // reference write defaults (`parquet_files.go:46-64`): zstd compression,
     // bounded rows per file (the rolling-writer equivalent)
     val compression = properties.getOrElse("write.parquet.compression-codec", "zstd")
@@ -83,10 +88,16 @@ object DataWriter {
         .option("compression", compression)
         .option("maxRecordsPerFile", maxRecords)
         .parquet(staging)
-      renameToIceberg(listParquet(staging)).par.map { case (p, len) =>
+      val staged = renameToIceberg(listParquet(staging))
+      val placed =
+        if (provider.objectStore)
+          placeObjectStore(staged, staging, provider).map(t => (t._1, t._2))
+        else staged
+      val out = placed.par.map { case (p, len) =>
         ParquetStats.toDataFile(p, len, schema, Nil,
-          nameToId = Some(writeSchema.idByName))
+          nameToId = Some(writeSchema.idByName), props = properties)
       }.seq.toSeq
+      collectNanCounts(df.sparkSession, out, schema, writeSchema, properties)
     } else {
       val partCols = spec.fields.map { pf =>
         val src = writeSchema.findById(pf.sourceId).get
@@ -108,12 +119,88 @@ object DataWriter {
         .option("maxRecordsPerFile", maxRecords)
         .partitionBy(partNames: _*).parquet(staging)
       val partType = spec.partitionType(schema)
-      renameToIceberg(listParquet(staging)).par.map { case (p, len) =>
-        val tuple = parsePartitionPath(p, staging, partType)
+      val staged = renameToIceberg(listParquet(staging))
+      // the partition tuple must be read off the STAGED path — an
+      // object-store placement with partitioned-paths=false erases the
+      // value dirs from the final key (manifests carry the tuple)
+      val placed: Seq[(String, Long, Seq[Any])] =
+        if (provider.objectStore)
+          placeObjectStore(staged, staging, provider).map { case (p, len, dirs) =>
+            (p, len, parsePartitionDirs(dirs, partType))
+          }
+        else staged.map { case (p, len) =>
+          (p, len, parsePartitionPath(p, staging, partType))
+        }
+      val out = placed.par.map { case (p, len, tuple) =>
         ParquetStats.toDataFile(p, len, schema, tuple,
-          nameToId = Some(writeSchema.idByName))
+          nameToId = Some(writeSchema.idByName), props = properties)
       }.seq.toSeq
+      collectNanCounts(df.sparkSession, out, schema, writeSchema, properties)
     }
+  }
+
+  /** Property gating the post-write NaN-count pass (default off). */
+  val NanCountsEnabledKey = "write.metadata.nan-counts.enabled"
+
+  /** Populate `nanValueCounts` for float/double columns with one
+    * column-pruned scan of the just-written files, grouped per file.
+    *
+    * Parquet footers carry no NaN statistics, and Spark's writer cannot
+    * count them inline the way the reference's own file writer could — so
+    * this is a genuine extra pass over the float columns (narrow,
+    * distributed, map-side-combined, driver sees files×columns longs) and
+    * is OPT-IN per table. Without it the table stays exactly as the
+    * reference writes it (`parquet_files.go` declares nan_value_counts
+    * but never fills it from parquet metadata): `IsNaN`/`NotNaN` simply
+    * never prune, which the evaluators handle conservatively.
+    */
+  private def collectNanCounts(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[DataFile], schema: IceSchema, writeSchema: IceSchema,
+      properties: Map[String, String]): Seq[DataFile] = {
+    if (!properties.get(NanCountsEnabledKey).exists(_.toBoolean)) return files
+    val modes = ParquetStats.modesFor(schema, properties)
+    val floatFields = writeSchema.fields.filter(f =>
+      (f.tpe == IceFloat || f.tpe == IceDouble) &&
+        modes.get(f.id).forall(_.kind != "none"))
+    if (floatFields.isEmpty || files.isEmpty) return files
+    import org.apache.spark.sql.functions.{isnan, sum, when}
+    def norm(p: String) = p.replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")
+    val aggs = floatFields.map(f =>
+      sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as(s"__nan_${f.id}"))
+    val byFile = spark.read.parquet(files.map(_.filePath): _*)
+      .groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(aggs.head, aggs.drop(1): _*)
+      .collect()
+      .map(r => norm(r.getAs[String]("__fp")) ->
+        floatFields.map(f => f.id -> r.getAs[Long](s"__nan_${f.id}")).toMap)
+      .toMap
+    files.map(f => byFile.get(norm(f.filePath))
+      .map(m => f.copy(nanValueCounts = m)).getOrElse(f))
+  }
+
+  /** Move staged files to their entropy-prefixed object-storage keys and
+    * drop the staging dir. A rename is metadata-only on HDFS-like file
+    * systems; a real S3 deployment writes data directly to the final key
+    * (the provider computes it before the upload) — staging-then-rename
+    * here only exists because Spark's parquet committer owns the staged
+    * names until the job finishes.
+    */
+  private def placeObjectStore(files: Seq[(String, Long)], staging: String,
+      provider: Locations.LocationProvider): Seq[(String, Long, String)] = {
+    val fs = FileSystem.get(new java.net.URI(staging), conf)
+    val out = files.map { case (p, len) =>
+      val rel = p.stripPrefix(staging).stripPrefix("/")
+      val slash = rel.lastIndexOf('/')
+      val (dirs, name) =
+        if (slash < 0) ("", rel) else (rel.substring(0, slash), rel.substring(slash + 1))
+      val target = provider.newDataLocation(name, Option(dirs).filter(_.nonEmpty))
+      val tp = new Path(target)
+      fs.mkdirs(tp.getParent)
+      require(fs.rename(new Path(p), tp), s"failed to place $p at $target")
+      (target, len, dirs)
+    }
+    fs.delete(new Path(staging), true): Unit
+    out
   }
 
   /** Rename staged part-files to the reference's data-file convention
@@ -150,7 +237,14 @@ object DataWriter {
   private[table] def parsePartitionPath(file: String, staging: String,
       partType: IceStructType): Seq[Any] = {
     val rel = file.stripPrefix(staging).stripPrefix("/")
-    val kv = rel.split('/').dropRight(1).iterator.map { seg =>
+    val slash = rel.lastIndexOf('/')
+    parsePartitionDirs(if (slash < 0) "" else rel.substring(0, slash), partType)
+  }
+
+  /** Same, from the bare `_p_name=value/...` directory string. */
+  private[table] def parsePartitionDirs(dirs: String,
+      partType: IceStructType): Seq[Any] = {
+    val kv = dirs.split('/').iterator.filter(_.contains('=')).map { seg =>
       val i = seg.indexOf('=')
       seg.substring(0, i).stripPrefix(PartPrefix) -> unescape(seg.substring(i + 1))
     }.toMap

@@ -59,6 +59,20 @@ final class IceTable private (
   def location: String = meta.location
   def currentSnapshot: Option[Snapshot] = meta.currentSnapshot
 
+  /** Write-location strategy (reference `table/table.go:85-87` →
+    * `locations.go`): `write.data.path` / `write.metadata.path` overrides
+    * and optional object-storage entropy placement. Resolved per call —
+    * the properties can change by commit.
+    */
+  def locationProvider: Locations.LocationProvider =
+    Locations.forTable(location, meta.properties)
+
+  /** Provider-routed path for a table-written metadata file (manifests,
+    * manifest lists, Puffin stats).
+    */
+  private def metaPath(fileName: String): String =
+    locationProvider.newMetadataLocation(fileName)
+
   def refresh(): IceTable = synchronized {
     meta = catalog.load(name)
     version = catalog.currentVersion(name)
@@ -172,7 +186,7 @@ final class IceTable private (
         val commitUuid = UUID.randomUUID().toString
         val entries = files.map(f =>
           ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
-        val mf = ManifestIO.writeManifest(s"$location/metadata/$commitUuid-m0.avro",
+        val mf = ManifestIO.writeManifest(metaPath(s"$commitUuid-m0.avro"),
             entries, spec, schema, formatVersion = meta.formatVersion)
           .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
         val parent = meta.refs.get(branch)
@@ -180,7 +194,7 @@ final class IceTable private (
           .orElse(meta.currentSnapshot)
         val parentManifests =
           parent.map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
-        val listPath = s"$location/metadata/snap-$snapId-1-$commitUuid.avro"
+        val listPath = metaPath(s"snap-$snapId-1-$commitUuid.avro")
         ManifestIO.writeManifestList(listPath, mf +: parentManifests, meta.formatVersion)
         val now = System.currentTimeMillis()
         val addedRecords = files.map(_.recordCount).sum
@@ -255,6 +269,13 @@ final class IceTable private (
     * applicability horizon must be the publish point, not the stage
     * point). Only appends are representable: an overwrite/delete snapshot
     * re-applied onto a moved main could delete rows it never saw.
+    *
+    * Duplicate-publish protection (Iceberg's cherrypick records the staged
+    * id and refuses a second publish): each pick stamps
+    * `source-snapshot-id` on its commit summary, and a pick is refused
+    * when the source is already on main's ancestry (published by
+    * fast-forward) or any main-ancestry commit already records it — a
+    * retried pick would otherwise silently double the rows.
     */
   def cherryPickAppend(snapshotId: Long): Snapshot = synchronized {
     val src = meta.snapshotById(snapshotId).getOrElse(
@@ -262,6 +283,20 @@ final class IceTable private (
     require(src.summary.get("operation").forall(_ == "append"),
       s"only append snapshots cherry-pick; $snapshotId is " +
         src.summary.getOrElse("operation", "?"))
+    @annotation.tailrec
+    def assertUnpublished(id: Option[Long]): Unit = id match {
+      case None => ()
+      case Some(i) =>
+        require(i != snapshotId,
+          s"snapshot $snapshotId is already on main — refusing duplicate publish")
+        val sn = meta.snapshotById(i)
+        sn.foreach(s => require(
+          !s.summary.get(IceTable.SourceSnapshotIdKey).contains(snapshotId.toString),
+          s"snapshot $snapshotId was already cherry-picked as ${s.snapshotId} — " +
+            "refusing duplicate publish"))
+        assertUnpublished(sn.flatMap(_.parentSnapshotId))
+    }
+    assertUnpublished(meta.currentSnapshotId)
     val files = ManifestIO.readManifestList(src.manifestList)
       .filter(m => m.content == 0 && m.addedSnapshotId == snapshotId)
       .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, schema)._2
@@ -269,7 +304,8 @@ final class IceTable private (
           e.snapshotId == snapshotId)
         .map(_.dataFile))
     require(files.nonEmpty, s"snapshot $snapshotId added no data files")
-    commitAddedFiles(files, retries = 3)
+    commitAddedFiles(files, retries = 3,
+      extraSummary = Map(IceTable.SourceSnapshotIdKey -> snapshotId.toString))
   }
 
   /** Attach the spec's per-ref retention policy (reference
@@ -310,21 +346,48 @@ final class IceTable private (
     * (`schema.name-mapping.default`, reference `name_mapping.go:30-80`),
     * defaulting to the schema's own names.
     */
-  def addFiles(paths: Seq[String]): Snapshot = {
+  /** `snapshotProps` ride the commit summary (reference AddFiles'
+    * snapshotProps); `ignoreDuplicates` guards re-registration: false
+    * (default) RAISES when any path is already referenced by the current
+    * snapshot (reference `transaction.go:509-529`), true silently skips
+    * the already-referenced paths and registers only the new ones. (The
+    * reference's `true` merely skips the check and re-appends the file,
+    * silently doubling rows on a retry; skipping is the retry-idempotent
+    * reading of "ignore".)
+    */
+  def addFiles(paths: Seq[String], snapshotProps: Map[String, String] = Map.empty,
+      ignoreDuplicates: Boolean = false): Snapshot = {
     require(spec.isUnpartitioned, "addFiles supports unpartitioned tables")
+    require(paths.distinct.size == paths.size,
+      "file paths must be unique for addFiles")
+    val requested = paths.toSet
+    val referenced = currentSnapshot.toSeq
+      .flatMap(_ => newScan().planFiles().map(_.file.filePath))
+      .filter(requested)
+    val toAdd =
+      if (referenced.isEmpty) paths
+      else if (ignoreDuplicates) paths.filterNot(referenced.toSet)
+      else throw new IllegalArgumentException(
+        "cannot add files that are already referenced by table, files: " +
+          referenced.mkString(", "))
+    if (toAdd.isEmpty)
+      return currentSnapshot.getOrElse(
+        throw new IllegalStateException("no snapshot and nothing to add"))
     val nameToId = NameMapping.index(nameMapping)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), graft.meta.FileIO.conf)
-    val files = paths.par.map { p =>
+    val files = toAdd.par.map { p =>
       val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
-      ParquetStats.toDataFile(p, len, schema, Nil, nameToId = Some(nameToId))
+      ParquetStats.toDataFile(p, len, schema, Nil, nameToId = Some(nameToId),
+        props = meta.properties)
     }.seq.toSeq
     // an ID-less file read through a field-ID schema silently null-fills, so
     // flag the table: scans then route ID-less files (stamped per entry by
     // toDataFile from the footer already open for stats) by (mapped) name
     val anyIdLess = files.exists(_.hasFieldIds.contains(false))
     commitAddedFiles(files, retries = 3,
-      setProps = if (anyIdLess) Map(IceTable.HasIdLessFilesProp -> "true") else Map.empty)
+      setProps = if (anyIdLess) Map(IceTable.HasIdLessFilesProp -> "true") else Map.empty,
+      extraSummary = snapshotProps)
   }
 
   /** The table's effective name mapping: the explicit
@@ -338,12 +401,13 @@ final class IceTable private (
 
   private def commitAddedFiles(files: Seq[DataFile], retries: Int,
       setProps: Map[String, String] = Map.empty,
-      removeProps: Seq[String] = Nil): Snapshot = synchronized {
+      removeProps: Seq[String] = Nil,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = synchronized {
     try {
       val snapId = meta.reserveSnapshotId()
       val seq = meta.lastSequenceNumber + 1
       val commitUuid = UUID.randomUUID().toString
-      val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+      val manifestPath = metaPath(s"$commitUuid-m0.avro")
       val entries = files.map(f =>
         ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
       val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema,
@@ -351,14 +415,14 @@ final class IceTable private (
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       commitManifests(Seq(mf), snapId, seq, commitUuid, "append",
         addedFiles = files.size, addedRecords = files.map(_.recordCount).sum,
-        setProps = setProps, removeProps = removeProps)
+        setProps = setProps, removeProps = removeProps, extraSummary = extraSummary)
     } catch {
       case _: CommitConflictException if retries > 0 =>
         // refresh() reloads meta from the catalog, so any staged property
         // delta must ride the retry as explicit arguments, not a pre-mutated
         // meta (which the reload would silently discard)
         refresh()
-        commitAddedFiles(files, retries - 1, setProps, removeProps)
+        commitAddedFiles(files, retries - 1, setProps, removeProps, extraSummary)
     }
   }
 
@@ -368,7 +432,8 @@ final class IceTable private (
   private def commitManifests(newManifests: Seq[ManifestFile], snapId: Long, seq: Long,
       commitUuid: String, operation: String, addedFiles: Long, addedRecords: Long,
       attempt: Int = 1, setProps: Map[String, String] = Map.empty,
-      removeProps: Seq[String] = Nil): Snapshot = {
+      removeProps: Seq[String] = Nil,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val parent = meta.currentSnapshot
     val parentManifests =
       parent.map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
@@ -390,7 +455,7 @@ final class IceTable private (
             .map(e => e.copy(status = ManifestEntryStatus.Existing,
               sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
         }
-        val mergedPath = s"$location/metadata/$commitUuid-merged.avro"
+        val mergedPath = metaPath(s"$commitUuid-merged.avro")
         val merged = ManifestIO.writeManifest(mergedPath, entries, spec, schema,
           formatVersion = meta.formatVersion)
           .copy(sequenceNumber = seq,
@@ -398,7 +463,7 @@ final class IceTable private (
             addedSnapshotId = snapId)
         merged +: assembled.filter(_.content == 1)
       }
-    val listPath = s"$location/metadata/snap-$snapId-$attempt-$commitUuid.avro"
+    val listPath = metaPath(s"snap-$snapId-$attempt-$commitUuid.avro")
     ManifestIO.writeManifestList(listPath, finalManifests, meta.formatVersion)
     val now = System.currentTimeMillis()
     val totalRecords =
@@ -410,7 +475,7 @@ final class IceTable private (
       "added-data-files" -> addedFiles.toString,
       "added-records" -> addedRecords.toString,
       "total-records" -> totalRecords.toString,
-      "total-data-files" -> totalFiles.toString)
+      "total-data-files" -> totalFiles.toString) ++ extraSummary
     // v3 row lineage: the snapshot records the first row ID it assigns and
     // the table counter advances by the rows added (reference
     // `table/snapshots.go:249-258` + metadata `next-row-id`)
@@ -455,7 +520,7 @@ final class IceTable private (
       added.map(f => ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f)) ++
       toKeep.map(_.copy(status = ManifestEntryStatus.Existing)) ++
       toDelete.map(_.copy(status = ManifestEntryStatus.Deleted, snapshotId = snapId))
-    val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+    val manifestPath = metaPath(s"$commitUuid-m0.avro")
     val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema,
         formatVersion = meta.formatVersion)
       .copy(sequenceNumber = seq,
@@ -499,7 +564,7 @@ final class IceTable private (
       if (hasDeletes) scan.toDFFor(spark, tasks)
       else spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
     val newFiles = DataWriter.write(transform(source),
-      location, schema, PartitionSpec.Unpartitioned)
+      location, schema, PartitionSpec.Unpartitioned, properties = meta.properties)
     replaceDataFiles(oldPaths, newFiles, operation = "replace")
   }
 
@@ -554,8 +619,9 @@ final class IceTable private (
       else DataWriter.write(
         scan.toDFFor(spark, partial)
           .where(!coalesce(Predicates.toColumn(bound), lit(false))),
-        location, schema, spec)
-    val addedNew = DataWriter.write(replacement, location, schema, spec)
+        location, schema, spec, properties = meta.properties)
+    val addedNew = DataWriter.write(replacement, location, schema, spec,
+      properties = meta.properties)
     replaceDataFiles((fullMatch ++ partial).map(_.file.filePath).toSet,
       survivors ++ addedNew, operation = "overwrite")
   }
@@ -596,7 +662,7 @@ final class IceTable private (
         val per = math.max(1, math.ceil(entries.size.toDouble / groups).toInt)
         entries.grouped(per).zipWithIndex.map { case (grp, i) =>
           ManifestIO.writeManifest(
-            s"$location/metadata/$commitUuid-rw$specId-$i.avro", grp, sp, schema,
+            metaPath(s"$commitUuid-rw$specId-$i.avro"), grp, sp, schema,
             formatVersion = meta.formatVersion)
             .copy(sequenceNumber = seq,
               minSequenceNumber = grp.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
@@ -613,7 +679,7 @@ final class IceTable private (
       removedFiles: Long, removedRecords: Long): Snapshot = {
     val now = System.currentTimeMillis()
     val parent = meta.currentSnapshot
-    val listPath = s"$location/metadata/snap-$snapId-1-${UUID.randomUUID()}.avro"
+    val listPath = metaPath(s"snap-$snapId-1-${UUID.randomUUID()}.avro")
     ManifestIO.writeManifestList(listPath, manifests, meta.formatVersion)
     val prevTotalRecords =
       parent.flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
@@ -662,7 +728,7 @@ final class IceTable private (
       .withColumn("pos", col("_metadata.row_index"))
       .where(Predicates.toColumn(bound))
       .select("file_path", "pos")
-    val stagingDir = s"$location/data/deletes-${UUID.randomUUID()}"
+    val stagingDir = s"${locationProvider.dataPath}/deletes-${UUID.randomUUID()}"
     // range-partition by file_path so (a) a broad predicate fans out over
     // many writers instead of funnelling every matched row through one task,
     // and (b) each delete file covers a narrow file_path range, which the
@@ -680,7 +746,7 @@ final class IceTable private (
     val snapId = meta.reserveSnapshotId()
     val seq = meta.lastSequenceNumber + 1
     val commitUuid = UUID.randomUUID().toString
-    val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+    val manifestPath = metaPath(s"$commitUuid-m0.avro")
     val entries = files.map(f =>
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
     val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
@@ -799,7 +865,7 @@ final class IceTable private (
     val schemaNow = schema
     val entries = files.map(f =>
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
-    val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+    val manifestPath = metaPath(s"$commitUuid-m0.avro")
     val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
         schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
@@ -862,13 +928,13 @@ final class IceTable private (
     // distinct: delete keys are a set; duplicates only grow the file
     val files = DataWriter.write(
       keys.select(columns.map(col): _*).distinct(),
-      location, eqSchema, PartitionSpec.Unpartitioned)
+      location, eqSchema, PartitionSpec.Unpartitioned, properties = meta.properties)
       .map(_.copy(content = 2, equalityIds = eqIds))
       .filter(_.recordCount > 0)
     val snapId = meta.reserveSnapshotId()
     val seq = meta.lastSequenceNumber + 1
     val commitUuid = UUID.randomUUID().toString
-    val manifestPath = s"$location/metadata/$commitUuid-m0.avro"
+    val manifestPath = metaPath(s"$commitUuid-m0.avro")
     val entries = files.map(f =>
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
     val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
@@ -896,7 +962,7 @@ final class IceTable private (
       val eqSchema = IceSchema(-1, eqIds.map(schemaNow.byId(_).copy(required = false)))
       val deleteFiles = DataWriter.write(
         rows.select(keyColumns.map(col): _*).distinct(),
-        location, eqSchema, PartitionSpec.Unpartitioned)
+        location, eqSchema, PartitionSpec.Unpartitioned, properties = meta.properties)
         .map(_.copy(content = 2, equalityIds = eqIds))
         .filter(_.recordCount > 0)
       val dataFiles = DataWriter.write(rows, location, schemaNow, spec, sortOrder,
@@ -906,12 +972,12 @@ final class IceTable private (
       val commitUuid = UUID.randomUUID().toString
       val dataEntries = dataFiles.map(f =>
         ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
-      val dataMf = ManifestIO.writeManifest(s"$location/metadata/$commitUuid-m0.avro",
+      val dataMf = ManifestIO.writeManifest(metaPath(s"$commitUuid-m0.avro"),
           dataEntries, spec, schemaNow, formatVersion = meta.formatVersion)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       val deleteEntries = deleteFiles.map(f =>
         ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
-      val deleteMf = ManifestIO.writeManifest(s"$location/metadata/$commitUuid-m1.avro",
+      val deleteMf = ManifestIO.writeManifest(metaPath(s"$commitUuid-m1.avro"),
           deleteEntries, PartitionSpec.Unpartitioned, schemaNow, formatVersion = meta.formatVersion, content = 1)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       commitManifests(Seq(dataMf, deleteMf), snapId, seq, commitUuid, "overwrite",
@@ -1168,7 +1234,7 @@ final class IceTable private (
   private def writeStatsFile(snap: Snapshot,
       stats: Seq[(Int, ThetaStats.ColumnStats)],
       extraBlobs: Seq[(Puffin.BlobDescriptor, Array[Byte])] = Nil): StatisticsFile = {
-    val path = s"$location/metadata/stats-${snap.snapshotId}-${UUID.randomUUID()}.puffin"
+    val path = metaPath(s"stats-${snap.snapshotId}-${UUID.randomUUID()}.puffin")
     // a snapshot gets ONE statistics file (replace-on-set), so a rewrite —
     // e.g. ANALYZE after a codebook attach — must carry forward codebook
     // blobs it is not itself replacing or they'd be silently dropped
@@ -1334,14 +1400,14 @@ final class IceTable private (
       "total_data_file_size_in_bytes", "position_delete_file_count",
       "position_delete_record_count", "equality_delete_file_count",
       "equality_delete_record_count", "last_updated_snapshot_id")
-    val tmpDir = s"$location/metadata/.pstats-${UUID.randomUUID()}"
+    val tmpDir = metaPath(s".pstats-${UUID.randomUUID()}")
     df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmpDir), graft.meta.FileIO.conf)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
       .map(_.getPath).find(_.getName.startsWith("part-")).get
     val dest = new org.apache.hadoop.fs.Path(
-      s"$location/metadata/partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet")
+      metaPath(s"partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet"))
     require(fs.rename(part, dest), s"rename $part -> $dest failed")
     fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
     // dest.toString keeps scheme/authority so the recorded path resolves on
@@ -1743,8 +1809,14 @@ final class IceTable private (
             !referenced.contains(p) && st.getModificationTime < olderThanMs) orphans += p
       }
     }
-    walk(s"$location/data")
-    walk(s"$location/metadata")
+    // walk the provider's roots: with write.data.path / write.metadata.path
+    // overrides (or object-storage entropy prefixes) table files live
+    // there, not under $location — and the default provider resolves to
+    // exactly $location/{data,metadata}
+    walk(locationProvider.dataPath)
+    walk(locationProvider.metadataPath)
+    if (locationProvider.dataPath != s"$location/data") walk(s"$location/data")
+    if (locationProvider.metadataPath != s"$location/metadata") walk(s"$location/metadata")
     val result = orphans.result()
     if (!dryRun) result.foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), false))
@@ -1786,6 +1858,13 @@ object IceTable {
     * by-name resolution.
     */
   val HasIdLessFilesProp = "graft.external.id-less-files"
+
+  /** Summary key a cherry-picked commit stamps with the staged snapshot it
+    * published (Iceberg's cherrypick records `source-snapshot-id` the same
+    * way) — the duplicate-publish guard in [[IceTable.cherryPickAppend]]
+    * scans main's ancestry for it.
+    */
+  val SourceSnapshotIdKey = "source-snapshot-id"
 
   /** Standard Iceberg Puffin NDV blob (apache/iceberg puffin spec). */
   val ThetaBlobType = "apache-datasketches-theta-v1"
@@ -2035,7 +2114,8 @@ final class IceScan(
       }
 
     def readBranch(ps: Seq[String], schema: org.apache.spark.sql.types.StructType,
-        renames: Option[Seq[(String, String)]]): DataFrame = {
+        renames: Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]])
+        : DataFrame = {
       var d = spark.read.schema(schema).parquet(ps: _*)
       // per-file row positions must be stamped before any union hides the
       // per-file _metadata column
@@ -2043,21 +2123,31 @@ final class IceScan(
         .withColumn("__path", IceScan.normalizedMetaPath)
         .withColumn("__pos", col("_metadata.row_index"))
       renames.foreach { rs =>
-        val keep = rs.map { case (alias, canon) => col(alias).as(canon) } ++
-          (if (needDeletes) Seq(col("__path"), col("__pos")) else Nil)
+        // cast to the canonical type: struct casts rename NESTED aliased
+        // fields back positionally (same tree shape by construction)
+        val keep = rs.map { case (alias, canon, tpe) =>
+          col(alias).cast(tpe).as(canon)
+        } ++ (if (needDeletes) Seq(col("__path"), col("__pos")) else Nil)
         d = d.select(keep: _*)
       }
       d
     }
-    // ID-less files read with an ID-free alias schema: pure by-name matching
+    // ID-less files read with an ID-free alias schema: pure by-name
+    // matching, nested levels included — struct children, list elements,
+    // and map entries take their mapped aliases so the foreign file's own
+    // nested names resolve; the rename-select then CASTS back to the
+    // canonical type (struct casts rename positionally), so aliased names
+    // never leave the scan
+    val aliasFn: Int => Option[String] = aliasOf.get _
     val foreignSchema = org.apache.spark.sql.types.StructType(readSchema.fields.map(f =>
       org.apache.spark.sql.types.StructField(aliasName(f),
-        IceType.toSpark(f.tpe), nullable = !f.required)))
+        NameMapping.aliasedSparkType(f.tpe, aliasFn), nullable = !f.required)))
     val branches = groups.map { case ((hasIds, absentDefaulted), ps) =>
       var d =
         if (hasIds) readBranch(ps, readSchema.toSpark, None)
         else readBranch(ps, foreignSchema,
-          Some(readSchema.fields.map(f => aliasName(f) -> f.name)))
+          Some(readSchema.fields.map(f =>
+            (aliasName(f), f.name, IceType.toSpark(f.tpe)))))
       defaultedFields.filter(f => absentDefaulted.contains(f.id)).foreach { f =>
         d = d.withColumn(f.name, lit(f.initialDefault.get).cast(IceType.toSpark(f.tpe)))
       }

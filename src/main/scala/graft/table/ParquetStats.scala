@@ -25,6 +25,57 @@ object ParquetStats {
   private def conf = graft.meta.FileIO.conf
   val TruncateWidth = 16
 
+  // reference properties.go:36-38
+  val DefaultModeKey = "write.metadata.metrics.default"
+  val ColumnModeKeyPrefix = "write.metadata.metrics.column."
+  val DefaultMode = "truncate(16)"
+
+  /** Per-column metrics mode (reference `MatchMetricsMode`
+    * `table/internal/utils.go:315-359`): `none` (no stats at all — the
+    * write-amplification escape hatch for huge binary columns), `counts`
+    * (sizes + value/null counts, no bounds), `truncate(W)` (bounds
+    * truncated to W units), `full` (untruncated bounds).
+    */
+  final case class MetricsMode(kind: String, len: Int = 0)
+
+  def parseMode(s: String): MetricsMode = {
+    val m = s.trim.toLowerCase
+    if (m.startsWith("truncate")) {
+      val re = "^truncate\\((\\d+)\\)$".r
+      m match {
+        case re(w) if w.toInt > 0 => MetricsMode("truncate", w.toInt)
+        case _ => throw new IllegalArgumentException(s"malformed truncate metrics mode: $s")
+      }
+    } else m match {
+      case "none" | "counts" | "full" => MetricsMode(m)
+      case _ => throw new IllegalArgumentException(s"unsupported metrics mode: $s")
+    }
+  }
+
+  /** Resolve the mode per field ID (reference `computeStatsPlan`
+    * `table/arrow_utils.go:1169-1188` + the per-field resolution at
+    * `:1130-1160`): column override `write.metadata.metrics.column.<name>`
+    * beats the table default; `truncate` upgrades to `full` for
+    * non-string/binary types (fixed-width values don't truncate).
+    *
+    * Divergence: the reference downgrades NESTED (dotted) columns to
+    * `counts` because its Arrow stats aggregator can't fold nested
+    * bounds (`arrow_utils.go:1156-1159`); this collector reads nested
+    * leaves from footers by dotted path, so nested bounds stay on — they
+    * feed the engine's nested-predicate file pruning. A per-column
+    * `counts`/`none` override still turns them off.
+    */
+  def modesFor(schema: IceSchema, props: Map[String, String]): Map[Int, MetricsMode] = {
+    val default = parseMode(props.getOrElse(DefaultModeKey, DefaultMode))
+    schema.idByName.map { case (name, id) =>
+      var mode = props.get(ColumnModeKeyPrefix + name).map(parseMode).getOrElse(default)
+      val stringish = schema.byId.get(id).exists(f =>
+        f.tpe == IceString || f.tpe == IceBinary)
+      if (!stringish && mode.kind == "truncate") mode = MetricsMode("full")
+      id -> mode
+    }
+  }
+
   /** `nameToId` overrides footer-column → field-ID resolution (the table's
     * name mapping, for foreign files whose column names differ from the
     * canonical schema); default is the schema's own name index.
@@ -42,7 +93,9 @@ object ParquetStats {
       partition: Seq[Any],
       content: Int = 0,
       nameToId: Option[Map[String, Int]] = None,
-      fullBoundsFieldIds: Set[Int] = Set.empty): DataFile = {
+      fullBoundsFieldIds: Set[Int] = Set.empty,
+      props: Map[String, String] = Map.empty): DataFile = {
+    val modes = modesFor(schema, props)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(filePath), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -63,8 +116,12 @@ object ParquetStats {
         nameToId.map(m => (n: String) => m.get(n)).getOrElse(schema.idByName.get _)
       for (block <- blocks; col <- block.getColumns.asScala) {
         val name = col.getPath.toDotString
-        resolve(name).filter(schema.byId.contains).foreach { id =>
+        resolve(name).filter(schema.byId.contains)
+          .filter(id => modes.get(id).forall(_.kind != "none")) // none: no stats at all
+          .foreach { id =>
           val t = schema.byId(id).tpe
+          val wantBounds = modes.get(id).forall(m =>
+            m.kind == "truncate" || m.kind == "full") || fullBoundsFieldIds(id)
           colSizes(id) = colSizes.getOrElse(id, 0L) + col.getTotalSize
           valueCounts(id) = valueCounts.getOrElse(id, 0L) + col.getValueCount
           val st = col.getStatistics
@@ -72,7 +129,7 @@ object ParquetStats {
           else {
             if (st.isNumNullsSet) nullCounts(id) = nullCounts.getOrElse(id, 0L) + st.getNumNulls
             else statsValid(id) = false
-            if (st.hasNonNullValue) {
+            if (st.hasNonNullValue && wantBounds) {
               (decodeStat(t, st.genericGetMin().asInstanceOf[AnyRef]),
                   decodeStat(t, st.genericGetMax().asInstanceOf[AnyRef])) match {
                 case (Some(mn), Some(mx)) =>
@@ -93,7 +150,12 @@ object ParquetStats {
 
       // drop bounds for columns where any row group lacked usable stats
       def widthFor(id: Int): Int =
-        if (fullBoundsFieldIds(id)) Int.MaxValue else TruncateWidth
+        if (fullBoundsFieldIds(id)) Int.MaxValue
+        else modes.get(id) match {
+          case Some(MetricsMode("full", _)) => Int.MaxValue
+          case Some(MetricsMode("truncate", w)) => w
+          case _ => TruncateWidth
+        }
       val lowerBounds = mins.toMap.collect {
         case (id, v) if statsValid(id) =>
           val t = schema.byId(id).tpe

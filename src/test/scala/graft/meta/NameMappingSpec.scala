@@ -45,4 +45,43 @@ class NameMappingSpec extends AnyFunSuite {
     // the id-less rule maps no path
     assert(!idx.contains("foo") && !idx.contains("bar"))
   }
+
+  test("default mapping covers the full field tree: list element and map key/value rules") {
+    import graft.core._
+    // id long, tags list<string>, props map<string, struct<lat,lon>>
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", IceLong, required = true),
+      NestedField(2, "tags", IceListType(4, IceString, elementRequired = false),
+        required = false),
+      NestedField(3, "props", IceMapType(5, IceString, 6,
+        IceStructType(Seq(
+          NestedField(7, "lat", IceDouble, required = false),
+          NestedField(8, "lon", IceDouble, required = false))),
+        valueRequired = false), required = false)))
+    val m = NameMapping.default(schema)
+    // reference createMappingFromSchema shape (name_mapping.go:461-492)
+    assert(m(1) === MappedField(Some(2), Seq("tags"),
+      Seq(MappedField(Some(4), Seq("element")))))
+    assert(m(2) === MappedField(Some(3), Seq("props"), Seq(
+      MappedField(Some(5), Seq("key")),
+      MappedField(Some(6), Seq("value"), Seq(
+        MappedField(Some(7), Seq("lat")),
+        MappedField(Some(8), Seq("lon")))))))
+    // JSON round-trip preserves the nested rules
+    assert(NameMapping.parse(NameMapping.toJson(m)) === m)
+    // the index exposes both the Iceberg paths and the parquet-footer
+    // flavors (3-level list/map dotted paths) for stats resolution
+    val idx = NameMapping.index(m)
+    assert(idx.get("tags.element").contains(4))
+    assert(idx.get("tags.list.element").contains(4))
+    assert(idx.get("props.key").contains(5))
+    assert(idx.get("props.key_value.key").contains(5))
+    assert(idx.get("props.value").contains(6))
+    assert(idx.get("props.key_value.value").contains(6))
+    assert(idx.get("props.value.lat").contains(7))
+    assert(idx.get("props.key_value.value.lat").contains(7))
+    // aliasById now walks all levels
+    val alias = NameMapping.aliasById(m)
+    assert(alias(4) === "element" && alias(7) === "lat")
+  }
 }

@@ -533,6 +533,81 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "plan-time footer sniff detected for a stamped name-mapped table")
   }
 
+  test("addFiles: duplicate-registration guard and snapshot props (transaction.go:499-564)") {
+    val foreignDir = Files.createTempDirectory("graft-foreign-dup").toString
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(foreignDir)
+    val foreignPath = DataWriter.listParquet(foreignDir).head._1
+    val canonical = SchemaConv.fromSpark(spark.read.parquet(s"$sfDir/region.parquet").schema)
+    val t = IceTable.create(catalog, "region_dup", canonical)
+    // non-unique input list is rejected outright
+    intercept[IllegalArgumentException](t.addFiles(Seq(foreignPath, foreignPath)))
+    val snap = t.addFiles(Seq(foreignPath), snapshotProps = Map("ingest-id" -> "batch-7"))
+    assert(snap.summary.get("ingest-id") === Some("batch-7"),
+      "snapshot props must ride the commit summary")
+    assert(t.scan(spark).count() === 5)
+    // re-register: default raises and changes nothing
+    val e = intercept[IllegalArgumentException](t.addFiles(Seq(foreignPath)))
+    assert(e.getMessage.contains("already referenced"))
+    t.refresh()
+    assert(t.scan(spark).count() === 5)
+    // ignoreDuplicates=true no-ops instead of doubling rows
+    val before = t.metadata.snapshots.size
+    t.addFiles(Seq(foreignPath), ignoreDuplicates = true)
+    t.refresh()
+    assert(t.scan(spark).count() === 5)
+    assert(t.metadata.snapshots.size === before, "no-op must not commit")
+  }
+
+  test("addFiles: nested aliased foreign schema resolves through the full-tree name mapping") {
+    import org.apache.spark.sql.functions._
+    // canonical: id, loc struct<lat,lon>, tags list<string>
+    val canonicalDf = spark.range(20).toDF("id")
+      .withColumn("loc", struct((col("id") % 10).cast("double").as("lat"),
+        (col("id") % 7).cast("double").as("lon")))
+      .withColumn("tags", array(concat(lit("t"), col("id") % 3)))
+    val canonical = SchemaConv.fromSpark(canonicalDf.schema)
+    // the foreign file uses DIFFERENT names at every level (field-id-free)
+    val foreignDir = Files.createTempDirectory("graft-foreign-nested").toString
+    canonicalDf.selectExpr(
+      "id AS ident",
+      "named_struct('latitude', loc.lat, 'longitude', loc.lon) AS position",
+      "tags AS labels")
+      .coalesce(1).write.mode("overwrite").parquet(foreignDir)
+    val foreignPath = DataWriter.listParquet(foreignDir).head._1
+
+    val t = IceTable.create(catalog, "nested_ext", canonical)
+    val locId = canonical.idByName("loc")
+    val latId = canonical.idByName("loc.lat")
+    val lonId = canonical.idByName("loc.lon")
+    val tagsId = canonical.idByName("tags")
+    val elemId = canonical.findByName("tags").get.tpe
+      .asInstanceOf[IceListType].elementId
+    val mapping = Seq(
+      MappedField(Some(canonical.idByName("id")), Seq("ident")),
+      MappedField(Some(locId), Seq("position"), Seq(
+        MappedField(Some(latId), Seq("latitude")),
+        MappedField(Some(lonId), Seq("longitude")))),
+      MappedField(Some(tagsId), Seq("labels"),
+        Seq(MappedField(Some(elemId), Seq("element")))))
+    t.updateProperties(set = Map(NameMapping.PropertyKey -> NameMapping.toJson(mapping)))
+    t.addFiles(Seq(foreignPath))
+
+    // nested struct leaf stats resolved through the mapped dotted path
+    val file = t.newScan().planFiles().head.file
+    assert(file.lowerBounds.contains(latId) && file.upperBounds.contains(latId),
+      s"nested mapped stats missing: ${file.lowerBounds.keySet}")
+    // scan reads nested aliased names back into canonical shape, hash-exact
+    val mine = t.scan(spark).select("id", "loc.lat", "loc.lon", "tags")
+    val want = canonicalDf.select("id", "loc.lat", "loc.lon", "tags")
+    assert(mine.exceptAll(want).isEmpty && want.exceptAll(mine).isEmpty)
+    // nested predicate filters correctly through the alias read
+    assert(t.scan(spark, P.equalTo("loc.lat", 3.0)).count()
+      === canonicalDf.where("loc.lat = 3.0").count())
+    // and nested stats PRUNE through the mapping
+    assert(t.newScan(P.gt("loc.lat", 99.0)).planFiles().isEmpty)
+  }
+
   test("catalog CAS: stale writer loses the race") {
     val t1 = IceTable.load(catalog, "li_basic")
     val t2 = IceTable.load(catalog, "li_basic")

@@ -104,6 +104,35 @@ class WapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("only append snapshots"))
   }
 
+  test("cherry-pick refuses a duplicate publish of the same staged snapshot") {
+    val t = IceTable.create(catalog, "wap_cherry_dup", SchemaConv.fromSpark(region.schema))
+    t.append(region.where("r_regionkey = 0"))
+    val staged = t.appendToBranch(region.where("r_regionkey = 1"), "audit")
+    t.append(region.where("r_regionkey = 2"))
+    val picked = t.cherryPickAppend(staged.snapshotId)
+    t.refresh()
+    assert(picked.summary.get(IceTable.SourceSnapshotIdKey)
+      === Some(staged.snapshotId.toString),
+      "cherry-picked commit must record its source snapshot")
+    assert(t.scan(spark).count() === 3)
+    // a retried/repeated pick of the same stage must refuse, not double rows
+    val e = intercept[IllegalArgumentException](t.cherryPickAppend(staged.snapshotId))
+    assert(e.getMessage.contains("refusing duplicate publish"))
+    assert(t.scan(spark).count() === 3, "refused pick must not change main")
+  }
+
+  test("cherry-pick refuses a snapshot already published to main by fast-forward") {
+    val t = IceTable.create(catalog, "wap_cherry_ff", SchemaConv.fromSpark(region.schema))
+    t.append(region.where("r_regionkey = 0"))
+    val staged = t.appendToBranch(region.where("r_regionkey = 1"), "audit")
+    t.fastForwardMain("audit")
+    t.refresh()
+    assert(t.scan(spark).count() === 2)
+    val e = intercept[IllegalArgumentException](t.cherryPickAppend(staged.snapshotId))
+    assert(e.getMessage.contains("already on main"))
+    assert(t.scan(spark).count() === 2)
+  }
+
   test("expiry keeps the staged snapshot alive while the branch ref exists") {
     val t = IceTable.create(catalog, "wap_expiry", SchemaConv.fromSpark(region.schema))
     t.append(region.where("r_regionkey = 0"))
