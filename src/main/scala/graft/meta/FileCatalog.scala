@@ -88,7 +88,24 @@ final class FileCatalog(val warehouse: String) extends Catalog {
   }
   private def metadataDir(name: String) = s"${tableLocation(name)}/metadata"
   private def versionFile(name: String, v: Int) = s"${metadataDir(name)}/v$v.metadata.json"
+  private def gzVersionFile(name: String, v: Int) =
+    s"${metadataDir(name)}/v$v.gz.metadata.json"
   private def hintFile(name: String) = s"${metadataDir(name)}/version-hint.text"
+
+  /** The on-disk metadata file for `version` — plain or the reference's
+    * `.gz.metadata.json` flavor (`locations.go:65-78`), whichever exists.
+    */
+  private def resolveVersionFile(name: String, v: Int): String = {
+    val plain = versionFile(name, v)
+    if (Files.exists(Paths.get(stripScheme(plain)))) plain
+    else {
+      val gz = gzVersionFile(name, v)
+      if (Files.exists(Paths.get(stripScheme(gz)))) gz else plain
+    }
+  }
+
+  override def metadataLocation(name: String, version: Int): String =
+    resolveVersionFile(name, version)
 
   def tableExists(name: String): Boolean =
     Files.exists(Paths.get(stripScheme(hintFile(name)))) &&
@@ -205,7 +222,7 @@ final class FileCatalog(val warehouse: String) extends Catalog {
 
   def load(name: String): TableMetadata = {
     val v = currentVersion(name)
-    TableMetadataJson.read(readMetadataFile(versionFile(name, v)))
+    TableMetadataJson.read(readMetadataFile(resolveVersionFile(name, v)))
   }
 
   /** Reads plain or gzip metadata JSON (reference `table/table.go:391-452`). */
@@ -233,18 +250,43 @@ final class FileCatalog(val warehouse: String) extends Catalog {
 
   private def writeVersion(name: String, v: Int, metadata: TableMetadata): Unit = {
     val json = TableMetadataJson.write(metadata)
-    val target = Paths.get(stripScheme(versionFile(name, v)))
-    val tmp = Files.createTempFile(target.getParent, s".v$v-", ".tmp")
+    // write.metadata.compression-codec=gzip writes the reference's
+    // `.gz.metadata.json` flavor (locations.go:65-78); reads resolve
+    // either ext. BOTH flavors hard-link the SAME plain `v{N}` name as
+    // the CAS lock target, so a gzip writer and a plain writer racing the
+    // same version still see exactly one winner.
+    val gzip = metadata.properties
+      .get("write.metadata.compression-codec").contains("gzip")
+    val bytes =
+      if (!gzip) json.getBytes(StandardCharsets.UTF_8)
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(json.getBytes(StandardCharsets.UTF_8)); gz.close()
+        bos.toByteArray
+      }
+    val lock = Paths.get(stripScheme(versionFile(name, v)))
+    val tmp = Files.createTempFile(lock.getParent, s".v$v-", ".tmp")
     try {
-      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-      try Files.createLink(target, tmp) // atomic: exactly one writer wins v
+      Files.write(tmp, bytes)
+      // the PLAIN name is always the CAS lock (and holds the bytes —
+      // readMetadataFile gzip-sniffs by magic), so plain and gzip writers
+      // racing one version still see exactly one winner; the gzip flavor
+      // additionally hard-links the reference-visible `.gz` name to the
+      // same inode
+      try Files.createLink(lock, tmp) // atomic: exactly one writer wins v
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new CommitConflictException(s"lost CAS race for $name v$v")
       }
+      if (gzip) {
+        val gzTarget = Paths.get(stripScheme(gzVersionFile(name, v)))
+        Files.deleteIfExists(gzTarget)
+        Files.createLink(gzTarget, lock)
+      }
     } finally Files.deleteIfExists(tmp)
     // hint is advisory; last-writer-wins is fine because versions only grow
-    val hintTmp = Files.createTempFile(target.getParent, ".hint-", ".tmp")
+    val hintTmp = Files.createTempFile(lock.getParent, ".hint-", ".tmp")
     Files.write(hintTmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(hintTmp, Paths.get(stripScheme(hintFile(name))),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -256,6 +298,7 @@ final class FileCatalog(val warehouse: String) extends Catalog {
   def deleteMetadataBefore(name: String, beforeVersion: Int): Unit =
     (1 until beforeVersion).foreach { v =>
       Files.deleteIfExists(Paths.get(stripScheme(versionFile(name, v))))
+      Files.deleteIfExists(Paths.get(stripScheme(gzVersionFile(name, v))))
     }
 
   /** Local-path view of a warehouse URI. The control plane (pointer files,

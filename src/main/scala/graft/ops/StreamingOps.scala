@@ -296,18 +296,14 @@ object StreamingOps {
   private val dedupStaging =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def streamedDedupExact(spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
-    import org.apache.spark.sql.types.BinaryType
-    import graft.meta.FileCatalog
-    import graft.table.IceTable
+  /** Documents staged as 3 doc_id-ranged files so streaming dedup state
+    * MUST survive micro-batch boundaries (a single-batch run would prove
+    * nothing). Content-keyed like the other stagings.
+    */
+  private def stagedDocuments(spark: SparkSession, dir: String): String = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val srcAttrs = java.nio.file.Files.readAttributes(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      classOf[java.nio.file.attribute.BasicFileAttributes])
-    val stageKey = s"$dir|${srcAttrs.lastModifiedTime.toMillis}|${srcAttrs.size}"
-    // slice the corpus into several files so dedup state MUST survive
-    // micro-batch boundaries (a single-batch run would prove nothing)
-    val srcDir = dedupStaging.computeIfAbsent(stageKey, _ => {
+    val stageKey = contentKey(s"$dir/documents.parquet")
+    dedupStaging.computeIfAbsent(stageKey, _ => {
       val d = java.nio.file.Files.createTempDirectory("stream-dedup")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
@@ -315,6 +311,14 @@ object StreamingOps {
         .write.mode("overwrite").parquet(d.toString)
       d.toString
     })
+  }
+
+  def streamedDedupExact(spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val srcDir = stagedDocuments(spark, dir)
     val stream = streamSession(spark).readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -351,6 +355,114 @@ object StreamingOps {
     require(q.awaitTermination(120000), "streaming dedup job did not finish in 120s")
     require(sink != null, "dedup stream delivered no batches — empty staging dir?")
     (sink.scan(spark).select("doc_id", "n_copies"), emitted.toSeq)
+  }
+
+  /** One LSH-banded document in flight: the stream's per-row shape after
+    * the codegen signature + band fold.
+    */
+  final case class BandDoc(source: String, band: Int, band_hash: Long,
+      doc_id: Long, sig: Array[Long])
+  final case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  /** A bucket's accumulated members: (doc_id, signature) pairs. This state
+    * IS the near-dup index — it grows with the corpus by design (per-bucket
+    * lists stay bucket-sized; RocksDB-backed at scale), exactly like the
+    * persisted band table the incremental batch path keeps.
+    */
+  final case class LshBucket(ids: Seq[Long], sigs: Seq[Array[Long]])
+
+  /** MinHash-LSH near-dup candidate generation as a CONTINUOUS streaming
+    * job — the streaming form of `dedup_minhash_lsh`: documents arrive
+    * across micro-batches; each is signed by the codegen MinHash
+    * expression and banded map-side; per-(source, band, band_hash) bucket
+    * state carries every member's (doc_id, signature) across batches, so
+    * an arriving document is verified against ALL prior corpus members of
+    * its buckets — never just the current batch — and each surviving pair
+    * is emitted in the batch its second member arrives.
+    *
+    * Scale shape: candidates come from bucket-keyed state lookups (the
+    * streaming analogue of the batch band self-join — nothing all-pairs),
+    * signature verification runs INSIDE the state function against sigs
+    * the state already holds (the batch plan pays a join back to the
+    * signature table for this), per-trigger output is batch-candidates-
+    * sized, and the (doc_a, doc_b)-keyed upsert sink dedupes multi-band
+    * rediscoveries idempotently. Determinism: same MD5-derived hashes and
+    * integer band fold as batch, so the converged table equals the batch
+    * candidate set exactly — the DuckDB oracle restates it.
+    */
+  def streamedMinhashLsh(spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
+    val s2 = streamSession(spark)
+    import s2.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val srcDir = stagedDocuments(spark, dir)
+    val banded = Dedup.bandsOf(
+      s2.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("doc_id"), col("source"),
+          Dedup.minhashSig(Dedup.wordSet(col("text"))).as("sig")),
+      extra = Seq("sig"))
+      .as[BandDoc]
+    val pairs = banded
+      .groupByKey(d => (d.source, d.band, d.band_hash))
+      .flatMapGroupsWithState[LshBucket, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, docsIt, state) =>
+          val arrivals = docsIt.toArray.sortBy(_.doc_id)
+          val st = state.getOption.getOrElse(LshBucket(Nil, Nil))
+          val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+          members ++= st.ids.zip(st.sigs)
+          val out = Seq.newBuilder[NearDupPair]
+          arrivals.foreach { a =>
+            members.foreach { case (mid, msig) =>
+              if (mid != a.doc_id) {
+                var agree = 0
+                var i = 0
+                while (i < msig.length) { if (msig(i) == a.sig(i)) agree += 1; i += 1 }
+                val est = agree.toDouble / msig.length
+                if (est >= 0.5)
+                  out += (if (mid < a.doc_id) NearDupPair(mid, a.doc_id, est)
+                          else NearDupPair(a.doc_id, mid, est))
+              }
+            }
+            members += a.doc_id -> a.sig
+          }
+          state.update(LshBucket(members.map(_._1).toSeq, members.map(_._2).toSeq))
+          out.result().iterator
+      }
+    val wh = java.nio.file.Files.createTempDirectory("stream-lsh-sink")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+    val catalog = new FileCatalog(wh.toString)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var sink: IceTable = null
+    val onBatch: (org.apache.spark.sql.Dataset[NearDupPair], Long) => Unit =
+      (batch, _) => {
+        // every emission of a pair lands in the SAME batch (the one where
+        // its later doc arrives — each doc joins all 16 of its band
+        // buckets in its arrival batch), so multi-band rediscoveries are
+        // in-batch duplicates: collapse them here (est_jaccard is the
+        // same deterministic value on every copy), then upsert keyed on
+        // the pair for cross-batch idempotence under retries
+        val rows = batch.toDF().dropDuplicates("doc_a", "doc_b")
+          .coalesce(1).persist()
+        try {
+          emitted.synchronized { emitted += rows.count() }
+          if (sink == null)
+            sink = IceTable.create(catalog, "neardup_pairs",
+              graft.core.SchemaConv.fromSpark(rows.schema))
+          sink.upsert(rows.sparkSession, rows, Seq("doc_a", "doc_b"))
+          sink.refresh()
+        } finally rows.unpersist()
+      }
+    val q = pairs.writeStream
+      .foreachBatch(onBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(180000), "streaming LSH job did not finish in 180s")
+    require(sink != null, "LSH stream delivered no batches — empty staging dir?")
+    (sink.scan(spark).select("doc_a", "doc_b", "est_jaccard"), emitted.toSeq)
   }
 
   final case class AsofEv(user_id: Long, ts_us: Long, event_id: Long,
@@ -608,6 +720,13 @@ object StreamingOps {
           CAST(epoch_us(m.p_ts) - epoch_us(m.c_ts) AS BIGINT) AS lag_us
         FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.c_ts
         GROUP BY m.purchase_id, m.user_id, m.p_ts, m.c_ts""")),
+
+    QueryDef(
+      "stream_minhash_lsh",
+      (s, dir) => streamedMinhashLsh(s, dir)._1,
+      Some(s"""
+        WITH ${Dedup.minhashCandCtes}
+        SELECT doc_a, doc_b, est_jaccard FROM mh_pairs""")),
 
     QueryDef(
       "stream_dedup_exact",

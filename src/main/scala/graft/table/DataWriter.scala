@@ -40,9 +40,6 @@ object DataWriter {
     val staging =
       if (provider.objectStore) s"${provider.dataPath}/.staging-${UUID.randomUUID()}"
       else s"${provider.dataPath}/${UUID.randomUUID()}"
-    // reference write defaults (`parquet_files.go:46-64`): zstd compression,
-    // bounded rows per file (the rolling-writer equivalent)
-    val compression = properties.getOrElse("write.parquet.compression-codec", "zstd")
     val maxRecords = properties.getOrElse("write.max-records-per-file", "1048576").toLong
     // attach parquet.field.id metadata so Spark's writer stamps Iceberg
     // field IDs into the files (ID-based column resolution on read); the
@@ -85,7 +82,7 @@ object DataWriter {
       else withIds.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     if (spec.isUnpartitioned) {
       aligned.write
-        .option("compression", compression)
+        .options(parquetWriteOptions(properties))
         .option("maxRecordsPerFile", maxRecords)
         .parquet(staging)
       val staged = renameToIceberg(listParquet(staging))
@@ -115,7 +112,7 @@ object DataWriter {
       aligned.select(writeSchema.fields.map(f => col(f.name)) ++ partCols: _*)
         .repartition(shuffleKeys: _*)
         .write
-        .option("compression", compression)
+        .options(parquetWriteOptions(properties))
         .option("maxRecordsPerFile", maxRecords)
         .partitionBy(partNames: _*).parquet(staging)
       val partType = spec.partitionType(schema)
@@ -141,6 +138,38 @@ object DataWriter {
 
   /** Property gating the post-write NaN-count pass (default off). */
   val NanCountsEnabledKey = "write.metadata.nan-counts.enabled"
+
+  /** Iceberg parquet write properties → parquet-hadoop writer options
+    * (reference `parquet_files.go:46-64` write property surface). Defaults
+    * match the reference: zstd compression; the rest fall through to
+    * parquet-hadoop defaults unless the table sets them. Bloom-filter
+    * column keys translate through the SANITIZED file schema names (the
+    * parquet writer sees those, not the table names).
+    * `write.parquet.row-group-limit` has no parquet-hadoop equivalent
+    * (row groups cap by bytes, files by `write.max-records-per-file`).
+    */
+  private[table] def parquetWriteOptions(
+      properties: Map[String, String]): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    b += "compression" -> properties.getOrElse("write.parquet.compression-codec", "zstd")
+    val direct = Seq(
+      "write.parquet.row-group-size-bytes" -> "parquet.block.size",
+      "write.parquet.page-size-bytes" -> "parquet.page.size",
+      "write.parquet.page-row-limit" -> "parquet.page.row.count.limit",
+      "write.parquet.dict-size-bytes" -> "parquet.dictionary.page.size",
+      "write.parquet.bloom-filter-max-bytes" -> "parquet.bloom.filter.max.bytes",
+      // level key is codec-scoped in parquet-hadoop; zstd is our default codec
+      "write.parquet.compression-level" -> "parquet.compression.codec.zstd.level")
+    direct.foreach { case (ice, pq) => properties.get(ice).foreach(b += pq -> _) }
+    val bloomPrefix = "write.parquet.bloom-filter-enabled.column."
+    properties.foreach { case (k, v) =>
+      if (k.startsWith(bloomPrefix) && v.equalsIgnoreCase("true")) {
+        val tableName = k.stripPrefix(bloomPrefix)
+        b += s"parquet.bloom.filter.enabled#${SchemaConv.makeCompatibleName(tableName)}" -> "true"
+      }
+    }
+    b.result()
+  }
 
   /** Populate `nanValueCounts` for float/double columns with one
     * column-pruned scan of the just-written files, grouped per file.

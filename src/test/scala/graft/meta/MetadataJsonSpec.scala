@@ -157,4 +157,28 @@ class MetadataJsonSpec extends AnyFunSuite {
     assert(TableMetadataJson.read(
       cat.readMetadataFile(dir.resolve("v8.metadata.json").toString)).formatVersion == 1)
   }
+
+  test("write.metadata.compression-codec=gzip writes the reference's .gz flavor; commits and reloads work") {
+    import java.nio.file.{Files, Paths}
+    val wh = Files.createTempDirectory("graft-gzw").toString
+    val cat = new FileCatalog(wh)
+    val schema = IceSchema(0, Seq(NestedField(1, "id", IceLong, required = true)))
+    graft.table.IceTable.create(cat, "t_gz", schema,
+      properties = Map("write.metadata.compression-codec" -> "gzip"))
+    // commit a second version through the normal CAS
+    cat.commit("t_gz", 1, cat.load("t_gz").copy(lastUpdatedMs = 42L))
+    assert(cat.currentVersion("t_gz") === 2)
+    assert(cat.load("t_gz").lastUpdatedMs === 42L, "gzip versions must reload")
+    // reference naming flavor exists and carries gzip magic
+    val gzPath = Paths.get(s"$wh/t_gz/metadata/v2.gz.metadata.json")
+    assert(Files.exists(gzPath), "reference .gz.metadata.json flavor missing")
+    val raw = Files.readAllBytes(gzPath)
+    assert(raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte, "not gzip bytes")
+    // metadata-log location resolves, and delete-after-commit removes both names
+    assert(Files.exists(Paths.get(cat.metadataLocation("t_gz", 1))))
+    cat.deleteMetadataBefore("t_gz", 2)
+    assert(!Files.exists(Paths.get(s"$wh/t_gz/metadata/v1.metadata.json")))
+    assert(!Files.exists(Paths.get(s"$wh/t_gz/metadata/v1.gz.metadata.json")))
+    assert(cat.load("t_gz").lastUpdatedMs === 42L)
+  }
 }
