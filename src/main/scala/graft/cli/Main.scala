@@ -57,7 +57,7 @@ object Main {
           val df = spark.read.parquet(args(3))
           val t = IceTable.create(catalog, args(2), SchemaConv.fromSpark(df.schema))
           t.append(df)
-          println(s"created ${args(2)} with ${t.currentSnapshot.map(_.summary("added-records")).getOrElse("0")} rows")
+          println(s"created ${args(2)} with ${t.currentSnapshot.flatMap(_.summary.get("added-records")).getOrElse("0")} rows")
         } finally spark.stop()
       case "rename" =>
         catalog.renameTable(args(2), args(3))

@@ -197,15 +197,11 @@ final class IceTable private (
         val listPath = metaPath(s"snap-$snapId-1-$commitUuid.avro")
         ManifestIO.writeManifestList(listPath, mf +: parentManifests, meta.formatVersion)
         val now = System.currentTimeMillis()
-        val addedRecords = files.map(_.recordCount).sum
-        val summary = Map(
-          "operation" -> "append",
-          "added-data-files" -> files.size.toString,
-          "added-records" -> addedRecords.toString,
-          "total-records" -> (parent.flatMap(_.summary.get("total-records"))
-            .map(_.toLong).getOrElse(0L) + addedRecords).toString,
-          "total-data-files" -> (parent.flatMap(_.summary.get("total-data-files"))
-            .map(_.toLong).getOrElse(0L) + files.size).toString)
+        val collector = summarizeCommit(Seq(mf))
+        val addedRecords = collector.addedDataRecords
+        val summary = Map("operation" -> "append") ++
+          SnapshotSummary.withTotals(collector.build(),
+            parent.map(_.summary).getOrElse(Map.empty))
         val firstRowId =
           if (meta.formatVersion >= 3) Some(meta.nextRowId.getOrElse(0L)) else None
         val snap = Snapshot(snapId, parent.map(_.snapshotId), seq, now, listPath,
@@ -414,7 +410,6 @@ final class IceTable private (
         formatVersion = meta.formatVersion)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       commitManifests(Seq(mf), snapId, seq, commitUuid, "append",
-        addedFiles = files.size, addedRecords = files.map(_.recordCount).sum,
         setProps = setProps, removeProps = removeProps, extraSummary = extraSummary)
     } catch {
       case _: CommitConflictException if retries > 0 =>
@@ -426,56 +421,123 @@ final class IceTable private (
     }
   }
 
+  /** Collect this commit's file deltas off its freshly-written manifests:
+    * Added entries count as adds, Deleted as removes, Existing are carried
+    * rows a rewrite kept (reference feeds its collector the same way from
+    * the producer's added/deleted sets). Metadata-plane read only.
+    */
+  private def summarizeCommit(commitManifests: Seq[ManifestFile]): SnapshotSummary.Collector = {
+    val limit = meta.properties.get(SnapshotSummary.PartitionLimitKey)
+      .flatMap(_.toIntOption).getOrElse(SnapshotSummary.PartitionLimitDefault)
+    val collector = new SnapshotSummary.Collector(limit)
+    commitManifests.foreach { m =>
+      val mSpec = meta.specs.find(_.specId == m.specId).getOrElse(PartitionSpec.Unpartitioned)
+      ManifestIO.readManifest(m.path, meta.specs, schema)._2.foreach { e =>
+        if (e.status == ManifestEntryStatus.Added) collector.addFile(e.dataFile, mSpec, schema)
+        else if (e.status == ManifestEntryStatus.Deleted)
+          collector.removeFile(e.dataFile, mSpec, schema)
+      }
+    }
+    collector
+  }
+
+  /** Merge-append manifest compaction (reference `manifestMergeManager`,
+    * `snapshot_producers.go:245-418`): gated on
+    * `commit.manifest-merge.enabled` (default false — fast-append is the
+    * default shape), data manifests grouped per spec and bin-packed by
+    * on-disk manifest length toward `commit.manifest.target-size-bytes`
+    * (8 MiB default). A single-manifest bin stays as-is; the bin holding
+    * this commit's first (in-memory) manifest merges only past
+    * `commit.manifest.min-count-to-merge`, so one big parent manifest
+    * never forces a rewrite per tiny append; merged entries keep their
+    * original sequence numbers, and this snapshot's own Added/Deleted
+    * statuses survive the rewrite (older Deleted entries age out).
+    *
+    * At scale this is the metadata-plane analogue of file compaction: a
+    * 100-TB table appending every few minutes accretes thousands of
+    * manifests, and planning cost is linear in manifest count.
+    */
+  private def mergeManifestsIfEnabled(assembled: Seq[ManifestFile], snapId: Long,
+      seq: Long, commitUuid: String): Seq[ManifestFile] = {
+    val props = meta.properties
+    val mergeEnabled = props.getOrElse("commit.manifest-merge.enabled", "false").toBoolean
+    if (!mergeEnabled) return assembled
+    val targetSize = props.get("commit.manifest.target-size-bytes")
+      .flatMap(_.toLongOption).getOrElse(8L * 1024 * 1024)
+    val minCountToMerge = props.get("commit.manifest.min-count-to-merge")
+      .flatMap(_.toIntOption).getOrElse(100)
+    val (dataManifests, deleteManifests) = assembled.partition(_.content == 0)
+    if (dataManifests.isEmpty) return assembled
+    val first = dataManifests.head
+    var binIdx = 0
+
+    def mergeBin(specId: Int, bin: Seq[ManifestFile]): Seq[ManifestFile] =
+      if (bin.size == 1) bin
+      else if (bin.contains(first) && bin.size < minCountToMerge) bin
+      else {
+        val mSpec = meta.specs.find(_.specId == specId).getOrElse(PartitionSpec.Unpartitioned)
+        val entries = bin.flatMap { m =>
+          ManifestIO.readManifest(m.path, meta.specs, schema)._2.flatMap { e =>
+            val seqd = e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber)))
+            if (e.status == ManifestEntryStatus.Deleted)
+              // only THIS snapshot's deletes ride along; older tombstones drop
+              if (e.snapshotId == snapId) Some(seqd) else None
+            else if (e.status == ManifestEntryStatus.Added && e.snapshotId == snapId) Some(seqd)
+            else Some(seqd.copy(status = ManifestEntryStatus.Existing))
+          }
+        }
+        binIdx += 1
+        val merged = ManifestIO.writeManifest(metaPath(s"$commitUuid-merged-$binIdx.avro"),
+          entries, mSpec, schema, formatVersion = meta.formatVersion)
+          .copy(sequenceNumber = seq,
+            minSequenceNumber = entries.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+            addedSnapshotId = snapId)
+        Seq(merged)
+      }
+
+    // PackEnd with lookback 1 (reference `internal.SlicePacker`): bins fill
+    // from the list's tail — the oldest carried manifests — so fresh small
+    // manifests pack together while a full-size old one rides alone
+    def packEnd(ms: Seq[ManifestFile]): Seq[Seq[ManifestFile]] = {
+      import scala.collection.mutable
+      val bins = mutable.ListBuffer.empty[mutable.ListBuffer[ManifestFile]]
+      ms.reverseIterator.foreach { m =>
+        bins.lastOption.filter(b => b.map(_.length).sum + m.length <= targetSize) match {
+          case Some(b) => b += m
+          case None => bins += mutable.ListBuffer(m)
+        }
+      }
+      bins.reverseIterator.map(_.reverse.toSeq).toSeq
+    }
+
+    val mergedData = dataManifests.groupBy(_.specId).toSeq.sortBy(-_._1)
+      .flatMap { case (specId, group) => packEnd(group).flatMap(mergeBin(specId, _)) }
+    mergedData ++ deleteManifests
+  }
+
   /** Shared commit tail: assemble manifest list (new + parent's), snapshot,
     * metadata, CAS (reference `snapshot_producers.go:420-718`).
     */
   private def commitManifests(newManifests: Seq[ManifestFile], snapId: Long, seq: Long,
-      commitUuid: String, operation: String, addedFiles: Long, addedRecords: Long,
+      commitUuid: String, operation: String,
       attempt: Int = 1, setProps: Map[String, String] = Map.empty,
       removeProps: Seq[String] = Nil,
       extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val parent = meta.currentSnapshot
     val parentManifests =
       parent.map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
+    // summarize BEFORE merge: the collector wants this commit's deltas,
+    // which a merge rewrites into mixed Existing manifests
+    val collector = summarizeCommit(newManifests)
     val assembled = newManifests ++ parentManifests
-    // merge-append (reference `snapshot_producers.go:245-418`): when the
-    // data-manifest count crosses the threshold, pack them into one
-    // manifest (entries become Existing, original sequence numbers kept)
-    val minCountToMerge = meta.properties
-      .getOrElse("commit.manifest.min-count-to-merge", "100").toInt
-    val dataManifests = assembled.filter(_.content == 0)
-    // a manifest holds one spec's partition tuples — only merge same-spec
-    val finalManifests =
-      if (dataManifests.size < minCountToMerge ||
-          dataManifests.exists(_.specId != spec.specId)) assembled
-      else {
-        val entries = dataManifests.flatMap { m =>
-          ManifestIO.readManifest(m.path, meta.specs, schema)._2
-            .filter(_.status != ManifestEntryStatus.Deleted)
-            .map(e => e.copy(status = ManifestEntryStatus.Existing,
-              sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
-        }
-        val mergedPath = metaPath(s"$commitUuid-merged.avro")
-        val merged = ManifestIO.writeManifest(mergedPath, entries, spec, schema,
-          formatVersion = meta.formatVersion)
-          .copy(sequenceNumber = seq,
-            minSequenceNumber = entries.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
-            addedSnapshotId = snapId)
-        merged +: assembled.filter(_.content == 1)
-      }
+    val finalManifests = mergeManifestsIfEnabled(assembled, snapId, seq, commitUuid)
     val listPath = metaPath(s"snap-$snapId-$attempt-$commitUuid.avro")
     ManifestIO.writeManifestList(listPath, finalManifests, meta.formatVersion)
     val now = System.currentTimeMillis()
-    val totalRecords =
-      parent.flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L) + addedRecords
-    val totalFiles =
-      parent.flatMap(_.summary.get("total-data-files")).map(_.toLong).getOrElse(0L) + addedFiles
-    val summary = Map(
-      "operation" -> operation,
-      "added-data-files" -> addedFiles.toString,
-      "added-records" -> addedRecords.toString,
-      "total-records" -> totalRecords.toString,
-      "total-data-files" -> totalFiles.toString) ++ extraSummary
+    val summary = Map("operation" -> operation) ++
+      SnapshotSummary.withTotals(collector.build() ++ extraSummary,
+        parent.map(_.summary).getOrElse(Map.empty))
+    val addedRecords = collector.addedDataRecords
     // v3 row lineage: the snapshot records the first row ID it assigns and
     // the table counter advances by the rows added (reference
     // `table/snapshots.go:249-258` + metadata `next-row-id`)
@@ -534,9 +596,7 @@ final class IceTable private (
     val deleteManifests =
       if (toKeep.isEmpty) Nil
       else ManifestIO.readManifestList(current.manifestList).filter(_.content == 1)
-    commitManifestList(Seq(mf) ++ deleteManifests, snapId, seq, operation,
-      addedFiles = added.size, addedRecords = added.map(_.recordCount).sum,
-      removedFiles = toDelete.size, removedRecords = toDelete.map(_.dataFile.recordCount).sum)
+    commitManifestList(Seq(mf) ++ deleteManifests, snapId, seq, operation)
   }
 
   /** Compaction: coalesce the current data files into `targetFileCount`
@@ -670,29 +730,22 @@ final class IceTable private (
         }.toSeq
       }
     commitManifestList(packed ++ all.filter(_.content == 1), snapId, seq,
-      operation = "replace", addedFiles = 0, addedRecords = 0,
-      removedFiles = 0, removedRecords = 0)
+      operation = "replace")
   }
 
   private def commitManifestList(manifests: Seq[ManifestFile], snapId: Long, seq: Long,
-      operation: String, addedFiles: Long, addedRecords: Long,
-      removedFiles: Long, removedRecords: Long): Snapshot = {
+      operation: String): Snapshot = {
     val now = System.currentTimeMillis()
     val parent = meta.currentSnapshot
     val listPath = metaPath(s"snap-$snapId-1-${UUID.randomUUID()}.avro")
     ManifestIO.writeManifestList(listPath, manifests, meta.formatVersion)
-    val prevTotalRecords =
-      parent.flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
-    val prevTotalFiles =
-      parent.flatMap(_.summary.get("total-data-files")).map(_.toLong).getOrElse(0L)
-    val summary = Map(
-      "operation" -> operation,
-      "added-data-files" -> addedFiles.toString,
-      "added-records" -> addedRecords.toString,
-      "deleted-data-files" -> removedFiles.toString,
-      "deleted-records" -> removedRecords.toString,
-      "total-records" -> (prevTotalRecords + addedRecords - removedRecords).toString,
-      "total-data-files" -> (prevTotalFiles + addedFiles - removedFiles).toString)
+    // the list mixes carried-forward manifests with this commit's rewrites —
+    // only the latter (stamped addedSnapshotId == snapId) hold its deltas
+    val collector = summarizeCommit(manifests.filter(_.addedSnapshotId == snapId))
+    val summary = Map("operation" -> operation) ++
+      SnapshotSummary.withTotals(collector.build(),
+        parent.map(_.summary).getOrElse(Map.empty))
+    val addedRecords = collector.addedDataRecords
     val firstRowId = if (meta.formatVersion >= 3) Some(meta.nextRowId.getOrElse(0L)) else None
     val snap = Snapshot(snapId, meta.currentSnapshotId, seq, now, listPath, summary,
       meta.currentSchemaId, firstRowId = firstRowId)
@@ -752,8 +805,7 @@ final class IceTable private (
     val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
         schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
-    Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
-      addedFiles = 0, addedRecords = 0))
+    Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete"))
   }
 
   /** Positional delete recorded as v3 DELETION VECTORS: one roaring bitmap
@@ -870,8 +922,7 @@ final class IceTable private (
         schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
     if (!dropDeleteManifests)
-      commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
-        addedFiles = 0, addedRecords = 0)
+      commitManifests(Seq(mf), snapId, seq, commitUuid, "delete")
     else {
       // rewrite: the new DV manifest replaces the POSITIONAL delete
       // manifests; equality-delete manifests are value-based and survive
@@ -882,8 +933,7 @@ final class IceTable private (
         m.content == 0 || ManifestIO.readManifest(m.path, meta.specs, schemaNow)._2
           .exists(_.dataFile.content == 2)
       }
-      commitManifestList(kept :+ mf, snapId, seq, "replace",
-        addedFiles = 0, addedRecords = 0, removedFiles = 0, removedRecords = 0)
+      commitManifestList(kept :+ mf, snapId, seq, "replace")
     }
   }
 
@@ -940,8 +990,7 @@ final class IceTable private (
     val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
         schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
-    commitManifests(Seq(mf), snapId, seq, commitUuid, "delete",
-      addedFiles = 0, addedRecords = 0)
+    commitManifests(Seq(mf), snapId, seq, commitUuid, "delete")
   }
 
   /** Upsert (MERGE-by-key) as ONE row-delta snapshot: an equality-delete
@@ -980,8 +1029,7 @@ final class IceTable private (
       val deleteMf = ManifestIO.writeManifest(metaPath(s"$commitUuid-m1.avro"),
           deleteEntries, PartitionSpec.Unpartitioned, schemaNow, formatVersion = meta.formatVersion, content = 1)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
-      commitManifests(Seq(dataMf, deleteMf), snapId, seq, commitUuid, "overwrite",
-        addedFiles = dataFiles.size, addedRecords = dataFiles.map(_.recordCount).sum)
+      commitManifests(Seq(dataMf, deleteMf), snapId, seq, commitUuid, "overwrite")
     }
 
   // ------------------------------------------------- snapshot management
@@ -1051,9 +1099,7 @@ final class IceTable private (
     val seq = meta.lastSequenceNumber + 1
     val stamped = manifests.map(_.copy(
       sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = ds.snapshotId))
-    commitManifests(stamped, ds.snapshotId, seq, ds.commitUuid, "append",
-      addedFiles = stamped.map(_.addedFilesCount.toLong).sum,
-      addedRecords = stamped.map(_.addedRowsCount).sum)
+    commitManifests(stamped, ds.snapshotId, seq, ds.commitUuid, "append")
   }
 
   // ------------------------------------------------------------ transaction

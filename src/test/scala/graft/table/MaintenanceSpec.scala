@@ -106,6 +106,7 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 until 5).foreach(i => t.append(lineitem.where(s"pmod(l_orderkey, 5) = $i")))
     t.deleteWhere(spark, P.equalTo("l_returnflag", "R"))
     val expected = t.scan(spark).count()
+    val parentSummary = t.currentSnapshot.get.summary
     val before = ManifestIO.readManifestList(t.currentSnapshot.get.manifestList)
     assert(before.count(_.content == 0) == 5)
     val filesBefore = t.newScan().planFiles().map(_.file.filePath).toSet
@@ -118,9 +119,12 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // identical plan inputs and results: same files, same MOR-deleted rows
     assert(t.newScan().planFiles().map(_.file.filePath).toSet == filesBefore)
     assert(t.scan(spark).count() == expected)
-    // totals unchanged in the snapshot summary (metadata-only operation)
-    assert(snap.summary("added-data-files") == "0"
-      && snap.summary("deleted-data-files") == "0")
+    // totals unchanged in the snapshot summary (metadata-only operation);
+    // zero deltas are OMITTED per the reference's setWhenPositive
+    assert(!snap.summary.contains("added-data-files")
+      && !snap.summary.contains("deleted-data-files"))
+    assert(snap.summary("total-data-files") == parentSummary("total-data-files")
+      && snap.summary("total-records") == parentSummary("total-records"))
   }
 
   test("compaction: many files become few, data identical, old files orphaned") {
@@ -498,7 +502,9 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("merge-append packs manifests past the threshold") {
     val t = IceTable.create(catalog, "li_merge",
       SchemaConv.fromSpark(lineitem.schema),
-      properties = Map("commit.manifest.min-count-to-merge" -> "3"))
+      properties = Map(
+        "commit.manifest-merge.enabled" -> "true",
+        "commit.manifest.min-count-to-merge" -> "3"))
     t.append(lineitem.where("l_linenumber = 1").coalesce(1))
     t.append(lineitem.where("l_linenumber = 2").coalesce(1))
     assert(t.manifestsDF(spark).count() == 2)
