@@ -128,6 +128,10 @@ object TableMetadataJson {
       m.schemas.foreach(_.byId.values.foreach { f =>
         require(f.tpe != IceTimestampNs && f.tpe != IceTimestampTzNs,
           s"field '${f.name}': ${IceType.toSpecString(f.tpe)} requires format-version 3+")
+        // column defaults are a v3 feature (reference checkSchemaCompatibility,
+        // metadata_schema_comptability.go:73-113: defaultValuesMinFormatVersion)
+        require(f.initialDefault.isEmpty && f.writeDefault.isEmpty,
+          s"field '${f.name}': default values require format-version 3+")
       })
     val root = mapper.createObjectNode()
     root.put("format-version", m.formatVersion)

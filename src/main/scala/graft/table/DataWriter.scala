@@ -33,14 +33,28 @@ object DataWriter {
 
   def write(df: DataFrame, location: String, schema: IceSchema,
       spec: PartitionSpec, sortOrder: SortOrder = SortOrder.Unsorted,
-      properties: Map[String, String] = Map.empty): Seq[DataFile] = {
+      properties: Map[String, String] = Map.empty,
+      avgRowBytesHint: Option[Long] = None): Seq[DataFile] = {
     // location strategy (reference table/locations.go): write.data.path
     // override + optional object-storage entropy placement
     val provider = Locations.forTable(location, properties)
     val staging =
       if (provider.objectStore) s"${provider.dataPath}/.staging-${UUID.randomUUID()}"
       else s"${provider.dataPath}/${UUID.randomUUID()}"
-    val maxRecords = properties.getOrElse("write.max-records-per-file", "1048576").toLong
+    // file sizing: an explicit record cap wins; otherwise translate the
+    // reference's byte target (`write.target-file-size-bytes`, 512 MiB
+    // default, rolling_data_writer.go:40-48) through the table's own
+    // observed on-disk bytes/row — Spark's writer rolls by record count
+    // only, and footer-derived compressed size is exactly the unit the
+    // byte target is defined over. A fresh table (no history) falls back
+    // to the 1M-row cap until its first commit provides the estimate.
+    val maxRecords = properties.get("write.max-records-per-file").map(_.toLong)
+      .getOrElse {
+        val target = properties.get("write.target-file-size-bytes")
+          .flatMap(_.toLongOption).getOrElse(512L * 1024 * 1024)
+        avgRowBytesHint.filter(_ > 0)
+          .map(b => math.max(1L, target / b)).getOrElse(1048576L)
+      }
     // attach parquet.field.id metadata so Spark's writer stamps Iceberg
     // field IDs into the files (ID-based column resolution on read); the
     // cast to the Iceberg-derived Spark type carries NESTED field IDs too

@@ -179,7 +179,8 @@ final class IceTable private (
     */
   def appendToBranch(df: DataFrame, branch: String, retries: Int = 3): Snapshot =
     synchronized {
-      val files = DataWriter.write(df, location, schema, spec, sortOrder, meta.properties)
+      val files = DataWriter.write(df, location, schema, spec, sortOrder,
+        meta.properties, avgRowBytesHint = avgRowBytes)
       def attempt(r: Int): Snapshot = try {
         val snapId = meta.reserveSnapshotId()
         val seq = meta.lastSequenceNumber + 1
@@ -331,7 +332,8 @@ final class IceTable private (
     * carry parent manifests forward, CAS-commit with retry.
     */
   def append(df: DataFrame): Snapshot = {
-    val files = DataWriter.write(df, location, schema, spec, sortOrder, meta.properties)
+    val files = DataWriter.write(df, location, schema, spec, sortOrder,
+      meta.properties, avgRowBytesHint = avgRowBytes)
     commitAddedFiles(files, retries = 3)
   }
 
@@ -385,6 +387,21 @@ final class IceTable private (
       setProps = if (anyIdLess) Map(IceTable.HasIdLessFilesProp -> "true") else Map.empty,
       extraSummary = snapshotProps)
   }
+
+  /** Observed on-disk bytes per row from the running totals the snapshot
+    * summary always carries — the estimate that translates
+    * `write.target-file-size-bytes` into Spark's record-count file cap
+    * (delete-key writes skip it: their row shape is narrower than the
+    * table's).
+    */
+  private def avgRowBytes: Option[Long] =
+    meta.currentSnapshot.flatMap { s =>
+      for {
+        size <- s.summary.get("total-files-size").flatMap(_.toLongOption)
+        rows <- s.summary.get("total-records").flatMap(_.toLongOption)
+        if rows > 0 && size > 0
+      } yield math.max(1L, size / rows)
+    }
 
   /** The table's effective name mapping: the explicit
     * `schema.name-mapping.default` property when set, else the schema's
@@ -624,7 +641,8 @@ final class IceTable private (
       if (hasDeletes) scan.toDFFor(spark, tasks)
       else spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
     val newFiles = DataWriter.write(transform(source),
-      location, schema, PartitionSpec.Unpartitioned, properties = meta.properties)
+      location, schema, PartitionSpec.Unpartitioned, properties = meta.properties,
+      avgRowBytesHint = avgRowBytes)
     replaceDataFiles(oldPaths, newFiles, operation = "replace")
   }
 
@@ -679,9 +697,10 @@ final class IceTable private (
       else DataWriter.write(
         scan.toDFFor(spark, partial)
           .where(!coalesce(Predicates.toColumn(bound), lit(false))),
-        location, schema, spec, properties = meta.properties)
+        location, schema, spec, properties = meta.properties,
+        avgRowBytesHint = avgRowBytes)
     val addedNew = DataWriter.write(replacement, location, schema, spec,
-      properties = meta.properties)
+      properties = meta.properties, avgRowBytesHint = avgRowBytes)
     replaceDataFiles((fullMatch ++ partial).map(_.file.filePath).toSet,
       survivors ++ addedNew, operation = "overwrite")
   }
@@ -1015,7 +1034,7 @@ final class IceTable private (
         .map(_.copy(content = 2, equalityIds = eqIds))
         .filter(_.recordCount > 0)
       val dataFiles = DataWriter.write(rows, location, schemaNow, spec, sortOrder,
-        meta.properties)
+        meta.properties, avgRowBytesHint = avgRowBytes)
       val snapId = meta.reserveSnapshotId()
       val seq = meta.lastSequenceNumber + 1
       val commitUuid = UUID.randomUUID().toString

@@ -158,6 +158,27 @@ class MetadataJsonSpec extends AnyFunSuite {
       cat.readMetadataFile(dir.resolve("v8.metadata.json").toString)).formatVersion == 1)
   }
 
+  test("column defaults require format-version 3 (checkSchemaCompatibility parity)") {
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", IceLong, required = true),
+      NestedField(2, "q", IceDouble, required = false,
+        initialDefault = Some(0.5), writeDefault = Some(0.5))))
+    def meta(v: Int) = TableMetadata(
+      formatVersion = v, tableUuid = java.util.UUID.randomUUID().toString,
+      location = "file:///tmp/t", lastSequenceNumber = 0L,
+      lastUpdatedMs = 1L, lastColumnId = 2, currentSchemaId = 0,
+      schemas = Seq(schema), defaultSpecId = 0,
+      specs = Seq(PartitionSpec.Unpartitioned), lastPartitionId = 999,
+      defaultSortOrderId = 0, sortOrders = Seq(SortOrder.Unsorted),
+      properties = Map.empty, currentSnapshotId = None,
+      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty,
+      nextRowId = if (v >= 3) Some(0L) else None)
+    val e = intercept[IllegalArgumentException](TableMetadataJson.write(meta(2)))
+    assert(e.getMessage.contains("default values require format-version 3+"))
+    assert(TableMetadataJson.read(TableMetadataJson.write(meta(3)))
+      .schemas.head.findByName("q").exists(_.initialDefault.contains(0.5)))
+  }
+
   test("write.metadata.compression-codec=gzip writes the reference's .gz flavor; commits and reloads work") {
     import java.nio.file.{Files, Paths}
     val wh = Files.createTempDirectory("graft-gzw").toString

@@ -108,7 +108,9 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("column defaults: initial-default fills pre-existing files, write-default fills omitted columns") {
-    val t = IceTable.create(catalog, "nation_defaults", SchemaConv.fromSpark(nation.schema))
+    // defaults are a v3 feature (reference checkSchemaCompatibility)
+    val t = IceTable.create(catalog, "nation_defaults", SchemaConv.fromSpark(nation.schema),
+      properties = Map("format-version" -> "3"))
     t.append(nation) // written BEFORE the column exists
     t.updateSchema().addColumnWithDefault("quality", IceDouble, 0.5).commit()
     // defaults survive the metadata JSON round-trip

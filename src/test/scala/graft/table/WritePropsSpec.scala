@@ -82,6 +82,34 @@ class WritePropsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally r.close()
   }
 
+  test("write.target-file-size-bytes sizes files through the table's observed bytes/row") {
+    val df = spark.range(100000).select(col("id"),
+      concat(lit("payload-payload-payload-payload-"), col("id")).as("s"))
+    val t = IceTable.create(catalog, "wp_target", SchemaConv.fromSpark(df.schema),
+      properties = Map("write.target-file-size-bytes" -> "65536"))
+    // first append: no history → no bytes/row estimate → single-cap fallback
+    t.append(df.coalesce(1))
+    t.refresh()
+    assert(t.newScan().planFiles().size == 1)
+    // second append: totals from commit 1 give bytes/row; files roll at ~64 KiB
+    t.append(df.coalesce(1))
+    t.refresh()
+    val files = t.newScan().planFiles().map(_.file)
+      .filter(_.fileSizeInBytes < 10 * 65536) // the commit-2 rolled files
+    assert(files.size > 2, s"expected several rolled files, got ${files.size}")
+    // each rolled file lands within a small factor of the byte target
+    // (compressed estimate vs actual drift)
+    assert(files.forall(_.fileSizeInBytes < 4L * 65536),
+      s"oversized: ${files.map(_.fileSizeInBytes)}")
+    // an explicit record cap always wins over the byte target
+    val t2 = IceTable.create(catalog, "wp_target_cap", SchemaConv.fromSpark(df.schema),
+      properties = Map(
+        "write.target-file-size-bytes" -> "65536",
+        "write.max-records-per-file" -> "1000000"))
+    t2.append(df.coalesce(1)); t2.refresh(); t2.append(df.coalesce(1)); t2.refresh()
+    assert(t2.newScan().planFiles().size == 2, "record cap must override byte target")
+  }
+
   test("per-column bloom filter writes a bloom offset for that column only") {
     // high-cardinality column: parquet-mr omits the bloom filter when a
     // dictionary already covers every value, so a low-NDV column would
