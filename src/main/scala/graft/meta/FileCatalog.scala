@@ -92,16 +92,19 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     s"${metadataDir(name)}/v$v.gz.metadata.json"
   private def hintFile(name: String) = s"${metadataDir(name)}/version-hint.text"
 
-  /** The on-disk metadata file for `version` — plain or the reference's
-    * `.gz.metadata.json` flavor (`locations.go:65-78`), whichever exists.
+  /** The on-disk metadata file for `version` — the reference's
+    * `.gz.metadata.json` flavor (`locations.go:65-78`) when the table was
+    * committed with gzip metadata, else the plain name. The gzip flavor is
+    * PREFERRED when present so every recorded/returned location is
+    * extension-accurate for readers that dispatch decompression by file
+    * name (reference `table.go` isGzippedMetadataJson, Java Iceberg
+    * Codec.fromFileName); the plain CAS-lock name always holds plain JSON
+    * and remains a valid fallback.
     */
   private def resolveVersionFile(name: String, v: Int): String = {
-    val plain = versionFile(name, v)
-    if (Files.exists(Paths.get(stripScheme(plain)))) plain
-    else {
-      val gz = gzVersionFile(name, v)
-      if (Files.exists(Paths.get(stripScheme(gz)))) gz else plain
-    }
+    val gz = gzVersionFile(name, v)
+    if (Files.exists(Paths.get(stripScheme(gz)))) gz
+    else versionFile(name, v)
   }
 
   override def metadataLocation(name: String, version: Int): String =
@@ -251,38 +254,37 @@ final class FileCatalog(val warehouse: String) extends Catalog {
   private def writeVersion(name: String, v: Int, metadata: TableMetadata): Unit = {
     val json = TableMetadataJson.write(metadata)
     // write.metadata.compression-codec=gzip writes the reference's
-    // `.gz.metadata.json` flavor (locations.go:65-78); reads resolve
-    // either ext. BOTH flavors hard-link the SAME plain `v{N}` name as
-    // the CAS lock target, so a gzip writer and a plain writer racing the
-    // same version still see exactly one winner.
+    // `.gz.metadata.json` flavor (locations.go:65-78). The PLAIN name is
+    // always the CAS lock AND always holds PLAIN JSON: external readers
+    // (reference `table.go` isGzippedMetadataJson, Java Iceberg
+    // Codec.fromFileName) dispatch decompression by file EXTENSION, so a
+    // `.metadata.json` name must never hold gzip bytes. The gzip flavor is
+    // a sibling file written by the CAS winner only, so both names always
+    // carry byte-content matching their extension.
     val gzip = metadata.properties
       .get("write.metadata.compression-codec").contains("gzip")
-    val bytes =
-      if (!gzip) json.getBytes(StandardCharsets.UTF_8)
-      else {
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(json.getBytes(StandardCharsets.UTF_8)); gz.close()
-        bos.toByteArray
-      }
     val lock = Paths.get(stripScheme(versionFile(name, v)))
     val tmp = Files.createTempFile(lock.getParent, s".v$v-", ".tmp")
     try {
-      Files.write(tmp, bytes)
-      // the PLAIN name is always the CAS lock (and holds the bytes —
-      // readMetadataFile gzip-sniffs by magic), so plain and gzip writers
-      // racing one version still see exactly one winner; the gzip flavor
-      // additionally hard-links the reference-visible `.gz` name to the
-      // same inode
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
       try Files.createLink(lock, tmp) // atomic: exactly one writer wins v
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new CommitConflictException(s"lost CAS race for $name v$v")
       }
       if (gzip) {
+        // only the CAS winner reaches here, so the non-atomic sibling
+        // write is single-writer; readers prefer this name (see
+        // resolveVersionFile) once it exists and fall back to the plain
+        // lock bytes until then
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(json.getBytes(StandardCharsets.UTF_8)); gz.close()
         val gzTarget = Paths.get(stripScheme(gzVersionFile(name, v)))
-        Files.deleteIfExists(gzTarget)
-        Files.createLink(gzTarget, lock)
+        val gzTmp = Files.createTempFile(lock.getParent, s".v$v-gz-", ".tmp")
+        Files.write(gzTmp, bos.toByteArray)
+        Files.move(gzTmp, gzTarget,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       }
     } finally Files.deleteIfExists(tmp)
     // hint is advisory; last-writer-wins is fine because versions only grow

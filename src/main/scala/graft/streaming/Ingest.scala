@@ -107,13 +107,19 @@ object Ingest {
     // entries in the until manifest list were all committed on its lineage;
     // the ancestry guard is belt-and-braces (expired committers — absent
     // from meta.snapshots — stay included, exactly as the opOf guard below)
+    // select by ENTRY-level sequence, not Added status: a merge-append
+    // commit inside the range (commit.manifest-merge.enabled) rewrites
+    // prior snapshots' Added entries to Existing in the merged manifest,
+    // but each entry keeps its original sequenceNumber and snapshotId
+    // (mergeManifestsIfEnabled writes them explicitly), so an in-range
+    // append survives the rewrite as an Existing entry with in-range seq
     val newFiles = ManifestIO.readManifestList(until.manifestList)
       .filter(m => m.content == 0 && m.sequenceNumber > sinceSeq)
       .flatMap { m =>
         ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
           .filter { e =>
             val seq = e.sequenceNumber.getOrElse(m.sequenceNumber)
-            e.status == graft.meta.ManifestEntryStatus.Added &&
+            e.status != graft.meta.ManifestEntryStatus.Deleted &&
               seq > sinceSeq && seq <= until.sequenceNumber &&
               opOf.get(e.snapshotId).forall(_ == "append") &&
               (ancestryIds.contains(e.snapshotId) ||
@@ -180,14 +186,17 @@ object Ingest {
         bad.map(s => s"${s.snapshotId}(${opOf(s.snapshotId)})").mkString(", "))
     graft.GraftSession.ensurePrepared(spark)
     val parts = Seq.newBuilder[DataFrame]
-    // inserts: the until-snapshot's manifest diff, grouped by commit seq
+    // inserts: the until-snapshot's manifest diff, grouped by commit seq.
+    // Entry-level seq selection (not Added status) so appends merged away
+    // by an in-range merge-append commit — demoted to Existing but keeping
+    // their original seq/snapshotId — still surface as 'I' rows
     ManifestIO.readManifestList(until.manifestList)
       .filter(m => m.content == 0 && m.sequenceNumber > sinceSeq)
       .flatMap { m =>
         ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
           .filter { e =>
             val seq = e.sequenceNumber.getOrElse(m.sequenceNumber)
-            e.status == graft.meta.ManifestEntryStatus.Added &&
+            e.status != graft.meta.ManifestEntryStatus.Deleted &&
               seq > sinceSeq && seq <= until.sequenceNumber &&
               opOf.get(e.snapshotId).forall(_ == "append") &&
               (ancestryIds.contains(e.snapshotId) ||

@@ -165,16 +165,30 @@ object DataWriter {
   private[table] def parquetWriteOptions(
       properties: Map[String, String]): Map[String, String] = {
     val b = Map.newBuilder[String, String]
-    b += "compression" -> properties.getOrElse("write.parquet.compression-codec", "zstd")
+    val codec = properties.getOrElse("write.parquet.compression-codec", "zstd")
+    b += "compression" -> codec
     val direct = Seq(
       "write.parquet.row-group-size-bytes" -> "parquet.block.size",
       "write.parquet.page-size-bytes" -> "parquet.page.size",
       "write.parquet.page-row-limit" -> "parquet.page.row.count.limit",
       "write.parquet.dict-size-bytes" -> "parquet.dictionary.page.size",
-      "write.parquet.bloom-filter-max-bytes" -> "parquet.bloom.filter.max.bytes",
-      // level key is codec-scoped in parquet-hadoop; zstd is our default codec
-      "write.parquet.compression-level" -> "parquet.compression.codec.zstd.level")
+      "write.parquet.bloom-filter-max-bytes" -> "parquet.bloom.filter.max.bytes")
     direct.foreach { case (ice, pq) => properties.get(ice).foreach(b += pq -> _) }
+    // the level key is codec-SCOPED in parquet-hadoop, so route it to the
+    // key of the codec actually selected (the reference applies the level
+    // to whichever codec is configured); codecs without a level key (gzip,
+    // snappy, ...) get no mapping — the level would be silently ignored
+    // under the wrong key, which is worse than dropping it explicitly
+    properties.get("write.parquet.compression-level").foreach { lvl =>
+      codec.toLowerCase match {
+        case "zstd" => b += "parquet.compression.codec.zstd.level" -> lvl
+        case "brotli" => b += "compression.brotli.quality" -> lvl
+        case other =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"write.parquet.compression-level=$lvl ignored: parquet-hadoop " +
+              s"has no level knob for codec '$other'")
+      }
+    }
     val bloomPrefix = "write.parquet.bloom-filter-enabled.column."
     properties.foreach { case (k, v) =>
       if (k.startsWith(bloomPrefix) && v.equalsIgnoreCase("true")) {

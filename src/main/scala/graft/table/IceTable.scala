@@ -358,13 +358,18 @@ final class IceTable private (
     require(spec.isUnpartitioned, "addFiles supports unpartitioned tables")
     require(paths.distinct.size == paths.size,
       "file paths must be unique for addFiles")
-    val requested = paths.toSet
+    // scheme-insensitive comparison (same norm as DataWriter/positionsOf):
+    // `file:///x` and `/x` are the same file, and a scheme-qualified
+    // re-registration must not slip past the duplicate guard (ADVICE r13)
+    def norm(p: String) = p.replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")
+    val requested = paths.map(norm).toSet
     val referenced = currentSnapshot.toSeq
       .flatMap(_ => newScan().planFiles().map(_.file.filePath))
-      .filter(requested)
+      .filter(p => requested(norm(p)))
+    val referencedNorm = referenced.map(norm).toSet
     val toAdd =
       if (referenced.isEmpty) paths
-      else if (ignoreDuplicates) paths.filterNot(referenced.toSet)
+      else if (ignoreDuplicates) paths.filterNot(p => referencedNorm(norm(p)))
       else throw new IllegalArgumentException(
         "cannot add files that are already referenced by table, files: " +
           referenced.mkString(", "))

@@ -195,6 +195,14 @@ class MetadataJsonSpec extends AnyFunSuite {
     assert(Files.exists(gzPath), "reference .gz.metadata.json flavor missing")
     val raw = Files.readAllBytes(gzPath)
     assert(raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte, "not gzip bytes")
+    // every name's bytes match its extension: the plain CAS-lock name must
+    // hold PLAIN json (external readers dispatch decompression by file
+    // name — reference table.go isGzippedMetadataJson, Java Iceberg
+    // Codec.fromFileName), and resolved locations prefer the gzip flavor
+    val plain = Files.readAllBytes(Paths.get(s"$wh/t_gz/metadata/v2.metadata.json"))
+    assert(plain(0) == '{'.toByte, "plain .metadata.json name must hold plain JSON")
+    assert(cat.metadataLocation("t_gz", 2).endsWith("v2.gz.metadata.json"),
+      "gzip-committed versions should resolve to the extension-accurate .gz name")
     // metadata-log location resolves, and delete-after-commit removes both names
     assert(Files.exists(Paths.get(cat.metadataLocation("t_gz", 1))))
     cat.deleteMetadataBefore("t_gz", 2)

@@ -137,6 +137,31 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(changes(t, s2.snapshotId) === (3L until 5L).map(k => (k, "D", 3L)).toSet)
   }
 
+  test("merge-append inside the range keeps merged-away appends visible") {
+    // a merge-append commit demotes prior Added entries to Existing in the
+    // merged manifest; entry-level seq/snapshotId survive, and both the
+    // incremental read and the changelog must select by THOSE, not by
+    // Added status (ADVICE r13)
+    val t = IceTable.create(catalog, "cdc_merge", SchemaConv.fromSpark(nation.schema),
+      properties = Map(
+        "commit.manifest-merge.enabled" -> "true",
+        "commit.manifest.min-count-to-merge" -> "3"))
+    val s1 = t.append(nation.where("n_nationkey < 5").coalesce(1))   // seq 1
+    t.append(nation.where("n_nationkey >= 5 and n_nationkey < 10").coalesce(1)) // seq 2
+    t.append(nation.where("n_nationkey >= 10").coalesce(1))          // seq 3 → merge fires
+    t.refresh()
+    assert(t.manifestsDF(spark).count() == 1, "merge-append should have packed to one manifest")
+    // incremental read over (s1, head] sees seq-2 and seq-3 rows even
+    // though their entries are now Existing in the merged manifest
+    val inc = Ingest.changesSince(spark, t, s1.snapshotId)
+      .select("n_nationkey").collect().map(_.getAs[Number](0).longValue()).toSet
+    assert(inc === (5L until 25L).toSet)
+    // and NOT the seq-1 rows (entry seq still bounds the range)
+    assert(changes(t, s1.snapshotId) ===
+      (5L until 10L).map(k => (k, "I", 2L)).toSet ++
+        (10L until 25L).map(k => (k, "I", 3L)).toSet)
+  }
+
   test("empty range yields an empty, correctly-shaped frame") {
     val t = IceTable.create(catalog, "cdc_empty", SchemaConv.fromSpark(nation.schema))
     val s1 = t.append(nation)

@@ -62,6 +62,20 @@ class WritePropsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DataWriter.parquetWriteOptions(Map.empty)("compression") === "zstd")
   }
 
+  test("compression-level key is scoped to the resolved codec (ADVICE r13)") {
+    // zstd (and the default codec = zstd): level maps to the zstd-scoped key
+    val zstd = DataWriter.parquetWriteOptions(Map(
+      "write.parquet.compression-level" -> "7"))
+    assert(zstd("parquet.compression.codec.zstd.level") === "7")
+    // non-zstd codec: the zstd key must NOT be emitted (parquet-hadoop
+    // would silently ignore the level under the wrong codec's key)
+    val gz = DataWriter.parquetWriteOptions(Map(
+      "write.parquet.compression-codec" -> "gzip",
+      "write.parquet.compression-level" -> "7"))
+    assert(!gz.contains("parquet.compression.codec.zstd.level"))
+    assert(gz("compression") === "gzip")
+  }
+
   test("row-group size property produces multiple row groups; codec lands in the footer") {
     val df = spark.range(200000).select(col("id"),
       concat(lit("payload-payload-payload-"), col("id")).as("s"))
