@@ -40,6 +40,27 @@ object Dedup {
   private val NumHashes = graft.functions.MinHashSig.NumHashes
   private val BandCount = 16 // 16 bands x 4 rows
 
+  /** Hot-bucket budget for the LSH band self-join. A mass-duplicate corpus
+    * (thousands of identical boilerplate pages — the standard web-crawl
+    * degenerate case) puts every copy in the SAME 16 band buckets, making
+    * one (band, band_hash) key Σ C(n,2)-quadratic in the pair join AND
+    * handing the whole bucket to one reducer. Buckets above this cap are
+    * deterministically split into ceil(n/cap) sub-buckets by a modular
+    * fold of (doc_id, band) — see [[saltBands]] — which bounds pair output
+    * per original bucket at ~n·cap/2 (corpus-LINEAR for a fixed cap).
+    *
+    * Recall bound (documented, by design): pairs are only generated within
+    * a sub-bucket, so a true near-dup pair inside a HOT bucket survives a
+    * given band with probability 1/S (S = ceil(n/cap)) and is caught iff
+    * some band of the 16 co-salts it — for S=2 that is 1-(1/2)^16 ≈
+    * 99.998%, S=8 ≈ 88%, decaying with hotness. Cool buckets (n ≤ cap,
+    * i.e. everything a non-degenerate corpus produces) are EXACTLY as
+    * before: salt is constant 0. The DuckDB oracle restates the same fold
+    * ([[minhashCandCtes]]), so the engine and oracle agree bit-for-bit at
+    * every corpus shape.
+    */
+  val BandBucketCap = 4096
+
   private[ops] def minhashSig(c: Column): Column =
     GraftShim.column(graft.functions.MinHashSigExpr(GraftShim.expression(c)))
 
@@ -73,6 +94,31 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
   }
 
+  /** Deterministic sub-bucketing of hot LSH buckets (see [[BandBucketCap]]
+    * for the why and the recall bound): count rows per
+    * (band, band_hash, source), and give each row a `salt` of 0 when its
+    * bucket fits the cap, else a modular fold of (doc_id, band) into
+    * S = ceil(n/cap) sub-buckets. Every operation is exact integer
+    * arithmetic restatable in ANSI SQL — (doc_id mod p)·1000003 stays
+    * under 2^52 — so the DuckDB oracle computes the identical salt. The
+    * count join is keyed on the same columns as the aggregation
+    * (co-partitioned, no extra wide shuffle), and the salt fold depends on
+    * doc_id AND band so the 16 bands of one mass-dup group salt
+    * pseudo-independently — that is what buys the 1-(1-1/S)^16 recall.
+    */
+  private[ops] def saltBands(bands: DataFrame, cap: Int): DataFrame = {
+    val counts = bands.groupBy("band", "band_hash", "source")
+      .agg(count(lit(1)).as("__bn"))
+    bands.join(counts, Seq("band", "band_hash", "source"))
+      .withColumn("salt",
+        when(col("__bn") <= cap, lit(0L))
+          .otherwise(
+            ((col("doc_id") % lit(2147483647L)) * lit(1000003L) + col("band"))
+              % lit(2147483647L)
+              % ((col("__bn") + lit(cap - 1L)) / lit(cap.toLong)).cast("long")))
+      .drop("__bn")
+  }
+
   // ------------------------------------------------ minhash oracle SQL
   /** The signature/band/candidate CTEs every MinHash-LSH oracle shares —
     * generated from the SAME coefficient arrays and fold constants the
@@ -81,7 +127,11 @@ object Dedup {
     * [[graft.functions.TokenHash.hash32]]; `sg` is 64 per-permutation MIN
     * aggregates; `bands` is the [[bandFold]] polynomial via list_reduce.
     */
-  private[ops] def minhashCandCtes: String = {
+  /** Shared prefix (tokens → hashes → signatures → band hashes) of the
+    * MinHash oracle CTEs; the batch and streaming flavors differ only in
+    * how `mh_cand` bounds hot buckets.
+    */
+  private def minhashSigCtes: String = {
     import graft.functions.MinHashSig.{NumHashes => N, Prime, coeffA, coeffB}
     val mins = (0 until N)
       .map(i => s"min((${coeffA(i)}*x + ${coeffB(i)}) % $Prime)")
@@ -95,11 +145,13 @@ sg AS (SELECT doc_id, source, [$mins] AS sig FROM hx GROUP BY doc_id, source),
 bands AS (SELECT doc_id, source, b.band,
     list_reduce([0] || sig[4*b.band+1:4*b.band+4], (acc, s) ->
       (acc*1000003 + (s % 4294967296)) % 2147483647) AS band_hash
-  FROM sg, (SELECT unnest(range(0,16)) AS band) b),
-mh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-    AND a.source = b.source AND a.doc_id < b.doc_id),
-mh_pairs AS (
+  FROM sg, (SELECT unnest(range(0,16)) AS band) b)"""
+  }
+
+  /** `mh_pairs`: the signature-agreement verify shared by both flavors. */
+  private def minhashVerifyCte: String = {
+    import graft.functions.MinHashSig.{NumHashes => N}
+    s"""mh_pairs AS (
   SELECT doc_a, doc_b, est_jaccard FROM (
     SELECT cd.doc_a, cd.doc_b,
       CAST(len(list_filter(range(0,$N), i -> sa.sig[i+1] = sb.sig[i+1]))
@@ -109,22 +161,65 @@ mh_pairs AS (
   WHERE est_jaccard >= 0.5)"""
   }
 
+  private[ops] def minhashCandCtes: String = {
+    val cap = BandBucketCap
+    // bcnt/sbands restate [[saltBands]] verbatim: per-bucket counts, then
+    // salt = fold(doc_id, band) into ceil(n/cap) sub-buckets for buckets
+    // over the cap (0 otherwise); `//` is DuckDB integer division, exact
+    // like the engine's cast-truncated long division
+    s"""$minhashSigCtes,
+bcnt AS (SELECT band, band_hash, source, count(*) AS n
+  FROM bands GROUP BY band, band_hash, source),
+sbands AS (SELECT b.doc_id, b.source, b.band, b.band_hash,
+    CASE WHEN c.n <= $cap THEN 0
+         ELSE ((b.doc_id % 2147483647) * 1000003 + b.band) % 2147483647
+              % ((c.n + ${cap - 1}) // $cap) END AS salt
+  FROM bands b JOIN bcnt c ON b.band = c.band AND b.band_hash = c.band_hash
+    AND b.source = c.source),
+mh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sbands a JOIN sbands b ON a.band = b.band AND a.band_hash = b.band_hash
+    AND a.source = b.source AND a.salt = b.salt AND a.doc_id < b.doc_id),
+$minhashVerifyCte"""
+  }
+
+  /** Streaming-flavor candidate CTEs: the stream caps BUCKET MEMBERSHIP at
+    * [[graft.ops.StreamingOps.StreamBucketCap]] first-arrived (= smallest,
+    * arrivals are doc_id-ascending by construction) members instead of
+    * sub-bucketing, so a pair survives iff its OLDER doc is among the
+    * first K of the bucket — `rk <= K` below restates exactly that.
+    */
+  private[ops] def minhashCandCtesStream(cap: Int): String =
+    s"""$minhashSigCtes,
+rb AS (SELECT doc_id, source, band, band_hash,
+    row_number() OVER (PARTITION BY band, band_hash, source
+      ORDER BY doc_id) AS rk
+  FROM bands),
+mh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rb a JOIN rb b ON a.band = b.band AND a.band_hash = b.band_hash
+    AND a.source = b.source AND a.doc_id < b.doc_id AND a.rk <= $cap),
+$minhashVerifyCte"""
+
   /** LSH candidate pairs: docs sharing any band bucket, with the estimated
     * jaccard = fraction of equal minhash components. Never all-pairs: the
     * only shuffle keys are (band, band_hash). The 64-permutation signature
     * UDF — the dominant per-row cost — runs in ONE pass: both sides of the
     * band self-join and the verify join read the persisted signatures.
     */
-  def minhashCandidates(spark: SparkSession, dir: String, estThreshold: Double): DataFrame = {
+  def minhashCandidates(spark: SparkSession, dir: String, estThreshold: Double,
+      bucketCap: Int = BandBucketCap): DataFrame = {
     val docs = t(spark, dir, "documents")
     val sigs = docs.select(col("doc_id"), col("source"),
         minhashSig(wordSet(col("text"))).as("sig"))
       .transform(CacheRegistry.persist(_))
-    val bands = bandsOf(sigs)
+    // hot-bucket sub-bucketing (BandBucketCap): the salted frame is
+    // persisted so the count-aggregation and salt fold run ONCE, not once
+    // per self-join side
+    val bands = CacheRegistry.persist(saltBands(bandsOf(sigs), bucketCap))
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.source") === col("b.source") &&
+        col("a.salt") === col("b.salt") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

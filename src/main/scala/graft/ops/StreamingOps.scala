@@ -370,6 +370,115 @@ object StreamingOps {
     */
   final case class LshBucket(ids: Seq[Long], sigs: Seq[Array[Long]])
 
+  /** Membership cap per LSH bucket state — the streaming counterpart of
+    * [[Dedup.BandBucketCap]]. Without it a mass-duplicate corpus grows one
+    * bucket's state unbounded AND makes every arrival scan all n members
+    * (Σ n² work on the hot key's single state partition). With the cap, a
+    * bucket indexes only its first `StreamBucketCap` members; later
+    * arrivals are still VERIFIED against those members (so each of them
+    * pairs with up to cap earlier dups — dup DETECTION recall for a
+    * mass-dup group stays 100%: every doc beyond the cap still emits
+    * pairs against the capped members) but are not inserted, so per-bucket
+    * work is ≤ cap per arrival — corpus-linear.
+    *
+    * Determinism: arrivals are doc_id-ascending by construction
+    * (stagedDocuments range-partitions on doc_id and file order follows
+    * the range order; within a batch the state fn sorts arrivals), so
+    * "first cap members" = "cap smallest doc_ids" and the emitted set is
+    * exactly {(a,b): same bucket, a < b, rank(a) ≤ cap, est ≥ 0.5} — the
+    * order-free restatement the DuckDB oracle uses
+    * ([[Dedup.minhashCandCtesStream]]).
+    */
+  val StreamBucketCap = 4096
+
+  /** The per-bucket LSH state transition: verify each arrival against all
+    * stored members, then index it only while the bucket is under
+    * `bucketCap` (see [[StreamBucketCap]] for the cap semantics and the
+    * determinism argument). Shared by the production job and the
+    * capped/windowed spec drivers.
+    */
+  private[ops] def lshBucketFn(bucketCap: Int): (
+      (String, Int, Long), Iterator[BandDoc],
+      org.apache.spark.sql.streaming.GroupState[LshBucket]) => Iterator[NearDupPair] = {
+    case (_, docsIt, state) =>
+      val arrivals = docsIt.toArray.sortBy(_.doc_id)
+      val st = state.getOption.getOrElse(LshBucket(Nil, Nil))
+      val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+      members ++= st.ids.zip(st.sigs)
+      val out = Seq.newBuilder[NearDupPair]
+      arrivals.foreach { a =>
+        members.foreach { case (mid, msig) =>
+          if (mid != a.doc_id) {
+            var agree = 0
+            var i = 0
+            while (i < msig.length) { if (msig(i) == a.sig(i)) agree += 1; i += 1 }
+            val est = agree.toDouble / msig.length
+            if (est >= 0.5)
+              out += (if (mid < a.doc_id) NearDupPair(mid, a.doc_id, est)
+                      else NearDupPair(a.doc_id, mid, est))
+          }
+        }
+        if (members.size < bucketCap && !members.exists(_._1 == a.doc_id))
+          members += a.doc_id -> a.sig
+      }
+      state.update(LshBucket(members.map(_._1).toSeq, members.map(_._2).toSeq))
+      out.result().iterator
+  }
+
+  /** A banded doc with an event-time stamp — the in-flight shape of the
+    * WINDOWED streaming LSH index.
+    */
+  final case class TsBandDoc(source: String, band: Int, band_hash: Long,
+      doc_id: Long, ts_us: Long, sig: Array[Long])
+  /** Windowed bucket state: members carry their event time so old ones can
+    * be evicted.
+    */
+  final case class LshBucketW(ids: Seq[Long], tss: Seq[Long],
+      sigs: Seq[Array[Long]])
+
+  /** Windowed LSH bucket transition — the eviction knob a production
+    * continuous-dedup job runs with: a member is dropped once it is more
+    * than `windowUs` older than the newest arrival, so bucket state is
+    * bounded by the dup rate within one window (and hard-capped at
+    * `bucketCap` like the unwindowed form). The emitted candidate set is
+    * the BOUNDED-RECALL window contract, exact by construction: pair
+    * (a, b) with ts_a ≤ ts_b surfaces iff ts_b - ts_a ≤ windowUs (and a
+    * was retained under the cap) — dups recur within a window; dups
+    * farther apart than the window are out of contract. Determinism needs
+    * event-time-ordered arrival (the job feeds from an ordered replay or
+    * watermarked source; the fn sorts within a batch).
+    */
+  private[ops] def lshBucketFnWindowed(bucketCap: Int, windowUs: Long): (
+      (String, Int, Long), Iterator[TsBandDoc],
+      org.apache.spark.sql.streaming.GroupState[LshBucketW]) => Iterator[NearDupPair] = {
+    case (_, docsIt, state) =>
+      val arrivals = docsIt.toArray.sortBy(d => (d.ts_us, d.doc_id))
+      val st = state.getOption.getOrElse(LshBucketW(Nil, Nil, Nil))
+      var members = st.ids.lazyZip(st.tss).lazyZip(st.sigs)
+        .map((i, t, s) => (i, t, s)).toBuffer
+      val out = Seq.newBuilder[NearDupPair]
+      arrivals.foreach { a =>
+        members = members.filter(_._2 >= a.ts_us - windowUs)
+        members.foreach { case (mid, _, msig) =>
+          if (mid != a.doc_id) {
+            var agree = 0
+            var i = 0
+            while (i < msig.length) { if (msig(i) == a.sig(i)) agree += 1; i += 1 }
+            val est = agree.toDouble / msig.length
+            if (est >= 0.5)
+              out += (if (mid < a.doc_id) NearDupPair(mid, a.doc_id, est)
+                      else NearDupPair(a.doc_id, mid, est))
+          }
+        }
+        if (members.size < bucketCap && !members.exists(_._1 == a.doc_id))
+          members += ((a.doc_id, a.ts_us, a.sig))
+      }
+      if (members.isEmpty) state.remove()
+      else state.update(LshBucketW(members.map(_._1).toSeq,
+        members.map(_._2).toSeq, members.map(_._3).toSeq))
+      out.result().iterator
+  }
+
   /** MinHash-LSH near-dup candidate generation as a CONTINUOUS streaming
     * job — the streaming form of `dedup_minhash_lsh`: documents arrive
     * across micro-batches; each is signed by the codegen MinHash
@@ -389,7 +498,8 @@ object StreamingOps {
     * integer band fold as batch, so the converged table equals the batch
     * candidate set exactly — the DuckDB oracle restates it.
     */
-  def streamedMinhashLsh(spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
+  def streamedMinhashLsh(spark: SparkSession, dir: String,
+      bucketCap: Int = StreamBucketCap): (DataFrame, Seq[Long]) = {
     import graft.meta.FileCatalog
     import graft.table.IceTable
     val s2 = streamSession(spark)
@@ -407,30 +517,8 @@ object StreamingOps {
     val pairs = banded
       .groupByKey(d => (d.source, d.band, d.band_hash))
       .flatMapGroupsWithState[LshBucket, NearDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (_, docsIt, state) =>
-          val arrivals = docsIt.toArray.sortBy(_.doc_id)
-          val st = state.getOption.getOrElse(LshBucket(Nil, Nil))
-          val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-          members ++= st.ids.zip(st.sigs)
-          val out = Seq.newBuilder[NearDupPair]
-          arrivals.foreach { a =>
-            members.foreach { case (mid, msig) =>
-              if (mid != a.doc_id) {
-                var agree = 0
-                var i = 0
-                while (i < msig.length) { if (msig(i) == a.sig(i)) agree += 1; i += 1 }
-                val est = agree.toDouble / msig.length
-                if (est >= 0.5)
-                  out += (if (mid < a.doc_id) NearDupPair(mid, a.doc_id, est)
-                          else NearDupPair(a.doc_id, mid, est))
-              }
-            }
-            members += a.doc_id -> a.sig
-          }
-          state.update(LshBucket(members.map(_._1).toSeq, members.map(_._2).toSeq))
-          out.result().iterator
-      }
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        lshBucketFn(bucketCap))
     val wh = java.nio.file.Files.createTempDirectory("stream-lsh-sink")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
@@ -725,7 +813,7 @@ object StreamingOps {
       "stream_minhash_lsh",
       (s, dir) => streamedMinhashLsh(s, dir)._1,
       Some(s"""
-        WITH ${Dedup.minhashCandCtes}
+        WITH ${Dedup.minhashCandCtesStream(StreamBucketCap)}
         SELECT doc_a, doc_b, est_jaccard FROM mh_pairs""")),
 
     QueryDef(

@@ -164,6 +164,67 @@ final class SkewStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a shuffle carried ${counts.max} rows (> $bound) under the hot user")
   }
 
+  test("LSH band join stays corpus-linear under a planted mass-duplicate corpus") {
+    // the classic web-crawl degenerate case: M identical boilerplate pages
+    // (every copy lands in the SAME 16 band buckets) + unique filler. An
+    // ungated band self-join would push 16·C(M,2) ≈ 72M rows into the
+    // distinct exchange and hand each band's whole bucket to one reducer;
+    // the BandBucketCap sub-bucketing caps every exchange corpus-linear,
+    // and its deterministic salt is restated here in plain Scala so the
+    // emitted candidate set is checked EXACTLY, not just bounded.
+    val M = 3000
+    val cap = 32
+    val d = java.nio.file.Files.createTempDirectory("skew-massdup")
+    val dups = spark.range(M).select(col("id").as("doc_id"),
+      lit("s").as("source"),
+      lit("boiler plate page text repeated verbatim across the crawl").as("text"))
+    val uniques = spark.range(500).select((col("id") + 1000000L).as("doc_id"),
+      lit("s").as("source"),
+      concat(lit("unique"), col("id"), lit(" filler"), col("id") * 7).as("text"))
+    dups.unionByName(uniques).coalesce(2)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    try {
+      val pairs = Dedup.minhashCandidates(spark, d.toString, 0.5, bucketCap = cap)
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Scala restatement of saltBands: identical docs share every band
+      // bucket (n = M per band), S = ceil(M/cap) sub-buckets, pairs only
+      // within a sub-bucket; est_jaccard = 1.0 for identical sigs
+      val p = 2147483647L
+      val s = (M + cap - 1) / cap
+      val expected = (0 until 16).iterator.flatMap { b =>
+        (0L until M.toLong).groupBy(id =>
+          ((id % p) * 1000003L + b) % p % s).valuesIterator.flatMap { g =>
+          val ids = g.sorted
+          for (i <- ids.indices.iterator; j <- (i + 1) until ids.size)
+            yield (ids(i), ids(j))
+        }
+      }.toSet
+      assert(got === expected,
+        "capped candidate set must equal the salt fold's exact restatement")
+      // corpus-linear shuffle bound: ~16·M·cap/2 ≈ 0.8M pair rows max vs
+      // the 4.5M-per-band quadratic an ungated join would shuffle
+      val counts = shuffleRecordCounts(pairs)
+      assert(counts.nonEmpty, "expected shuffle metrics in the executed plan")
+      val bound = 2000000L
+      assert(counts.max <= bound,
+        s"a shuffle carried ${counts.max} rows (> $bound) under the mass-dup corpus")
+      assert(counts.max < M.toLong * (M - 1) / 2,
+        "shuffles must stay below the single-bucket quadratic")
+    } finally CacheRegistry.releaseAll()
+  }
+
+  test("sub-bucketing is a no-op on a corpus with no hot buckets") {
+    try {
+      val real = "/root/testdata/sf0.001"
+      val a = Dedup.minhashCandidates(spark, real, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      CacheRegistry.releaseAll()
+      val b = Dedup.minhashCandidates(spark, real, 0.5, bucketCap = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a === b, "default cap must not change cool-corpus candidates")
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("containment chooser flips to the prefix-probe plan under the stopword") {
     try {
       val before = Dedup.containmentPrefixPlans.get()
