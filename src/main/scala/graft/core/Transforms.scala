@@ -28,6 +28,13 @@ sealed trait Transform {
   def apply(source: IceType, v: Any): Any
   def toColumn(c: Column, source: IceType): Column
 
+  /** Monotone transforms (reference `transforms.go` PreservesOrder):
+    * source order implies transformed order, so footer min/max bracketing
+    * a single transformed value proves the whole file shares that
+    * partition value — the property `addFiles` partition inference needs.
+    */
+  def preservesOrder: Boolean = false
+
   /** Project a bound predicate on the source column to a predicate on the
     * transformed partition value; None = cannot project (partition pruning
     * falls back to "keep").
@@ -40,6 +47,7 @@ sealed trait Transform {
 
 case object IdentityTransform extends Transform {
   val name = "identity"
+  override def preservesOrder: Boolean = true
   def resultType(source: IceType): IceType = source
   def apply(source: IceType, v: Any): Any = v
   def toColumn(c: Column, source: IceType): Column = c
@@ -123,6 +131,7 @@ final case class BucketTransform(n: Int) extends Transform {
 final case class TruncateTransform(w: Int) extends Transform {
   require(w > 0, "truncate width must be > 0")
   val name = s"truncate[$w]"
+  override def preservesOrder: Boolean = true
   def resultType(source: IceType): IceType = source
 
   def apply(source: IceType, v: Any): Any =
@@ -201,6 +210,7 @@ final case class TruncateTransform(w: Int) extends Transform {
   * adjustment — reference `projectTimeTransform` `transforms.go:571-595`).
   */
 sealed abstract class TimeTransform extends Transform {
+  override def preservesOrder: Boolean = true
   def resultType(source: IceType): IceType = IceInt
   protected def fromDays(days: Int): Int
   protected def fromMicros(micros: Long): Int

@@ -25,7 +25,7 @@ object IceQueries {
       liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable,
       liDv: IceTable, ordersUp: IceTable, restSupplier: IceTable,
       sqlCustomer: IceTable, v1Part: IceTable, ordersZ: IceTable,
-      glueRegion: IceTable)
+      glueRegion: IceTable, ordersExtPart: IceTable)
 
   // computeIfAbsent (NOT TrieMap.getOrElseUpdate, whose thunk can run in
   // two racing threads with the loser's fully-built temp warehouse leaked):
@@ -198,6 +198,31 @@ object IceQueries {
         ordersExt.addFiles(Seq(s"$dir/orders.parquet"))
         ordersExt
       }
+      val fExtPart = Future {
+        // PARTITIONED registration (reference arrow_utils.go:1235-1252):
+        // pre-split Hive-style files — one o_orderstatus per file, column
+        // kept in the data — registered by reference; each file's
+        // partition value is inferred from its footer min/max, so manifest
+        // pruning works without any rewrite of foreign data
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val oSchema = SchemaConv.fromSpark(orders.schema)
+        val staged = Files.createTempDirectory("graft-extpart")
+        val paths = Seq("F", "O", "P").map { st =>
+          val d = s"$staged/status=$st"
+          orders.where(s"o_orderstatus = '$st'").coalesce(1)
+            .write.mode("overwrite").parquet(d)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(d), graft.meta.FileIO.conf)
+          fs.listStatus(new org.apache.hadoop.fs.Path(d))
+            .map(_.getPath.toUri.getPath)
+            .filter(_.endsWith(".parquet")).head
+        }
+        val spec = PartitionSpec.of(0,
+          ("o_orderstatus", IdentityTransform, "status"))(oSchema)
+        val t = IceTable.create(catalog, "orders_ext_part", oSchema, spec)
+        t.addFiles(paths)
+        t
+      }
       val fEq = Future {
         // equality-delete upsert round-trip: delete urgent orders BY KEY,
         // re-insert them at a later sequence (strictly-older scoping keeps
@@ -321,7 +346,8 @@ object IceQueries {
         Await.result(fSql, Duration.Inf),
         Await.result(fV1, Duration.Inf),
         Await.result(fZ, Duration.Inf),
-        Await.result(fGlue, Duration.Inf))
+        Await.result(fGlue, Duration.Inf),
+        Await.result(fExtPart, Duration.Inf))
     })
 
   private val curationTables = new ConcurrentHashMap[String, (IceTable, IceTable)]()
@@ -686,6 +712,18 @@ object IceQueries {
       Some("""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_totalprice >= 200000""")),
+
+    QueryDef(
+      "ice_add_files_partitioned",
+      // partition filter on the registered table: pruning must come from
+      // the INFERRED partition tuples (one status per foreign file), so a
+      // wrong inference changes rows, not just plans
+      (s, dir) => fixture(s, dir).ordersExtPart.scan(s,
+        P.equalTo("o_orderstatus", "F"),
+        Some(Seq("o_orderkey", "o_orderstatus", "o_totalprice"))),
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F'""")),
 
     QueryDef(
       "ice_eq_delete_scan",

@@ -342,7 +342,12 @@ final class IceTable private (
     * files typically carry no parquet field IDs, so footer columns resolve
     * to field IDs through the table's name mapping
     * (`schema.name-mapping.default`, reference `name_mapping.go:30-80`),
-    * defaulting to the schema's own names.
+    * defaulting to the schema's own names. On a PARTITIONED table each
+    * file's partition tuple is inferred from footer min/max of the source
+    * columns (reference `arrow_utils.go:1235-1252`): order-preserving
+    * transforms only, and a file whose bounds transform to two different
+    * values is rejected — registering Hive-layout parquet works exactly
+    * when each file holds one partition's rows.
     */
   /** `snapshotProps` ride the commit summary (reference AddFiles'
     * snapshotProps); `ignoreDuplicates` guards re-registration: false
@@ -355,7 +360,6 @@ final class IceTable private (
     */
   def addFiles(paths: Seq[String], snapshotProps: Map[String, String] = Map.empty,
       ignoreDuplicates: Boolean = false): Snapshot = {
-    require(spec.isUnpartitioned, "addFiles supports unpartitioned tables")
     require(paths.distinct.size == paths.size,
       "file paths must be unique for addFiles")
     // scheme-insensitive comparison (same norm as DataWriter/positionsOf):
@@ -379,10 +383,37 @@ final class IceTable private (
     val nameToId = NameMapping.index(nameMapping)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), graft.meta.FileIO.conf)
+    // partitioned registration infers each file's partition tuple from its
+    // footer stats (reference `table/arrow_utils.go:1235-1252` +
+    // `internal/utils.go` PartitionValue): only ORDER-PRESERVING transforms
+    // qualify — min and max bracketing one transformed value proves the
+    // whole file shares it — and bounds for the source columns are recorded
+    // untruncated so string prefixes can't fake agreement
+    val partSrcIds = spec.fields.map(_.sourceId).toSet
+    spec.fields.filterNot(_.transform.preservesOrder).foreach { pf =>
+      throw new IllegalArgumentException(
+        s"cannot infer partition value from parquet metadata for a " +
+          s"non-linear partition field: ${pf.name} with transform ${pf.transform.name}")
+    }
     val files = toAdd.par.map { p =>
       val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
-      ParquetStats.toDataFile(p, len, schema, Nil, nameToId = Some(nameToId),
-        props = meta.properties)
+      val df = ParquetStats.toDataFile(p, len, schema, Nil, nameToId = Some(nameToId),
+        fullBoundsFieldIds = partSrcIds, props = meta.properties)
+      if (spec.isUnpartitioned) df
+      else df.copy(partition = spec.fields.map { pf =>
+        val src = schema.findById(pf.sourceId).getOrElse(
+          throw new IllegalStateException(s"no source field ${pf.sourceId}"))
+        (df.lowerBounds.get(pf.sourceId), df.upperBounds.get(pf.sourceId)) match {
+          case (Some(lo), Some(hi)) =>
+            val lt = pf.transform.apply(src.tpe, Bounds.decode(src.tpe, lo))
+            val ht = pf.transform.apply(src.tpe, Bounds.decode(src.tpe, hi))
+            if (lt != ht) throw new IllegalArgumentException(
+              s"cannot infer partition value from parquet metadata: more than " +
+                s"one value for partition field ${pf.name} in $p (low: $lt, high: $ht)")
+            lt
+          case _ => null // no stats for the column → null partition value
+        }
+      })
     }.seq.toSeq
     // an ID-less file read through a field-ID schema silently null-fills, so
     // flag the table: scans then route ID-less files (stamped per entry by

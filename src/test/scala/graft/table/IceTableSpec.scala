@@ -559,6 +559,62 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.snapshots.size === before, "no-op must not commit")
   }
 
+  test("addFiles: partitioned registration infers partition values from footer stats") {
+    // reference arrow_utils.go:1235-1252: one partition value per file,
+    // proven by footer min == max under an order-preserving transform
+    val stage = Files.createTempDirectory("graft-extpart-spec").toString
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val schema = SchemaConv.fromSpark(nation.schema)
+    val paths = (0L until 5L).map { rk =>
+      val d = s"$stage/rk=$rk"
+      nation.where(s"n_regionkey = $rk").coalesce(1).write.mode("overwrite").parquet(d)
+      DataWriter.listParquet(d).head._1
+    }
+    val spec = PartitionSpec.of(0, ("n_regionkey", IdentityTransform, "rk"))(schema)
+    val t = IceTable.create(catalog, "nation_ext_part", schema, spec)
+    t.addFiles(paths)
+    // every row back, and a partition predicate prunes to exactly one file
+    assert(t.scan(spark).count() === nation.count())
+    val planned = t.newScan(P.equalTo("n_regionkey", 2L)).planFiles()
+    assert(planned.size === 1, s"partition pruning planned ${planned.size} files")
+    assert(t.scan(spark, P.equalTo("n_regionkey", 2L)).count() ===
+      nation.where("n_regionkey = 2").count())
+    // the inferred tuple is recorded on the manifest entry
+    assert(planned.head.file.partition === Seq(2L))
+
+    // a file spanning two partition values cannot be registered
+    val mixedDir = s"$stage/mixed"
+    nation.where("n_regionkey <= 1").coalesce(1).write.mode("overwrite").parquet(mixedDir)
+    val t2 = IceTable.create(catalog, "nation_ext_part2", schema, spec)
+    val e = intercept[IllegalArgumentException](
+      t2.addFiles(Seq(DataWriter.listParquet(mixedDir).head._1)))
+    assert(e.getMessage.contains("more than one value"))
+
+    // non-linear transforms cannot infer a value from bounds at all
+    val bSpec = PartitionSpec.of(0,
+      ("n_nationkey", BucketTransform(4), "nk_bucket"))(schema)
+    val t3 = IceTable.create(catalog, "nation_ext_part3", schema, bSpec)
+    val e2 = intercept[IllegalArgumentException](t3.addFiles(Seq(paths.head)))
+    assert(e2.getMessage.contains("non-linear"))
+  }
+
+  test("addFiles: scheme-qualified duplicate paths are caught by the guard") {
+    val foreignDir = Files.createTempDirectory("graft-foreign-scheme").toString
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(foreignDir)
+    val foreignPath = DataWriter.listParquet(foreignDir).head._1
+    val canonical = SchemaConv.fromSpark(spark.read.parquet(s"$sfDir/region.parquet").schema)
+    val t = IceTable.create(catalog, "region_scheme_dup", canonical)
+    t.addFiles(Seq(foreignPath))
+    // file:// flavor of the same path must not re-register (ADVICE r13)
+    val qualified = s"file://$foreignPath"
+    val e = intercept[IllegalArgumentException](t.addFiles(Seq(qualified)))
+    assert(e.getMessage.contains("already referenced"))
+    t.addFiles(Seq(qualified), ignoreDuplicates = true)
+    t.refresh()
+    assert(t.scan(spark).count() === 5, "scheme-qualified dup doubled rows")
+  }
+
   test("addFiles: nested aliased foreign schema resolves through the full-tree name mapping") {
     import org.apache.spark.sql.functions._
     // canonical: id, loc struct<lat,lon>, tags list<string>
