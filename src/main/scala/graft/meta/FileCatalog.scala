@@ -92,6 +92,26 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     s"${metadataDir(name)}/v$v.gz.metadata.json"
   private def hintFile(name: String) = s"${metadataDir(name)}/version-hint.text"
 
+  /** The spec-style metadata file for `v` — `%05d-{uuid}[.gz].metadata.json`
+    * (reference `locations.go:55-78` NewTableMetadataFileLocation) — if one
+    * was written (`write.metadata.file-naming=spec`). The uuid is random
+    * per commit, so readers find the file by its deterministic `%05d-`
+    * version prefix.
+    */
+  private def specVersionFile(name: String, v: Int): Option[String] = {
+    val dir = Paths.get(stripScheme(metadataDir(name)))
+    if (!Files.exists(dir)) return None
+    val prefix = f"$v%05d-"
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .find(n => n.startsWith(prefix) && n.endsWith(".metadata.json"))
+        .map(n => s"${metadataDir(name)}/$n")
+    } finally s.close()
+  }
+
   /** The on-disk metadata file for `version` — the reference's
     * `.gz.metadata.json` flavor (`locations.go:65-78`) when the table was
     * committed with gzip metadata, else the plain name. The gzip flavor is
@@ -101,11 +121,12 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     * Codec.fromFileName); the plain CAS-lock name always holds plain JSON
     * and remains a valid fallback.
     */
-  private def resolveVersionFile(name: String, v: Int): String = {
-    val gz = gzVersionFile(name, v)
-    if (Files.exists(Paths.get(stripScheme(gz)))) gz
-    else versionFile(name, v)
-  }
+  private def resolveVersionFile(name: String, v: Int): String =
+    specVersionFile(name, v).getOrElse {
+      val gz = gzVersionFile(name, v)
+      if (Files.exists(Paths.get(stripScheme(gz)))) gz
+      else versionFile(name, v)
+    }
 
   override def metadataLocation(name: String, version: Int): String =
     resolveVersionFile(name, version)
@@ -272,19 +293,35 @@ final class FileCatalog(val warehouse: String) extends Catalog {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw new CommitConflictException(s"lost CAS race for $name v$v")
       }
-      if (gzip) {
-        // only the CAS winner reaches here, so the non-atomic sibling
-        // write is single-writer; readers prefer this name (see
-        // resolveVersionFile) once it exists and fall back to the plain
-        // lock bytes until then
+      // only the CAS winner reaches past the link, so the non-atomic
+      // sibling writes below are single-writer; readers prefer these names
+      // (see resolveVersionFile) once they exist and fall back to the
+      // plain lock bytes until then
+      def writeSibling(target: String, bytes: Array[Byte]): Unit = {
+        val tgt = Paths.get(stripScheme(target))
+        val t2 = Files.createTempFile(lock.getParent, s".v$v-sib-", ".tmp")
+        Files.write(t2, bytes)
+        Files.move(t2, tgt,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      }
+      def gzipBytes: Array[Byte] = {
         val bos = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(bos)
         gz.write(json.getBytes(StandardCharsets.UTF_8)); gz.close()
-        val gzTarget = Paths.get(stripScheme(gzVersionFile(name, v)))
-        val gzTmp = Files.createTempFile(lock.getParent, s".v$v-gz-", ".tmp")
-        Files.write(gzTmp, bos.toByteArray)
-        Files.move(gzTmp, gzTarget,
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        bos.toByteArray
+      }
+      if (gzip) writeSibling(gzVersionFile(name, v), gzipBytes)
+      // write.metadata.file-naming=spec additionally writes the
+      // reference's `%05d-{uuid}[.gz].metadata.json` flavor
+      // (locations.go:55-78) — the name interop-readers expect — with the
+      // CAS still anchored on the deterministic v{N} lock (a random-uuid
+      // name can't arbitrate racing writers); resolveVersionFile prefers
+      // the spec name so metadata-log entries record it
+      if (metadata.properties.get(FileCatalog.FileNamingKey).contains("spec")) {
+        val uuid = java.util.UUID.randomUUID()
+        val ext = if (gzip) ".gz.metadata.json" else ".metadata.json"
+        writeSibling(s"${metadataDir(name)}/${f"$v%05d"}-$uuid$ext",
+          if (gzip) gzipBytes else json.getBytes(StandardCharsets.UTF_8))
       }
     } finally Files.deleteIfExists(tmp)
     // hint is advisory; last-writer-wins is fine because versions only grow
@@ -299,6 +336,8 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     */
   def deleteMetadataBefore(name: String, beforeVersion: Int): Unit =
     (1 until beforeVersion).foreach { v =>
+      specVersionFile(name, v)
+        .foreach(p => Files.deleteIfExists(Paths.get(stripScheme(p))))
       Files.deleteIfExists(Paths.get(stripScheme(versionFile(name, v))))
       Files.deleteIfExists(Paths.get(stripScheme(gzVersionFile(name, v))))
     }
@@ -309,6 +348,19 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     * reduce to its path part here.
     */
   private def stripScheme(p: String): String = MetadataFiles.stripScheme(p)
+}
+
+object FileCatalog {
+  /** `versioned` (default): the local `v{N}.metadata.json` +
+    * `version-hint.text` convention. `spec`: ALSO write each version as
+    * the reference's `%05d-{uuid}[.gz].metadata.json`
+    * (`locations.go:55-78`) for interop with readers expecting spec-style
+    * names; the v{N} name stays as the CAS anchor. Documented divergence:
+    * the reference has no versioned flavor at all — its catalogs hold the
+    * pointer — so `spec` is the parity mode and `versioned` the
+    * self-contained-warehouse mode.
+    */
+  val FileNamingKey = "write.metadata.file-naming"
 }
 
 final class CommitConflictException(msg: String) extends IOException(msg)

@@ -30,10 +30,78 @@ import graft.table.{AssertCreate, AssertRefSnapshotID, AssertTableUUID,
   * `expected-version`, which the server enforces exactly like
   * `assert-ref-snapshot-id` — stricter, never looser.
   */
+/** @param token static bearer token — wins over `credential` when both are
+  *   set (reference `createSession`, `rest.go:578-585`)
+  * @param credential OAuth2 client-credentials pair `"clientId:clientSecret"`
+  *   (or bare secret, reference `fetchAccessToken` `rest.go:514-566`): the
+  *   client POSTs a `grant_type=client_credentials` form to
+  *   `{authUri | baseUri/v1/oauth/tokens}`, injects the returned
+  *   `access_token` as the Bearer header, proactively re-fetches before
+  *   the advertised `expires_in` elapses, and on a 401 (server-side
+  *   revocation) re-fetches once and retries the request
+  * @param scope OAuth scope, the spec's default `catalog`
+  */
 final class RestCatalog(baseUri: String, namespace: String = "graft",
-    token: Option[String] = None) extends Catalog {
+    token: Option[String] = None,
+    credential: Option[String] = None,
+    scope: String = "catalog",
+    authUri: Option[String] = None) extends Catalog {
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
+
+  /** OAuth2 client-credentials token state. `current()` is what request
+    * assembly reads: static token verbatim, else a cached fetched token
+    * refreshed proactively 30 s before expiry.
+    */
+  private object auth {
+    @volatile private var bearer: Option[String] = token
+    @volatile private var expiresAtMs: Long = Long.MaxValue
+    private val RefreshMarginMs = 30000L
+
+    def current(): Option[String] = {
+      if (token.isEmpty && credential.nonEmpty &&
+          (bearer.isEmpty || System.currentTimeMillis() >= expiresAtMs))
+        refresh()
+      bearer
+    }
+
+    /** Drop the cached token (after a 401) so the next `current()` fetches. */
+    def invalidate(): Unit =
+      if (token.isEmpty && credential.nonEmpty) { bearer = None }
+
+    private def refresh(): Unit = synchronized {
+      if (bearer.nonEmpty && System.currentTimeMillis() < expiresAtMs) return
+      val (cid, csec) = credential.get.split(":", 2) match {
+        case Array(id, sec) => (id, sec)
+        case Array(sec) => ("", sec) // bare secret (reference strings.Cut fallback)
+      }
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val form = Seq("grant_type" -> "client_credentials", "client_id" -> cid,
+          "client_secret" -> csec, "scope" -> scope)
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+      val req = HttpRequest.newBuilder(
+          URI.create(authUri.getOrElse(s"$baseUri/v1/oauth/tokens")))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(form, StandardCharsets.UTF_8))
+        .build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200) {
+        // RFC 6749 §5.2 / reference oauthErrorResponse
+        val node = try mapper.readTree(resp.body()) catch {
+          case _: Exception => mapper.createObjectNode()
+        }
+        throw new java.io.IOException(s"oauth error: HTTP ${resp.statusCode()}: " +
+          s"${node.path("error").asText("?")}: ${node.path("error_description").asText("")}")
+      }
+      val node = mapper.readTree(resp.body())
+      bearer = Some(node.path("access_token").asText())
+      expiresAtMs =
+        if (node.has("expires_in"))
+          System.currentTimeMillis() +
+            math.max(0L, node.path("expires_in").asLong() * 1000L - RefreshMarginMs)
+        else Long.MaxValue
+    }
+  }
 
   /** Server-advertised config: `defaults` under, `overrides` over ours
     * (reference `rest.go` config fetch at catalog construction).
@@ -355,7 +423,7 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   private def request(uri: String): HttpRequest.Builder = {
     val b = HttpRequest.newBuilder(URI.create(uri))
       .header("Content-Type", "application/json")
-    token.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+    auth.current().fold(b)(t => b.header("Authorization", s"Bearer $t"))
   }
   private def get(uri: String): HttpRequest.Builder = request(uri).GET()
   private def post(uri: String, body: String): HttpRequest.Builder =
@@ -369,7 +437,15 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   }
   private def send(b: HttpRequest.Builder, expectAny: Boolean): (Int, String) = {
     val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
+    // a 401 under client-credentials auth means the server no longer
+    // honors the cached token (revocation/restart): fetch a fresh one and
+    // retry ONCE — `setHeader` replaces the stale Authorization value
+    if (resp.statusCode() == 401 && token.isEmpty && credential.nonEmpty) {
+      auth.invalidate()
+      auth.current().foreach(t => b.setHeader("Authorization", s"Bearer $t"))
+      val retry = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      (retry.statusCode(), retry.body())
+    } else (resp.statusCode(), resp.body())
   }
 
   private def parse(s: String): JsonNode = mapper.readTree(s)

@@ -24,7 +24,9 @@ import graft.table.{AssertCreate, AssertRefSnapshotID, AssertTableUUID,
   * ephemeral port.
   */
 final class RestStubServer(val warehouse: String,
-    requiredToken: Option[String] = None) {
+    requiredToken: Option[String] = None,
+    oauthCredential: Option[(String, String)] = None,
+    tokenTtlMs: Long = 3600000L) {
 
   private final case class Entry(var versions: Vector[TableMetadata],
       location: String, var metadataLocs: Vector[String])
@@ -47,17 +49,72 @@ final class RestStubServer(val warehouse: String,
 
   /** Commits that reached requirement validation — test hook. */
   val commitAttempts = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Tokens issued through `/v1/oauth/tokens` — test hook. */
+  val tokenIssues = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // issued bearer token → wall-clock expiry
+  private val issuedTokens = mutable.Map[String, Long]()
+
+  /** Invalidate every outstanding OAuth token (simulates server-side
+    * revocation/restart — the client must re-fetch and retry).
+    */
+  def revokeTokens(): Unit = synchronized { issuedTokens.clear() }
+
+  private def oauthToken(ex: HttpExchange): Unit = {
+    val form = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      .split("&").toSeq.filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    val ok = oauthCredential.exists { case (id, secret) =>
+      form.get("grant_type").contains("client_credentials") &&
+        form.get("client_id").contains(id) && form.get("client_secret").contains(secret)
+    }
+    if (!ok) {
+      // RFC 6749 §5.2 error shape (reference rest.go oauthErrorResponse)
+      val o = mapper.createObjectNode()
+      o.put("error", "invalid_client")
+      o.put("error_description", "bad client credentials or grant type")
+      respond(ex, 400, o.toString)
+      return
+    }
+    val tok = java.util.UUID.randomUUID().toString
+    synchronized { issuedTokens(tok) = System.currentTimeMillis() + tokenTtlMs }
+    tokenIssues.incrementAndGet()
+    val o = mapper.createObjectNode()
+    o.put("access_token", tok)
+    o.put("token_type", "bearer")
+    o.put("expires_in", tokenTtlMs / 1000L)
+    respond(ex, 200, o.toString)
+  }
+
+  private def authorized(ex: HttpExchange): Boolean = {
+    if (requiredToken.exists(t =>
+        ex.getRequestHeaders.getFirst("Authorization") != s"Bearer $t")) return false
+    oauthCredential.isEmpty || {
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer "))
+        .map(_.stripPrefix("Bearer "))
+        .exists(t => synchronized {
+          issuedTokens.get(t).exists(_ > System.currentTimeMillis())
+        })
+    }
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     try {
-      if (requiredToken.exists(t =>
-          ex.getRequestHeaders.getFirst("Authorization") != s"Bearer $t")) {
-        respond(ex, 401, error("NotAuthorizedException", "missing or bad token"))
-        return
-      }
       val path = ex.getRequestURI.getPath
       val method = ex.getRequestMethod
       val segs = path.stripPrefix("/v1/").split("/").toSeq
+      // the token endpoint is the only unauthenticated route
+      if ((method, segs) == (("POST", Seq("oauth", "tokens")))) {
+        oauthToken(ex)
+        return
+      }
+      if (!authorized(ex)) {
+        respond(ex, 401, error("NotAuthorizedException", "missing or bad token"))
+        return
+      }
       (method, segs) match {
         case ("GET", Seq("config")) =>
           val o = mapper.createObjectNode()

@@ -269,10 +269,14 @@ object IceQueries {
       val fRest = Future {
         // catalog interop: supplier lives behind an in-process Iceberg-REST
         // catalog (pointer state over HTTP, metadata JSON on storage) — the
-        // scan proves the client's load/commit protocol is lossless
+        // scan proves the client's load/commit protocol is lossless, and
+        // the catalog authenticates via the OAuth2 client-credentials flow
+        // (token fetched from /v1/oauth/tokens, not a static bearer)
         val server = new RestStubServer(
-          Files.createTempDirectory("graft-rest-wh").toString)
-        val rest = new RestCatalog(server.uri)
+          Files.createTempDirectory("graft-rest-wh").toString,
+          oauthCredential = Some(("graft-client", "graft-secret")))
+        val rest = new RestCatalog(server.uri,
+          credential = Some("graft-client:graft-secret"))
         val supplier = spark.read.parquet(s"$dir/supplier.parquet")
         val t = IceTable.create(rest, "supplier",
           SchemaConv.fromSpark(supplier.schema))

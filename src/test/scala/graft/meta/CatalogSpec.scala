@@ -131,6 +131,58 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("REST catalog: OAuth2 client-credentials flow fetches, refreshes, and survives revocation") {
+    val wh = Files.createTempDirectory("graft-rest-oauth").toString
+    val server = new RestStubServer(wh,
+      oauthCredential = Some(("cid", "shhh")), tokenTtlMs = 3600000L)
+    try {
+      // wrong secret: token endpoint answers the RFC 6749 error shape and
+      // construction fails loudly
+      val bad = intercept[java.io.IOException](
+        new RestCatalog(server.uri, credential = Some("cid:wrong")))
+      assert(bad.getMessage.contains("invalid_client"))
+      // no token at all: the API itself is 401-guarded
+      assertThrows[java.io.IOException](new RestCatalog(server.uri))
+
+      val cat = new RestCatalog(server.uri, credential = Some("cid:shhh"))
+      assert(cat.config.get("warehouse").contains(wh))
+      assert(cat.listTables().isEmpty)
+      assert(server.tokenIssues.get() === 1L,
+        "exactly one token issued for the successful session")
+      // the token is cached across calls — no refetch per request
+      cat.listTables(); cat.listTables()
+      assert(server.tokenIssues.get() === 1L)
+
+      // server-side revocation: next call sees 401, refetches ONCE, retries
+      server.revokeTokens()
+      assert(cat.listTables().isEmpty)
+      assert(server.tokenIssues.get() === 2L, "revocation must trigger exactly one refetch")
+
+      // full table lifecycle through the oauth-authenticated session
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      val t = IceTable.create(cat, "oauth_region", SchemaConv.fromSpark(region.schema))
+      t.append(region)
+      assert(t.scan(spark).count() === region.count())
+    } finally server.stop()
+  }
+
+  test("REST catalog: short-lived tokens are proactively refreshed before expiry") {
+    val wh = Files.createTempDirectory("graft-rest-ttl").toString
+    // TTL below the client's 30 s refresh margin → every request window is
+    // already past (expiry - margin), so the client refetches per call
+    // instead of ever sending a stale token
+    val server = new RestStubServer(wh,
+      oauthCredential = Some(("cid", "shhh")), tokenTtlMs = 1000L)
+    try {
+      val cat = new RestCatalog(server.uri, credential = Some("cid:shhh"))
+      val after = server.tokenIssues.get()
+      cat.listTables()
+      assert(server.tokenIssues.get() > after,
+        "a token inside the refresh margin must be refetched proactively")
+      assert(cat.listTables().isEmpty, "requests keep succeeding across refreshes")
+    } finally server.stop()
+  }
+
   test("register adopts an existing table without rewriting its files (rest_test.go:1324+)") {
     val whA = Files.createTempDirectory("graft-reg-src").toString
     val srcCat = new FileCatalog(whA)

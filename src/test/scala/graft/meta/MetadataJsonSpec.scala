@@ -210,4 +210,57 @@ class MetadataJsonSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$wh/t_gz/metadata/v1.gz.metadata.json")))
     assert(cat.load("t_gz").lastUpdatedMs === 42L)
   }
+
+  test("write.metadata.file-naming=spec writes %05d-{uuid} names and resolves through them") {
+    import java.nio.file.{Files, Paths}
+    val wh = Files.createTempDirectory("graft-specname").toString
+    val cat = new FileCatalog(wh)
+    val schema = IceSchema(0, Seq(NestedField(1, "id", IceLong, required = true)))
+    graft.table.IceTable.create(cat, "t_spec", schema,
+      properties = Map(FileCatalog.FileNamingKey -> "spec"))
+    cat.commit("t_spec", 1, cat.load("t_spec").copy(lastUpdatedMs = 7L))
+    assert(cat.currentVersion("t_spec") === 2)
+    assert(cat.load("t_spec").lastUpdatedMs === 7L)
+    // both versions exist under the reference naming flavor
+    def specNames(v: Int) = {
+      val s = Files.list(Paths.get(s"$wh/t_spec/metadata"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith(f"$v%05d-") && n.endsWith(".metadata.json")).toList
+      } finally s.close()
+    }
+    assert(specNames(1).size === 1 && specNames(2).size === 1)
+    assert(specNames(2).head.matches(
+      "00002-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\\.metadata\\.json"))
+    // metadataLocation prefers the spec-style name (what metadata-log records)
+    assert(cat.metadataLocation("t_spec", 2).contains("00002-"))
+    // spec naming composes with gzip: the flavor carries the .gz extension
+    cat.commit("t_spec", 2, cat.load("t_spec").copy(properties =
+      cat.load("t_spec").properties + ("write.metadata.compression-codec" -> "gzip")))
+    assert(specNames(3).head.endsWith(".gz.metadata.json"))
+    val raw = Files.readAllBytes(Paths.get(s"$wh/t_spec/metadata/${specNames(3).head}"))
+    assert(raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte, "spec .gz name must hold gzip bytes")
+    assert(cat.load("t_spec").lastUpdatedMs === 7L, "gzip spec-name version must reload")
+    // delete-after-commit removes the spec-style names too
+    cat.deleteMetadataBefore("t_spec", 3)
+    assert(specNames(1).isEmpty && specNames(2).isEmpty && specNames(3).size === 1)
+  }
+
+  test("spec naming keeps the CAS race safe: exactly one winner per version") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft-specrace").toString
+    val cat = new FileCatalog(wh)
+    val schema = IceSchema(0, Seq(NestedField(1, "id", IceLong, required = true)))
+    graft.table.IceTable.create(cat, "t_race", schema,
+      properties = Map(FileCatalog.FileNamingKey -> "spec"))
+    val base = cat.load("t_race")
+    import scala.collection.parallel.CollectionConverters._
+    val results = (1 to 8).par.map { i =>
+      try Right(cat.commit("t_race", 1, base.copy(lastUpdatedMs = i.toLong)))
+      catch { case e: CommitConflictException => Left(e) }
+    }.toList
+    assert(results.count(_.isRight) === 1, "exactly one racer must win the CAS")
+    assert(cat.currentVersion("t_race") === 2)
+  }
 }
