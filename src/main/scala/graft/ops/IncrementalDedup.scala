@@ -205,7 +205,7 @@ object IncrementalDedup {
 
   def incrementalMinhashCandidates(spark: SparkSession, docsTable: IceTable,
       sigTable: IceTable, sinceSnapshotId: Long,
-      estThreshold: Double): DataFrame = {
+      estThreshold: Double, bucketCap: Int = Dedup.BandBucketCap): DataFrame = {
     val newDocs = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
     val newSigs = CacheRegistry.persist(
       signaturesOf(newDocs).withColumn("is_new", lit(true)))
@@ -216,18 +216,9 @@ object IncrementalDedup {
         .join(broadcast(newIds), Seq("doc_id"), "left_anti")
         .withColumn("is_new", lit(false))
         .unionByName(newSigs))
-    val newBands = Dedup.bandsOf(newSigs)
     corpusBandings.incrementAndGet()
     val allBands = Dedup.bandsOf(allSigs, extra = Seq("is_new"))
-    val cand = newBands.as("a").join(allBands.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.source") === col("b.source") &&
-        ((!col("b.is_new") && col("a.doc_id") =!= col("b.doc_id")) ||
-          col("a.doc_id") < col("b.doc_id")))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cand = saltedIncrementJoin(allBands, bucketCap)
     cand
       .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -235,6 +226,34 @@ object IncrementalDedup {
         graft.functions.VectorExprs.equalFrac(col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= estThreshold)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** The Δ×corpus LSH bucket join, hot-bucket gated exactly like the
+    * full-corpus path ([[Dedup.BandBucketCap]]): restrict the banded
+    * corpus to buckets the increment TOUCHES (a semi-join on the Δ's
+    * bucket keys — Δ-proportional, so a partitioned bucket table still
+    * prunes), sub-bucket those with [[Dedup.saltBands]] (counts within a
+    * touched bucket equal the full-corpus counts, so salts match the
+    * full-corpus oracle restatement), and pair increment rows against
+    * co-salted members. Untouched buckets generate no pairs on either
+    * side, so skipping them is exact.
+    */
+  private def saltedIncrementJoin(allBands: DataFrame, bucketCap: Int): DataFrame = {
+    val newKeys = allBands.where(col("is_new"))
+      .select("band", "band_hash", "source").distinct()
+    val touched = allBands.join(newKeys, Seq("band", "band_hash", "source"),
+      "left_semi")
+    val salted = CacheRegistry.persist(Dedup.saltBands(touched, bucketCap))
+    salted.where(col("is_new")).as("a").join(salted.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.source") === col("b.source") &&
+        col("a.salt") === col("b.salt") &&
+        ((!col("b.is_new") && col("a.doc_id") =!= col("b.doc_id")) ||
+          col("a.doc_id") < col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
   }
 
   /** Roll the signature table forward — sign ONLY the increment, append. */
@@ -259,7 +278,8 @@ object IncrementalDedup {
     */
   def incrementalMinhashCandidatesBanded(spark: SparkSession,
       docsTable: IceTable, sigTable: IceTable, bandTable: IceTable,
-      sinceSnapshotId: Long, estThreshold: Double): DataFrame = {
+      sinceSnapshotId: Long, estThreshold: Double,
+      bucketCap: Int = Dedup.BandBucketCap): DataFrame = {
     val newDocs = Ingest.changesSince(spark, docsTable, sinceSnapshotId)
     val newSigs = CacheRegistry.persist(signaturesOf(newDocs))
     val newIds = newSigs.select(col("doc_id")).distinct()
@@ -270,15 +290,7 @@ object IncrementalDedup {
       .join(broadcast(newIds), Seq("doc_id"), "left_anti")
       .withColumn("is_new", lit(false))
       .unionByName(newBands)
-    val cand = newBands.as("a").join(allBands.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.source") === col("b.source") &&
-        ((!col("b.is_new") && col("a.doc_id") =!= col("b.doc_id")) ||
-          col("a.doc_id") < col("b.doc_id")))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cand = saltedIncrementJoin(allBands, bucketCap)
     val allSigs = CacheRegistry.persist(
       sigTable.scan(spark)
         .select(col("doc_id"), col("source"), col("sig"))
