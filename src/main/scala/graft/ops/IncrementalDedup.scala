@@ -239,10 +239,13 @@ object IncrementalDedup {
     * side, so skipping them is exact.
     */
   private def saltedIncrementJoin(allBands: DataFrame, bucketCap: Int): DataFrame = {
+    // Δ bucket keys broadcast (16 keys/doc over the increment — the same
+    // Δ-sized broadcast discipline as newIds above), so the corpus band
+    // table is FILTERED map-side rather than shuffled for the semi-join
     val newKeys = allBands.where(col("is_new"))
       .select("band", "band_hash", "source").distinct()
-    val touched = allBands.join(newKeys, Seq("band", "band_hash", "source"),
-      "left_semi")
+    val touched = allBands.join(broadcast(newKeys),
+      Seq("band", "band_hash", "source"), "left_semi")
     val salted = CacheRegistry.persist(Dedup.saltBands(touched, bucketCap))
     salted.where(col("is_new")).as("a").join(salted.as("b"),
         col("a.band") === col("b.band") &&
