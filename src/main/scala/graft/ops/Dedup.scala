@@ -199,14 +199,34 @@ mh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     AND a.source = b.source AND a.doc_id < b.doc_id AND a.rk <= $cap),
 $minhashVerifyCte"""
 
-  /** LSH candidate pairs: docs sharing any band bucket, with the estimated
-    * jaccard = fraction of equal minhash components. Never all-pairs: the
-    * only shuffle keys are (band, band_hash). The 64-permutation signature
-    * UDF — the dominant per-row cost — runs in ONE pass: both sides of the
-    * band self-join and the verify join read the persisted signatures.
+  /** Windowed-flavor candidate CTEs
+    * ([[graft.ops.StreamingOps.streamedMinhashLshWindowed]]): eviction
+    * keeps only bucket members within the replay window of the newest
+    * arrival, so a pair survives iff its docs are within the window of
+    * each other. The replay clock ts_us = doc_id·60e6 is injective and
+    * monotone, so window distance restates exactly as doc_id distance.
+    * The membership cap needs no restatement here: it never binds on the
+    * testdata (largest bucket ≪ cap; the cap law itself is spec-pinned in
+    * LshStateSpec).
     */
-  def minhashCandidates(spark: SparkSession, dir: String, estThreshold: Double,
-      bucketCap: Int = BandBucketCap): DataFrame = {
+  private[ops] def minhashCandCtesWindowed(windowDocs: Int): String =
+    s"""$minhashSigCtes,
+mh_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    AND a.source = b.source AND a.doc_id < b.doc_id
+    AND b.doc_id - a.doc_id <= $windowDocs),
+$minhashVerifyCte"""
+
+  /** The signature pass + salted band self-join shared by
+    * [[minhashCandidates]] and [[graft.tools.DedupScaleProbe]] (the probe
+    * measures THIS stage — the one the hot-bucket gate bounds — without
+    * the verify join's signature payload): persisted signatures, salted
+    * bands ([[saltBands]], computed once for both join sides), distinct
+    * (doc_a, doc_b) candidates. Returns (sigs, pairs); callers release via
+    * [[CacheRegistry]].
+    */
+  private[graft] def minhashCandidateStage(spark: SparkSession, dir: String,
+      bucketCap: Int): (DataFrame, DataFrame) = {
     val docs = t(spark, dir, "documents")
     val sigs = docs.select(col("doc_id"), col("source"),
         minhashSig(wordSet(col("text"))).as("sig"))
@@ -223,6 +243,18 @@ $minhashVerifyCte"""
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (sigs, pairs)
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket, with the estimated
+    * jaccard = fraction of equal minhash components. Never all-pairs: the
+    * only shuffle keys are (band, band_hash). The 64-permutation signature
+    * UDF — the dominant per-row cost — runs in ONE pass: both sides of the
+    * band self-join and the verify join read the persisted signatures.
+    */
+  def minhashCandidates(spark: SparkSession, dir: String, estThreshold: Double,
+      bucketCap: Int = BandBucketCap): DataFrame = {
+    val (sigs, pairs) = minhashCandidateStage(spark, dir, bucketCap)
     pairs.join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       // signature agreement via the codegen expression (the zip_with/filter

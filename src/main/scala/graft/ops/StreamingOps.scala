@@ -299,6 +299,15 @@ object StreamingOps {
   /** Documents staged as 3 doc_id-ranged files so streaming dedup state
     * MUST survive micro-batch boundaries (a single-batch run would prove
     * nothing). Content-keyed like the other stagings.
+    *
+    * The range files get STRICTLY ASCENDING modification times in range
+    * order: Spark's file source admits files oldest-first, but the
+    * parallel range write finishes its tasks in arbitrary order, so the
+    * natural mtimes guarantee nothing. The replay contract of the LSH
+    * consumers — arrivals are doc_id- (hence event-time-) ascending —
+    * needs the stamp; without it the windowed variant can see a LATER
+    * range before an earlier one, and an out-of-window pair slips in
+    * because the old member was never behind the newest arrival.
     */
   private def stagedDocuments(spark: SparkSession, dir: String): String = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -309,6 +318,14 @@ object StreamingOps {
         org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
       docs.repartitionByRange(3, col("doc_id"))
         .write.mode("overwrite").parquet(d.toString)
+      val parts = d.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val base = System.currentTimeMillis() - 3600000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(base + i * 60000L),
+          s"cannot stamp replay order on ${f.getName}")
+      }
       d.toString
     })
   }
@@ -500,8 +517,6 @@ object StreamingOps {
     */
   def streamedMinhashLsh(spark: SparkSession, dir: String,
       bucketCap: Int = StreamBucketCap): (DataFrame, Seq[Long]) = {
-    import graft.meta.FileCatalog
-    import graft.table.IceTable
     val s2 = streamSession(spark)
     import s2.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -519,6 +534,63 @@ object StreamingOps {
       .flatMapGroupsWithState[LshBucket, NearDupPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(
         lshBucketFn(bucketCap))
+    nearDupPairSink(spark, pairs)
+  }
+
+  /** Replay-clock window for [[streamedMinhashLshWindowed]], in documents:
+    * the testdata has no document timestamp, so the replay derives one
+    * injectively — ts_us = doc_id · 60e6, one document per minute — and a
+    * window of N documents is a window of N minutes. 200 splits the sf0.01
+    * near-dup set meaningfully (pair doc-distances span 20..480 there).
+    */
+  val StreamWindowDocs = 200
+
+  /** Windowed streaming MinHash-LSH — the BOUNDED-RECALL production
+    * contract of [[streamedMinhashLsh]]: each document carries an event
+    * time (the [[StreamWindowDocs]] replay clock), and a bucket member is
+    * EVICTED once it is more than `windowUs` older than the newest arrival
+    * in its bucket ([[lshBucketFnWindowed]]). Bucket state is bounded by
+    * the dup rate within one window instead of by the corpus lifetime —
+    * what a continuous dedup job over an unbounded crawl actually runs —
+    * and the emitted set is exactly the window contract: a pair surfaces
+    * iff its docs are within the window of each other (and est ≥ 0.5).
+    * The replay clock is monotone in doc_id, so the DuckDB oracle restates
+    * window distance as doc_id distance ([[Dedup.minhashCandCtesWindowed]]).
+    */
+  def streamedMinhashLshWindowed(spark: SparkSession, dir: String,
+      bucketCap: Int = StreamBucketCap,
+      windowDocs: Int = StreamWindowDocs): (DataFrame, Seq[Long]) = {
+    val s2 = streamSession(spark)
+    import s2.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val srcDir = stagedDocuments(spark, dir)
+    val banded = Dedup.bandsOf(
+      s2.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("doc_id"), col("source"),
+          Dedup.minhashSig(Dedup.wordSet(col("text"))).as("sig"),
+          (col("doc_id") * lit(60000000L)).as("ts_us")),
+      extra = Seq("sig", "ts_us"))
+      .as[TsBandDoc]
+    val pairs = banded
+      .groupByKey(d => (d.source, d.band, d.band_hash))
+      .flatMapGroupsWithState[LshBucketW, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        lshBucketFnWindowed(bucketCap, windowDocs * 60000000L))
+    nearDupPairSink(spark, pairs)
+  }
+
+  /** foreachBatch upsert sink shared by the streaming LSH flavors: collapse
+    * in-batch multi-band rediscoveries, upsert keyed on the pair for
+    * cross-batch idempotence under retries, return the converged Iceberg
+    * table plus per-batch emission counts (the spec's state-continuity
+    * probe).
+    */
+  private def nearDupPairSink(spark: SparkSession,
+      pairs: org.apache.spark.sql.Dataset[NearDupPair]): (DataFrame, Seq[Long]) = {
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
     val wh = java.nio.file.Files.createTempDirectory("stream-lsh-sink")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
@@ -814,6 +886,13 @@ object StreamingOps {
       (s, dir) => streamedMinhashLsh(s, dir)._1,
       Some(s"""
         WITH ${Dedup.minhashCandCtesStream(StreamBucketCap)}
+        SELECT doc_a, doc_b, est_jaccard FROM mh_pairs""")),
+
+    QueryDef(
+      "stream_lsh_windowed",
+      (s, dir) => streamedMinhashLshWindowed(s, dir)._1,
+      Some(s"""
+        WITH ${Dedup.minhashCandCtesWindowed(StreamWindowDocs)}
         SELECT doc_a, doc_b, est_jaccard FROM mh_pairs""")),
 
     QueryDef(
