@@ -203,7 +203,7 @@ $minhashVerifyCte"""
     * ([[graft.ops.StreamingOps.streamedMinhashLshWindowed]]): eviction
     * keeps only bucket members within the replay window of the newest
     * arrival, so a pair survives iff its docs are within the window of
-    * each other. The replay clock ts_us = doc_id·60e6 is injective and
+    * each other. The replay clock ts_us = (doc_id+1)·60e6 is injective and
     * monotone, so window distance restates exactly as doc_id distance.
     * The membership cap needs no restatement here: it never binds on the
     * testdata (largest bucket ≪ cap; the cap law itself is spec-pinned in

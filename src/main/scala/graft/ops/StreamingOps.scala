@@ -464,10 +464,25 @@ object StreamingOps {
     * farther apart than the window are out of contract. Determinism needs
     * event-time-ordered arrival (the job feeds from an ordered replay or
     * watermarked source; the fn sorts within a batch).
+    *
+    * Quiescent-bucket GC: eviction above fires only on an arrival in the
+    * SAME bucket, so a bucket that stops receiving documents would hold
+    * its last window of members forever — across a 100 TB crawl that is
+    * unbounded state in the number of distinct band buckets ever touched.
+    * The fn therefore arms an event-time timeout at newest-member + window
+    * (+1 ms): once the watermark passes it, no non-late future arrival
+    * can pair with any member (its event time would exceed every member's
+    * by more than the window, so arrival-eviction would drop them all
+    * anyway), and the timeout invocation removes the whole bucket. Emitted
+    * pairs are provably unchanged — the timeout only deletes state the
+    * window contract already made unreachable.
     */
   private[ops] def lshBucketFnWindowed(bucketCap: Int, windowUs: Long): (
       (String, Int, Long), Iterator[TsBandDoc],
       org.apache.spark.sql.streaming.GroupState[LshBucketW]) => Iterator[NearDupPair] = {
+    case (_, _, state) if state.hasTimedOut =>
+      state.remove()
+      Iterator.empty
     case (_, docsIt, state) =>
       val arrivals = docsIt.toArray.sortBy(d => (d.ts_us, d.doc_id))
       val st = state.getOption.getOrElse(LshBucketW(Nil, Nil, Nil))
@@ -491,8 +506,15 @@ object StreamingOps {
           members += ((a.doc_id, a.ts_us, a.sig))
       }
       if (members.isEmpty) state.remove()
-      else state.update(LshBucketW(members.map(_._1).toSeq,
-        members.map(_._2).toSeq, members.map(_._3).toSeq))
+      else {
+        state.update(LshBucketW(members.map(_._1).toSeq,
+          members.map(_._2).toSeq, members.map(_._3).toSeq))
+        // arm the quiescent-bucket GC (see scaladoc): ms-truncated +1 so the
+        // stamp strictly exceeds newest+window, and arrival event times are
+        // never below the watermark (late rows are filtered), so the stamp
+        // is always legal.
+        state.setTimeoutTimestamp((members.map(_._2).max + windowUs) / 1000L + 1L)
+      }
       out.result().iterator
   }
 
@@ -539,7 +561,7 @@ object StreamingOps {
 
   /** Replay-clock window for [[streamedMinhashLshWindowed]], in documents:
     * the testdata has no document timestamp, so the replay derives one
-    * injectively — ts_us = doc_id · 60e6, one document per minute — and a
+    * injectively — ts_us = (doc_id+1) · 60e6, one document per minute — and a
     * window of N documents is a window of N minutes. 200 splits the sf0.01
     * near-dup set meaningfully (pair doc-distances span 20..480 there).
     */
@@ -570,13 +592,19 @@ object StreamingOps {
         .parquet(srcDir)
         .select(col("doc_id"), col("source"),
           Dedup.minhashSig(Dedup.wordSet(col("text"))).as("sig"),
-          (col("doc_id") * lit(60000000L)).as("ts_us")),
-      extra = Seq("sig", "ts_us"))
+          // +1: the clock must stay strictly ABOVE the initial watermark
+          // (0), or doc 0's row is dropped as late in batch 1
+          ((col("doc_id") + lit(1L)) * lit(60000000L)).as("ts_us"))
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        // delay 0: the staged replay is strictly event-time ascending
+        // (ranged files + stamped mtimes), so nothing is ever late
+        .withWatermark("ts", "0 seconds"),
+      extra = Seq("sig", "ts_us", "ts"))
       .as[TsBandDoc]
     val pairs = banded
       .groupByKey(d => (d.source, d.band, d.band_hash))
       .flatMapGroupsWithState[LshBucketW, NearDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         lshBucketFnWindowed(bucketCap, windowDocs * 60000000L))
     nearDupPairSink(spark, pairs)
   }

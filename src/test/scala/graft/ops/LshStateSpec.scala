@@ -56,15 +56,23 @@ final class LshStateSpec extends AnyFunSuite {
     assert(st === Seq(0L, 1L, 2L))
   }
 
+  /** Windowed runs use EventTimeTimeout state (watermark 0) — the fn arms
+    * the quiescent-bucket GC timeout unconditionally, which NoTimeout
+    * TestGroupState would reject.
+    */
+  private def windowedState(prev: Option[LshBucketW],
+      timedOut: Boolean = false): TestGroupState[LshBucketW] =
+    TestGroupState.create[LshBucketW](
+      prev.map(Optional.of[LshBucketW]).getOrElse(Optional.empty[LshBucketW]),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), timedOut)
+
   private def runWindowed(cap: Int, windowUs: Long,
       batches: Seq[Seq[(Long, Long)]]): (Set[(Long, Long)], Seq[Long]) = {
     val fn = StreamingOps.lshBucketFnWindowed(cap, windowUs)
     var st: Option[LshBucketW] = None
     val out = Set.newBuilder[(Long, Long)]
     batches.foreach { docs =>
-      val state = TestGroupState.create[LshBucketW](
-        st.map(Optional.of[LshBucketW]).getOrElse(Optional.empty[LshBucketW]),
-        GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long], false)
+      val state = windowedState(st)
       fn(key, docs.iterator.map { case (id, ts) => TsBandDoc("s", 0, 42L, id, ts, sig) },
           state)
         .foreach { case NearDupPair(a, b, _) => out += ((a, b)) }
@@ -92,15 +100,28 @@ final class LshStateSpec extends AnyFunSuite {
 
   test("windowed state removes itself when every member ages out") {
     val fn = StreamingOps.lshBucketFnWindowed(100, 10L)
-    val s0 = TestGroupState.create[LshBucketW](Optional.empty[LshBucketW],
-      GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long], false)
+    val s0 = windowedState(None)
     fn(key, Iterator(TsBandDoc("s", 0, 42L, 1L, 0L, sig)), s0).toList
     assert(s0.exists)
     // an arrival far past the window evicts the old member but indexes
     // itself — state stays, holding only the newcomer
-    val s1 = TestGroupState.create[LshBucketW](Optional.of(s0.get),
-      GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long], false)
+    val s1 = windowedState(Some(s0.get))
     fn(key, Iterator(TsBandDoc("s", 0, 42L, 2L, 1000L, sig)), s1).toList
     assert(s1.exists && s1.get.ids === Seq(2L))
+  }
+
+  test("quiescent-bucket GC: timeout armed at newest+window, fires to remove") {
+    val fn = StreamingOps.lshBucketFnWindowed(100, 100L)
+    val s0 = windowedState(None)
+    fn(key, Iterator(TsBandDoc("s", 0, 42L, 1L, 5000L, sig)), s0).toList
+    assert(s0.exists)
+    // stamp = ms-truncated (newest ts_us + window_us) + 1 — strictly past
+    // the last instant a non-late arrival could still pair with a member
+    assert(s0.getTimeoutTimestampMs.get === (5000L + 100L) / 1000L + 1L)
+    // the timeout invocation (empty arrivals, hasTimedOut) drops the bucket
+    // and emits nothing
+    val s1 = windowedState(Some(s0.get), timedOut = true)
+    val out = fn(key, Iterator.empty, s1).toList
+    assert(out.isEmpty && !s1.exists)
   }
 }
