@@ -109,6 +109,18 @@ object Dedup {
   private[ops] def saltBands(bands: DataFrame, cap: Int): DataFrame = {
     val counts = bands.groupBy("band", "band_hash", "source")
       .agg(count(lit(1)).as("__bn"))
+    // Cool-corpus fast path (the adaptiveJaccard discipline): one tiny
+    // map-side-combined aggregate decides whether ANY bucket exceeds the
+    // cap. When none does — every non-degenerate corpus — the fold would
+    // assign the constant 0 to every row anyway, so emit it as a literal
+    // and SKIP the count-join: that saves a full extra shuffle of the
+    // band table plus the wider re-partition the salt key forces on the
+    // downstream self-join. The hot path below is byte-identical to the
+    // oracle CTE restatement (which computes the per-bucket salt
+    // unconditionally — same values either way).
+    val hottest = counts.agg(max(col("__bn"))).first()
+    if (hottest.isNullAt(0) || hottest.getLong(0) <= cap)
+      return bands.withColumn("salt", lit(0L))
     bands.join(counts, Seq("band", "band_hash", "source"))
       .withColumn("salt",
         when(col("__bn") <= cap, lit(0L))
