@@ -112,6 +112,34 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     } finally s.close()
   }
 
+  /** Per-table memo of "does this table use spec-style names at all" so
+    * resolveVersionFile — on the hot path of every load — pays the
+    * directory listing only for the rare spec-named tables (and exactly
+    * once for everyone else). Seeded by one listing, kept current by
+    * writeVersion. A stale `false` from another process enabling spec
+    * naming mid-flight only costs cosmetics: the plain CAS lock is always
+    * valid JSON, so resolution stays correct, just not extension-preferred.
+    */
+  private val specNamingMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def tableUsesSpecNaming(name: String): Boolean =
+    specNamingMemo.computeIfAbsent(name, _ => {
+      val dir = Paths.get(stripScheme(metadataDir(name)))
+      if (!Files.exists(dir)) java.lang.Boolean.FALSE
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.exists { p =>
+            val n = p.getFileName.toString
+            n.length > 6 && n.take(5).forall(_.isDigit) && n(5) == '-' &&
+              n.endsWith(".metadata.json")
+          }
+        } finally s.close()
+      }
+    })
+
   /** The on-disk metadata file for `version` — the reference's
     * `.gz.metadata.json` flavor (`locations.go:65-78`) when the table was
     * committed with gzip metadata, else the plain name. The gzip flavor is
@@ -121,12 +149,14 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     * Codec.fromFileName); the plain CAS-lock name always holds plain JSON
     * and remains a valid fallback.
     */
-  private def resolveVersionFile(name: String, v: Int): String =
-    specVersionFile(name, v).getOrElse {
+  private def resolveVersionFile(name: String, v: Int): String = {
+    val spec = if (tableUsesSpecNaming(name)) specVersionFile(name, v) else None
+    spec.getOrElse {
       val gz = gzVersionFile(name, v)
       if (Files.exists(Paths.get(stripScheme(gz)))) gz
       else versionFile(name, v)
     }
+  }
 
   override def metadataLocation(name: String, version: Int): String =
     resolveVersionFile(name, version)
@@ -296,14 +326,24 @@ final class FileCatalog(val warehouse: String) extends Catalog {
       // only the CAS winner reaches past the link, so the non-atomic
       // sibling writes below are single-writer; readers prefer these names
       // (see resolveVersionFile) once they exist and fall back to the
-      // plain lock bytes until then
-      def writeSibling(target: String, bytes: Array[Byte]): Unit = {
-        val tgt = Paths.get(stripScheme(target))
-        val t2 = Files.createTempFile(lock.getParent, s".v$v-sib-", ".tmp")
-        Files.write(t2, bytes)
-        Files.move(t2, tgt,
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      }
+      // plain lock bytes until then. BEST-EFFORT: past the link the commit
+      // is durable and readable via the plain lock, so a sibling failure
+      // (disk full, permissions) must NOT surface as a failed commit — a
+      // caller retrying "the failed commit" would hit its own version's
+      // lock and misread a successful commit as a lost CAS race.
+      def writeSibling(target: String, bytes: Array[Byte]): Unit =
+        try {
+          val tgt = Paths.get(stripScheme(target))
+          val t2 = Files.createTempFile(lock.getParent, s".v$v-sib-", ".tmp")
+          Files.write(t2, bytes)
+          Files.move(t2, tgt,
+            StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case e: java.io.IOException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"committed $name v$v but could not write sibling $target " +
+                s"(readers fall back to the plain lock): $e")
+        }
       def gzipBytes: Array[Byte] = {
         val bos = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -322,6 +362,7 @@ final class FileCatalog(val warehouse: String) extends Catalog {
         val ext = if (gzip) ".gz.metadata.json" else ".metadata.json"
         writeSibling(s"${metadataDir(name)}/${f"$v%05d"}-$uuid$ext",
           if (gzip) gzipBytes else json.getBytes(StandardCharsets.UTF_8))
+        specNamingMemo.put(name, java.lang.Boolean.TRUE)
       }
     } finally Files.deleteIfExists(tmp)
     // hint is advisory; last-writer-wins is fine because versions only grow

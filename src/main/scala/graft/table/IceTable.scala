@@ -403,15 +403,49 @@ final class IceTable private (
       else df.copy(partition = spec.fields.map { pf =>
         val src = schema.findById(pf.sourceId).getOrElse(
           throw new IllegalStateException(s"no source field ${pf.sourceId}"))
+        // content equality — the reference compares Literal values
+        // (`lowerT.Val.Equals(upperT.Val)`, utils.go:229), so byte-array
+        // partition values must compare by content, not reference
+        def sameValue(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+          case _ => a == b
+        }
+        val nulls = df.nullValueCounts.get(pf.sourceId)
+        val values = df.valueCounts.get(pf.sourceId)
         (df.lowerBounds.get(pf.sourceId), df.upperBounds.get(pf.sourceId)) match {
           case (Some(lo), Some(hi)) =>
+            // min==max proves a single NON-NULL value; parquet bounds
+            // exclude nulls, so a mixed null+value column would register
+            // its null rows under the wrong partition (divergence: the
+            // reference skips this check and misattributes — we refuse)
+            if (nulls.exists(_ > 0)) throw new IllegalArgumentException(
+              s"cannot infer partition value from parquet metadata: column " +
+                s"${src.name} in $p holds both nulls and values " +
+                s"(${nulls.get} nulls) — rows would span two partitions")
             val lt = pf.transform.apply(src.tpe, Bounds.decode(src.tpe, lo))
             val ht = pf.transform.apply(src.tpe, Bounds.decode(src.tpe, hi))
-            if (lt != ht) throw new IllegalArgumentException(
+            if (!sameValue(lt, ht)) throw new IllegalArgumentException(
               s"cannot infer partition value from parquet metadata: more than " +
                 s"one value for partition field ${pf.name} in $p (low: $lt, high: $ht)")
             lt
-          case _ => null // no stats for the column → null partition value
+          case _ if values.isEmpty =>
+            // the source column is absent from the file entirely: scans
+            // null-fill it, so the null partition value is exact
+            null
+          case _ if nulls.isDefined && nulls == values =>
+            // provably all-null column → null partition value is exact
+            null
+          case _ =>
+            // column present with data but no usable bounds (stats
+            // disabled, or NaN-poisoned float bounds): nothing proves a
+            // single partition value. The reference records a silent null
+            // here (utils.go:211-213) — a scan on the partition column
+            // would then prune the file and lose its rows, so we refuse
+            // instead (documented divergence, same safety reading as
+            // ignoreDuplicates).
+            throw new IllegalArgumentException(
+              s"cannot infer partition value from parquet metadata: column " +
+                s"${src.name} in $p has no usable footer statistics")
         }
       })
     }.seq.toSeq

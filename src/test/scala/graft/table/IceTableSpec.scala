@@ -598,6 +598,47 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("non-linear"))
   }
 
+  test("addFiles partition inference: null handling and binary content equality") {
+    import org.apache.spark.sql.functions._
+    val stage = Files.createTempDirectory("graft-extpart-null").toString
+
+    // mixed null + value in the partition source: min==max would lie about
+    // the null rows' partition, so registration must refuse (footer bounds
+    // exclude nulls; the reference silently misattributes here)
+    val mixed = spark.range(10).select(
+      col("id"),
+      when(col("id") < 3, lit(null: String)).otherwise(lit("F")).as("st"))
+    mixed.coalesce(1).write.mode("overwrite").parquet(s"$stage/mixed")
+    val schema = SchemaConv.fromSpark(mixed.schema)
+    val spec = PartitionSpec.of(0, ("st", IdentityTransform, "st"))(schema)
+    val t = IceTable.create(catalog, "ext_part_nulls", schema, spec)
+    val e = intercept[IllegalArgumentException](
+      t.addFiles(Seq(DataWriter.listParquet(s"$stage/mixed").head._1)))
+    assert(e.getMessage.contains("nulls and values"))
+
+    // a provably ALL-null column registers under the null partition exactly
+    val allNull = spark.range(10).select(col("id"), lit(null).cast("string").as("st"))
+    allNull.coalesce(1).write.mode("overwrite").parquet(s"$stage/allnull")
+    t.addFiles(Seq(DataWriter.listParquet(s"$stage/allnull").head._1))
+    t.refresh()
+    assert(t.newScan().planFiles().head.file.partition === Seq(null))
+    assert(t.scan(spark, P.isNull("st")).count() === 10)
+
+    // binary partition source: single-valued file must register — the
+    // min==max proof needs CONTENT equality on byte arrays, not reference
+    // equality (reference compares Literal values, utils.go:229)
+    val bin = spark.range(8).select(col("id"), lit(Array[Byte](1, 2, 3)).as("bk"))
+    bin.coalesce(1).write.mode("overwrite").parquet(s"$stage/bin")
+    val bSchema = SchemaConv.fromSpark(bin.schema)
+    val bSpec = PartitionSpec.of(0, ("bk", IdentityTransform, "bk"))(bSchema)
+    val tb = IceTable.create(catalog, "ext_part_bin", bSchema, bSpec)
+    tb.addFiles(Seq(DataWriter.listParquet(s"$stage/bin").head._1))
+    tb.refresh()
+    assert(tb.scan(spark).count() === 8)
+    assert(tb.newScan().planFiles().head.file.partition.head
+      .asInstanceOf[Array[Byte]].toSeq === Seq[Byte](1, 2, 3))
+  }
+
   test("addFiles: scheme-qualified duplicate paths are caught by the guard") {
     val foreignDir = Files.createTempDirectory("graft-foreign-scheme").toString
     spark.read.parquet(s"$sfDir/region.parquet")
