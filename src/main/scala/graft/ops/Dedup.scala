@@ -380,6 +380,12 @@ banded AS (SELECT doc_id, source, b.band,
     adaptiveJaccard(table.scan(spark), threshold,
       statsHint = table.tokenJoinedRowsOf("text"))
 
+  /** Test/probe hooks: which exact-jaccard plan the cost-based chooser ran
+    * (mirrors [[containmentPrefixPlans]]/[[containmentCountJoinPlans]]).
+    */
+  val jaccardPrefixPlans = new java.util.concurrent.atomic.AtomicLong()
+  val jaccardCountJoinPlans = new java.util.concurrent.atomic.AtomicLong()
+
   private def adaptiveJaccard(raw: DataFrame, threshold: Double,
       statsHint: Option[Double]): DataFrame = {
     // tokenize ONCE: both candidate plans start from this persisted frame,
@@ -389,8 +395,13 @@ banded AS (SELECT doc_id, source, b.band,
     val docs = tokensPersisted(
       raw.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
     val joinedRowsEst = statsHint.getOrElse(sampleJoinedRowsTokenized(docs))
-    if (joinedRowsEst <= CountJoinMaxPairs) countJoinJaccardPersisted(docs, threshold)
-    else jaccardPairsOverPersisted(docs, threshold)
+    if (joinedRowsEst <= CountJoinMaxPairs) {
+      jaccardCountJoinPlans.incrementAndGet()
+      countJoinJaccardPersisted(docs, threshold)
+    } else {
+      jaccardPrefixPlans.incrementAndGet()
+      jaccardPairsOverPersisted(docs, threshold)
+    }
   }
 
   /** (doc_id, source, ws) → + set size, persisted — the shared first stage

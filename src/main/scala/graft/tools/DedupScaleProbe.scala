@@ -1,8 +1,5 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -51,17 +48,6 @@ object DedupScaleProbe {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
-  /** Task-level shuffle-write record counter: a count() action runs its own
-    * QueryExecution, so plan-node SQL metrics on the probed DataFrame stay
-    * zero — the listener sums what the tasks actually wrote instead.
-    */
-  private final class ShuffleWriteCounter extends SparkListener {
-    val records = new AtomicLong(0L)
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-      Option(t.taskMetrics).foreach(m =>
-        records.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
-  }
-
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cap = args.drop(1).headOption.map(_.toInt).getOrElse(512)
@@ -88,19 +74,13 @@ object DedupScaleProbe {
     }
     Seq(5000, 10000, 20000).foreach { d =>
       val dir = java.nio.file.Files.createTempDirectory(s"dedup-probe-$d")
-      val counter = new ShuffleWriteCounter
       try {
         plantedCorpus(spark, base, dir.toString, d)
-        spark.sparkContext.addSparkListener(counter)
-        val t0 = System.nanoTime()
-        val cand = Dedup.minhashCandidateStage(spark, dir.toString, cap)._2
-        val pairs = cand.count()
-        val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(2000) // listener bus is async; let task-end events drain
+        val (pairs, recs, wall) = ProbeMetrics.measure(spark)(
+          Dedup.minhashCandidateStage(spark, dir.toString, cap)._2.count())
         val ungated = 16L * d.toLong * (d - 1L) / 2L
-        println(f"$d%-12d $pairs%-12d ${counter.records.get}%-14d $wall%-8.1f $ungated%d")
+        println(f"$d%-12d $pairs%-12d $recs%-14d $wall%-8.1f $ungated%d")
       } finally {
-        spark.sparkContext.removeSparkListener(counter)
         CacheRegistry.releaseAll()
         org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       }
