@@ -37,6 +37,27 @@ import graft.table.IceTable
   */
 object IncrementalDedup {
 
+  /** Idempotent roll-forward append shared by every extend* below: a
+    * stale-watermark RETRY of a roll step must be a no-op, or the
+    * accumulated index holds the increment's rows twice and every
+    * subsequent run inflates intersections/dfs from the doubled rows (the
+    * read paths' anti-join only shields the CURRENT increment's ids). The
+    * already-indexed check is Δ-broadcast-disciplined: the table's id
+    * column is semi-joined to the Δ ids map-side (no corpus-side shuffle),
+    * leaving a ≤Δ-sized broadcastable set to anti-join the delta against.
+    */
+  private def appendNewRows(table: IceTable, delta: DataFrame,
+      idCol: String): Unit = {
+    val deltaIds = delta.select(idCol).distinct()
+    val alreadyIndexed = table.scan(delta.sparkSession)
+      .select(idCol)
+      .join(broadcast(deltaIds), Seq(idCol), "left_semi")
+      .distinct()
+    val fresh = delta.join(broadcast(alreadyIndexed), Seq(idCol), "left_anti")
+    if (!fresh.isEmpty) table.append(fresh)
+    table.refresh()
+  }
+
   /** Exploded token-index rows for a document frame: one row per distinct
     * token, carrying the doc's token-set size so jaccard needs no second
     * lookup. Uses the SAME canonical tokenizer as every word-set operator.
@@ -122,11 +143,10 @@ object IncrementalDedup {
     * the pair join consumed.
     */
   def extendIndex(spark: SparkSession, docsTable: IceTable,
-      indexTable: IceTable, sinceSnapshotId: Long): Unit = {
-    indexTable.append(
-      tokenIndexOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId)))
-    indexTable.refresh()
-  }
+      indexTable: IceTable, sinceSnapshotId: Long): Unit =
+    appendNewRows(indexTable,
+      tokenIndexOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId)),
+      "doc_id")
 
   // -------------------------------------------------- span index
   /** (doc_id, span) rows of each document's distinct n-token spans — the
@@ -170,11 +190,10 @@ object IncrementalDedup {
 
   /** Roll the span index forward — shingle ONLY the increment, append. */
   def extendSpanIndex(spark: SparkSession, docsTable: IceTable,
-      spanTable: IceTable, sinceSnapshotId: Long, n: Int = 5): Unit = {
-    spanTable.append(
-      Dedup.spanRows(Ingest.changesSince(spark, docsTable, sinceSnapshotId), n))
-    spanTable.refresh()
-  }
+      spanTable: IceTable, sinceSnapshotId: Long, n: Int = 5): Unit =
+    appendNewRows(spanTable,
+      Dedup.spanRows(Ingest.changesSince(spark, docsTable, sinceSnapshotId), n),
+      "doc_id")
 
   // -------------------------------------------------- minhash signatures
   /** 64-permutation MinHash signatures of a document frame — the ~512 B/doc
@@ -261,11 +280,10 @@ object IncrementalDedup {
 
   /** Roll the signature table forward — sign ONLY the increment, append. */
   def extendSignatures(spark: SparkSession, docsTable: IceTable,
-      sigTable: IceTable, sinceSnapshotId: Long): Unit = {
-    sigTable.append(
-      signaturesOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId)))
-    sigTable.refresh()
-  }
+      sigTable: IceTable, sinceSnapshotId: Long): Unit =
+    appendNewRows(sigTable,
+      signaturesOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId)),
+      "doc_id")
 
   /** LSH candidates touching the increment, against PERSISTED band buckets:
     * the accumulated artifact is the banded form itself
@@ -313,11 +331,10 @@ object IncrementalDedup {
     * accumulated artifacts stay in lockstep.
     */
   def extendBands(spark: SparkSession, docsTable: IceTable,
-      bandTable: IceTable, sinceSnapshotId: Long): Unit = {
-    bandTable.append(Dedup.bandsOf(
-      signaturesOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId))))
-    bandTable.refresh()
-  }
+      bandTable: IceTable, sinceSnapshotId: Long): Unit =
+    appendNewRows(bandTable, Dedup.bandsOf(
+      signaturesOf(Ingest.changesSince(spark, docsTable, sinceSnapshotId))),
+      "doc_id")
 
   // -------------------------------------------------- embedding buckets
   /** LSH-candidate pairs TOUCHING the increment over the persisted
@@ -420,11 +437,10 @@ object IncrementalDedup {
     * increment, append its bucket rows.
     */
   def extendEmbeddingBuckets(spark: SparkSession, embTable: IceTable,
-      bucketTable: IceTable, sinceSnapshotId: Long): Unit = {
-    bucketTable.append(
-      Similarity.bucketRows(Ingest.changesSince(spark, embTable, sinceSnapshotId)))
-    bucketTable.refresh()
-  }
+      bucketTable: IceTable, sinceSnapshotId: Long): Unit =
+    appendNewRows(bucketTable,
+      Similarity.bucketRows(Ingest.changesSince(spark, embTable, sinceSnapshotId)),
+      "vec_id")
 
   // -------------------------------------------------- chunk index
   /** Chunk-level dedup stats for the INCREMENT's documents against a

@@ -174,8 +174,11 @@ c AS (
   def knnGraph(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = withInt8Codes(t(spark, dir, "embeddings"))
       .transform(CacheRegistry.persist(_))
-    val banded = emb.select(col("vec_id"),
-      posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket")))
+    // persist the BANDED frame (not just emb): both sides of the self-join
+    // read it, and unpersisted each side would re-run the 4-table x 16-plane
+    // x 64-dim integer projections per corpus row
+    val banded = CacheRegistry.persist(emb.select(col("vec_id"),
+      posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket"))))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") =!= col("b.vec_id"))
@@ -200,9 +203,10 @@ c AS (
     // candidate generation is ID-only: a pair surfaces once per shared
     // bucket, so dedup BEFORE attaching the 64-float vectors — the distinct
     // then shuffles slim (id, id, label) rows, not array payloads
-    val banded = emb
+    // persisted for the same both-sides-of-the-self-join reason as knnGraph
+    val banded = CacheRegistry.persist(emb
       .select(col("vec_id"), col("label"),
-        posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket")))
+        posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket"))))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

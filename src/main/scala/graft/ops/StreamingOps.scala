@@ -64,6 +64,54 @@ object StreamingOps {
     d
   }
 
+  /** Shared foreachBatch equality-delete upsert sink: one temp warehouse,
+    * lazy table creation off the first batch's schema, and a per-batch
+    * coalesce + PERSIST + upsert + refresh. The persist matters:
+    * [[graft.table.IceTable.upsert]] runs TWO write jobs (distinct delete
+    * keys, then the rows), and an unpersisted micro-batch frame would
+    * re-execute its whole stateful plan — state-store restore included —
+    * once per job (the cost [[streamedRangeJoin]] measured as a tripled
+    * wall time before it persisted). Empty batches are skipped outright.
+    */
+  private final class UpsertSink(prefix: String, tableName: String,
+      keys: Seq[String]) {
+    import graft.meta.FileCatalog
+    import graft.table.IceTable
+    private val wh = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
+    private val catalog = new FileCatalog(wh.toString)
+    private var sink: IceTable = null
+    def onBatch(batch: DataFrame): Unit = {
+      val rows = batch.coalesce(1).persist()
+      try {
+        if (!rows.isEmpty) {
+          if (sink == null)
+            sink = IceTable.create(catalog, tableName,
+              graft.core.SchemaConv.fromSpark(rows.schema))
+          sink.upsert(rows.sparkSession, rows, keys)
+          sink.refresh()
+        }
+      } finally rows.unpersist(): Unit
+    }
+    def table(what: String): IceTable = {
+      require(sink != null, s"$what delivered no batches — empty source dir?")
+      sink
+    }
+  }
+
+  /** Await a bounded streaming run, STOPPING the query on timeout — a bare
+    * `require(q.awaitTermination(ms))` aborts the caller but leaks the
+    * still-running stream (file polling, state stores, foreachBatch
+    * commits) into the shared long-lived session.
+    */
+  private def awaitOrStop(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long, what: String): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(s"$what did not finish in ${timeoutMs / 1000}s")
+    }
+
   /** Hourly tumbling-window event counts computed by a streaming job with a
     * 1-hour watermark.
     *
@@ -95,31 +143,18 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
-    val wh = java.nio.file.Files.createTempDirectory("stream-hourly-sink")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
-    val catalog = new FileCatalog(wh.toString)
-    var sink: IceTable = null
-    val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      // one file per commit side — update output is changed-windows-sized
-      // (see streamedDedupExact's sizing note)
-      val rows = batch.coalesce(1)
-      if (sink == null)
-        sink = IceTable.create(catalog, "hourly_counts",
-          graft.core.SchemaConv.fromSpark(rows.schema))
-      sink.upsert(rows.sparkSession, rows, Seq("hour", "event_type"))
-      sink.refresh()
-    }
+    val sink = new UpsertSink("stream-hourly-sink", "hourly_counts",
+      Seq("hour", "event_type"))
     // fresh checkpoint per invocation; state width comes from the clone's
     // conf (streamSession) — the caller's session is never touched
     val q = stream.writeStream
       .outputMode("update")
-      .foreachBatch(onBatch)
+      .foreachBatch((batch: DataFrame, _: Long) => sink.onBatch(batch))
       .trigger(Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(120000), "streaming hourly-count job did not finish in 120s")
-    require(sink != null, "hourly stream delivered no batches — empty source dir?")
-    sink.scan(spark).select("hour", "event_type", "n_events")
+    awaitOrStop(q, 120000, "streaming hourly-count job")
+    sink.table("hourly stream").scan(spark)
+      .select("hour", "event_type", "n_events")
   }
 
   /** Trending items: the streaming-materialized-view + serving-query
@@ -147,29 +182,21 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("k"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour"), col("k"), col("n"))
-    val wh = java.nio.file.Files.createTempDirectory("stream-trending-sink")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
-    val catalog = new FileCatalog(wh.toString)
-    var sink: IceTable = null
-    val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      val rows = batch.coalesce(1)
-      if (sink == null)
-        sink = IceTable.create(catalog, "trending_counts",
-          graft.core.SchemaConv.fromSpark(rows.schema))
-      sink.upsert(rows.sparkSession, rows, Seq("hour", "k"))
-      sink.refresh()
-    }
+    val sink = new UpsertSink("stream-trending-sink", "trending_counts",
+      Seq("hour", "k"))
     val q = stream.writeStream
       .outputMode("update")
-      .foreachBatch(onBatch)
+      .foreachBatch((batch: DataFrame, _: Long) => sink.onBatch(batch))
       .trigger(Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(120000), "trending stream did not finish in 120s")
-    require(sink != null, "trending stream delivered no batches — empty source dir?")
+    awaitOrStop(q, 120000, "trending stream")
     import org.apache.spark.sql.expressions.Window
-    val byHour = Window.partitionBy("hour").orderBy(col("n").desc, col("k"))
-    sink.scan(spark).select("hour", "k", "n")
+    // nulls-LAST on the k tiebreak: props is nullable, and Spark's default
+    // asc-nulls-first would rank a null-k group above a non-null tie while
+    // the DuckDB oracle's ORDER BY n DESC, k ranks it below
+    val byHour = Window.partitionBy("hour")
+      .orderBy(col("n").desc, col("k").asc_nulls_last)
+    sink.table("trending stream").scan(spark).select("hour", "k", "n")
       .withColumn("rn", row_number().over(byHour)
         .cast(org.apache.spark.sql.types.IntegerType))
       .where(col("rn") <= 3)
@@ -245,28 +272,17 @@ object StreamingOps {
           // the sink holds the latest value per user after the final batch
           Iterator.single(UserSessions(uid, st.nSessions, st.nEvents))
       }
-    val wh = java.nio.file.Files.createTempDirectory(s"stream-sess-$sinkName")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile): Unit))
-    val catalog = new FileCatalog(wh.toString)
-    var sink: IceTable = null
-    val onBatch: (org.apache.spark.sql.Dataset[UserSessions], Long) => Unit =
-      (batch, _) => {
-        val rows = batch.toDF().coalesce(1)
-        if (sink == null)
-          sink = IceTable.create(catalog, "user_sessions",
-            graft.core.SchemaConv.fromSpark(rows.schema))
-        sink.upsert(rows.sparkSession, rows, Seq("user_id"))
-        sink.refresh()
-      }
+    val sink = new UpsertSink(s"stream-sess-$sinkName", "user_sessions",
+      Seq("user_id"))
     val q = sessions.writeStream
-      .foreachBatch(onBatch)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[UserSessions], _: Long) =>
+        sink.onBatch(batch.toDF()))
       .trigger(Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(120000), "streaming session job did not finish in 120s")
+    awaitOrStop(q, 120000, "streaming session job")
     val batches = q.recentProgress.count(_.numInputRows > 0)
-    require(sink != null, "session stream delivered no batches — empty source dir?")
-    (sink.scan(spark).select("user_id", "n_sessions", "n_events"), batches)
+    (sink.table("session stream").scan(spark)
+      .select("user_id", "n_sessions", "n_events"), batches)
   }
 
   /** Exact content-hash dedup as a STREAMING job — the continuous-ingest
@@ -369,7 +385,7 @@ object StreamingOps {
       .foreachBatch(onBatch)
       .trigger(Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(120000), "streaming dedup job did not finish in 120s")
+    awaitOrStop(q, 120000, "streaming dedup job")
     require(sink != null, "dedup stream delivered no batches — empty staging dir?")
     (sink.scan(spark).select("doc_id", "n_copies"), emitted.toSeq)
   }
@@ -648,7 +664,7 @@ object StreamingOps {
       .foreachBatch(onBatch)
       .trigger(Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(180000), "streaming LSH job did not finish in 180s")
+    awaitOrStop(q, 180000, "streaming LSH job")
     require(sink != null, "LSH stream delivered no batches — empty staging dir?")
     (sink.scan(spark).select("doc_a", "doc_b", "est_jaccard"), emitted.toSeq)
   }
@@ -791,7 +807,7 @@ object StreamingOps {
       .foreachBatch(onBatch)
       .trigger(Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(120000), "streaming as-of join did not finish in 120s")
+    awaitOrStop(q, 120000, "streaming as-of join")
     require(sink != null, "as-of stream delivered no batches — empty staging dir?")
     (sink.scan(spark).select("purchase_id", "user_id", "click_id", "lag_us"),
       emitted.toSeq)
@@ -868,7 +884,7 @@ object StreamingOps {
       .foreachBatch(onBatch)
       .trigger(Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(120000), "stream-stream range join did not finish in 120s")
+    awaitOrStop(q, 120000, "stream-stream range join")
     require(sink != null, "range-join stream delivered no batches — empty staging dir?")
     val progress = q.recentProgress
     val stateRows = progress.lastOption

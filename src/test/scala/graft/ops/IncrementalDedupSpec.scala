@@ -205,6 +205,12 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     dt.append(b2); dt.refresh()
     IncrementalDedup.extendSignatures(spark, dt, st, snap1)
     IncrementalDedup.extendBands(spark, dt, bt, snap1)
+    // retried rolls with the same stale watermark are no-ops
+    val (nSigs, nBands) = (st.scan(spark).count(), bt.scan(spark).count())
+    IncrementalDedup.extendSignatures(spark, dt, st, snap1)
+    IncrementalDedup.extendBands(spark, dt, bt, snap1)
+    assert(st.scan(spark).count() === nSigs && bt.scan(spark).count() === nBands,
+      "retried signature/band rolls duplicated rows")
     // rolled-forward buckets == banding the rolled-forward signatures
     val fromSigs = Dedup.bandsOf(
       st.scan(spark).select("doc_id", "source", "sig"))
@@ -238,6 +244,13 @@ final class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val beforeExtend = pairSet(
       IncrementalDedup.incrementalJaccardPairs(spark, dt, it, snap1, 0.5))
     IncrementalDedup.extendIndex(spark, dt, it, snap1)
+    // a RETRIED roll with the same stale watermark must be a no-op — a
+    // second plain append would double the increment's token rows and every
+    // later run would inflate intersections from the doubled index
+    val afterFirstRoll = it.scan(spark).count()
+    IncrementalDedup.extendIndex(spark, dt, it, snap1)
+    assert(it.scan(spark).count() === afterFirstRoll,
+      "retried extendIndex duplicated index rows")
     // a retry with a STALE watermark after extendIndex must not double-join
     // the increment's now-indexed tokens (which would triple-count shared
     // tokens and corrupt jaccard) — the anti-join makes the re-run exact
