@@ -25,7 +25,9 @@ object GraftFunctions {
   private def litInt(e: Expression, fn: String): Int = e match {
     case l: Literal => l.value match {
       case i: Int => i
-      case l2: Long => l2.toInt
+      case l2: Long if l2 >= Int.MinValue && l2 <= Int.MaxValue => l2.toInt
+      case l2: Long => throw new IllegalArgumentException(
+        s"$fn: literal int argument out of range: $l2")
       case other => throw new IllegalArgumentException(
         s"$fn: expected a literal int, got $other")
     }

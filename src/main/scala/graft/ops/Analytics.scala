@@ -517,12 +517,16 @@ object Analytics {
     */
   private[ops] def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
     val words = t(s, dir, "documents").select(col("doc_id"),
-      split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("ws"))
+      Tok.words(col("text")).as("ws"))
     val uni = CacheRegistry.persist(words
       .select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c")))
     val n = uni.agg(sum("c").cast(LongType).as("n_tokens"))
     val bi = words
+      // guard single-token docs: sequence(1, 0) is the DESCENDING [1, 0]
+      // in Spark, whose ws[1]/ws[-1] accesses throw under default ANSI —
+      // every other n-gram producer here carries the same size guard
+      .where(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] as a, ws[i] as b))"))
         .as("p"))

@@ -28,7 +28,7 @@ object Dedup {
     * jaccard plans join on.
     */
   def wordSet(c: Column): Column =
-    array_distinct(split(regexp_replace(lower(c), "\\s+", " "), " "))
+    array_distinct(Tok.words(c))
 
   // ---------------------------------------------------------------- minhash
   /** 64-permutation MinHash signature of a token set, one pass per doc:
@@ -856,7 +856,7 @@ banded AS (SELECT doc_id, source, b.band,
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val withWords = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("words"))
+        Tok.words(col("text")).as("words"))
     val w = col("words")
     val grams = when(size(w) >= 3,
       array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
@@ -891,7 +891,7 @@ banded AS (SELECT doc_id, source, b.band,
     */
   private[ops] def spanRows(docs: DataFrame, n: Int): DataFrame = {
     val withWords = docs.select(col("doc_id"),
-      split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("words"))
+      Tok.words(col("text")).as("words"))
     val w = col("words")
     val spans = when(size(w) >= n,
       array_distinct(transform(sequence(lit(0), size(w) - n), i =>
@@ -1025,7 +1025,7 @@ banded AS (SELECT doc_id, source, b.band,
     * (whose accumulated chunk index stores these rows' per-hash minimum).
     */
   def chunkRows(documents: DataFrame, chunkWords: Int): DataFrame = {
-    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val w = Tok.words(col("text"))
     // exact integer ceil(len/chunkWords); size >= 1 so always >= 1 chunk
     val nChunks = floor((size(col("w")) + lit(chunkWords - 1)) /
       lit(chunkWords.toDouble)).cast(IntegerType)
@@ -1091,7 +1091,7 @@ banded AS (SELECT doc_id, source, b.band,
     * indices.
     */
   def chunkScrub(documents: DataFrame, chunkWords: Int): DataFrame = {
-    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val w = Tok.words(col("text"))
     val nChunks = floor((size(col("w")) + lit(chunkWords - 1)) /
       lit(chunkWords.toDouble)).cast(IntegerType)
     // tokenized once, read by BOTH the chunk-hash pass and the rebuild join

@@ -513,7 +513,7 @@ object IncrementalDedup {
       .join(broadcast(newIds), Seq("doc_id"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("chunk_idx"))).as("idxs"))
-    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val w = Tok.words(col("text"))
     newDocs.select(col("doc_id"), w.as("w")).join(keptIdx, "doc_id")
       .withColumn("clean", array_join(transform(col("idxs"),
         i => concat_ws(" ", slice(col("w"), i * chunkWords + 1, lit(chunkWords)))),

@@ -21,7 +21,7 @@ object PipelineOps {
 
   /** Normalized word array (same normalization as every Dedup operator). */
   private def words: Column =
-    split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    Tok.words(col("text"))
 
   /** Distinct word n-grams over a pre-materialized `words` column. */
   private def distinctGrams(w: Column, n: Int): Column =

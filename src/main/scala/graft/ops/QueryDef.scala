@@ -28,6 +28,31 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** THE canonical text normalization, shared by every text/dedup operator
+  * and restated as `regexp_replace(lower(text), '\s+', ' ', 'g')` in every
+  * DuckDB oracle. The whitespace class is written OUT on the engine side
+  * because the two regex engines disagree on `\s`: Java's includes U+000B
+  * (vertical tab) while DuckDB's RE2 `\s` is exactly `[\t\n\f\r ]` — a
+  * document containing U+000B would tokenize differently per engine and
+  * silently break every hash-exact contract built on this normalization.
+  * With the explicit class both engines collapse exactly the same
+  * characters. One definition site: a dozen hand-copied tokenizers is how
+  * the engine and its oracles drift apart.
+  */
+private[graft] object Tok {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lower, regexp_replace, split}
+
+  /** RE2 `\s`, spelled out (Java `\s` additionally matches U+000B). */
+  val WsClass = "[ \\t\\n\\f\\r]+"
+
+  /** lowercased text with whitespace runs collapsed to single spaces. */
+  def norm(c: Column): Column = regexp_replace(lower(c), WsClass, " ")
+
+  /** the canonical word list (ordered, with duplicates). */
+  def words(c: Column): Column = split(norm(c), " ")
+}
+
 object QueryDef {
   /** Read one driver-generated table (TESTDATA.md) from the given sf dir.
     *

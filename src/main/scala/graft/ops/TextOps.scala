@@ -77,7 +77,7 @@ object TextOps {
     */
   def sourceDrift(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = documents.select(col("source"),
-      explode(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
+      explode(Tok.words(col("text")))
         .as("token"))
     val st = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
       .transform(CacheRegistry.persist(_)) // three consumers below
@@ -144,12 +144,17 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val toks = t(s, dir, "documents").select(col("doc_id"),
-      explode(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
+      explode(Tok.words(col("text")))
         .as("token"))
       .transform(CacheRegistry.persist(_)) // both passes read it
-    val sketch = toks.select("token").as[String].rdd
-      .mapPartitions(rows => Iterator.single(mgSketch(rows, capacity)))
-      .treeReduce(mgMerge(_, _, capacity))
+    val tokRdd = toks.select("token").as[String].rdd
+    // empty corpus: treeReduce on a zero-partition RDD throws instead of
+    // yielding an empty frame like the exact variant and the oracle do
+    val sketch =
+      if (tokRdd.isEmpty()) Map.empty[String, Long]
+      else tokRdd
+        .mapPartitions(rows => Iterator.single(mgSketch(rows, capacity)))
+        .treeReduce(mgMerge(_, _, capacity))
     val candidates = sketch.keys.toSeq.sorted.toDF("token")
     val agg = toks.join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy("token")
@@ -195,15 +200,17 @@ object TextOps {
     * planted corpus style below via the registered rows gate + spec.
     */
   def lmPerplexity(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
-    val bigrams = documents
+    val w = Tok.words(col("text"))
+    // persisted: the corpus-scale bigram explode feeds THREE consumers
+    // (bigram counts, the vocab countDistinct, and the final scoring join)
+    val bigrams = CacheRegistry.persist(documents
       .select(col("doc_id"), w.as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("ws")) - 2),
         i => struct(element_at(col("ws"), i + 1).as("prev"),
           element_at(col("ws"), i + 2).as("cur")))).as("bg"))
-      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur")))
     val bgCounts = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c_bg"))
     val ctxCounts = bgCounts.groupBy("prev").agg(sum(col("c_bg")).as("c_ctx"))
     val vocab = bigrams.agg(countDistinct(col("cur")).as("v"))
@@ -289,7 +296,7 @@ object TextOps {
     * aggregations map-side combinable, doc_id/token keys, no joins.
     */
   def wordEntropy(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+    val w = Tok.words(col("text"))
     val tf = documents.select(col("doc_id"), explode(w).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     tf.groupBy("doc_id").agg(
@@ -358,7 +365,7 @@ object TextOps {
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"),
-            substring(md5(regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))
+            substring(md5(Tok.norm(col("text"))
               .cast(BinaryType)), 1, 16).as("fingerprint")),
       Some("""
         SELECT doc_id,
@@ -391,7 +398,7 @@ object TextOps {
     QueryDef(
       "dedup_cross_source_overlap",
       (s, dir) => {
-        val w = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+        val w = Tok.words(col("text"))
         val spans = t(s, dir, "documents")
           .select(col("source"), w.as("ws"))
           .where(size(col("ws")) >= 5)
@@ -552,7 +559,7 @@ object TextOps {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val toks = t(s, dir, "documents").select(col("doc_id"),
-          explode(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
+          explode(Tok.words(col("text")))
             .as("token"))
         val agg = toks.groupBy("token")
           .agg(count(lit(1)).as("occurrences"),
@@ -699,9 +706,12 @@ object TextOps {
       "text_tfidf_topk",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
-          explode(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
-            .as("term"))
+        // persisted: BOTH the doc-frequency and the term-frequency
+        // aggregations read the exploded term frame
+        val toks = CacheRegistry.persist(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            explode(Tok.words(col("text")))
+              .as("term")))
         val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val df = toks.groupBy("term")
           .agg(countDistinct(col("doc_id")).as("doc_freq"))
@@ -773,7 +783,7 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         val qTerms = Seq("hash", "join", "vector", "stream", "spark")
         val docs = t(s, dir, "documents").select(col("doc_id"),
-          split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("ws"))
+          Tok.words(col("text")).as("ws"))
           .select(col("doc_id"), col("ws"),
             size(col("ws")).cast(LongType).as("dl"))
           .transform(CacheRegistry.persist(_)) // corpus-stats pass + tf pass
