@@ -166,6 +166,17 @@ object Evaluators {
       // semantics are SQL 3-valued — `!isnan(NULL)` is NULL, which does
       // not match — so a file with nulls can never strictly match
       case Op.NotNan => nanCount.contains(0L) && noNulls
+      // value-comparison claims on float/double columns additionally need
+      // PROOF of no NaNs: parquet min/max bounds exclude NaN, so bounds
+      // alone can declare all-rows-match over a file whose NaN rows fail
+      // the comparison — and the caller deletes whole files on this claim.
+      // NaN counts are opt-in here (write.metadata.nan-counts.enabled);
+      // without them a floating column conservatively never must-matches
+      // (Java Iceberg's StrictMetricsEvaluator refuses the same way).
+      case Op.Lt | Op.LtEq | Op.Gt | Op.GtEq | Op.Eq | Op.NotEq |
+           Op.In | Op.NotIn
+          if (t == IceFloat || t == IceDouble) && !nanCount.contains(0L) =>
+        false
       case Op.Lt => noNulls && upper.exists(up => Bounds.compare(t, up, lits.head) < 0)
       case Op.LtEq => noNulls && upper.exists(up => Bounds.compare(t, up, lits.head) <= 0)
       case Op.Gt => noNulls && lower.exists(lo => Bounds.compare(t, lo, lits.head) > 0)

@@ -151,11 +151,20 @@ object Predicates {
         case i: Int => Some(i)
         case l: Long =>
           if (l > Int.MaxValue) None else if (l < Int.MinValue) None else Some(l.toInt)
-        case n: Number => Some(n.intValue())
         case s: String if t == IceDate => Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+        // EXACT or nothing: intValueExact throws (→ None via the outer
+        // catch) on fractional or out-of-range values — a truncating
+        // intValue() would bind equalTo(intCol, 1.5) as equalTo(intCol, 1)
+        // and match rows the predicate excludes
+        case n: Number => Some(new java.math.BigDecimal(n.toString).intValueExact())
         case _ => Some(v.asInstanceOf[Int])
       }
-      case IceLong | IceTime => Some(v.asInstanceOf[Number].longValue())
+      case IceLong | IceTime => v match {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case n: Number => Some(new java.math.BigDecimal(n.toString).longValueExact())
+        case _ => Some(v.asInstanceOf[Number].longValue())
+      }
       case IceTimestamp | IceTimestampTz => v match {
         case l: Long => Some(l)
         case s: String => // ISO date or date-time → epoch micros (UTC)
@@ -242,27 +251,71 @@ object Predicates {
         castLiteral(f.tpe, lits.head) match {
           case Some(v) => BoundPred(op, f.id, name, f.tpe, f.required, Seq(v))
           case None =>
-            // literal does not fit the column type (e.g. long > int range or
-            // decimal scale mismatch): comparison folds by op
+            // literal does not fit the column type (e.g. long > int range,
+            // fractional value on an integer column, decimal scale
+            // mismatch): comparison folds by op
             op match {
               case Op.Eq | Op.StartsWith => AlwaysFalse
               case Op.NotEq | Op.NotStartsWith => AlwaysTrue
               case Op.Lt | Op.LtEq | Op.Gt | Op.GtEq =>
-                foldOutOfRange(op, f.tpe, lits.head)
+                foldNonRepresentable(op, f, name, lits.head)
               case _ => AlwaysFalse
             }
         }
     }
   }
 
-  private def foldOutOfRange(op: Op, t: IceType, v: Any): IcePredicate = {
-    val above = t match {
-      case IceInt | IceDate => v.asInstanceOf[Number].longValue() > Int.MaxValue
-      case _ => false
+  /** Fold a range predicate whose NUMERIC literal is not representable in
+    * the column type — fractional on an integer column, finer-scaled on a
+    * decimal, or out of the type's range. The predicate is REWRITTEN, not
+    * just truthified: with v strictly between representable values,
+    * `col < v  ⟺  col <= floor_repr(v)` and `col > v  ⟺  col >= ceil_repr(v)`
+    * (reference folds the same way per-op; the old int-only above-max check
+    * folded lt(decimalCol, 10.005) to AlwaysFalse — and AlwaysTrue feeding
+    * deleteWhere would mark every row deleted).
+    */
+  private def foldNonRepresentable(op: Op, f: NestedField, name: String,
+      v: Any): IcePredicate = {
+    val bd = v match {
+      case n: Number => new java.math.BigDecimal(n.toString)
+      case _ => return AlwaysFalse // non-numeric unbindable literal
     }
+    import java.math.RoundingMode
+    // the type's representable range (None = unbounded for this purpose)
+    val range: Option[(java.math.BigDecimal, java.math.BigDecimal)] = f.tpe match {
+      case IceInt | IceDate => Some((java.math.BigDecimal.valueOf(Int.MinValue),
+        java.math.BigDecimal.valueOf(Int.MaxValue)))
+      case IceLong | IceTime => Some((java.math.BigDecimal.valueOf(Long.MinValue),
+        java.math.BigDecimal.valueOf(Long.MaxValue)))
+      case IceDecimal(_, _) => None
+      case _ => return AlwaysFalse // non-numeric column with numeric literal
+    }
+    // AboveMax / BelowMin fold exactly as the reference (exprs.go:736-751)
+    range.foreach { case (min, max) =>
+      if (bd.compareTo(max) > 0)
+        return op match {
+          case Op.Lt | Op.LtEq => AlwaysTrue
+          case _ => AlwaysFalse // Gt | GtEq
+        }
+      if (bd.compareTo(min) < 0)
+        return op match {
+          case Op.Gt | Op.GtEq => AlwaysTrue
+          case _ => AlwaysFalse // Lt | LtEq
+        }
+    }
+    // in-range but between representable values (fractional / finer scale):
+    // rewrite against the nearest representable bound
+    def repr(mode: RoundingMode): Any = f.tpe match {
+      case IceInt | IceDate => bd.setScale(0, mode).intValueExact()
+      case IceLong | IceTime => bd.setScale(0, mode).longValueExact()
+      case IceDecimal(_, s) => bd.setScale(s, mode)
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    def bound(adjOp: Op, value: Any) =
+      BoundPred(adjOp, f.id, name, f.tpe, f.required, Seq(value))
     op match {
-      case Op.Lt | Op.LtEq => if (above) AlwaysTrue else AlwaysFalse
-      case Op.Gt | Op.GtEq => if (above) AlwaysFalse else AlwaysTrue
+      case Op.Lt | Op.LtEq => bound(Op.LtEq, repr(RoundingMode.FLOOR))
+      case Op.Gt | Op.GtEq => bound(Op.GtEq, repr(RoundingMode.CEILING))
       case _ => AlwaysFalse
     }
   }
@@ -281,17 +334,30 @@ object Predicates {
     case BoundPred(op, _, name, t, _, lits) => opToColumn(op, col(name), lits, Some(t))
   }
 
-  /** Bound literal → the JVM object Spark's lit()/isin() expect. */
+  /** Bound literal → the JVM object Spark's lit()/isin() expect.
+    *
+    * IceTimestamp (no tz) surfaces as TimestampNTZType, so its literal must
+    * be a LocalDateTime — an Instant would make a TimestampType literal and
+    * Spark coerces the NTZ column through the SESSION time zone to compare
+    * them, shifting every comparison by the session offset. Only
+    * IceTimestampTz (a real instant) renders as Instant.
+    */
   private def litValue(t: Option[IceType], v: Any): Any = (t, v) match {
     case (Some(IceDate), i: Int) => java.time.LocalDate.ofEpochDay(i.toLong)
-    case (Some(IceTimestamp | IceTimestampTz), l: Long) =>
+    case (Some(IceTimestamp), l: Long) => microsToLocal(l)
+    case (Some(IceTimestampTz), l: Long) =>
       java.time.Instant.ofEpochSecond(l / 1000000L, (l % 1000000L) * 1000L)
     case _ => v
   }
 
+  private def microsToLocal(l: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(l, 1000000L),
+      (Math.floorMod(l, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+
   private def litCol(t: Option[IceType], v: Any): Column = (t, v) match {
     case (Some(IceDate), i: Int) => lit(java.time.LocalDate.ofEpochDay(i.toLong))
-    case (Some(IceTimestamp | IceTimestampTz), l: Long) =>
+    case (Some(IceTimestamp), l: Long) => lit(microsToLocal(l))
+    case (Some(IceTimestampTz), l: Long) =>
       lit(java.time.Instant.ofEpochSecond(l / 1000000L, (l % 1000000L) * 1000L))
     case (_, bd: java.math.BigDecimal) => lit(bd)
     case _ => lit(v)

@@ -197,9 +197,14 @@ final case class TruncateTransform(w: Int) extends Transform {
       case Op.Gt | Op.GtEq if p.tpe == IceString =>
         Some(Pred(Op.GtEq, partName, Seq(t(p.literal))))
       case Op.StartsWith if p.tpe == IceString =>
+        // CODE-POINT lengths, matching apply()'s truncateLower: a UTF-16
+        // char count would project a prefix containing astral characters
+        // to the wrong Eq cut and prune partitions holding matching rows
         val s = p.literal.asInstanceOf[String]
-        if (s.length < w) Some(Pred(Op.StartsWith, partName, Seq(s)))
-        else Some(Pred(Op.Eq, partName, Seq(s.substring(0, w))))
+        if (s.codePointCount(0, s.length) < w)
+          Some(Pred(Op.StartsWith, partName, Seq(s)))
+        else Some(Pred(Op.Eq, partName,
+          Seq(s.substring(0, s.offsetByCodePoints(0, w)))))
       case _ => None
     }
   }

@@ -524,6 +524,10 @@ object ManifestIO {
   }
 
   def readManifestList(path: String): Seq[ManifestFile] = {
+    // spec v1 allows snapshots without a manifest-list (the legacy inline
+    // `manifests` array); the reference treats an empty location as an
+    // empty snapshot (`snapshots.go:304`) rather than failing the table
+    if (path.isEmpty) return Nil
     val reader = openReader(path)
     val out = Seq.newBuilder[ManifestFile]
     while (reader.hasNext) {

@@ -239,8 +239,10 @@ object TableMetadataJson {
         fo.put("required", f.required)
         fo.set[JsonNode]("type", typeToJson(f.tpe))
         f.doc.foreach(fo.put("doc", _))
-        f.initialDefault.foreach(v => fo.set[JsonNode]("initial-default", literalToJson(v)))
-        f.writeDefault.foreach(v => fo.set[JsonNode]("write-default", literalToJson(v)))
+        f.initialDefault.foreach(v =>
+          fo.set[JsonNode]("initial-default", literalToJson(f.tpe, v)))
+        f.writeDefault.foreach(v =>
+          fo.set[JsonNode]("write-default", literalToJson(f.tpe, v)))
         fo
       }))
       o
@@ -263,32 +265,86 @@ object TableMetadataJson {
     case prim => mapper.getNodeFactory.textNode(IceType.toSpecString(prim))
   }
 
-  /** Single-value JSON for column defaults (spec v3 defaults encoding). */
-  private def literalToJson(v: Any): JsonNode = {
+  /** Single-value JSON for column defaults (spec v3 defaults encoding).
+    * Date/time/timestamp values serialize as the spec's ISO-8601 STRINGS —
+    * writing the raw epoch ints made graft defaults unreadable by
+    * spec-compliant readers (and vice versa, see literalFromJson).
+    */
+  private def literalToJson(t: graft.core.IceType, v: Any): JsonNode = {
     val nf = mapper.getNodeFactory
-    v match {
-      case b: Boolean => nf.booleanNode(b)
-      case i: Int => nf.numberNode(i)
-      case l: Long => nf.numberNode(l)
-      case f: Float => nf.numberNode(f)
-      case d: Double => nf.numberNode(d)
-      case d: java.math.BigDecimal => nf.textNode(d.toPlainString)
-      case s: String => nf.textNode(s)
-      case other => nf.textNode(other.toString)
+    def micros(x: Any) = x.asInstanceOf[Number].longValue()
+    val microFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    t match {
+      case graft.core.IceDate => nf.textNode(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString)
+      case graft.core.IceTime => nf.textNode(
+        java.time.LocalTime.ofNanoOfDay(micros(v) * 1000L)
+          .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS")))
+      case graft.core.IceTimestamp => nf.textNode(
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros(v), 1000000L),
+          (Math.floorMod(micros(v), 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).format(microFmt))
+      case graft.core.IceTimestampTz => nf.textNode(
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros(v), 1000000L),
+          (Math.floorMod(micros(v), 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).format(microFmt) + "+00:00")
+      case _ => v match {
+        case b: Boolean => nf.booleanNode(b)
+        case i: Int => nf.numberNode(i)
+        case l: Long => nf.numberNode(l)
+        case f: Float => nf.numberNode(f)
+        case d: Double => nf.numberNode(d)
+        case d: java.math.BigDecimal => nf.textNode(d.toPlainString)
+        case s: String => nf.textNode(s)
+        case other => nf.textNode(other.toString)
+      }
     }
   }
 
+  /** Single-value JSON deserialization (spec "JSON single-value
+    * serialization"): date/time/timestamp values are ISO-8601 STRINGS on
+    * the wire — Jackson's asInt()/asLong() on a textual node silently
+    * returns 0, which turned every spec-written date default into
+    * 1970-01-01. Numeric forms are still accepted for files this engine
+    * wrote before it emitted the spec strings.
+    */
   private def literalFromJson(t: graft.core.IceType, n: JsonNode): Any = t match {
     case graft.core.IceBoolean => n.asBoolean()
-    case graft.core.IceInt | graft.core.IceDate => n.asInt()
-    case graft.core.IceLong | graft.core.IceTime |
-         graft.core.IceTimestamp | graft.core.IceTimestampTz |
-         graft.core.IceTimestampNs | graft.core.IceTimestampTzNs => n.asLong()
+    case graft.core.IceDate =>
+      if (n.isTextual) java.time.LocalDate.parse(n.asText()).toEpochDay.toInt
+      else n.asInt()
+    case graft.core.IceTime =>
+      if (n.isTextual) java.time.LocalTime.parse(n.asText()).toNanoOfDay / 1000L
+      else n.asLong()
+    case graft.core.IceTimestamp =>
+      if (n.isTextual) localToMicros(java.time.LocalDateTime.parse(n.asText()))
+      else n.asLong()
+    case graft.core.IceTimestampTz =>
+      if (n.isTextual) {
+        val odt = java.time.OffsetDateTime.parse(n.asText())
+        odt.toEpochSecond * 1000000L + odt.getNano / 1000L
+      } else n.asLong()
+    case graft.core.IceTimestampNs =>
+      if (n.isTextual) {
+        val ldt = java.time.LocalDateTime.parse(n.asText())
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano
+      } else n.asLong()
+    case graft.core.IceTimestampTzNs =>
+      if (n.isTextual) {
+        val odt = java.time.OffsetDateTime.parse(n.asText())
+        odt.toEpochSecond * 1000000000L + odt.getNano
+      } else n.asLong()
+    case graft.core.IceInt => n.asInt()
+    case graft.core.IceLong => n.asLong()
     case graft.core.IceFloat => n.asDouble().toFloat
     case graft.core.IceDouble => n.asDouble()
     case graft.core.IceDecimal(_, s) => new java.math.BigDecimal(n.asText()).setScale(s)
     case _ => n.asText()
   }
+
+  private def localToMicros(ldt: java.time.LocalDateTime): Long =
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
 
   def specToJson(s: PartitionSpec): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -511,7 +567,10 @@ object TableMetadataJson {
       opt(n, "parent-snapshot-id").map(_.asLong()),
       opt(n, "sequence-number").map(_.asLong()).getOrElse(0L),
       n.get("timestamp-ms").asLong(),
-      n.get("manifest-list").asText(),
+      // spec v1 allows snapshots carrying the legacy inline `manifests`
+      // array instead of manifest-list; empty location = empty snapshot
+      // (reference snapshots.go:304), never an NPE on a genuine v1 file
+      opt(n, "manifest-list").map(_.asText()).getOrElse(""),
       opt(n, "summary").map(s => iterFields(s).map { case (k, v) => k -> v.asText() }.toMap)
         .getOrElse(Map.empty),
       opt(n, "schema-id").map(_.asInt()).getOrElse(0),

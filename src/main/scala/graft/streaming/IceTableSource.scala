@@ -70,15 +70,25 @@ final class IceTableSource(sqlContext: SQLContext, table: IceTable,
 
   override def prepareForTriggerAvailableNow(): Unit = {
     table.refresh()
-    availableNowCap = table.metadata.snapshots.map(_.sequenceNumber).maxOption
+    availableNowCap = mainSeqs().maxOption
   }
 
   override def getDefaultReadLimit: ReadLimit =
     maxSnapshotsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
+  /** Sequence numbers on MAIN's ancestry only. Enumerating ALL snapshots
+    * would advance the pacing floor past a WAP/branch-only snapshot's
+    * sequence number while getBatch (main-ancestry diff) delivers nothing
+    * for it — and when fastForwardMain later publishes that snapshot
+    * KEEPING its sequence number, the floor already sits past it and its
+    * rows are silently never delivered.
+    */
+  private def mainSeqs(): Seq[Long] =
+    Ingest.mainAncestry(table.metadata).map(_.sequenceNumber).distinct.sorted
+
   private def committedSeqs(): Seq[Long] = {
     table.refresh()
-    val all = table.metadata.snapshots.map(_.sequenceNumber).distinct.sorted
+    val all = mainSeqs()
     availableNowCap.fold(all)(cap => all.filter(_ <= cap))
   }
 
@@ -115,7 +125,7 @@ final class IceTableSource(sqlContext: SQLContext, table: IceTable,
     */
   override def getOffset: Option[Offset] = {
     table.refresh()
-    val seqs = table.metadata.snapshots.map(_.sequenceNumber).distinct.sorted
+    val seqs = mainSeqs()
     if (seqs.isEmpty) None
     else {
       val pending = seqs.filter(_ > pacedFloor)
@@ -148,20 +158,33 @@ final class IceTableSource(sqlContext: SQLContext, table: IceTable,
     if (metadataPath.isEmpty) None
     else Some(new Path(metadataPath, "graft-last-batch-end"))
 
+  /** Tolerant read: a crash mid-write must not wedge every restart with a
+    * parse error. An empty/garbled floor degrades to 0 — the floor is a
+    * pacing optimization layered UNDER the engine's own offset WAL, so a
+    * too-low floor only re-offers a range the engine dedupes, never skips.
+    */
   private def readFloor(): Long = floorFile.fold(0L) { p =>
     val fs = p.getFileSystem(FileIO.conf)
     if (!fs.exists(p)) 0L
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .trim.toLongOption.getOrElse(0L)
       finally in.close()
     }
   }
 
+  /** Atomic: write a temp sibling, then rename over the floor file — a JVM
+    * kill between create-with-truncate and write left a 0-byte file.
+    */
   private def writeFloor(v: Long): Unit = floorFile.foreach { p =>
     val fs = p.getFileSystem(FileIO.conf)
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent, s"${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"cannot persist pacing floor to $p")
   }
 }

@@ -29,7 +29,8 @@ object Ingest {
     * chain, or a CDC consumer sees phantom 'I' rows for data main never
     * published (ADVICE r12).
     */
-  private def mainAncestry(meta: graft.meta.TableMetadata): Seq[graft.meta.Snapshot] = {
+  private[streaming] def mainAncestry(
+      meta: graft.meta.TableMetadata): Seq[graft.meta.Snapshot] = {
     @annotation.tailrec
     def walk(id: Option[Long], acc: List[graft.meta.Snapshot]): List[graft.meta.Snapshot] =
       id.flatMap(meta.snapshotById) match {
@@ -39,15 +40,46 @@ object Ingest {
     walk(meta.currentSnapshotId, Nil) // root-first; order is not relied on
   }
 
-  /** foreachBatch append: every micro-batch becomes one table snapshot. */
+  /** Snapshot-summary keys carrying the streaming epoch (and the query's
+    * checkpoint, which scopes the guard) that produced an appendStream
+    * commit — the replay guard below keys on them.
+    */
+  val StreamBatchIdKey = "graft.streaming.batch-id"
+  val StreamCheckpointKey = "graft.streaming.checkpoint"
+
+  /** foreachBatch append: every micro-batch becomes one table snapshot.
+    *
+    * Replay guard: foreachBatch is AT-LEAST-ONCE — a crash after the table
+    * commit but before the streaming checkpoint commits the epoch makes
+    * Spark re-execute the same batchId on restart, and a bare append would
+    * commit its rows twice (the CAS makes one commit atomic, not a replay
+    * idempotent). Each commit stamps its epoch in the snapshot summary;
+    * a batchId at or below the newest stamped epoch on MAIN's ancestry is
+    * skipped as already committed.
+    */
   def appendStream(stream: DataFrame, table: IceTable, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { table.append(batch); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          table.refresh()
+          // scoped to THIS query's checkpoint: a different query's epochs
+          // (fresh checkpoint, batch ids restarting at 0) must never
+          // suppress a legitimate new append
+          val lastCommitted = mainAncestry(table.metadata)
+            .filter(_.summary.get(StreamCheckpointKey).contains(checkpoint))
+            .flatMap(_.summary.get(StreamBatchIdKey)).flatMap(_.toLongOption)
+            .maxOption
+          if (lastCommitted.forall(batchId > _)) {
+            table.append(batch, extraSummary = Map(
+              StreamBatchIdKey -> batchId.toString,
+              StreamCheckpointKey -> checkpoint))
+            ()
+          }
+        }
       }
       .start()
 

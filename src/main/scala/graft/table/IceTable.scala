@@ -331,10 +331,10 @@ final class IceTable private (
     * `snapshot_producers.go:61-102`): write data files, one new manifest,
     * carry parent manifests forward, CAS-commit with retry.
     */
-  def append(df: DataFrame): Snapshot = {
+  def append(df: DataFrame, extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val files = DataWriter.write(df, location, schema, spec, sortOrder,
       meta.properties, avgRowBytesHint = avgRowBytes)
-    commitAddedFiles(files, retries = 3)
+    commitAddedFiles(files, retries = 3, extraSummary = extraSummary)
   }
 
   /** Register already-written Parquet files (reference `AddFiles`

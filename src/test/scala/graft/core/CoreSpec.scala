@@ -73,6 +73,31 @@ class CoreSpec extends AnyFunSuite {
     assert(P.bind(P.notEqualTo("qty", Long.MaxValue), schema) == AlwaysTrue)
   }
 
+  test("bind rewrites non-representable numeric literals per-op, never truncates") {
+    // fractional on an int column: equalTo must NOT truncate 1.5 to 1
+    assert(P.bind(P.equalTo("qty", 1.5), schema) == AlwaysFalse)
+    assert(P.bind(P.notEqualTo("qty", 1.5), schema) == AlwaysTrue)
+    // col < 2.5 ⟺ col <= 2; col > 2.5 ⟺ col >= 3
+    val lt = P.bind(P.lt("qty", 2.5), schema).asInstanceOf[BoundPred]
+    assert(lt.op == Op.LtEq && lt.literal == 2)
+    val gte = P.bind(P.gtEq("qty", 2.5), schema).asInstanceOf[BoundPred]
+    assert(gte.op == Op.GtEq && gte.literal == 3)
+    // finer-scaled literal on a decimal(9,2): lt(10.005) ⟺ ltEq(10.00) —
+    // the old int-only fold collapsed this to AlwaysFalse (and its dual to
+    // AlwaysTrue, which feeding deleteWhere marks EVERY row deleted)
+    val dlt = P.bind(P.lt("price", new java.math.BigDecimal("10.005")), schema)
+      .asInstanceOf[BoundPred]
+    assert(dlt.op == Op.LtEq &&
+      dlt.literal == new java.math.BigDecimal("10.00"))
+    val dgt = P.bind(P.gt("price", new java.math.BigDecimal("10.005")), schema)
+      .asInstanceOf[BoundPred]
+    assert(dgt.op == Op.GtEq &&
+      dgt.literal == new java.math.BigDecimal("10.01"))
+    // fractional on a long column folds the same way
+    val llt = P.bind(P.lt("id", 7.5), schema).asInstanceOf[BoundPred]
+    assert(llt.op == Op.LtEq && llt.literal == 7L)
+  }
+
   test("bind casts date/timestamp string literals") {
     val d = P.bind(P.gtEq("day", "2017-11-16"), schema).asInstanceOf[BoundPred]
     assert(d.literal == 17486)

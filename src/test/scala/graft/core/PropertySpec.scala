@@ -219,6 +219,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("strict evaluator refuses value claims on float columns without NaN proof") {
+    // parquet min/max bounds EXCLUDE NaN, so bounds alone can declare an
+    // all-rows-match over a file whose NaN rows fail the comparison — and
+    // overwriteWhere deletes whole files on that claim. Without a recorded
+    // zero NaN count the strict evaluator must refuse; with one it may
+    // claim again; inclusive keeps the file throughout.
+    val s1 = IceSchema(0, Seq(NestedField(1, "x", IceFloat)))
+    val f = graft.meta.DataFile(
+      content = 0, filePath = "/f", fileFormat = "PARQUET",
+      partition = Nil, recordCount = 2, fileSizeInBytes = 1,
+      valueCounts = Map(1 -> 2L), nullValueCounts = Map(1 -> 0L),
+      lowerBounds = Map(1 -> Bounds.encode(IceFloat, 5.0f)),
+      upperBounds = Map(1 -> Bounds.encode(IceFloat, 5.0f)))
+    val gt = P.bind(P.gt("x", 1.0f), s1)
+    assert(!Evaluators.fileMustMatch(gt, f),
+      "bounds-only float file must not strictly match (may hold NaN rows)")
+    assert(Evaluators.fileMustMatch(gt, f.copy(nanValueCounts = Map(1 -> 0L))))
+    assert(!Evaluators.fileMustMatch(gt, f.copy(nanValueCounts = Map(1 -> 1L))))
+    assert(Evaluators.fileMayMatch(gt, f))
+  }
+
   test("projection inclusiveness: a row-matching predicate never prunes its partition") {
     // THE pruning-soundness law: for any value v and predicate P with
     // P(v) true, the projected partition predicate must accept

@@ -488,10 +488,21 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = t.schema
     val tasks = t.newScan().planFiles()
     val f = tasks.head.file
-    // every row satisfies a tautology over a stats-covered column
+    // every row satisfies a tautology over a stats-covered column — but on
+    // a DOUBLE column the claim needs NaN-freedom proof the file lacks
+    // (parquet bounds exclude NaN; NaN counts are opt-in), so the strict
+    // evaluator must refuse it while still refuting the non-tautology
     val lo = Bounds.decode(IceDouble, f.lowerBounds(schema.idByName("l_quantity")))
     val bound = P.bind(P.gtEq("l_quantity", lo), schema)
-    assert(Evaluators.fileMustMatch(bound, f))
+    assert(!Evaluators.fileMustMatch(bound, f),
+      "float claim without NaN proof must be refused")
+    assert(Evaluators.fileMustMatch(bound,
+      f.copy(nanValueCounts = Map(schema.idByName("l_quantity") -> 0L))),
+      "a recorded zero NaN count makes the tautology provable")
+    // an integral column carries no NaN hazard: the tautology holds as-is
+    val loKey = Bounds.decode(IceLong, f.lowerBounds(schema.idByName("l_orderkey")))
+    assert(Evaluators.fileMustMatch(
+      P.bind(P.gtEq("l_orderkey", loKey), schema), f))
     val boundNo = P.bind(P.gt("l_quantity", 100.0), schema)
     assert(!Evaluators.fileMustMatch(boundNo, f))
     val boundNull = P.bind(P.isNull("l_comment_missing_ok"),
