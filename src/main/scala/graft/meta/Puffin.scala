@@ -83,24 +83,29 @@ object Puffin {
       blobs: Seq[(BlobDescriptor, Array[Byte])]): (Seq[BlobDescriptor], Long) = {
     val fs = FileSystem.get(new java.net.URI(path), conf)
     val out = fs.create(new Path(path), true)
-    out.write(Magic)
-    var offset = 4L
-    val placed = blobs.map { case (d, bytes) =>
-      out.write(bytes)
-      val withOffset = d.copy(offset = offset, length = bytes.length.toLong)
-      offset += bytes.length
-      withOffset
-    }
-    val payload = footerJson(placed).getBytes(StandardCharsets.UTF_8)
-    out.write(Magic)
-    out.write(payload)
-    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-    tail.putInt(payload.length)
-    tail.putInt(0) // flags: uncompressed footer
-    out.write(tail.array())
-    out.write(Magic)
-    out.close()
-    (placed, 4L + payload.length + 8L + 4L)
+    // try/finally: a mid-write failure must release the stream (an open
+    // lease on HDFS-like systems can make the partial file undeletable
+    // until expiry, and executor-side DV shard retries would accumulate
+    // leaked streams in long-lived executors)
+    try {
+      out.write(Magic)
+      var offset = 4L
+      val placed = blobs.map { case (d, bytes) =>
+        out.write(bytes)
+        val withOffset = d.copy(offset = offset, length = bytes.length.toLong)
+        offset += bytes.length
+        withOffset
+      }
+      val payload = footerJson(placed).getBytes(StandardCharsets.UTF_8)
+      out.write(Magic)
+      out.write(payload)
+      val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payload.length)
+      tail.putInt(0) // flags: uncompressed footer
+      out.write(tail.array())
+      out.write(Magic)
+      (placed, 4L + payload.length + 8L + 4L)
+    } finally out.close()
   }
 
   private def esc(s: String): String =

@@ -121,10 +121,24 @@ object DataWriter {
       val fanout = properties.getOrElse("write.fanout.tasks-per-partition", "1").toInt
       val shuffleKeys =
         if (fanout <= 1) partNames.map(col)
-        else partNames.map(col) :+ pmod(hash(schema.fields.map(f => col(f.name)): _*),
-          lit(fanout))
-      aligned.select(writeSchema.fields.map(f => col(f.name)) ++ partCols: _*)
+        // WRITE-schema names: the frame being repartitioned was just
+        // projected to the sanitized names, so a salt built from original
+        // schema names fails analysis whenever any name needed sanitizing
+        else partNames.map(col) :+ pmod(
+          hash(writeSchema.fields.map(f => col(f.name)): _*), lit(fanout))
+      // the table sort order is applied AFTER the fanout shuffle (a
+      // pre-shuffle range-sort would be destroyed by the hash repartition
+      // — one full wasted exchange and files with overlapping ranges);
+      // sorting within the fanout partitions keyed (partition, sort...)
+      // gives each written file the tight contiguous bounds the order
+      // exists for
+      val shuffled = withIds
+        .select(writeSchema.fields.map(f => col(f.name)) ++ partCols: _*)
         .repartition(shuffleKeys: _*)
+      val clustered =
+        if (sortOrder.isUnsorted) shuffled
+        else shuffled.sortWithinPartitions(partNames.map(col) ++ sortCols: _*)
+      clustered
         .write
         .options(parquetWriteOptions(properties))
         .option("maxRecordsPerFile", maxRecords)
@@ -221,7 +235,7 @@ object DataWriter {
         modes.get(f.id).forall(_.kind != "none"))
     if (floatFields.isEmpty || files.isEmpty) return files
     import org.apache.spark.sql.functions.{isnan, sum, when}
-    def norm(p: String) = p.replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")
+    def norm(p: String) = IceScan.pathOnly(p)
     val aggs = floatFields.map(f =>
       sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as(s"__nan_${f.id}"))
     val byFile = spark.read.parquet(files.map(_.filePath): _*)

@@ -365,7 +365,7 @@ final class IceTable private (
     // scheme-insensitive comparison (same norm as DataWriter/positionsOf):
     // `file:///x` and `/x` are the same file, and a scheme-qualified
     // re-registration must not slip past the duplicate guard (ADVICE r13)
-    def norm(p: String) = p.replaceFirst("^[a-zA-Z0-9+.-]+:(//)?", "")
+    def norm(p: String) = IceScan.pathOnly(p)
     val requested = paths.map(norm).toSet
     val referenced = currentSnapshot.toSeq
       .flatMap(_ => newScan().planFiles().map(_.file.filePath))
@@ -659,22 +659,50 @@ final class IceTable private (
     val commitUuid = UUID.randomUUID().toString
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot replace files in an empty table"))
-    val existing = ManifestIO.readManifestList(current.manifestList)
-      .filter(_.content == 0)
-      .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, schema)._2
-        .filter(_.status != ManifestEntryStatus.Deleted)
-        .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber)))))
-    val (toDelete, toKeep) = existing.partition(e => deletePaths.contains(e.dataFile.filePath))
-    val entries =
-      added.map(f => ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f)) ++
-      toKeep.map(_.copy(status = ManifestEntryStatus.Existing)) ++
-      toDelete.map(_.copy(status = ManifestEntryStatus.Deleted, snapshotId = snapId))
-    val manifestPath = metaPath(s"$commitUuid-m0.avro")
-    val mf = ManifestIO.writeManifest(manifestPath, entries, spec, schema,
-        formatVersion = meta.formatVersion)
-      .copy(sequenceNumber = seq,
-        minSequenceNumber = toKeep.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
-        addedSnapshotId = snapId)
+    // survivors keep their ORIGIN spec: one rewritten manifest per spec id.
+    // Folding every spec's entries into one default-spec manifest would zip
+    // an old spec's partition tuple against the new spec's fields after a
+    // partition evolution — same-typed fields silently misattribute values
+    // (and partition pruning then drops matching files), different types
+    // crash mid-commit.
+    val existingBySpec: Map[Int, Seq[ManifestEntry]] =
+      ManifestIO.readManifestList(current.manifestList)
+        .filter(_.content == 0)
+        .groupBy(_.specId)
+        .view.mapValues(_.flatMap(m =>
+          ManifestIO.readManifest(m.path, meta.specs, schema)._2
+            .filter(_.status != ManifestEntryStatus.Deleted)
+            .map(e => e.copy(sequenceNumber =
+              e.sequenceNumber.orElse(Some(m.sequenceNumber))))))
+        .toMap
+    val toKeepAll = collection.mutable.ArrayBuffer.empty[ManifestEntry]
+    val survivorManifests = existingBySpec.toSeq.sortBy(_._1).zipWithIndex.flatMap {
+      case ((specId, entries0), i) =>
+        val originSpec = meta.specById(specId).getOrElse(
+          throw new IllegalStateException(s"manifest references unknown spec $specId"))
+        val (toDelete, toKeep) = entries0.partition(
+          e => deletePaths.contains(e.dataFile.filePath))
+        toKeepAll ++= toKeep
+        val entries =
+          toKeep.map(_.copy(status = ManifestEntryStatus.Existing)) ++
+          toDelete.map(_.copy(status = ManifestEntryStatus.Deleted, snapshotId = snapId))
+        if (entries.isEmpty) None
+        else Some(ManifestIO.writeManifest(metaPath(s"$commitUuid-m${i + 1}.avro"),
+            entries, originSpec, schema, formatVersion = meta.formatVersion)
+          .copy(sequenceNumber = seq,
+            minSequenceNumber = toKeep.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+            addedSnapshotId = snapId))
+    }
+    val toKeep = toKeepAll.toSeq
+    val addedEntries = added.map(f =>
+      ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+    val addedManifest =
+      if (addedEntries.isEmpty) None
+      else Some(ManifestIO.writeManifest(metaPath(s"$commitUuid-m0.avro"),
+          addedEntries, spec, schema, formatVersion = meta.formatVersion)
+        .copy(sequenceNumber = seq, minSequenceNumber = seq,
+          addedSnapshotId = snapId))
+    val dataManifests = addedManifest.toSeq ++ survivorManifests
     // delete manifests still apply to SURVIVING files — carry them forward.
     // A full rewrite (no survivors) leaves nothing they can match: the
     // rewritten files carry this commit's sequence number, past every
@@ -683,7 +711,7 @@ final class IceTable private (
     val deleteManifests =
       if (toKeep.isEmpty) Nil
       else ManifestIO.readManifestList(current.manifestList).filter(_.content == 1)
-    commitManifestList(Seq(mf) ++ deleteManifests, snapId, seq, operation)
+    commitManifestList(dataManifests ++ deleteManifests, snapId, seq, operation)
   }
 
   /** Compaction: coalesce the current data files into `targetFileCount`
@@ -710,8 +738,12 @@ final class IceTable private (
     val source =
       if (hasDeletes) scan.toDFFor(spark, tasks)
       else spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
+    // the REAL spec, not Unpartitioned: replacement files registered under
+    // a partitioned spec with empty tuples would read back as all-null
+    // partition values, and partition-filtered scans would silently prune
+    // every compacted file
     val newFiles = DataWriter.write(transform(source),
-      location, schema, PartitionSpec.Unpartitioned, properties = meta.properties,
+      location, schema, spec, properties = meta.properties,
       avgRowBytesHint = avgRowBytes)
     replaceDataFiles(oldPaths, newFiles, operation = "replace")
   }
@@ -1150,11 +1182,17 @@ final class IceTable private (
       throw new IllegalArgumentException(s"no snapshot $snapshotId"))
     // picking a snapshot already in the head's ancestry would re-commit its
     // data files and duplicate every row it added (Iceberg cherrypick check)
-    val ancestors = Iterator.iterate(meta.currentSnapshotId.flatMap(meta.snapshotById))(
+    val ancestry = Iterator.iterate(meta.currentSnapshotId.flatMap(meta.snapshotById))(
         _.flatMap(s => s.parentSnapshotId.flatMap(meta.snapshotById)))
-      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
-    require(!ancestors.contains(snapshotId),
+      .takeWhile(_.isDefined).flatten.toSeq
+    require(!ancestry.exists(_.snapshotId == snapshotId),
       s"snapshot $snapshotId is already an ancestor of the current head")
+    // duplicate-publish guard (same as cherryPickAppend): the PICK commit is
+    // a NEW snapshot id, so the ancestor check alone cannot see that X was
+    // already picked — the stamped source-snapshot-id can
+    require(!ancestry.exists(
+        _.summary.get(IceTable.SourceSnapshotIdKey).contains(snapshotId.toString)),
+      s"snapshot $snapshotId was already cherry-picked onto this branch")
     require(src.summary.get("operation").contains("append"),
       s"only append snapshots can be cherry-picked, " +
         s"got ${src.summary.getOrElse("operation", "?")}")
@@ -1164,7 +1202,8 @@ final class IceTable private (
       .filter(e => e.status == ManifestEntryStatus.Added && e.snapshotId == snapshotId)
       .map(_.dataFile)
     require(added.nonEmpty, s"snapshot $snapshotId added no data files")
-    commitAddedFiles(added, retries = 3)
+    commitAddedFiles(added, retries = 3,
+      extraSummary = Map(IceTable.SourceSnapshotIdKey -> snapshotId.toString))
   }
 
   // -------------------------------------------------- distributed snapshot
@@ -2232,12 +2271,22 @@ final class IceScan(
       else {
         import scala.collection.parallel.CollectionConverters._
         val nameToId = NameMapping.index(table.nameMapping)
+        // the stats-key shortcut infers "column absent from file" from
+        // "column absent from stats maps" — unsound for a defaulted column
+        // whose metrics mode is none (stats suppressed, column present:
+        // the default would OVERWRITE the file's real values). Those
+        // tables pay the footer sniff instead.
+        val metricsSuppressedDefault = defaultedIds.nonEmpty && {
+          val modes = ParquetStats.modesFor(schema, meta.properties)
+          defaultedIds.exists(id => modes.get(id).exists(_.kind == "none"))
+        }
         tasks.par.map { t =>
           val f = t.file
           val statsIds = f.columnSizes.keySet ++ f.valueCounts.keySet ++
             f.nullValueCounts.keySet
           val fromManifest: Option[(Boolean, Set[Int])] = f.hasFieldIds match {
-            case Some(ids) if statsIds.nonEmpty || defaultedIds.isEmpty =>
+            case Some(ids) if !metricsSuppressedDefault &&
+                (statsIds.nonEmpty || defaultedIds.isEmpty) =>
               Some((ids, statsIds))
             case _ => None
           }
@@ -2350,11 +2399,21 @@ object IceScan {
     */
   val DeleteBroadcastMaxBytes: Long = 64L * 1024 * 1024
 
-  /** `_metadata.file_path` is a file: URI; normalize to a bare absolute path
-    * so it compares equal to the paths recorded in manifests.
+  /** `_metadata.file_path` is a URI; normalize to a bare absolute path so
+    * it compares equal to the paths recorded in manifests (which
+    * listParquet records scheme- and authority-less via toUri.getPath).
+    * Stripping only `file:` made every MOR delete stop applying on
+    * warehouses with a scheme+authority (hdfs://nn:8020, s3a://bucket):
+    * the manifest side is bare, the delete side kept the full URI, and
+    * the path equi-joins never matched.
     */
   def normalizedMetaPath: org.apache.spark.sql.Column =
-    regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+    regexp_replace(col("_metadata.file_path"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+
+  /** Scala-side twin of [[normalizedMetaPath]]: URI → bare absolute path. */
+  def pathOnly(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
 
   /** (file_path, pos) rows of parquet positional-delete files plus
     * deletion-vector blobs. DV bitmaps decode EXECUTOR-side — the driver

@@ -117,7 +117,13 @@ object ParquetStats {
       for (block <- blocks; col <- block.getColumns.asScala) {
         val name = col.getPath.toDotString
         resolve(name).filter(schema.byId.contains)
-          .filter(id => modes.get(id).forall(_.kind != "none")) // none: no stats at all
+          // none: no stats at all — EXCEPT for fullBoundsFieldIds (the
+          // partition-source columns of an addFiles inference): without
+          // their counts/bounds the inference cannot tell "column absent"
+          // from "stats suppressed" and would register a wrong null
+          // partition
+          .filter(id =>
+            fullBoundsFieldIds(id) || modes.get(id).forall(_.kind != "none"))
           .foreach { id =>
           val t = schema.byId(id).tpe
           val wantBounds = modes.get(id).forall(m =>

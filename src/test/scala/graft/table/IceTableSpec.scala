@@ -244,6 +244,9 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // its rows — rejected (picked is now an ancestor, as is s1)
     intercept[IllegalArgumentException] { t.cherryPick(picked.snapshotId) }
     intercept[IllegalArgumentException] { t.cherryPick(s1.snapshotId) }
+    // picking the SOURCE snapshot again must also refuse: the pick commit
+    // has a new id, so only the stamped source-snapshot-id can see it
+    intercept[IllegalArgumentException] { t.cherryPick(s2.snapshotId) }
     assert(t.scan(spark).count() == nation.where("n_nationkey < 20").count())
     // only append snapshots are pickable
     t.deleteWhere(spark, P.equalTo("n_nationkey", 3L))

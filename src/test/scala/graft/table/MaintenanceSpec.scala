@@ -150,6 +150,28 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(spark).count() == lineitem.count())
   }
 
+  test("compaction of a PARTITIONED table keeps real partition tuples") {
+    // regression: rewriteAllFiles wrote replacement files under
+    // Unpartitioned, so a partitioned table's compacted files carried
+    // all-null tuples and partition-filtered scans silently pruned them
+    val schema = SchemaConv.fromSpark(lineitem.schema)
+    val pSpec = PartitionSpec.of(0,
+      ("l_returnflag", IdentityTransform, "rf"))(schema)
+    val t = IceTable.create(catalog, "li_part_compact", schema, pSpec)
+    (0 until 3).foreach(i => t.append(lineitem.where(s"pmod(l_orderkey, 3) = $i")))
+    val beforeR = t.scan(spark, P.equalTo("l_returnflag", "R")).count()
+    assert(beforeR > 0)
+    t.compact(spark, targetFileCount = 2)
+    t.refresh()
+    // every live file carries its real tuple, never null
+    assert(t.newScan().planFiles().forall(_.file.partition.head != null))
+    // the partition-filtered scan still plans files and returns all rows
+    val planned = t.newScan(P.equalTo("l_returnflag", "R")).planFiles()
+    assert(planned.nonEmpty, "partition pruning dropped every compacted file")
+    assert(t.scan(spark, P.equalTo("l_returnflag", "R")).count() === beforeR)
+    assert(t.scan(spark).count() === lineitem.count())
+  }
+
   test("orphan cleanup reclaims expired snapshots' manifest lists under metadata/") {
     val t = IceTable.create(catalog, "li_orphan_meta",
       SchemaConv.fromSpark(lineitem.schema))
