@@ -6,8 +6,9 @@ import java.nio.charset.StandardCharsets
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
-import graft.table.{AssertCreate, AssertRefSnapshotID, AssertTableUUID,
-  TableRequirement}
+import graft.table.{AssertCreate, AssertCurrentSchemaID, AssertDefaultSortOrderID,
+  AssertDefaultSpecID, AssertLastAssignedFieldID, AssertLastAssignedPartitionID,
+  AssertRefSnapshotID, AssertTableUUID, TableRequirement}
 
 /** REST catalog client (reference `catalog/rest/rest.go:1-1213`): the
   * Iceberg REST catalog protocol over JDK HttpClient — config fetch at
@@ -122,9 +123,15 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   private val warehouse: String = config.getOrElse("warehouse",
     throw new IllegalStateException("REST catalog config advertises no warehouse"))
 
-  private def tablesUri = s"$baseUri/v1/namespaces/$namespace/tables"
-  private def tableUri(name: String) =
-    s"$tablesUri/${java.net.URLEncoder.encode(name, "UTF-8")}"
+  /** RFC 3986 path-segment encoding: URLEncoder is FORM encoding ('+'
+    * for space), which spec-compliant servers decode as a literal plus —
+    * and raw names with spaces/reserved characters make URI.create throw.
+    */
+  private def seg(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  private def tablesUri = s"$baseUri/v1/namespaces/${seg(namespace)}/tables"
+  private def tableUri(name: String) = s"$tablesUri/${seg(name)}"
 
   def tableLocation(name: String): String =
     if (tableExists(name)) load(name).location else s"$warehouse/$name"
@@ -153,8 +160,11 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
     TableMetadataJson.read(parse(resp).path("metadata").toString)
   }
 
-  def load(name: String): TableMetadata =
-    TableMetadataJson.read(parse(loadResult(name)).path("metadata").toString)
+  def load(name: String): TableMetadata = {
+    val m = TableMetadataJson.read(parse(loadResult(name)).path("metadata").toString)
+    knownUuid.put(name, m.tableUuid)
+    m
+  }
 
   def currentVersion(name: String): Int =
     parse(loadResult(name)).path("version").asInt()
@@ -171,9 +181,21 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
     * (reference commits always carry it); 409 maps to the conflict type the
     * table layer's refresh-and-retry loop expects.
     */
-  def commit(name: String, expectedVersion: Int, metadata: TableMetadata): Int =
-    commitWith(name, expectedVersion, metadata,
-      Seq(AssertTableUUID(metadata.tableUuid)))
+  /** uuid the server is known to hold, memoized per table from every
+    * load/commit through this catalog — the assert must name the CURRENT
+    * uuid, not the new metadata's, or a commit applying AssignUUID can
+    * never succeed (the server validates against ITS state).
+    */
+  private val knownUuid =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def commit(name: String, expectedVersion: Int, metadata: TableMetadata): Int = {
+    val current = Option(knownUuid.get(name)).getOrElse(metadata.tableUuid)
+    val v = commitWith(name, expectedVersion, metadata,
+      Seq(AssertTableUUID(current)))
+    knownUuid.put(name, metadata.tableUuid)
+    v
+  }
 
   /** Commit with explicit requirements, serialized per the REST spec's
     * requirement JSON (`assert-create`, `assert-table-uuid`,
@@ -212,11 +234,19 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
       case AssertRefSnapshotID(ref, snap) =>
         o.put("type", "assert-ref-snapshot-id"); o.put("ref", ref)
         snap.fold[Unit] { o.putNull("snapshot-id"); () } { s => o.put("snapshot-id", s); () }
-      case other =>
-        // remaining assert types gate schema/spec/order ids; same shape
-        o.put("type", "assert-" + other.getClass.getSimpleName
-          .stripPrefix("Assert").replaceAll("([a-z0-9])([A-Z])", "$1-$2")
-          .toLowerCase(java.util.Locale.ROOT))
+      case AssertCurrentSchemaID(id) =>
+        o.put("type", "assert-current-schema-id"); o.put("current-schema-id", id)
+      case AssertDefaultSpecID(id) =>
+        o.put("type", "assert-default-spec-id"); o.put("default-spec-id", id)
+      case AssertDefaultSortOrderID(id) =>
+        o.put("type", "assert-default-sort-order-id")
+        o.put("default-sort-order-id", id)
+      case AssertLastAssignedFieldID(id) =>
+        o.put("type", "assert-last-assigned-field-id")
+        o.put("last-assigned-field-id", id)
+      case AssertLastAssignedPartitionID(id) =>
+        o.put("type", "assert-last-assigned-partition-id")
+        o.put("last-assigned-partition-id", id)
     }
     o
   }
@@ -242,7 +272,7 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
     body.put("sql", sql)
     body.put("dialect", "spark")
     val (status, resp) = send(
-      post(s"$baseUri/v1/namespaces/$namespace/views", body.toString), expectAny = true)
+      post(s"$baseUri/v1/namespaces/${seg(namespace)}/views", body.toString), expectAny = true)
     if (status != 200) throw fail("createView", name, status, resp)
     val v = parse(resp).path("current")
     ViewVersion(v.path("version-id").asInt(), v.path("timestamp-ms").asLong(),
@@ -250,20 +280,20 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   }
 
   def listViews(): Seq[String] = {
-    val node = parse(send(get(s"$baseUri/v1/namespaces/$namespace/views"), expect = 200))
+    val node = parse(send(get(s"$baseUri/v1/namespaces/${seg(namespace)}/views"), expect = 200))
     val out = Seq.newBuilder[String]
     node.path("views").forEach(v => out += v.path("name").asText())
     out.result().sorted
   }
 
   def viewExists(name: String): Boolean =
-    send(request(s"$baseUri/v1/namespaces/$namespace/views/$name")
+    send(request(s"$baseUri/v1/namespaces/${seg(namespace)}/views/${seg(name)}")
       .method("HEAD", HttpRequest.BodyPublishers.noBody()), expectAny = true)._1 == 204
 
   /** All versions, oldest first; the current version is the last. */
   def loadView(name: String): Seq[ViewVersion] = {
     val (status, resp) = send(
-      get(s"$baseUri/v1/namespaces/$namespace/views/$name"), expectAny = true)
+      get(s"$baseUri/v1/namespaces/${seg(namespace)}/views/${seg(name)}"), expectAny = true)
     if (status == 404)
       throw new java.util.NoSuchElementException(s"no such view: $name")
     if (status != 200) throw fail("loadView", name, status, resp)
@@ -276,7 +306,7 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
 
   def dropView(name: String): Unit = {
     val (status, resp) = send(
-      request(s"$baseUri/v1/namespaces/$namespace/views/$name").DELETE(), expectAny = true)
+      request(s"$baseUri/v1/namespaces/${seg(namespace)}/views/${seg(name)}").DELETE(), expectAny = true)
     if (status == 404)
       throw new java.util.NoSuchElementException(s"no such view: $name")
     if (status != 204 && status != 200) throw fail("dropView", name, status, resp)
@@ -314,13 +344,13 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   }
 
   def namespaceExists(ns: String): Boolean = {
-    val (status, _) = send(request(s"$baseUri/v1/namespaces/$ns")
+    val (status, _) = send(request(s"$baseUri/v1/namespaces/${seg(ns)}")
       .method("HEAD", HttpRequest.BodyPublishers.noBody()), expectAny = true)
     status == 204 || status == 200
   }
 
   def namespaceProperties(ns: String): Map[String, String] = {
-    val (status, resp) = send(get(s"$baseUri/v1/namespaces/$ns"), expectAny = true)
+    val (status, resp) = send(get(s"$baseUri/v1/namespaces/${seg(ns)}"), expectAny = true)
     if (status == 404)
       throw new java.util.NoSuchElementException(s"no such namespace: $ns")
     if (status != 200) throw fail("namespaceProperties", ns, status, resp)
@@ -343,7 +373,7 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
     updates.foreach { case (k, v) => upd.put(k, v) }
     body.set[JsonNode]("updates", upd)
     val (status, resp) = send(
-      post(s"$baseUri/v1/namespaces/$ns/properties", body.toString), expectAny = true)
+      post(s"$baseUri/v1/namespaces/${seg(ns)}/properties", body.toString), expectAny = true)
     if (status == 404)
       throw new java.util.NoSuchElementException(s"no such namespace: $ns")
     if (status != 200) throw fail("updateNamespaceProperties", ns, status, resp)
@@ -356,7 +386,7 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   }
 
   def dropNamespace(ns: String): Unit = {
-    val (status, resp) = send(request(s"$baseUri/v1/namespaces/$ns").DELETE(),
+    val (status, resp) = send(request(s"$baseUri/v1/namespaces/${seg(ns)}").DELETE(),
       expectAny = true)
     if (status == 404)
       throw new java.util.NoSuchElementException(s"no such namespace: $ns")

@@ -175,10 +175,13 @@ final class SqlCatalog(jdbcUrl: String, warehouse: String,
       val dir = current.substring(0, current.lastIndexOf('/'))
       val p = Paths.get(MetadataFiles.stripScheme(dir))
       var found: Option[String] = None
-      if (Files.isDirectory(p)) Files.list(p).forEach { f =>
-        val n = f.getFileName.toString
-        if (SqlCatalog.versionPattern.findFirstMatchIn(n).exists(_.group(1).toInt == version))
-          found = Some(s"$dir/$n")
+      if (Files.isDirectory(p)) {
+        val st = Files.list(p)
+        try st.forEach { f =>
+          val n = f.getFileName.toString
+          if (SqlCatalog.versionPattern.findFirstMatchIn(n).exists(_.group(1).toInt == version))
+            found = Some(s"$dir/$n")
+        } finally st.close() // Files.list leaks a directory fd if unclosed
       }
       found.getOrElse(s"$dir/v$version.metadata.json")
     }
@@ -188,9 +191,12 @@ final class SqlCatalog(jdbcUrl: String, warehouse: String,
 
   def deleteMetadataBefore(name: String, beforeVersion: Int): Unit = {
     val dir = Paths.get(MetadataFiles.stripScheme(s"${tableLocation(name)}/metadata"))
-    if (Files.isDirectory(dir)) Files.list(dir).forEach { p =>
-      val v = SqlCatalog.versionPattern.findFirstMatchIn(p.getFileName.toString)
-      if (v.exists(_.group(1).toInt < beforeVersion)) Files.deleteIfExists(p)
+    if (Files.isDirectory(dir)) {
+      val st = Files.list(dir)
+      try st.forEach { p =>
+        val v = SqlCatalog.versionPattern.findFirstMatchIn(p.getFileName.toString)
+        if (v.exists(_.group(1).toInt < beforeVersion)) Files.deleteIfExists(p)
+      } finally st.close() // runs after every commit — must not leak fds
     }
   }
 
@@ -241,6 +247,10 @@ final class SqlCatalog(jdbcUrl: String, warehouse: String,
     */
   def updateNamespaceProperties(ns: String, removals: Seq[String],
       updates: Map[String, String]): Unit = withConn { c =>
+    // reject unknown namespaces instead of materializing a typo as a new
+    // namespace (property rows imply existence in this layout; REST and
+    // the reference both 404 here)
+    require(namespaceExists(ns), s"no such namespace: $ns")
     c.setAutoCommit(false)
     try {
       val del = c.prepareStatement(

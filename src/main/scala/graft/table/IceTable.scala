@@ -1630,8 +1630,19 @@ final class IceTable private (
     val baseSchemaId = meta.currentSchemaId
     commitWithRequirements(
       Seq(AssertTableUUID(meta.tableUuid), AssertCurrentSchemaID(baseSchemaId)), { m =>
-        val newSchema = IceSchema(m.schemas.map(_.schemaId).max + 1, fields,
-          identifierFieldIds.getOrElse(m.currentSchema.identifierFieldIds))
+        val ids = identifierFieldIds.getOrElse(m.currentSchema.identifierFieldIds)
+        val newSchema = IceSchema(m.schemas.map(_.schemaId).max + 1, fields, ids)
+        // identifier invariants survive every evolution path: a dropped
+        // identifier column (or one made optional) would otherwise commit
+        // spec-invalid metadata that equality deletes/CDC and external
+        // readers reject (reference setIdentifierFields enforces required)
+        ids.foreach { id =>
+          val f = newSchema.byId.getOrElse(id, throw new IllegalArgumentException(
+            s"cannot commit schema: identifier field $id was dropped — " +
+              "clear identifier fields first"))
+          require(f.required,
+            s"cannot commit schema: identifier field '${f.name}' must stay required")
+        }
         m.copy(
           currentSchemaId = newSchema.schemaId,
           schemas = m.schemas :+ newSchema,

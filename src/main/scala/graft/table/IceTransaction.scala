@@ -30,10 +30,13 @@ final class IceTransaction private[table] (table: IceTable) {
     */
   def commit(): Unit = {
     require(!committed, "transaction already committed")
-    committed = true
     val files: Seq[DataFile] = stagedFrames.flatMap(df =>
       DataWriter.write(df, table.location, table.schema, table.spec, table.sortOrder,
         table.metadata.properties)).toSeq
     table.commitTransaction(files, setProps, removeProps)
+    // marked committed only on SUCCESS: a transient write/CAS failure must
+    // surface as itself and leave the staged transaction retryable, not
+    // poison every retry with "already committed"
+    committed = true
   }
 }

@@ -97,7 +97,15 @@ final case class SetSnapshotRefUpdate(name: String, snapshotId: Long,
   def apply(m: TableMetadata): TableMetadata = {
     require(m.snapshots.exists(_.snapshotId == snapshotId), s"no snapshot $snapshotId")
     val base = m.copy(refs = m.refs + (name -> SnapshotRef(snapshotId, refType)))
-    if (name == "main") base.copy(currentSnapshotId = Some(snapshotId)) else base
+    if (name == "main" && !m.currentSnapshotId.contains(snapshotId))
+      // moving main IS a current-state change: without a snapshot-log entry
+      // a subsequent as-of-timestamp scan resolves to the pre-move snapshot
+      // and time travel "sees through" the rollback
+      base.copy(currentSnapshotId = Some(snapshotId),
+        snapshotLog = m.snapshotLog :+
+          SnapshotLogEntry(System.currentTimeMillis(), snapshotId))
+    else if (name == "main") base.copy(currentSnapshotId = Some(snapshotId))
+    else base
   }
 }
 
@@ -114,7 +122,13 @@ final case class RemoveSnapshots(snapshotIds: Set[Long]) extends TableUpdate {
     require(!m.refs.values.exists(r => snapshotIds.contains(r.snapshotId)),
       "cannot remove a referenced snapshot")
     m.copy(snapshots = m.snapshots.filterNot(s => snapshotIds.contains(s.snapshotId)),
-      snapshotLog = m.snapshotLog.filterNot(e => snapshotIds.contains(e.snapshotId)))
+      snapshotLog = m.snapshotLog.filterNot(e => snapshotIds.contains(e.snapshotId)),
+      // statistics must reference live snapshots (expireSnapshots keeps the
+      // same invariant); dangling entries are spec-invalid and pin the
+      // stats files away from orphan cleanup forever
+      statistics = m.statistics.filterNot(s => snapshotIds.contains(s.snapshotId)),
+      partitionStatistics =
+        m.partitionStatistics.filterNot(s => snapshotIds.contains(s.snapshotId)))
   }
 }
 
