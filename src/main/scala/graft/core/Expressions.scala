@@ -202,6 +202,10 @@ object Predicates {
     }
   } catch {
     case _: ArithmeticException => None // decimal scale mismatch → never equal
+    // NaN/Infinity literal bound to an integral/decimal column:
+    // `new BigDecimal("NaN")` throws THIS, not ArithmeticException — the
+    // value can never equal any column value, so fold instead of crashing
+    case _: NumberFormatException => None
   }
 
   /** Bind an unbound predicate to a schema: resolve names (case-sensitively
@@ -277,7 +281,20 @@ object Predicates {
   private def foldNonRepresentable(op: Op, f: NestedField, name: String,
       v: Any): IcePredicate = {
     val bd = v match {
-      case n: Number => new java.math.BigDecimal(n.toString)
+      case n: Number =>
+        // non-finite literals never reach BigDecimal (it throws
+        // NumberFormatException, not ArithmeticException): they fold
+        // semantically — every finite column value is < +Inf and > -Inf,
+        // and nothing compares true against NaN
+        val d = n.doubleValue()
+        if (java.lang.Double.isNaN(d)) return AlwaysFalse
+        if (java.lang.Double.isInfinite(d))
+          return op match {
+            case Op.Lt | Op.LtEq => if (d > 0) AlwaysTrue else AlwaysFalse
+            case Op.Gt | Op.GtEq => if (d < 0) AlwaysTrue else AlwaysFalse
+            case _ => AlwaysFalse
+          }
+        new java.math.BigDecimal(n.toString)
       case _ => return AlwaysFalse // non-numeric unbindable literal
     }
     import java.math.RoundingMode

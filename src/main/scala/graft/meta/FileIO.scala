@@ -86,6 +86,33 @@ object FileIO {
     b.result()
   }
 
+  /** Scheme aliases that name the SAME storage system: a manifest written
+    * by one client records `s3://bucket/x` where another resolves
+    * `s3a://bucket/x` — both must canonicalize identically (the reference's
+    * orphan cleanup normalizes scheme equivalence the same way).
+    */
+  private val SchemeAliases: Map[String, String] = Map(
+    "" -> "file", "file" -> "file", "local" -> "file",
+    "s3" -> "s3", "s3a" -> "s3", "s3n" -> "s3",
+    "gs" -> "gs", "gcs" -> "gs",
+    "abfs" -> "abfs", "abfss" -> "abfs", "wasb" -> "abfs", "wasbs" -> "abfs")
+
+  /** Canonical form of a file path for identity comparison (NOT for IO):
+    * scheme aliases collapse, a missing scheme means the local filesystem,
+    * and a missing authority is the empty authority. Manifests record paths
+    * in whatever form their writer used ("file:/wh/x", "/wh/x",
+    * "s3a://b/x"), and a raw string comparison across those forms both
+    * false-orphans live files and false-retains dead ones.
+    */
+  def canonicalPath(p: String): String = {
+    if (p.isEmpty) return p
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(u.getScheme).getOrElse("").toLowerCase
+    val canonical = SchemeAliases.getOrElse(scheme, scheme)
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$canonical://$auth${u.getPath}"
+  }
+
   /** Re-apply a captured settings map in THIS JVM. `configure` mutates the
     * driver's conf only; a task that does its own filesystem IO (e.g. the
     * executor-side DV shard writer) runs in a JVM whose FileIO never saw

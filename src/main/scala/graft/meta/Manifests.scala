@@ -472,11 +472,110 @@ object ManifestIO {
       new org.apache.avro.file.SeekableByteArrayInput(buf.toByteArray), reader)
   }
 
+  /** Bounded read-through cache for parsed manifests and manifest lists.
+    *
+    * Manifest files and manifest lists are IMMUTABLE by construction: every
+    * commit writes NEW files under fresh UUID names and nothing ever
+    * rewrites one in place (the same property the reference relies on),
+    * so caching parsed results by path is correctness-free. It matters
+    * because `planFiles` re-reads every surviving manifest on every scan
+    * and the streaming table source re-plans per micro-batch — without the
+    * cache each trigger pays the full Avro decode again.
+    *
+    * The parse of a manifest additionally depends on the partition TYPE
+    * derived from the caller's (specs, schema) — a type promotion on a
+    * partition source field changes how tuples decode — so entries are
+    * revalidated against the partition type computed from the CURRENT
+    * arguments and re-read on mismatch (rare: only schema evolution on a
+    * partition source column).
+    *
+    * Bounding is entry-weighted, not file-counted: one compacted table can
+    * hold a 10⁵-entry manifest next to hundreds of tiny ones, so the LRU
+    * evicts by total cached entry count (≈ tens of MB at the cap).
+    */
+  private object ManifestCache {
+    private final case class ManifestVal(
+        specId: Int, partType: IceStructType, entries: Seq[ManifestEntry]) {
+      def weight: Long = math.max(1L, entries.size.toLong)
+    }
+    private val MaxEntries = 1000000L
+    private val MaxLists = 256
+    private var entryBudget = 0L
+    private val manifests =
+      new java.util.LinkedHashMap[String, ManifestVal](64, 0.75f, true)
+    private val lists =
+      new java.util.LinkedHashMap[String, Seq[ManifestFile]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[ManifestFile]]): Boolean =
+          size() > MaxLists
+      }
+
+    // Avro IO runs OUTSIDE the lock — planFiles reads manifests from a
+    // 32-thread pool and a lock held across file reads would serialize
+    // them. Concurrent misses of the same path may both load; identical
+    // immutable results, last insert wins, no harm.
+    def manifest(path: String, partTypeFor: Int => IceStructType)
+        (load: => (Int, IceStructType, Seq[ManifestEntry])): (Int, Seq[ManifestEntry]) = {
+      val cached = synchronized {
+        val hit = manifests.get(path)
+        if (hit != null) {
+          if (hit.partType == partTypeFor(hit.specId))
+            Some((hit.specId, hit.entries))
+          else { // stale decode (partition source promoted): drop, re-read
+            manifests.remove(path)
+            entryBudget -= hit.weight
+            None
+          }
+        } else None
+      }
+      cached.getOrElse {
+        val (specId, partType, entries) = load
+        val v = ManifestVal(specId, partType, entries)
+        synchronized {
+          val prev = manifests.put(path, v)
+          if (prev != null) entryBudget -= prev.weight
+          entryBudget += v.weight
+          val it = manifests.entrySet().iterator()
+          while (entryBudget > MaxEntries && it.hasNext) {
+            val eldest = it.next()
+            if (eldest.getKey != path) { // never evict what we just loaded
+              entryBudget -= eldest.getValue.weight
+              it.remove()
+            }
+          }
+        }
+        (specId, entries)
+      }
+    }
+
+    def list(path: String)(load: => Seq[ManifestFile]): Seq[ManifestFile] = {
+      val cached = synchronized { Option(lists.get(path)) }
+      cached.getOrElse {
+        val v = load
+        synchronized { lists.put(path, v) }
+        v
+      }
+    }
+  }
+
   /** Read manifest entries plus the spec-id and partition type they were
-    * written with (from the writer metadata).
+    * written with (from the writer metadata). Served from the immutable-
+    * manifest cache when the path was already parsed under the same
+    * partition type (see [[ManifestCache]]).
     */
   def readManifest(path: String, specs: Seq[PartitionSpec], schema: IceSchema)
       : (Int, Seq[ManifestEntry]) = {
+    def partTypeFor(specId: Int): IceStructType =
+      specs.find(_.specId == specId).getOrElse(PartitionSpec.Unpartitioned)
+        .partitionType(schema)
+    ManifestCache.manifest(path, partTypeFor) {
+      val (specId, partType, entries) = readManifestUncached(path, specs, schema)
+      (specId, partType, entries)
+    }
+  }
+
+  private def readManifestUncached(path: String, specs: Seq[PartitionSpec],
+      schema: IceSchema): (Int, IceStructType, Seq[ManifestEntry]) = {
     val reader = openReader(path)
     val specId = Option(reader.getMetaString("partition-spec-id")).map(_.toInt).getOrElse(0)
     val spec = specs.find(_.specId == specId).getOrElse(PartitionSpec.Unpartitioned)
@@ -520,14 +619,21 @@ object ManifestIO {
           firstRowId = getOpt(df, "first_row_id").map(_.asInstanceOf[Long])))
     }
     reader.close()
-    (specId, entries.result())
+    (specId, partType, entries.result())
   }
 
+  /** Read a manifest list, served from the immutable-manifest cache on
+    * re-reads (see [[ManifestCache]]).
+    */
   def readManifestList(path: String): Seq[ManifestFile] = {
     // spec v1 allows snapshots without a manifest-list (the legacy inline
     // `manifests` array); the reference treats an empty location as an
     // empty snapshot (`snapshots.go:304`) rather than failing the table
     if (path.isEmpty) return Nil
+    ManifestCache.list(path)(readManifestListUncached(path))
+  }
+
+  private def readManifestListUncached(path: String): Seq[ManifestFile] = {
     val reader = openReader(path)
     val out = Seq.newBuilder[ManifestFile]
     while (reader.hasNext) {

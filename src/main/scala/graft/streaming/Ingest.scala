@@ -41,11 +41,38 @@ object Ingest {
   }
 
   /** Snapshot-summary keys carrying the streaming epoch (and the query's
-    * checkpoint, which scopes the guard) that produced an appendStream
-    * commit — the replay guard below keys on them.
+    * checkpoint + checkpoint-lifetime query id, which together scope the
+    * guard) that produced an appendStream commit — the replay guard below
+    * keys on them.
     */
   val StreamBatchIdKey = "graft.streaming.batch-id"
   val StreamCheckpointKey = "graft.streaming.checkpoint"
+  val StreamQueryIdKey = "graft.streaming.query-id"
+
+  /** The streaming query's checkpoint-lifetime identity, read from the
+    * checkpoint's `metadata` file (Spark writes `{"id":"<uuid>"}` there at
+    * query start and PRESERVES it across restarts of the same checkpoint;
+    * a deleted-and-recreated checkpoint directory gets a fresh id). That is
+    * exactly the lifetime the replay guard must scope to: batch ids are
+    * monotone within one checkpoint lifetime and restart at 0 when the
+    * directory is recreated, so epochs stamped under the OLD id must never
+    * suppress the new lifetime's batches — keying on the path alone
+    * silently discarded every batch after a routine checkpoint reset.
+    */
+  private[streaming] def checkpointQueryId(
+      spark: SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val txt = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        .getOrElse(throw new IllegalStateException(
+          s"checkpoint metadata $p carries no query id"))
+    } finally in.close()
+  }
 
   /** foreachBatch append: every micro-batch becomes one table snapshot.
     *
@@ -53,9 +80,13 @@ object Ingest {
     * commit but before the streaming checkpoint commits the epoch makes
     * Spark re-execute the same batchId on restart, and a bare append would
     * commit its rows twice (the CAS makes one commit atomic, not a replay
-    * idempotent). Each commit stamps its epoch in the snapshot summary;
-    * a batchId at or below the newest stamped epoch on MAIN's ancestry is
-    * skipped as already committed.
+    * idempotent). Each commit stamps its epoch in the snapshot summary,
+    * scoped to (checkpoint path, checkpoint-lifetime query id); a batchId
+    * AT the newest stamp under the same scope is skipped as already
+    * committed. A batchId BELOW it is impossible within one checkpoint
+    * lifetime (Spark replays at most the last unacknowledged batch), so
+    * that case fails loudly instead of guessing — a tampered or partially
+    * restored checkpoint must not silently drop or duplicate data.
     */
   def appendStream(stream: DataFrame, table: IceTable, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -66,17 +97,29 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           table.refresh()
-          // scoped to THIS query's checkpoint: a different query's epochs
+          // scoped to THIS checkpoint lifetime: a different query's epochs
           // (fresh checkpoint, batch ids restarting at 0) must never
-          // suppress a legitimate new append
+          // suppress a legitimate new append — and neither may THIS
+          // checkpoint path's previous lifetime after a delete-and-recreate
+          // (the query id changes with the directory; a stamp without a
+          // query id predates this guard and conservatively matches)
+          val qid = checkpointQueryId(batch.sparkSession, checkpoint)
           val lastCommitted = mainAncestry(table.metadata)
-            .filter(_.summary.get(StreamCheckpointKey).contains(checkpoint))
+            .filter(s => s.summary.get(StreamCheckpointKey).contains(checkpoint) &&
+              s.summary.get(StreamQueryIdKey).forall(_ == qid))
             .flatMap(_.summary.get(StreamBatchIdKey)).flatMap(_.toLongOption)
             .maxOption
+          if (lastCommitted.exists(batchId < _))
+            throw new IllegalStateException(
+              s"streaming batch $batchId is below the last committed epoch " +
+                s"${lastCommitted.get} for checkpoint $checkpoint (query $qid): " +
+                "the checkpoint state does not match the table's commit " +
+                "history — refusing to guess between replay and data loss")
           if (lastCommitted.forall(batchId > _)) {
             table.append(batch, extraSummary = Map(
               StreamBatchIdKey -> batchId.toString,
-              StreamCheckpointKey -> checkpoint))
+              StreamCheckpointKey -> checkpoint,
+              StreamQueryIdKey -> qid))
             ()
           }
         }

@@ -133,7 +133,8 @@ final class IceTable private (
       asOfTimestampMs: Option[Long] = None,
       ref: Option[String] = None,
       limit: Option[Int] = None,
-      caseSensitive: Boolean = true): IceScan = {
+      caseSensitive: Boolean = true,
+      maxConcurrency: Option[Int] = None): IceScan = {
     val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined || ref.isDefined
     val snap = snapshotId.map(id => meta.snapshotById(id).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $id")))
@@ -142,7 +143,8 @@ final class IceTable private (
       .orElse(asOfTimestampMs.map(ts => meta.snapshotAsOf(ts).getOrElse(
         throw new IllegalArgumentException(s"no snapshot as of $ts"))))
       .orElse(meta.currentSnapshot)
-    new IceScan(this, snap, filter, selected, limit, caseSensitive, timeTravel)
+    new IceScan(this, snap, filter, selected, limit, caseSensitive, timeTravel,
+      maxConcurrency)
   }
 
   // ------------------------------------------------------------------- refs
@@ -1965,25 +1967,47 @@ final class IceTable private (
     * delete-after-commit, never by orphan cleanup.
     */
   def deleteOrphanFiles(olderThanMs: Long, dryRun: Boolean = false): Seq[String] = {
-    val referenced: Set[String] = (for {
-      s <- meta.snapshots
-      mf <- ManifestIO.readManifestList(s.manifestList)
-      (_, entries) = ManifestIO.readManifest(mf.path, meta.specs,
-        meta.schemaById(s.schemaId).getOrElse(schema))
-    } yield entries.map(_.dataFile.filePath) :+ mf.path)
-      .flatten.toSet ++ meta.snapshots.map(_.manifestList).toSet ++
-      meta.statistics.map(_.statisticsPath).toSet ++
-      meta.partitionStatistics.map(_.statisticsPath).toSet
+    import scala.collection.parallel.CollectionConverters._
+    // referenced set built in parallel and deduplicated BEFORE reading
+    // (reference getReferencedFiles `orphan_cleanup.go:229` fans out per
+    // manifest): snapshots share manifest lists across refs and manifests
+    // across commits, so the old sequential per-snapshot walk re-read the
+    // same Avro O(snapshots) times — at 10³ snapshots that was the whole
+    // runtime. Each distinct manifest decodes once, under the schema of
+    // one snapshot that references it (any referencing snapshot's schema
+    // decodes it: a manifest is written under a single spec/schema pair).
+    val listPaths = meta.snapshots.map(s =>
+      s.manifestList -> s.schemaId).toMap
+    val manifestPaths: Map[String, Int] = listPaths.toSeq.par.flatMap {
+      case (list, schemaId) =>
+        ManifestIO.readManifestList(list).map(_.path -> schemaId)
+    }.seq.toMap
+    val dataPaths: Seq[String] = manifestPaths.toSeq.par.flatMap {
+      case (mf, schemaId) =>
+        val (_, entries) = ManifestIO.readManifest(mf, meta.specs,
+          meta.schemaById(schemaId).getOrElse(schema))
+        entries.map(_.dataFile.filePath)
+    }.seq
+    // membership is tested in a scheme/authority-equivalent canonical form
+    // (reference normalizes both sides explicitly): manifests record
+    // whatever form the writer used ("file:/wh/data/x" vs "/wh/data/x" vs
+    // "s3a://bucket/x") while the walk below yields the filesystem's own
+    // form — raw string comparison false-orphans every scheme-qualified
+    // warehouse (deleting LIVE data) and false-retains true orphans
+    val referenced: Set[String] =
+      (dataPaths ++ manifestPaths.keys ++ listPaths.keys ++
+        meta.statistics.map(_.statisticsPath) ++
+        meta.partitionStatistics.map(_.statisticsPath))
+        .map(graft.meta.FileIO.canonicalPath).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), graft.meta.FileIO.conf)
-    val orphans = Seq.newBuilder[String]
+    val orphans = Seq.newBuilder[(String, org.apache.hadoop.fs.Path)]
     def walk(dir: String): Unit = {
       val path = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(path)) return
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
         val st = it.next()
-        val p = st.getPath.toUri.getPath
         val base = st.getPath.getName
         // hidden/marker files (_SUCCESS, .crc) are committer artifacts; the
         // catalog's own files are out of scope
@@ -1991,7 +2015,9 @@ final class IceTable private (
           base.endsWith(".metadata.json.gz") || base == "version-hint.text" ||
           base == "renamed-away.text" // rename tombstone: deleting it would resurrect the retired identifier
         if (!base.startsWith("_") && !base.startsWith(".") && !isCatalogFile &&
-            !referenced.contains(p) && st.getModificationTime < olderThanMs) orphans += p
+            !referenced.contains(graft.meta.FileIO.canonicalPath(st.getPath.toString)) &&
+            st.getModificationTime < olderThanMs)
+          orphans += st.getPath.toUri.getPath -> st.getPath
       }
     }
     // walk the provider's roots: with write.data.path / write.metadata.path
@@ -2003,9 +2029,11 @@ final class IceTable private (
     if (locationProvider.dataPath != s"$location/data") walk(s"$location/data")
     if (locationProvider.metadataPath != s"$location/metadata") walk(s"$location/metadata")
     val result = orphans.result()
-    if (!dryRun) result.foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), false))
-    result
+    // delete fan-out in parallel — one round-trip per file is the cost
+    // model on object storage, and the old one-at-a-time loop serialized
+    // 10⁴ deletes through the driver (Hadoop FileSystem is thread-safe)
+    if (!dryRun) result.par.foreach { case (_, p) => fs.delete(p, false); () }
+    result.map(_._1)
   }
 
   /** Garbage-collect derived-artifact directories (`artifacts/<name>-s<id>`
@@ -2137,9 +2165,33 @@ final class IceScan(
     selected: Option[Seq[String]],
     limit: Option[Int],
     caseSensitive: Boolean,
-    timeTravel: Boolean = false) {
+    timeTravel: Boolean = false,
+    maxConcurrency: Option[Int] = None) {
 
   private def meta = table.metadata
+
+  /** Bounded driver-side planning parallelism (reference
+    * `WithMaxConcurrency` `table/table.go:369`, default GOMAXPROCS).
+    * Unset, planning shares the JVM's common ForkJoinPool — already sized
+    * to the core count, matching the reference's default. Set, THIS scan's
+    * manifest reads and footer sniffs run on a dedicated pool of exactly
+    * `n` threads, so two concurrent scans (or a scan inside a streaming
+    * trigger) can each be bounded instead of contending unboundedly.
+    */
+  private[table] def boundedPar[A, B](xs: Seq[A])(f: A => Seq[B]): Seq[B] = {
+    import scala.collection.parallel.CollectionConverters._
+    maxConcurrency match {
+      case None => xs.par.flatMap(f).seq
+      case Some(n) =>
+        require(n > 0, s"maxConcurrency must be positive, got $n")
+        val pool = new java.util.concurrent.ForkJoinPool(n)
+        try {
+          val pc = xs.par
+          pc.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+          pc.flatMap(f).seq
+        } finally pool.shutdown()
+    }
+  }
   // time travel pins the snapshot's schema; current scans read with the
   // current schema (evolution applies to old files via field-ID resolution)
   private def scanSchema: IceSchema =
@@ -2173,20 +2225,20 @@ final class IceScan(
       val deleteManifests = manifests.filter(m =>
         m.content == 1 && m.sequenceNumber >= minDataSeq)
 
-      val dataEntries = dataManifests.par.flatMap { m =>
+      val dataEntries = boundedPar(dataManifests) { m =>
         val (pf, ps) = partFilter(m.specId)
         val (_, entries) = ManifestIO.readManifest(m.path, meta.specs, schema)
         entries.filter(e => e.status != ManifestEntryStatus.Deleted &&
           Evaluators.partitionMayMatch(pf, ps, e.dataFile.partition) &&
           Evaluators.fileMayMatch(bound, e.dataFile))
           .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
-      }.seq
+      }
 
-      val deleteEntries = deleteManifests.par.flatMap { m =>
+      val deleteEntries = boundedPar(deleteManifests) { m =>
         val (_, entries) = ManifestIO.readManifest(m.path, meta.specs, schema)
         entries.filter(_.status != ManifestEntryStatus.Deleted)
           .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
-      }.seq
+      }
       // indexed matching (hash by path, binary search by sequence number)
       // instead of the naive dataFiles×deleteFiles nested loop — planning
       // 10⁵ data × 10⁴ delete files must not stall the driver (reference
@@ -2280,7 +2332,6 @@ final class IceScan(
     val groups: Seq[((Boolean, Set[Int]), Seq[String])] =
       if (!needSplit) Seq((true, Set.empty[Int]) -> paths)
       else {
-        import scala.collection.parallel.CollectionConverters._
         val nameToId = NameMapping.index(table.nameMapping)
         // the stats-key shortcut infers "column absent from file" from
         // "column absent from stats maps" — unsound for a defaulted column
@@ -2291,7 +2342,7 @@ final class IceScan(
           val modes = ParquetStats.modesFor(schema, meta.properties)
           defaultedIds.exists(id => modes.get(id).exists(_.kind == "none"))
         }
-        tasks.par.map { t =>
+        boundedPar(tasks) { t =>
           val f = t.file
           val statsIds = f.columnSizes.keySet ++ f.valueCounts.keySet ++
             f.nullValueCounts.keySet
@@ -2301,9 +2352,9 @@ final class IceScan(
               Some((ids, statsIds))
             case _ => None
           }
-          f.filePath -> fromManifest.getOrElse(
-            ParquetStats.fileColumns(f.filePath, nameToId))
-        }.seq
+          Seq(f.filePath -> fromManifest.getOrElse(
+            ParquetStats.fileColumns(f.filePath, nameToId)))
+        }
           .groupBy { case (_, (hasIds, present)) => (hasIds, defaultedIds -- present) }
           .view.mapValues(_.map(_._1).toSeq).toSeq
       }

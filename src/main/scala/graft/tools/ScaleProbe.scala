@@ -25,7 +25,19 @@ object ScaleProbe {
 
   private val ScaledTables =
     Seq("customer", "supplier", "part", "orders", "lineitem")
-  private val CopiedTables = Seq("nation", "region", "events")
+  private val CopiedTables = Seq("nation", "region")
+
+  /** Ten vowel permutations (replica 0 = identity): a translate() over the
+    * text per replica makes cross-replica documents textually DISTINCT —
+    * bare replication would hand every doc 9 exact copies and blow the
+    * dedup pair count up quadratically BY CONSTRUCTION, which measures the
+    * synthetic corpus, not the plan. Within-replica duplicate structure is
+    * preserved exactly, so dedup output scales ~linearly like a real
+    * 10×-bigger crawl.
+    */
+  private val VowelPerms = Seq(
+    "aeiou", "eioua", "iouae", "ouaei", "uaeio",
+    "aeuoi", "eiaou", "iouea", "oueia", "uaoei")
 
   /** Key-shift offsets per table key column so 10 replicas stay FK-consistent. */
   private def shifts(spark: SparkSession, base: String): Map[String, Long] = {
@@ -69,6 +81,42 @@ object ScaleProbe {
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // pipeline tables scale too (the full-board probe needs them):
+    // ids shift per replica; content perturbs deterministically so
+    // cross-replica rows are neither exact nor near duplicates
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docShift = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    (0 until replicas).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * docShift))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else translate(col("text"), "aeiou", VowelPerms(i % VowelPerms.size)))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val vecShift = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
+    (0 until replicas).map { i =>
+      // deterministic per-replica displacement keeps replica vectors
+      // distinct (bare copies would make every kNN hit a distance-0 twin)
+      emb.withColumn("vec_id", col("vec_id") + lit(i * vecShift))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else transform(col("embedding"),
+            (x, j) => (x + cos(j.cast("double") * 0.7 + lit(i.toDouble)) * lit(0.05))
+              .cast("float")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val evShift = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+    val userShift = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
+    (0 until replicas).map { i =>
+      // user ids shift so per-user state (sessionize, as-of) grows in
+      // USERS, not in per-key depth; event time stays — 10× density per
+      // window is what a bigger deployment's stream looks like
+      ev.withColumn("event_id", col("event_id") + lit(i * evShift))
+        .withColumn("user_id", col("user_id") + lit(i * userShift))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     fs.create(new org.apache.hadoop.fs.Path(s"$out/_READY")).close()
   }
 

@@ -73,6 +73,29 @@ class CoreSpec extends AnyFunSuite {
     assert(P.bind(P.notEqualTo("qty", Long.MaxValue), schema) == AlwaysTrue)
   }
 
+  test("bind folds non-finite literals on non-floating columns instead of crashing") {
+    // NaN: no value compares true — every op folds (BigDecimal("NaN")
+    // throws NumberFormatException, which used to escape bind())
+    for (nan <- Seq(Double.NaN, Float.NaN: Any)) {
+      assert(P.bind(P.equalTo("qty", nan), schema) == AlwaysFalse)
+      assert(P.bind(P.notEqualTo("qty", nan), schema) == AlwaysTrue)
+      assert(P.bind(P.lt("qty", nan), schema) == AlwaysFalse)
+      assert(P.bind(P.gtEq("id", nan), schema) == AlwaysFalse)
+      assert(P.bind(P.lt("price", nan), schema) == AlwaysFalse)
+    }
+    // ±Infinity: bounds everything finite
+    assert(P.bind(P.lt("qty", Double.PositiveInfinity), schema) == AlwaysTrue)
+    assert(P.bind(P.gt("qty", Double.PositiveInfinity), schema) == AlwaysFalse)
+    assert(P.bind(P.gt("id", Double.NegativeInfinity), schema) == AlwaysTrue)
+    assert(P.bind(P.ltEq("price", Double.NegativeInfinity), schema) == AlwaysFalse)
+    assert(P.bind(P.equalTo("qty", Double.PositiveInfinity), schema) == AlwaysFalse)
+    // In-lists containing a non-finite member drop it, keep the rest
+    assert(P.bind(P.in("qty", Seq(5, Double.NaN)), schema) ==
+      BoundPred(Op.Eq, 4, "qty", IceInt, required = false, Seq(5)))
+    // floating columns still bind NaN literally (IsNaN territory, not ours)
+    assert(P.bind(P.equalTo("score", Double.NaN), schema).isInstanceOf[BoundPred])
+  }
+
   test("bind rewrites non-representable numeric literals per-op, never truncates") {
     // fractional on an int column: equalTo must NOT truncate 1.5 to 1
     assert(P.bind(P.equalTo("qty", 1.5), schema) == AlwaysFalse)

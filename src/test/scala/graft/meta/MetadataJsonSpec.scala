@@ -158,6 +158,38 @@ class MetadataJsonSpec extends AnyFunSuite {
       cat.readMetadataFile(dir.resolve("v8.metadata.json").toString)).formatVersion == 1)
   }
 
+  test("v3 ns-timestamp defaults round-trip as ISO-8601 strings, not raw nanos") {
+    val nanos = 1700000000123456789L // 2023-11-14T22:13:20.123456789Z
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "id", IceLong, required = true),
+      NestedField(2, "ts9", IceTimestampNs, required = false,
+        initialDefault = Some(nanos), writeDefault = Some(nanos)),
+      NestedField(3, "tz9", IceTimestampTzNs, required = false,
+        initialDefault = Some(nanos), writeDefault = Some(nanos))))
+    val meta = TableMetadata(
+      formatVersion = 3, tableUuid = java.util.UUID.randomUUID().toString,
+      location = "file:///tmp/t", lastSequenceNumber = 0L,
+      lastUpdatedMs = 1L, lastColumnId = 3, currentSchemaId = 0,
+      schemas = Seq(schema), defaultSpecId = 0,
+      specs = Seq(PartitionSpec.Unpartitioned), lastPartitionId = 999,
+      defaultSortOrderId = 0, sortOrders = Seq(SortOrder.Unsorted),
+      properties = Map.empty, currentSnapshotId = None,
+      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty,
+      nextRowId = Some(0L))
+    val json = TableMetadataJson.write(meta)
+    // spec single-value serialization: temporal defaults are STRINGS on
+    // the wire — a numeric default read by a spec reader as a string (or
+    // Jackson's asLong() on text silently returning 0) corrupts the value
+    assert(json.contains("2023-11-14T22:13:20.123456789"),
+      "ns default not serialized as ISO-8601")
+    assert(json.contains("2023-11-14T22:13:20.123456789+00:00"),
+      "tz ns default missing UTC offset")
+    val back = TableMetadataJson.read(json).schemas.head
+    assert(back.findByName("ts9").exists(_.initialDefault.contains(nanos)))
+    assert(back.findByName("ts9").exists(_.writeDefault.contains(nanos)))
+    assert(back.findByName("tz9").exists(_.initialDefault.contains(nanos)))
+  }
+
   test("column defaults require format-version 3 (checkSchemaCompatibility parity)") {
     val schema = IceSchema(0, Seq(
       NestedField(1, "id", IceLong, required = true),

@@ -88,6 +88,27 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .planFiles().isEmpty)
   }
 
+  test("maxConcurrency bounds a scan's planner pool; concurrent bounded scans plan identically") {
+    val t = IceTable.create(catalog, "li_bounded_scan", lineitemSchema)
+    (0 until 6).foreach(i => t.append(lineitem.where(s"pmod(l_orderkey, 6) = $i")))
+    t.refresh()
+    val unbounded = t.newScan().planFiles().map(_.file.filePath).sorted
+    assert(unbounded.nonEmpty)
+    // two scans with a 2-thread planner pool each, racing: same plan as
+    // the shared-pool default (reference WithMaxConcurrency table.go:369)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val plans = Await.result(Future.sequence(Seq(
+      Future(t.newScan(maxConcurrency = Some(2)).planFiles()),
+      Future(t.newScan(maxConcurrency = Some(2)).planFiles()))), 60.seconds)
+    plans.foreach(p => assert(p.map(_.file.filePath).sorted == unbounded))
+    intercept[IllegalArgumentException](
+      t.newScan(maxConcurrency = Some(0)).planFiles())
+    // bounded scans read data identically too
+    assert(t.newScan(maxConcurrency = Some(1)).toDF(spark).count() == lineitem.count())
+  }
+
   test("time travel by snapshot id and by timestamp") {
     val t = IceTable.load(catalog, "li_pruned")
     val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)

@@ -172,6 +172,43 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.scan(spark).count() === lineitem.count())
   }
 
+  test("orphan cleanup on a scheme-qualified warehouse: no false orphans, strays still found") {
+    // manifests record "file:/wh/data/x" while the filesystem walk yields
+    // its own form — raw string membership false-orphaned every LIVE file
+    // of a scheme-qualified warehouse (and deleted them)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val dir = Files.createTempDirectory("graft-maint-scheme")
+    val qualified = new FileCatalog("file:" + dir.toString)
+    val t = IceTable.create(qualified, "region_scheme",
+      SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    t.refresh()
+    assert(t.location.startsWith("file:"))
+    // every live file survives a dry run...
+    assert(t.deleteOrphanFiles(System.currentTimeMillis() + 1000, dryRun = true).isEmpty)
+    // ...and a real run deletes nothing the scan needs
+    assert(t.deleteOrphanFiles(System.currentTimeMillis() + 1000).isEmpty)
+    assert(t.scan(spark).count() == region.count())
+    // a stray is still collected through the canonical comparison
+    val stray = java.nio.file.Paths.get(
+      t.location.stripPrefix("file:"), "data", "stray-scheme.parquet")
+    java.nio.file.Files.write(stray, Array[Byte](7))
+    val orphans = t.deleteOrphanFiles(System.currentTimeMillis() + 1000)
+    assert(orphans == Seq(stray.toString))
+    assert(t.scan(spark).count() == region.count())
+  }
+
+  test("canonicalPath collapses scheme aliases and missing schemes") {
+    import graft.meta.FileIO.canonicalPath
+    assert(canonicalPath("/wh/data/x.parquet") == canonicalPath("file:/wh/data/x.parquet"))
+    assert(canonicalPath("file:///wh/data/x.parquet") == canonicalPath("/wh/data/x.parquet"))
+    assert(canonicalPath("s3a://bucket/k/x") == canonicalPath("s3://bucket/k/x"))
+    assert(canonicalPath("abfss://c@acct/k") == canonicalPath("abfs://c@acct/k"))
+    // different buckets / authorities must NOT collapse
+    assert(canonicalPath("s3a://a/k/x") != canonicalPath("s3a://b/k/x"))
+    assert(canonicalPath("s3://bucket/x") != canonicalPath("gs://bucket/x"))
+  }
+
   test("orphan cleanup reclaims expired snapshots' manifest lists under metadata/") {
     val t = IceTable.create(catalog, "li_orphan_meta",
       SchemaConv.fromSpark(lineitem.schema))
