@@ -107,6 +107,14 @@ object Bench {
       // dedup_clusters* stay single-run: their cost is many SMALL jobs
       // (iterative graph rounds) immune to the single-shuffle variance, and
       // a repeat doubles a multi-round loop for nothing
+      // the streaming family swings up to 2x run-to-run on IDENTICAL code
+      // (r15: stream_range_join 12.39 s first run vs 6.29 s second —
+      // micro-batch scheduling + state-store first-touch, not plans), so
+      // min-of-two still lets one bad draw fake a regression there:
+      // historically >20%-variance queries get a THIRD run
+      val volatileTail = name.startsWith("stream_") ||
+        Set("dedup_containment", "dedup_jaccard_pairs", "ice_stream_source",
+          "sim_knn_graph").contains(name)
       val a = once()
       if (failed.contains(name)) (name, a, None)
       else if (a > 1.0 && !name.startsWith("dedup_clusters")) {
@@ -117,6 +125,10 @@ object Bench {
           // of discarding a measured success as a failure
           failed -= name
           (name, a, None)
+        } else if (volatileTail) {
+          val c = once()
+          if (failed.contains(name)) { failed -= name; (name, math.min(a, b), Some((a, b))) }
+          else (name, math.min(a, math.min(b, c)), Some((a, math.min(b, c))))
         } else (name, math.min(a, b), Some((a, b)))
       } else (name, a, None)
     }
