@@ -112,9 +112,16 @@ object Bench {
       // micro-batch scheduling + state-store first-touch, not plans), so
       // min-of-two still lets one bad draw fake a regression there:
       // historically >20%-variance queries get a THIRD run
+      // r16 additions: events_markov_transitions swung 1.0→2.3 s on
+      // UNCHANGED code (plan audited clean — one window shuffle + map-side
+      // pair aggregate + exchange-reusing self-join); it and the other two
+      // carry >20% historical round-over-round variance, so min-of-two
+      // still lets one bad draw fake a regression
       val volatileTail = name.startsWith("stream_") ||
         Set("dedup_containment", "dedup_jaccard_pairs", "ice_stream_source",
-          "sim_knn_graph").contains(name)
+          "sim_knn_graph", "events_markov_transitions",
+          "dedup_cross_source_overlap", "q20_excess_stock_suppliers")
+          .contains(name)
       val a = once()
       if (failed.contains(name)) (name, a, None)
       else if (a > 1.0 && !name.startsWith("dedup_clusters")) {

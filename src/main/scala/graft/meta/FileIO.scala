@@ -113,6 +113,16 @@ object FileIO {
     s"$canonical://$auth${u.getPath}"
   }
 
+  /** True when the path names its filesystem explicitly. */
+  def hasScheme(p: String): Boolean =
+    Option(new org.apache.hadoop.fs.Path(p).toUri.getScheme).isDefined
+
+  /** The scheme/authority-free path component, for scheme-agnostic
+    * comparison when one side never recorded a scheme at all.
+    */
+  def pathOnly(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
   /** Re-apply a captured settings map in THIS JVM. `configure` mutates the
     * driver's conf only; a task that does its own filesystem IO (e.g. the
     * executor-side DV shard writer) runs in a JVM whose FileIO never saw
@@ -124,4 +134,32 @@ object FileIO {
     settings.foreach { case (k, v) =>
       if (applied.get(k) != v) { applied.put(k, v); conf.set(k, v) }
     }
+}
+
+/** Membership over a referenced-file set that is robust to HOW each side
+  * spelled its filesystem. Canonical (scheme-alias-collapsed) equality is
+  * the primary test; a path with NO scheme additionally matches the same
+  * path under ANY scheme, in either direction. Mapping schemeless to a
+  * fixed default instead would guess: a deployment whose `fs.defaultFS` is
+  * HDFS/S3 records schemeless manifest paths that are NOT local files, and
+  * orphan cleanup resolving them to `file://` would classify every live
+  * file as an orphan and delete it. The reference keeps both raw and
+  * normalized lookups for the same reason (`table/orphan_cleanup.go:229`).
+  * The residual ambiguity (same path on two different stores, one spelled
+  * schemeless) false-RETAINS — the safe direction for a deleter.
+  */
+final class ReferencedPaths(refs: IterableOnce[String]) extends Serializable {
+  private val canonical = scala.collection.mutable.HashSet[String]()
+  private val schemelessPaths = scala.collection.mutable.HashSet[String]()
+  private val allPaths = scala.collection.mutable.HashSet[String]()
+  refs.iterator.foreach { p =>
+    canonical += FileIO.canonicalPath(p)
+    val po = FileIO.pathOnly(p)
+    allPaths += po
+    if (!FileIO.hasScheme(p)) schemelessPaths += po
+  }
+  def contains(p: String): Boolean =
+    canonical.contains(FileIO.canonicalPath(p)) ||
+      schemelessPaths.contains(FileIO.pathOnly(p)) ||
+      (!FileIO.hasScheme(p) && allPaths.contains(FileIO.pathOnly(p)))
 }

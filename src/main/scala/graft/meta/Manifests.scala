@@ -496,13 +496,32 @@ object ManifestIO {
   private object ManifestCache {
     private final case class ManifestVal(
         specId: Int, partType: IceStructType, entries: Seq[ManifestEntry]) {
-      def weight: Long = math.max(1L, entries.size.toLong)
+      // per-manifest base weight: a small manifest still costs ~entry-object
+      // overhead plus Avro reader scaffolding, so a pure entry count would
+      // let 10^6 single-entry manifests stay resident (heap far above the
+      // budget's intent). 64 ≈ the entry count at which real payload
+      // overtakes fixed overhead.
+      def weight: Long = math.max(64L, entries.size.toLong)
     }
     private val MaxEntries = 1000000L
     private val MaxLists = 256
     private var entryBudget = 0L
+    // keyed on (path, partitionType), NOT path alone: two callers reading
+    // the SAME manifest under different schemas (the orphan walk decodes
+    // under each snapshot's own schema; planFiles under the current one)
+    // derive different partition types when a partition source column was
+    // promoted — evict-on-mismatch made them ping-pong reload the same
+    // file. Variants coexist; each is immutable and correct for its type.
+    // The spec id is a property of the FILE (written into its metadata), so
+    // a tiny side map path→specId lets lookups compute the variant key
+    // without re-reading the file.
+    private val specIds =
+      new java.util.LinkedHashMap[String, Integer](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Integer]): Boolean = size() > 65536
+      }
     private val manifests =
-      new java.util.LinkedHashMap[String, ManifestVal](64, 0.75f, true)
+      new java.util.LinkedHashMap[(String, IceStructType), ManifestVal](64, 0.75f, true)
     private val lists =
       new java.util.LinkedHashMap[String, Seq[ManifestFile]](64, 0.75f, true) {
         override def removeEldestEntry(
@@ -517,28 +536,25 @@ object ManifestIO {
     def manifest(path: String, partTypeFor: Int => IceStructType)
         (load: => (Int, IceStructType, Seq[ManifestEntry])): (Int, Seq[ManifestEntry]) = {
       val cached = synchronized {
-        val hit = manifests.get(path)
-        if (hit != null) {
-          if (hit.partType == partTypeFor(hit.specId))
-            Some((hit.specId, hit.entries))
-          else { // stale decode (partition source promoted): drop, re-read
-            manifests.remove(path)
-            entryBudget -= hit.weight
-            None
-          }
-        } else None
+        val sid = specIds.get(path)
+        if (sid == null) None
+        else Option(manifests.get((path, partTypeFor(sid.intValue))))
+          .map(v => (v.specId, v.entries))
       }
+      if (cached.isDefined) hits.incrementAndGet() else misses.incrementAndGet()
       cached.getOrElse {
         val (specId, partType, entries) = load
         val v = ManifestVal(specId, partType, entries)
+        val key = (path, partType)
         synchronized {
-          val prev = manifests.put(path, v)
+          specIds.put(path, Integer.valueOf(specId))
+          val prev = manifests.put(key, v)
           if (prev != null) entryBudget -= prev.weight
           entryBudget += v.weight
           val it = manifests.entrySet().iterator()
           while (entryBudget > MaxEntries && it.hasNext) {
             val eldest = it.next()
-            if (eldest.getKey != path) { // never evict what we just loaded
+            if (eldest.getKey != key) { // never evict what we just loaded
               entryBudget -= eldest.getValue.weight
               it.remove()
             }
@@ -548,8 +564,19 @@ object ManifestIO {
       }
     }
 
+    /** Test-only visibility: current total cached weight. */
+    private[meta] def cachedWeight: Long = synchronized(entryBudget)
+
+    /** Hit/miss telemetry: the evidence that repeat planners (the
+      * streaming table source re-plans per micro-batch) are actually
+      * served from cache rather than re-decoding Avro per trigger.
+      */
+    val hits = new java.util.concurrent.atomic.AtomicLong(0)
+    val misses = new java.util.concurrent.atomic.AtomicLong(0)
+
     def list(path: String)(load: => Seq[ManifestFile]): Seq[ManifestFile] = {
       val cached = synchronized { Option(lists.get(path)) }
+      if (cached.isDefined) hits.incrementAndGet() else misses.incrementAndGet()
       cached.getOrElse {
         val v = load
         synchronized { lists.put(path, v) }
@@ -557,6 +584,13 @@ object ManifestIO {
       }
     }
   }
+
+  /** (hits, misses) of the immutable-manifest cache since JVM start —
+    * planning telemetry. A steady-state streaming source should show hits
+    * growing per trigger and misses growing only with NEW commits.
+    */
+  def manifestCacheStats: (Long, Long) =
+    (ManifestCache.hits.get, ManifestCache.misses.get)
 
   /** Read manifest entries plus the spec-id and partition type they were
     * written with (from the writer metadata). Served from the immutable-

@@ -140,12 +140,32 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
     send(request(tableUri(name)).method("HEAD",
       HttpRequest.BodyPublishers.noBody()), expectAny = true)._1 == 204
 
-  def listTables(): Seq[String] = {
-    val node = parse(send(get(tablesUri), expect = 200))
+  /** Follow a paginated list route until the server stops returning
+    * `next-page-token` (spec pagination; reference `catalog/rest/rest.go`
+    * ListTables/ListNamespaces). The token is opaque — it goes back verbatim
+    * as `pageToken`. A server that never paginates returns no token and the
+    * loop runs once; a server may also paginate UNPROMPTED, so the client
+    * must follow tokens even when it never sent a pageSize.
+    */
+  private def pagedList(uri: String, arrayField: String)
+      (item: JsonNode => String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    node.path("identifiers").forEach(id => out += id.path("name").asText())
-    out.result().sorted
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val u = token.fold(uri)(t =>
+        s"$uri${if (uri.contains('?')) "&" else "?"}pageToken=${seg(t)}")
+      val node = parse(send(get(u), expect = 200))
+      node.path(arrayField).forEach(n => out += item(n))
+      val next = node.path("next-page-token")
+      token = if (next.isTextual && next.asText().nonEmpty) Some(next.asText()) else None
+      more = token.isDefined
+    }
+    out.result()
   }
+
+  def listTables(): Seq[String] =
+    pagedList(tablesUri, "identifiers")(_.path("name").asText()).sorted
 
   def create(name: String, metadata: TableMetadata): TableMetadata = {
     val body = mapper.createObjectNode()
@@ -279,12 +299,9 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
       v.path("sql").asText(), v.path("dialect").asText())
   }
 
-  def listViews(): Seq[String] = {
-    val node = parse(send(get(s"$baseUri/v1/namespaces/${seg(namespace)}/views"), expect = 200))
-    val out = Seq.newBuilder[String]
-    node.path("views").forEach(v => out += v.path("name").asText())
-    out.result().sorted
-  }
+  def listViews(): Seq[String] =
+    pagedList(s"$baseUri/v1/namespaces/${seg(namespace)}/views", "views")(
+      _.path("name").asText()).sorted
 
   def viewExists(name: String): Boolean =
     send(request(s"$baseUri/v1/namespaces/${seg(namespace)}/views/${seg(name)}")
@@ -317,16 +334,12 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   // ListNamespaces/LoadNamespaceProperties/UpdateNamespaceProperties/
   // DropNamespace/CheckNamespaceExists).
 
-  def listNamespaces(): Seq[String] = {
-    val node = parse(send(get(s"$baseUri/v1/namespaces"), expect = 200))
-    val out = Seq.newBuilder[String]
-    node.path("namespaces").forEach { ns =>
+  def listNamespaces(): Seq[String] =
+    pagedList(s"$baseUri/v1/namespaces", "namespaces") { ns =>
       val segs = Seq.newBuilder[String]
       ns.forEach(s => segs += s.asText())
-      out += segs.result().mkString(".")
-    }
-    out.result().sorted
-  }
+      segs.result().mkString(".")
+    }.sorted
 
   def createNamespace(ns: String, props: Map[String, String] = Map.empty): Unit = {
     val body = mapper.createObjectNode()
@@ -462,7 +475,8 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   private def send(b: HttpRequest.Builder, expect: Int): String = {
     val (status, body) = send(b, expectAny = true)
     if (status != expect)
-      throw new java.io.IOException(s"REST catalog: HTTP $status: $body")
+      throw new java.io.IOException(
+        s"REST catalog: HTTP $status: ${errorMessage(body)}")
     body
   }
   private def send(b: HttpRequest.Builder, expectAny: Boolean): (Int, String) = {
@@ -479,9 +493,24 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   }
 
   private def parse(s: String): JsonNode = mapper.readTree(s)
+  /** Spec `ErrorModel` rendering: message first, then the type and code a
+    * conformant server pairs with it — the type is what an operator greps
+    * for (NoSuchTableException vs CommitFailedException decides retry
+    * semantics), so swallowing it loses the signal.
+    */
   private def errorMessage(body: String): String =
-    try parse(body).path("error").path("message").asText(body)
-    catch { case _: Exception => body }
+    try {
+      val e = parse(body).path("error")
+      if (!e.has("message")) body
+      else {
+        val tpe = e.path("type").asText("")
+        val code = e.path("code").asInt(0)
+        val suffix = (if (tpe.nonEmpty) Seq(tpe) else Nil) ++
+          (if (code != 0) Seq(s"code $code") else Nil)
+        e.path("message").asText(body) +
+          (if (suffix.nonEmpty) suffix.mkString(" [", ", ", "]") else "")
+      }
+    } catch { case _: Exception => body }
   private def fail(op: String, name: String, status: Int, body: String) =
     new java.io.IOException(s"REST catalog $op($name): HTTP $status: ${errorMessage(body)}")
 }

@@ -26,7 +26,8 @@ import graft.table.{AssertCreate, AssertRefSnapshotID, AssertTableUUID,
 final class RestStubServer(val warehouse: String,
     requiredToken: Option[String] = None,
     oauthCredential: Option[(String, String)] = None,
-    tokenTtlMs: Long = 3600000L) {
+    tokenTtlMs: Long = 3600000L,
+    listPageSize: Option[Int] = None) {
 
   private final case class Entry(var versions: Vector[TableMetadata],
       location: String, var metadataLocs: Vector[String])
@@ -126,13 +127,15 @@ final class RestStubServer(val warehouse: String,
         case ("GET", Seq("namespaces", _, "tables")) => synchronized {
           val o = mapper.createObjectNode()
           val arr = mapper.createArrayNode()
-          tables.keys.toSeq.sorted.foreach { n =>
+          val (names, next) = page(ex, tables.keys.toSeq.sorted)
+          names.foreach { n =>
             val id = mapper.createObjectNode()
             id.set[JsonNode]("namespace", mapper.createArrayNode().add("graft"))
             id.put("name", n)
             arr.add(id)
           }
           o.set[JsonNode]("identifiers", arr)
+          next.foreach(t => o.put("next-page-token", t))
           respond(ex, 200, o.toString)
         }
         case ("POST", Seq("namespaces", _, "tables")) => create(ex)
@@ -153,10 +156,12 @@ final class RestStubServer(val warehouse: String,
         case ("GET", Seq("namespaces", _, "views")) => synchronized {
           val o = mapper.createObjectNode()
           val arr = mapper.createArrayNode()
-          views.keys.toSeq.sorted.foreach { n =>
+          val (names, next) = page(ex, views.keys.toSeq.sorted)
+          names.foreach { n =>
             val v = mapper.createObjectNode(); v.put("name", n); arr.add(v)
           }
           o.set[JsonNode]("views", arr)
+          next.foreach(t => o.put("next-page-token", t))
           respond(ex, 200, o.toString)
         }
         case ("HEAD", Seq("namespaces", _, "views", name)) => synchronized {
@@ -183,12 +188,14 @@ final class RestStubServer(val warehouse: String,
         case ("GET", Seq("namespaces")) => synchronized {
           val o = mapper.createObjectNode()
           val arr = mapper.createArrayNode()
-          namespaces.keys.toSeq.sorted.foreach { ns =>
+          val (names, next) = page(ex, namespaces.keys.toSeq.sorted)
+          names.foreach { ns =>
             val a = mapper.createArrayNode()
             ns.split('.').foreach(a.add)
             arr.add(a)
           }
           o.set[JsonNode]("namespaces", arr)
+          next.foreach(t => o.put("next-page-token", t))
           respond(ex, 200, o.toString)
         }
         case ("POST", Seq("namespaces")) => synchronized {
@@ -471,11 +478,43 @@ final class RestStubServer(val warehouse: String,
 
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Spec list pagination (opaque `pageToken` in, `next-page-token` out;
+    * reference `catalog/rest/rest.go` ListTables/ListNamespaces follow the
+    * token until absent). The stub's token is the next start offset.
+    * Paging engages when the client sends `pageSize` or the server was
+    * constructed with a forced [[listPageSize]] — the latter is how specs
+    * prove the CLIENT keeps following tokens it never asked for, which the
+    * spec allows a server to emit unprompted.
+    */
+  private def page(ex: HttpExchange, all: Seq[String]): (Seq[String], Option[String]) = {
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val params = q.split('&').filter(_.contains('=')).map(_.split("=", 2))
+      .map(a => dec(a(0)) -> dec(a(1))).toMap
+    val start = params.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+    params.get("pageSize").flatMap(_.toIntOption).orElse(listPageSize) match {
+      case Some(s) =>
+        (all.slice(start, start + s),
+          if (start + s < all.size) Some((start + s).toString) else None)
+      case None => (all.drop(start), None)
+    }
+  }
+
+  /** Spec `ErrorModel` requires message, type AND code; the code mirrors
+    * the HTTP status a conformant server pairs with the exception type.
+    */
+  private val errorCodes = Map(
+    "NotAuthorizedException" -> 401,
+    "NoSuchViewException" -> 404, "NoSuchNamespaceException" -> 404,
+    "NoSuchTableException" -> 404, "NotFoundException" -> 404,
+    "AlreadyExistsException" -> 409, "NamespaceNotEmptyException" -> 409,
+    "CommitFailedException" -> 409, "InternalServerError" -> 500)
+
   private def error(tpe: String, msg: String): String = {
     val o = mapper.createObjectNode()
     val e = mapper.createObjectNode()
     e.put("message", msg)
     e.put("type", tpe)
+    e.put("code", errorCodes.getOrElse(tpe, 400))
     o.set[JsonNode]("error", e)
     o.toString
   }

@@ -202,17 +202,17 @@ object TextOps {
   def lmPerplexity(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Tok.words(col("text"))
     // the shared intermediate is the PER-DOC BIGRAM-COUNT frame, not the
-    // per-position explode — all three consumers (bigram counts, the vocab
-    // countDistinct, the scoring join) derive from it exactly
+    // per-position explode — every consumer derives from it exactly
     // (Σ_positions x = Σ_{distinct bigrams} n·x, integer arithmetic), and
     // it is strictly smaller than the corpus: the explode is one row per
     // TOKEN, which at 100 TB persisted a larger-than-corpus intermediate
-    // (VERDICT r15 What's-wrong #2). No explicit persist: the three
-    // consumers share one final plan, so ReuseExchange serves them all
-    // from the SAME shuffle output (disk-backed, executor-local — the
-    // scale-safe materialization), and the explode is map-side-combined
-    // straight into the groupBy, never shuffled raw. Verified: warm time
-    // matches the old explode-persist within noise at sf0.1.
+    // (VERDICT r15 What's-wrong #2). No explicit persist: docBigrams has
+    // exactly TWO direct consumers (bgCounts and the scoring join), kept
+    // byte-identical so ReuseExchange serves both from the SAME shuffle
+    // output (disk-backed, executor-local — the scale-safe
+    // materialization), and the explode is map-side-combined straight
+    // into the groupBy, never shuffled raw. PlanAuditSpec pins the reuse
+    // (one Generate, ≥1 ReusedExchange in the executed plan).
     val docBigrams = documents
       .select(col("doc_id"), w.as("ws"))
       .where(size(col("ws")) >= 2)
@@ -220,11 +220,32 @@ object TextOps {
         sequence(lit(0), size(col("ws")) - 2),
         i => struct(element_at(col("ws"), i + 1).as("prev"),
           element_at(col("ws"), i + 2).as("cur")))).as("bg"))
+      // semantically a no-op (in-range element_at over split tokens is
+      // never null) but load-bearing for exchange reuse: the downstream
+      // joins on prev/cur INFER isnotnull filters and push them into their
+      // branch's copy of this subtree, so branches without a join would
+      // canonicalize differently and re-run the corpus scan + explode once
+      // per constraint variant. Stating the constraint here makes every
+      // branch byte-identical — the inferred filters are subsumed.
+      .where(col("bg.prev").isNotNull && col("bg.cur").isNotNull)
       .groupBy(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
       .agg(count(lit(1)).as("n"))
     val bgCounts = docBigrams.groupBy("prev", "cur").agg(sum(col("n")).as("c_bg"))
     val ctxCounts = bgCounts.groupBy("prev").agg(sum(col("c_bg")).as("c_ctx"))
-    val vocab = docBigrams.agg(countDistinct(col("cur")).as("v"))
+    // vocab derives from bgCounts, NOT docBigrams: distinct `cur` is the
+    // same set either way, but a third direct consumer of docBigrams
+    // prunes the count column out of its aggregate, canonicalizes to a
+    // DIFFERENT subtree, and silently re-runs the corpus scan + explode
+    // (ReuseExchange only dedups byte-identical plans — observed r17:
+    // three parquet scans, one per consumer variant). The no-op
+    // `c_bg > 0` guard (every group counts ≥ 1) blocks column pruning
+    // from dropping the sum out of THIS branch's bgCounts aggregate —
+    // a sum-less variant would again canonicalize differently and
+    // re-scan. Re-aggregating the small bigram-type frame is
+    // executor-local shuffle re-read, not a second pass over 100 TB.
+    // PlanAuditSpec pins Generate==1.
+    val vocab = bgCounts.where(col("c_bg") > 0)
+      .agg(countDistinct(col("cur")).as("v"))
     // per-bigram negative log-likelihood in INTEGER micro-units (1e-4):
     // rounded the moment it leaves ln(), so the per-doc reduction is an
     // exact order-independent integer sum (map-side-combinable, no

@@ -59,8 +59,17 @@ object Ingest {
     * suppress the new lifetime's batches — keying on the path alone
     * silently discarded every batch after a routine checkpoint reset.
     */
+  /** Checkpoint-metadata FS reads performed by [[checkpointQueryId]] —
+    * observable so ReplayGuardSpec can pin the once-per-sink-lifetime
+    * caching contract (the id is immutable for the checkpoint's lifetime,
+    * so re-reading the file every micro-batch is one wasted FS round-trip
+    * per trigger — on object storage, a metered GET per trigger).
+    */
+  private[streaming] val queryIdReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[streaming] def checkpointQueryId(
       spark: SparkSession, checkpoint: String): String = {
+    queryIdReads.incrementAndGet()
     val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -89,7 +98,13 @@ object Ingest {
     * restored checkpoint must not silently drop or duplicate data.
     */
   def appendStream(stream: DataFrame, table: IceTable, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // resolved lazily at the FIRST micro-batch (the metadata file exists by
+    // then) and cached for the sink's lifetime: the id is immutable for the
+    // checkpoint's lifetime by construction, so one FS read suffices —
+    // re-reading per trigger was a metered GET per micro-batch on object
+    // storage. A restart builds a fresh sink (fresh memo) and re-reads once.
+    val qidMemo = new java.util.concurrent.atomic.AtomicReference[String]()
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -101,12 +116,26 @@ object Ingest {
           // (fresh checkpoint, batch ids restarting at 0) must never
           // suppress a legitimate new append — and neither may THIS
           // checkpoint path's previous lifetime after a delete-and-recreate
-          // (the query id changes with the directory; a stamp without a
-          // query id predates this guard and conservatively matches)
-          val qid = checkpointQueryId(batch.sparkSession, checkpoint)
-          val lastCommitted = mainAncestry(table.metadata)
-            .filter(s => s.summary.get(StreamCheckpointKey).contains(checkpoint) &&
-              s.summary.get(StreamQueryIdKey).forall(_ == qid))
+          // (the query id changes with the directory)
+          val qid = Option(qidMemo.get).getOrElse {
+            val v = checkpointQueryId(batch.sparkSession, checkpoint)
+            qidMemo.set(v); v
+          }
+          val stamped = mainAncestry(table.metadata)
+            .filter(_.summary.get(StreamCheckpointKey).contains(checkpoint))
+          // Pre-guard stamps carry no query id. They participate ONLY while
+          // no qid-stamped commit exists for this checkpoint: on the first
+          // post-upgrade run against the same live checkpoint they still
+          // guard the replayed tail batch, but once any commit carries a
+          // qid the legacy epochs retire — otherwise a routine checkpoint
+          // delete-and-recreate after the upgrade would compare batch 0
+          // against the OLD lifetime's max forever (permanently wedged).
+          val anyQidStamped = stamped.exists(_.summary.contains(StreamQueryIdKey))
+          val scoped =
+            if (anyQidStamped)
+              stamped.filter(_.summary.get(StreamQueryIdKey).contains(qid))
+            else stamped
+          val lastCommitted = scoped
             .flatMap(_.summary.get(StreamBatchIdKey)).flatMap(_.toLongOption)
             .maxOption
           if (lastCommitted.exists(batchId < _))
@@ -114,7 +143,11 @@ object Ingest {
               s"streaming batch $batchId is below the last committed epoch " +
                 s"${lastCommitted.get} for checkpoint $checkpoint (query $qid): " +
                 "the checkpoint state does not match the table's commit " +
-                "history — refusing to guess between replay and data loss")
+                "history — refusing to guess between replay and data loss. " +
+                "If this checkpoint was deleted and recreated against a " +
+                "table whose stream stamps predate query-id scoping, point " +
+                "the query at a fresh checkpoint path (or expire the " +
+                "stamped snapshots) and restart.")
           if (lastCommitted.forall(batchId > _)) {
             table.append(batch, extraSummary = Map(
               StreamBatchIdKey -> batchId.toString,
@@ -125,6 +158,7 @@ object Ingest {
         }
       }
       .start()
+  }
 
   /** Rows appended after `sinceSnapshotId` (exclusive) — the reference's
     * incremental APPEND scan semantics. Three guards keep this exact:

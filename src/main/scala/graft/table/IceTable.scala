@@ -1989,16 +1989,18 @@ final class IceTable private (
         entries.map(_.dataFile.filePath)
     }.seq
     // membership is tested in a scheme/authority-equivalent canonical form
-    // (reference normalizes both sides explicitly): manifests record
-    // whatever form the writer used ("file:/wh/data/x" vs "/wh/data/x" vs
-    // "s3a://bucket/x") while the walk below yields the filesystem's own
-    // form — raw string comparison false-orphans every scheme-qualified
-    // warehouse (deleting LIVE data) and false-retains true orphans
-    val referenced: Set[String] =
-      (dataPaths ++ manifestPaths.keys ++ listPaths.keys ++
+    // with a schemeless-side path-only fallback (reference keeps both raw
+    // and normalized lookups): manifests record whatever form the writer
+    // used ("file:/wh/data/x" vs "/wh/data/x" vs "s3a://bucket/x") while
+    // the walk below yields the filesystem's own form — raw string
+    // comparison false-orphans every scheme-qualified warehouse (deleting
+    // LIVE data) and false-retains true orphans; forcing schemeless to
+    // file:// would false-orphan every schemeless manifest path on a
+    // non-local defaultFS (see [[graft.meta.ReferencedPaths]])
+    val referenced = new graft.meta.ReferencedPaths(
+      dataPaths ++ manifestPaths.keys ++ listPaths.keys ++
         meta.statistics.map(_.statisticsPath) ++
         meta.partitionStatistics.map(_.statisticsPath))
-        .map(graft.meta.FileIO.canonicalPath).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(location), graft.meta.FileIO.conf)
     val orphans = Seq.newBuilder[(String, org.apache.hadoop.fs.Path)]
@@ -2015,7 +2017,7 @@ final class IceTable private (
           base.endsWith(".metadata.json.gz") || base == "version-hint.text" ||
           base == "renamed-away.text" // rename tombstone: deleting it would resurrect the retired identifier
         if (!base.startsWith("_") && !base.startsWith(".") && !isCatalogFile &&
-            !referenced.contains(graft.meta.FileIO.canonicalPath(st.getPath.toString)) &&
+            !referenced.contains(st.getPath.toString) &&
             st.getModificationTime < olderThanMs)
           orphans += st.getPath.toUri.getPath -> st.getPath
       }

@@ -67,6 +67,13 @@ object ScaleProbe {
 
   def synthesizeSf1(spark: SparkSession, base: String, out: String,
       replicas: Int = 10): Unit = {
+    // replica 10 would wrap i % VowelPerms.size back to the identity
+    // permutation and hand every doc an EXACT cross-replica twin —
+    // reintroducing the quadratic dedup-pair blow-up the permutations
+    // exist to prevent. Scaling past 10x needs more perms, not a wrap.
+    require(replicas <= VowelPerms.size,
+      s"synthesizeSf1 supports at most ${VowelPerms.size} replicas " +
+        s"(got $replicas): vowel permutations must stay distinct per replica")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(out), graft.meta.FileIO.conf)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_READY"))) return
@@ -90,7 +97,7 @@ object ScaleProbe {
       docs.withColumn("doc_id", col("doc_id") + lit(i * docShift))
         .withColumn("text",
           if (i == 0) col("text")
-          else translate(col("text"), "aeiou", VowelPerms(i % VowelPerms.size)))
+          else translate(col("text"), "aeiou", VowelPerms(i)))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")

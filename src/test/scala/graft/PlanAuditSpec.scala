@@ -396,4 +396,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
     graft.ops.CacheRegistry.releaseAll()
   }
+
+  test("lm perplexity: the corpus is scanned and exploded exactly once") {
+    // the shared docBigrams intermediate must be served to every consumer
+    // by exchange reuse, not recomputed — at 100 TB each un-reused
+    // consumer variant is a full corpus scan + explode. Pinned here
+    // because the reuse is brittle by construction: ReuseExchange only
+    // dedups byte-identical canonical subtrees, so a consumer that prunes
+    // an aggregate column or carries a join-inferred isnotnull the others
+    // lack silently re-runs the pipeline (observed r17: THREE scans
+    // before the branch alignment in lmPerplexity)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(expand)
+    }
+    val df = SparkEntry.queries("text_lm_perplexity")(spark, sfDir)
+    df.collect() // AQE finalizes stages (and their reuse) only on execution
+    val nodes = expand(df.queryExecution.executedPlan)
+    val generates = nodes.count(_.nodeName.contains("Generate"))
+    val reused = nodes.count(_.nodeName.contains("ReusedExchange"))
+    assert(generates == 1,
+      s"bigram explode ran $generates times — a consumer branch stopped canonicalizing " +
+        s"with the others:\n${df.queryExecution.executedPlan}")
+    assert(reused >= 2,
+      s"expected docBigrams + bgCounts exchange reuse, found $reused ReusedExchange " +
+        s"nodes:\n${df.queryExecution.executedPlan}")
+  }
 }

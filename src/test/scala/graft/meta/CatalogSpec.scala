@@ -247,6 +247,58 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("REST pagination: client follows unprompted next-page-token across all list routes") {
+    // page size 2 forces the server to paginate every list response even
+    // though the client never sends pageSize — the spec allows that, and a
+    // client that ignores the token silently truncates the listing
+    val server = new RestStubServer(
+      Files.createTempDirectory("graft-rest-paged").toString, listPageSize = Some(2))
+    try {
+      val cat = new RestCatalog(server.uri)
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      val names = Seq("t_a", "t_b", "t_c", "t_d", "t_e")
+      names.foreach(n => IceTable.create(cat, n, SchemaConv.fromSpark(region.schema)))
+      assert(cat.listTables() == names, "paged table listing lost a page")
+      (1 to 5).foreach(i => cat.createNamespace(s"ns$i"))
+      assert(cat.listNamespaces() ==
+        ("graft" +: (1 to 5).map(i => s"ns$i")).sorted,
+        "paged namespace listing lost a page")
+      region.createOrReplaceTempView("region_paged_src")
+      (1 to 5).foreach(i => cat.createOrReplaceView(s"v$i",
+        "SELECT r_regionkey FROM region_paged_src"))
+      assert(cat.listViews() == (1 to 5).map(i => s"v$i"),
+        "paged view listing lost a page")
+    } finally server.stop()
+  }
+
+  test("REST error bodies: spec ErrorModel type and code surface in client failures") {
+    val server = new RestStubServer(Files.createTempDirectory("graft-rest-err").toString)
+    try {
+      val cat = new RestCatalog(server.uri)
+      // stale expected-version commit → 409 whose CommitFailedException
+      // type and code ride the conflict exception's message
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      val t = IceTable.create(cat, "conflict_t", SchemaConv.fromSpark(region.schema))
+      val stale = cat.load("conflict_t")
+      t.append(region.limit(1))
+      val e409 = intercept[Exception](cat.commit("conflict_t", 1, stale))
+      assert(e409.getMessage.contains("CommitFailedException")
+        && e409.getMessage.contains("code 409"),
+        s"commit conflict type/code swallowed: ${e409.getMessage}")
+    } finally server.stop()
+    // 401 with NotAuthorizedException body rides the generic-send failure
+    val authed = new RestStubServer(
+      Files.createTempDirectory("graft-rest-err2").toString,
+      requiredToken = Some("sesame"))
+    try {
+      val e401 = intercept[java.io.IOException](
+        new RestCatalog(authed.uri, token = Some("wrong")))
+      assert(e401.getMessage.contains("NotAuthorizedException")
+        && e401.getMessage.contains("code 401"),
+        s"auth error type/code swallowed: ${e401.getMessage}")
+    } finally authed.stop()
+  }
+
   test("REST views: create/replace/list/load/drop, executed through Spark") {
     val server = new RestStubServer(Files.createTempDirectory("graft-rest-views").toString)
     try {

@@ -342,6 +342,7 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("IceTable streaming source drains a paced backlog under Trigger.AvailableNow") {
+    val cacheBefore = graft.meta.ManifestIO.manifestCacheStats
     val t = IceTable.create(catalog, "nation_availnow", SchemaConv.fromSpark(nation.schema))
     t.append(nation.where("n_nationkey < 8"))
     t.append(nation.where("n_nationkey >= 8 and n_nationkey < 16"))
@@ -359,6 +360,14 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("nation_availnow_sink").count() == 25)
     val batches = q.recentProgress.count(_.numInputRows > 0)
     assert(batches >= 3, s"expected >=3 paced micro-batches, got $batches")
+    // the per-micro-batch re-plan must be served by the immutable-manifest
+    // cache, not re-decode Avro per trigger: across >=3 paced batches over
+    // shared manifests the hit count must move (r16 shipped the cache but
+    // never proved the streaming source's planner reaches it)
+    val cacheAfter = graft.meta.ManifestIO.manifestCacheStats
+    assert(cacheAfter._1 - cacheBefore._1 > 0,
+      s"streaming source re-planned ${batches} micro-batches with zero manifest-cache " +
+        s"hits (hits ${cacheBefore._1}->${cacheAfter._1}, misses ${cacheBefore._2}->${cacheAfter._2})")
   }
 
   test("streaming ingest commits one snapshot per micro-batch; incremental read sees only new rows") {

@@ -209,6 +209,31 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canonicalPath("s3://bucket/x") != canonicalPath("gs://bucket/x"))
   }
 
+  test("referenced-path membership: schemeless refs match any scheme, never guess a default") {
+    // manifests written under a non-local fs.defaultFS record SCHEMELESS
+    // paths that are not local files; resolving them to file:// classifies
+    // every live file as an orphan (the r16 hard-map). A schemeless side
+    // instead matches the same path under ANY scheme — false-retain, the
+    // safe direction for a deleter.
+    val refs = new graft.meta.ReferencedPaths(Seq(
+      "/wh/data/a.parquet", // schemeless (written under defaultFS)
+      "hdfs://nn/wh/data/b.parquet", // scheme-qualified
+      "s3a://bucket/k/c.parquet"))
+    // schemeless ref vs the orphan walk's scheme-qualified form
+    assert(refs.contains("hdfs://nn/wh/data/a.parquet"))
+    assert(refs.contains("file:/wh/data/a.parquet"))
+    assert(refs.contains("/wh/data/a.parquet"))
+    // scheme-qualified ref vs a schemeless walked path
+    assert(refs.contains("/wh/data/b.parquet"))
+    // scheme aliases still collapse; exact canonical matches still hold
+    assert(refs.contains("s3://bucket/k/c.parquet"))
+    assert(refs.contains("hdfs://nn/wh/data/b.parquet"))
+    // both sides scheme-qualified and DIFFERENT: no path-only fallback
+    assert(!refs.contains("gs://bucket/k/c.parquet"))
+    assert(!refs.contains("hdfs://nn/wh/data/zzz.parquet"))
+    assert(!refs.contains("s3a://other-bucket/k/c.parquet"))
+  }
+
   test("orphan cleanup reclaims expired snapshots' manifest lists under metadata/") {
     val t = IceTable.create(catalog, "li_orphan_meta",
       SchemaConv.fromSpark(lineitem.schema))
