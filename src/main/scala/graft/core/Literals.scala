@@ -75,10 +75,31 @@ object Bounds {
     case IceFloat => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
     case IceDouble => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case IceDecimal(_, _) => toJBD(a).compareTo(toJBD(b))
-    case IceString | IceUUID => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    // code-point order, NOT String.compareTo: UTF-16 code-unit order ranks
+    // BMP chars >= U+E000 above supplementary-plane chars (whose surrogates
+    // sort at 0xD800-0xDFFF), while Parquet's per-row-group string min/max,
+    // Spark's UTF8String, and DuckDB all compare UTF-8 BYTES — which is
+    // code-point order. Merging parquet row-group stats or pruning with the
+    // UTF-16 order would record an upper bound BELOW the real max and
+    // silently drop matching files from scans.
+    case IceString | IceUUID =>
+      compareCodePoints(a.asInstanceOf[String], b.asInstanceOf[String])
     case IceBinary | IceFixed(_) =>
       java.util.Arrays.compareUnsigned(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
     case other => throw new IllegalArgumentException(s"cannot compare $other")
+  }
+
+  private def compareCodePoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 
   private def toJBD(v: Any): JBigDecimal = v match {
@@ -123,6 +144,15 @@ object Bounds {
         else {
           val out = cps.take(i + 1)
           out(i) += 1
+          // U+D7FF + 1 lands in the surrogate block [U+D800, U+DFFF], which
+          // never occurs as a scalar value in a valid string — an unpaired
+          // surrogate UTF-8-encodes as '?' (0x3F), collapsing the bound far
+          // BELOW the data it must cover. The next valid scalar is U+E000,
+          // and every string code point above U+D7FF is >= U+E000, so it is
+          // still a tight upper bound.
+          if (out(i) >= Character.MIN_SURROGATE.toInt &&
+              out(i) <= Character.MAX_SURROGATE.toInt)
+            out(i) = 0xE000
           Some(new String(out, 0, out.length))
         }
       }

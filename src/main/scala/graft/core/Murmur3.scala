@@ -61,10 +61,35 @@ object Murmur3 {
 
   /** Iceberg hashes every integral/temporal value as a little-endian 8-byte
     * long (int32/date promoted to int64 first, `transforms.go:266-274`).
+    * Inlined two-block mix — this runs per row from bucket-transform
+    * generated code, and the little-endian blocks of a long are just its
+    * low and high ints, so the byte-buffer round-trip would be two heap
+    * allocations per row for a byte reorder (byte-parity with the array
+    * path is pinned by TransformsSpec's golden vectors).
     */
   def hashLong(v: Long): Int = {
-    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
-    hash(b)
+    var h1 = 0
+    var k1 = v.toInt // first 4 LE bytes
+    k1 *= C1
+    k1 = Integer.rotateLeft(k1, 15)
+    k1 *= C2
+    h1 ^= k1
+    h1 = Integer.rotateLeft(h1, 13)
+    h1 = h1 * 5 + 0xe6546b64
+    k1 = (v >>> 32).toInt // last 4 LE bytes
+    k1 *= C1
+    k1 = Integer.rotateLeft(k1, 15)
+    k1 *= C2
+    h1 ^= k1
+    h1 = Integer.rotateLeft(h1, 13)
+    h1 = h1 * 5 + 0xe6546b64
+    h1 ^= 8 // len
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
   }
 
   def hashString(s: String): Int = hash(s.getBytes(StandardCharsets.UTF_8))

@@ -224,9 +224,14 @@ object SchemaConv {
     StructField(f.name, IceType.toSpark(f.tpe), nullable = !f.required, mb.build())
   }
 
-  /** Derive an IceSchema from a Spark StructType, assigning fresh field IDs
-    * depth-first from 1 (or honoring existing `parquet.field.id` metadata
-    * when every field carries one).
+  /** Derive an IceSchema from a Spark StructType, ALWAYS assigning fresh
+    * field IDs depth-first from 1. Existing `parquet.field.id` metadata is
+    * deliberately ignored: Spark's ArrayType/MapType carry no element/key/
+    * value IDs, so an evolved schema (ID gaps) cannot round-trip faithfully
+    * anyway — honoring only the struct-level IDs would mint a MIXED
+    * numbering worse than a clean reassignment. Intended for table
+    * creation from a plain DataFrame schema, not for resolving existing
+    * ID-stamped files (use the table's own IceSchema for that).
     */
   def fromSpark(st: StructType, schemaId: Int = 0): IceSchema = {
     var nextId = 0

@@ -121,17 +121,51 @@ final case class ZOrderArrayExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Analysis-time-checked promotion for [[ZOrderExprs.zorder]]: accepts
+  * ONLY integral/date columns (the silent `cast(LongType)` it replaces
+  * truncated doubles/decimals/strings toward zero -- order-breaking --
+  * with no error) and saturates a genuine Long.MinValue value to
+  * MinValue+1 so the builder's NULL sentinel (MinValue) never collides
+  * with a real value: the adjacent-value merge is clustering-harmless;
+  * null/value confusion is not.
+  */
+final case class ZOrderNormExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.DateType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zorder needs int/long/date columns, got $other (cast explicitly if " +
+        "truncation is intended)")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    math.max(v.asInstanceOf[Number].longValue(), Long.MinValue + 1L)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"Math.max((long)($c), ${Long.MinValue + 1L}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): ZOrderNormExpr =
+    copy(child = newChild)
+}
+
 object ZOrderExprs {
   /** Column form: the 16-byte z-value of two int/long columns. */
   def zorder2(a: Column, b: Column): Column =
     GraftShim.column(ZOrder2Expr(GraftShim.expression(a), GraftShim.expression(b)))
 
-  /** N-column z-value (N ≥ 2): int/long columns, nulls clustered first. */
+  /** N-column z-value (N ≥ 2): int/long/date columns (analysis-time type
+    * check — no silent value-mangling casts), nulls clustered first.
+    */
   def zorder(cols: Column*): Column = {
     require(cols.length >= 2, "zorder needs at least two columns")
     import org.apache.spark.sql.functions.{array, coalesce, lit}
     val longs = cols.map(c =>
-      coalesce(c.cast(org.apache.spark.sql.types.LongType), lit(Long.MinValue)))
+      coalesce(GraftShim.column(ZOrderNormExpr(GraftShim.expression(c))),
+        lit(Long.MinValue)))
     GraftShim.column(ZOrderArrayExpr(GraftShim.expression(array(longs: _*))))
   }
 }

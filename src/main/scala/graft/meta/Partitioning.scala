@@ -32,8 +32,15 @@ final case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
 
   private def sanitize(s: String): String =
     s.flatMap {
-      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' => c.toString
-      case c => "%%%02X".format(c.toInt)
+      case c if (c.isLetterOrDigit && c < 0x80) || c == '-' || c == '_' || c == '.' =>
+        c.toString
+      case c =>
+        // escape each UTF-8 BYTE (Hive convention): "%02X" over a raw code
+        // unit emits 3-4 hex digits for chars > 0xFF, which both collides
+        // distinct values ("€" and " AC" -> "%20AC") and cannot be
+        // decoded unambiguously
+        c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => "%%%02X".format(b & 0xFF)).mkString
     }
 
   def lastAssignedFieldId: Int = if (fields.isEmpty) 999 else fields.map(_.fieldId).max

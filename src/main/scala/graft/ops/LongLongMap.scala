@@ -9,6 +9,12 @@ package graft.ops
   * threshold is sized by ([[Dedup.duplicateClusters]]).
   */
 final class LongLongMap(initialCapacity: Int = 16) {
+  // 2^30 is the largest power-of-two Int array size: past it the doubling
+  // in pow2 wraps negative (infinite loop) and grow() would allocate a
+  // negative size. At ≤50% load that bounds the map at ~536M entries —
+  // fail loudly at the boundary instead
+  require(initialCapacity <= LongLongMap.MaxCapacity,
+    s"initialCapacity $initialCapacity exceeds max ${LongLongMap.MaxCapacity}")
   private def pow2(n: Int): Int = { var c = 16; while (c < n) c <<= 1; c }
   private var cap = pow2(math.max(initialCapacity, 16))
   private var keys = new Array[Long](cap)
@@ -28,6 +34,9 @@ final class LongLongMap(initialCapacity: Int = 16) {
   }
 
   private def grow(): Unit = {
+    if (cap == LongLongMap.MaxCapacity)
+      throw new IllegalStateException(
+        s"LongLongMap full: cannot grow past ${LongLongMap.MaxCapacity} slots ($n entries)")
     val ok = keys; val ov = vals; val ou = used
     cap <<= 1
     keys = new Array[Long](cap)
@@ -70,4 +79,9 @@ final class LongLongMap(initialCapacity: Int = 16) {
     val us = used
     ks.indices.iterator.filter(us(_)).map(ks(_))
   }
+}
+
+object LongLongMap {
+  /** Largest power-of-two Int array size (2^30). */
+  final val MaxCapacity: Int = 1 << 30
 }

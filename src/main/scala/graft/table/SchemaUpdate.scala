@@ -14,8 +14,38 @@ final class SchemaUpdate private[table] (table: IceTable) {
   def addColumn(name: String, tpe: IceType, doc: Option[String] = None): SchemaUpdate = {
     require(!fields.exists(_.name == name), s"column $name already exists")
     lastColumnId += 1
-    fields = fields :+ NestedField(lastColumnId, name, tpe, required = false, doc)
+    val id = lastColumnId
+    fields = fields :+ NestedField(id, name, reassignNestedIds(tpe),
+      required = false, doc)
     this
+  }
+
+  /** Mint fresh IDs for every nested field of an incoming type (reference
+    * `update_schema.go` assigns new IDs on add). Installing an incoming
+    * struct/list/map verbatim would keep ITS field IDs, which can collide
+    * with existing table column IDs — `IceSchema.byId` silently overwrites
+    * on collision, so ID-based Parquet resolution would read the wrong
+    * column.
+    */
+  private def reassignNestedIds(tpe: IceType): IceType = tpe match {
+    case IceStructType(fs) =>
+      IceStructType(fs.map { f =>
+        lastColumnId += 1
+        val id = lastColumnId
+        f.copy(id = id, tpe = reassignNestedIds(f.tpe))
+      })
+    case IceListType(_, element, req) =>
+      lastColumnId += 1
+      val id = lastColumnId
+      IceListType(id, reassignNestedIds(element), req)
+    case IceMapType(_, key, _, value, req) =>
+      lastColumnId += 1
+      val kid = lastColumnId
+      val k = reassignNestedIds(key)
+      lastColumnId += 1
+      val vid = lastColumnId
+      IceMapType(kid, k, vid, reassignNestedIds(value), req)
+    case primitive => primitive
   }
 
   /** Add an optional column with a default: files written before this
@@ -26,7 +56,8 @@ final class SchemaUpdate private[table] (table: IceTable) {
   def addColumnWithDefault(name: String, tpe: IceType, default: Any): SchemaUpdate = {
     require(!fields.exists(_.name == name), s"column $name already exists")
     lastColumnId += 1
-    fields = fields :+ NestedField(lastColumnId, name, tpe, required = false,
+    val id = lastColumnId
+    fields = fields :+ NestedField(id, name, reassignNestedIds(tpe), required = false,
       doc = None, initialDefault = Some(default), writeDefault = Some(default))
     this
   }
@@ -86,6 +117,7 @@ final class SchemaUpdate private[table] (table: IceTable) {
   }
 
   def makeOptional(name: String): SchemaUpdate = {
+    require(fields.exists(_.name == name), s"no column $name")
     fields = fields.map(f => if (f.name == name) f.copy(required = false) else f)
     this
   }
@@ -108,7 +140,9 @@ final class SchemaUpdate private[table] (table: IceTable) {
       fields.find(_.name == in.name) match {
         case None =>
           lastColumnId += 1
-          fields = fields :+ NestedField(lastColumnId, in.name, in.tpe, required = false)
+          val id = lastColumnId
+          fields = fields :+ NestedField(id, in.name, reassignNestedIds(in.tpe),
+            required = false)
         case Some(existing) if existing.tpe == in.tpe => ()
         case Some(existing) if IceType.canPromote(existing.tpe, in.tpe) =>
           fields = fields.map(f => if (f.name == in.name) f.copy(tpe = in.tpe) else f)

@@ -55,7 +55,10 @@ object ThetaStats {
     case d: java.sql.Date => sk.update(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => sk.update(d.toEpochDay)
     case t: java.sql.Timestamp =>
-      sk.update(t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+      // floorDiv, not /: truncation-toward-zero maps pre-epoch fractional
+      // seconds onto their positive mirror (-0.5s -> +500000us), colliding
+      // with distinct values and diverging from the Instant branch below
+      sk.update(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
     case t: java.time.Instant =>
       sk.update(t.getEpochSecond * 1000000L + t.getNano / 1000)
     case t: java.time.LocalDateTime =>

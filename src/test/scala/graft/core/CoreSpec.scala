@@ -44,6 +44,38 @@ class CoreSpec extends AnyFunSuite {
       .sameElements(Array[Byte](0x05, 0x8C.toByte)))
   }
 
+  test("string compare is code-point order, not UTF-16 code-unit order") {
+    // U+E000 (BMP private-use) vs U+1F600 (supplementary, surrogate pair
+    // 0xD83D 0xDE00): UTF-16 code-unit order ranks E000 ABOVE the emoji;
+    // code-point / UTF-8-byte order (what Parquet stats, Spark's
+    // UTF8String, and DuckDB use) ranks it BELOW
+    val bmp = "x"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(bmp.compareTo(emoji) > 0) // the UTF-16 trap this guards against
+    assert(Bounds.compare(IceString, bmp, emoji) < 0)
+    assert(Bounds.compare(IceString, emoji, bmp) > 0)
+    // consistency with the UTF-8 byte comparison used for binary bounds
+    import java.nio.charset.StandardCharsets.UTF_8
+    assert(java.util.Arrays.compareUnsigned(
+      bmp.getBytes(UTF_8), emoji.getBytes(UTF_8)) < 0)
+    // prefix/equality still behave
+    assert(Bounds.compare(IceString, "abc", "abc") == 0)
+    assert(Bounds.compare(IceString, "ab", "abc") < 0)
+  }
+
+  test("truncateUpper skips the surrogate block when incrementing U+D7FF") {
+    val s = "p" * 15 + "퟿" + "suffix-beyond-width"
+    val up = Bounds.truncateUpper(IceString, s, 16).get.asInstanceOf[String]
+    assert(up.codePointCount(0, up.length) == 16)
+    assert(up.codePointAt(up.offsetByCodePoints(0, 15)) == 0xE000)
+    // the bound must actually bound the original value in code-point order
+    assert(Bounds.compare(IceString, up, s) > 0)
+    // and survive a UTF-8 encode/decode round-trip (an unpaired surrogate
+    // would collapse to '?')
+    val rt = Bounds.decode(IceString, Bounds.encode(IceString, up))
+    assert(rt == up)
+  }
+
   test("bind folds IsNull/NotNull on required columns") {
     assert(P.bind(P.isNull("id"), schema) == AlwaysFalse)
     assert(P.bind(P.notNull("id"), schema) == AlwaysTrue)

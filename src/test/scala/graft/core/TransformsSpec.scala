@@ -76,6 +76,33 @@ class TransformsSpec extends AnyFunSuite {
     assert(HourTransform.toHumanString(IceTimestamp, 419686) == "2017-11-16-22")
   }
 
+  test("inlined hashLong byte-matches the array murmur path for random longs") {
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val v = rnd.nextLong()
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+      assert(Murmur3.hashLong(v) == Murmur3.hash(b), s"mismatch for $v")
+    }
+    for (v <- Seq(0L, -1L, 1L, Long.MinValue, Long.MaxValue))
+      assert(Murmur3.hashLong(v) == Murmur3.hash(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()))
+  }
+
+  test("partition paths escape per UTF-8 byte: multi-byte chars cannot collide with byte pairs") {
+    val schema = IceSchema(0, Seq(NestedField(1, "name", IceString)))
+    val spec = graft.meta.PartitionSpec.of(0,
+      ("name", IdentityTransform, "name"))(schema)
+    def path(v: String): String = spec.partitionToPath(Seq(v), schema)
+    // "%02X" over the raw code unit would render € (U+20AC) as "%20AC" —
+    // exactly the escape of " AC" (space + 'A' + 'C' kept verbatim? no:
+    // space escapes to %20) — byte-wise escaping keeps them distinct
+    assert(path("€") != path(" AC"))
+    assert(path("€").contains("%E2%82%AC")) // UTF-8 bytes of U+20AC
+    assert(path(" AC") == "name=%20AC")
+    assert(path("a-b_c.9") == "name=a-b_c.9") // safe chars pass through
+  }
+
   test("transform round-trips through spec names") {
     for (t <- Seq(IdentityTransform, VoidTransform, YearTransform, MonthTransform,
         DayTransform, HourTransform, BucketTransform(16), TruncateTransform(4))) {

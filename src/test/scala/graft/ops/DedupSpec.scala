@@ -406,4 +406,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out2(4L) == 5L)
   }
+
+  test("LongLongMap: every long is a valid key; capacity bounds fail loudly") {
+    val m = new LongLongMap(4)
+    m.put(0L, 10L)
+    m.put(Long.MinValue, 20L)
+    m.put(-1L, 30L)
+    (1L to 100L).foreach(k => m.put(k, k * 2))
+    assert(m.size == 103)
+    assert(m.getOrDefault(0L, -1L) == 10L)
+    assert(m.getOrDefault(Long.MinValue, -1L) == 20L)
+    assert(m.getOrDefault(-1L, -1L) == 30L)
+    assert(m.getOrDefault(55L, -1L) == 110L)
+    assert(m.getOrDefault(101L, -1L) == -1L)
+    m.put(0L, 99L) // overwrite
+    assert(m.getOrDefault(0L, -1L) == 99L)
+    // past 2^30 slots the power-of-two doubling would wrap negative
+    // (infinite loop in pow2, negative allocation in grow) — must throw
+    assertThrows[IllegalArgumentException] {
+      new LongLongMap((1 << 30) + 1)
+    }
+  }
 }

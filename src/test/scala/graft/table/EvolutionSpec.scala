@@ -159,6 +159,45 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("adding a nested column mints fresh nested field IDs (no collision with existing columns)") {
+    val t = IceTable.create(catalog, "nation_nested",
+      SchemaConv.fromSpark(nation.schema))
+    val before = t.metadata.lastColumnId
+    // incoming struct deliberately carries IDs 1,2 — they collide with the
+    // table's existing n_nationkey/n_name; installing them verbatim would
+    // make IceSchema.byId silently overwrite and Parquet ID resolution
+    // read the wrong column
+    val incoming = IceStructType(Seq(
+      NestedField(1, "lat", IceDouble),
+      NestedField(2, "lon", IceDouble)))
+    t.updateSchema()
+      .addColumn("geo", incoming)
+      .unionByName(IceSchema(0, Seq(
+        NestedField(1, "tags", IceListType(2, IceString, elementRequired = false)))))
+      .commit()
+    val r = IceTable.load(catalog, "nation_nested")
+    def idsOf(t: IceType): Seq[Int] = t match {
+      case IceStructType(inner) => inner.flatMap(f => f.id +: idsOf(f.tpe))
+      case IceListType(eid, e, _) => eid +: idsOf(e)
+      case IceMapType(kid, k, vid, v, _) => Seq(kid, vid) ++ idsOf(k) ++ idsOf(v)
+      case _ => Nil
+    }
+    val ids = r.schema.fields.flatMap(f => f.id +: idsOf(f.tpe))
+    assert(ids.distinct.size == ids.size, s"duplicate field IDs: $ids")
+    assert(ids.forall(id => id <= r.metadata.lastColumnId))
+    // the struct's nested fields got ids ABOVE the previous lastColumnId
+    val geo = r.schema.findByName("geo").get.tpe.asInstanceOf[IceStructType]
+    assert(geo.fields.forall(_.id > before))
+  }
+
+  test("makeOptional on a missing column fails instead of silently no-op committing") {
+    val t = IceTable.create(catalog, "nation_makeopt",
+      SchemaConv.fromSpark(nation.schema))
+    assertThrows[IllegalArgumentException] {
+      t.updateSchema().makeOptional("n_nationkeyy")
+    }
+  }
+
   test("concurrent commits: non-conflicting changes rebase, semantic conflicts fail") {
     val t1 = IceTable.create(catalog, "nation_conc", SchemaConv.fromSpark(nation.schema))
     t1.append(nation)

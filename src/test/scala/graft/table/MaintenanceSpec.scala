@@ -689,4 +689,19 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("li_compact") && s.contains("uuid:") && s.contains("rows"))
     assert(s.contains("replace")) // snapshot log shows the compaction
   }
+
+  test("theta sketch distinguishes pre-epoch fractional timestamps from their positive mirror") {
+    val ss = spark
+    import ss.implicits._
+    // -0.5s vs +0.5s: truncation-toward-zero in the java.sql.Timestamp
+    // branch mapped BOTH to +500000us (NDV 1) and diverged from the
+    // java.time.Instant branch used when java8API is enabled
+    val df = Seq(
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(-500L)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(500L)))
+      .toDF("ts")
+    val (stats, rows) = ThetaStats.sketchColumns(df)
+    assert(rows == 2L)
+    assert(stats.head.ndv == 2L)
+  }
 }

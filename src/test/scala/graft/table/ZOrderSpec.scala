@@ -85,6 +85,27 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("zorder() rejects non-integral columns at analysis and keeps nulls distinct from Long.MinValue") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(4).selectExpr(
+      "id", "cast(id as double) d", "cast(null as bigint) nl",
+      s"cast(${Long.MinValue}L as bigint) mn")
+    // double would silently truncate toward zero — must fail analysis,
+    // not mangle the clustering order
+    val ex = intercept[Exception] {
+      df.select(graft.functions.ZOrderExprs.zorder(col("id"), col("d"))).collect()
+    }
+    assert(ex.getMessage.contains("zorder needs int/long/date"))
+    // NULL clusters at the bottom but does NOT collide with a genuine
+    // Long.MinValue value (which saturates to MinValue+1)
+    val rows = df.select(
+      graft.functions.ZOrderExprs.zorder(col("nl"), col("id")).as("znull"),
+      graft.functions.ZOrderExprs.zorder(col("mn"), col("id")).as("zmin")).head()
+    assert(!java.util.Arrays.equals(
+      rows.getAs[Array[Byte]]("znull"), rows.getAs[Array[Byte]]("zmin")))
+    assert(cmp(rows.getAs[Array[Byte]]("znull"), rows.getAs[Array[Byte]]("zmin")) < 0)
+  }
+
   test("z-order rewrite prunes second-dimension predicates a linear layout cannot") {
     val s = spark
     import s.implicits._
