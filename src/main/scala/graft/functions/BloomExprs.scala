@@ -66,14 +66,18 @@ object GraftBloom {
     val bits = keys.select(column).as(Encoders.STRING).rdd
       .treeAggregate(new Array[Long](words))(
         (acc, key) => {
-          val h = hashPair(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val h1 = (h >>> 31) & 0x7fffffffL
-          val h2 = h & 0x7fffffffL
-          var i = 0
-          while (i < NumHashes) {
-            val pos = (h1 + i * h2) % m
-            acc((pos >>> 6).toInt) |= (1L << (pos & 63))
-            i += 1
+          // null-skip, symmetric with the probe side (BloomMightContainExpr
+          // nullSafeEval): a null key must not NPE the whole build job
+          if (key != null) {
+            val h = hashPair(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val h1 = (h >>> 31) & 0x7fffffffL
+            val h2 = h & 0x7fffffffL
+            var i = 0
+            while (i < NumHashes) {
+              val pos = (h1 + i * h2) % m
+              acc((pos >>> 6).toInt) |= (1L << (pos & 63))
+              i += 1
+            }
           }
           acc
         },

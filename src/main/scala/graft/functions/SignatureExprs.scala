@@ -139,6 +139,27 @@ object LshBuckets {
     ((1103515245L * (table.toLong * 1024 + p.toLong * 64 + d) + 12345L) %
       2147483648L) % 16L - 8L
 
+  // plane() is a pure constant of (t,h,d): precompute all 4x4x64 = 1024
+  // coefficients once — compute() runs per corpus row from generated code,
+  // and re-deriving them cost ~4k multiply/mod ops per row
+  private val planeTab: Array[Long] = {
+    val a = new Array[Long](Tables * PlanesPerTable * 64)
+    var t = 0
+    while (t < Tables) {
+      var h = 0
+      while (h < PlanesPerTable) {
+        var d = 0
+        while (d < 64) {
+          a((t * PlanesPerTable + h) * 64 + d) = plane(t, h, d)
+          d += 1
+        }
+        h += 1
+      }
+      t += 1
+    }
+    a
+  }
+
   /** Bucket per table from a vector's int8 codes (array<long>). */
   def compute(codes: ArrayData): ArrayData = {
     val out = new Array[Int](Tables)
@@ -148,9 +169,10 @@ object LshBuckets {
       var bucket = 0
       var h = 0
       while (h < PlanesPerTable) {
+        val base = (t * PlanesPerTable + h) * 64
         var proj = 0L
         var d = 0
-        while (d < n) { proj += plane(t, h, d) * codes.getLong(d); d += 1 }
+        while (d < n) { proj += planeTab(base + d) * codes.getLong(d); d += 1 }
         if (proj >= 0) bucket |= (1 << h)
         h += 1
       }

@@ -125,14 +125,21 @@ object TopKByScore {
     private val heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
 
     def offer(score: Double, id: Long): Unit = {
-      val e = (score, id)
-      if (heap.size < k) heap.enqueue(e)
       // comparator-based (never primitive <): java.lang.Double.compare
       // totally orders NaN as the LARGEST double, exactly like the SQL
       // descending sort this aggregate replaces — a primitive `score >`
-      // would silently drop NaN candidates the window would have ranked
-      else if (worstFirst.compare(e, heap.head) < 0) {
-        heap.dequeue(); heap.enqueue(e)
+      // would silently drop NaN candidates the window would have ranked.
+      // The full-heap reject path runs once per scored row — compare
+      // primitives BEFORE allocating the tuple
+      if (heap.size < k) heap.enqueue((score, id))
+      else {
+        // replace iff the candidate beats the stored worst: higher score,
+        // tie broken by smaller id (same predicate worstFirst encodes)
+        val head = heap.head
+        val c = java.lang.Double.compare(head._1, score)
+        if (c < 0 || (c == 0 && id < head._2)) {
+          heap.dequeue(); heap.enqueue((score, id))
+        }
       }
     }
 

@@ -40,10 +40,15 @@ final case class CosineSimExpr(left: Expression, right: Expression)
       s"cosine_sim needs float/double arrays, got ${left.dataType} and ${right.dataType}")
   }
 
+  // fixed per expression instance — don't re-derive via dataType pattern
+  // match on every interpreted-path row
+  @transient private lazy val leftIsFloat = elemIsFloat(left)
+  @transient private lazy val rightIsFloat = elemIsFloat(right)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    val (fx, fy) = (leftIsFloat, rightIsFloat)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {

@@ -51,29 +51,30 @@ object NameMapping {
     */
   def index(mapping: Seq[MappedField]): Map[String, Int] = {
     val b = Map.newBuilder[String, Int]
-    def walk(prefix: String, fields: Seq[MappedField]): Unit =
+    // ONE walk carrying both path flavors: the plain dotted path and the
+    // full parquet-footer flavor (`p.list.element`, `p.key_value.key` at
+    // EVERY list/map level). Recursing into both flavors separately would
+    // expand the subtree 2^depth times and register mixed-flavor paths
+    // (`a.element.list.element`) no parquet footer ever prints.
+    def walk(plain: String, pq: String, fields: Seq[MappedField]): Unit =
       fields.foreach { mf =>
         mf.names.foreach { n =>
-          val path = if (prefix.isEmpty) n else s"$prefix.$n"
-          // the parquet flavor rides as a parallel prefix so struct leaves
-          // INSIDE list/map values also resolve by footer path
-          val pqPath =
-            if (prefix.isEmpty) None
-            else n match {
-              case "element" => Some(s"$prefix.list.element")
-              case "key" => Some(s"$prefix.key_value.key")
-              case "value" => Some(s"$prefix.key_value.value")
-              case _ => None
-            }
+          val path = if (plain.isEmpty) n else s"$plain.$n"
+          val pqSeg = n match {
+            case "element" => "list.element"
+            case "key" => "key_value.key"
+            case "value" => "key_value.value"
+            case _ => n
+          }
+          val pqPath = if (pq.isEmpty) n else s"$pq.$pqSeg"
           mf.fieldId.foreach { id =>
             b += path -> id
-            pqPath.foreach(b += _ -> id)
+            if (pqPath != path) b += pqPath -> id
           }
-          walk(path, mf.fields)
-          pqPath.foreach(walk(_, mf.fields))
+          walk(path, pqPath, mf.fields)
         }
       }
-    walk("", mapping)
+    walk("", "", mapping)
     b.result()
   }
 
@@ -135,7 +136,10 @@ object NameMapping {
 
   def parse(json: String): Seq[MappedField] = {
     def field(n: JsonNode): MappedField = MappedField(
-      fieldId = Option(n.get("field-id")).map(_.asInt()),
+      // filter NullNode: a spec-legal explicit `"field-id": null` (unassigned
+      // mapping) must parse as None — NullNode.asInt() is 0, which would
+      // bind the rule's paths to field ID 0
+      fieldId = Option(n.get("field-id")).filter(!_.isNull).map(_.asInt()),
       names = arr(n.get("names")).map(_.asText()),
       fields = Option(n.get("fields")).map(arr(_).map(field)).getOrElse(Nil))
     arr(mapper.readTree(json)).map(field)

@@ -37,13 +37,23 @@ final class ViewCatalog(warehouse: String) {
     }
     root.set[com.fasterxml.jackson.databind.JsonNode]("versions", arr)
     Files.createDirectories(viewFile(name).getParent)
-    Files.write(viewFile(name), root.toPrettyString.getBytes(StandardCharsets.UTF_8))
+    // write-temp-then-rename: an in-place rewrite torn by a crash leaves a
+    // truncated view.metadata.json that every later load() fails to parse,
+    // losing the whole version history
+    val tmp = viewFile(name).resolveSibling(
+      s"view.metadata.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, root.toPrettyString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, viewFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     next
   }
 
-  def load(name: String): Seq[ViewVersion] = {
-    val n = mapper.readTree(new String(Files.readAllBytes(viewFile(name)),
+  private def readRoot(name: String) =
+    mapper.readTree(new String(Files.readAllBytes(viewFile(name)),
       StandardCharsets.UTF_8))
+
+  private def versionsOf(n: com.fasterxml.jackson.databind.JsonNode): Seq[ViewVersion] = {
     val out = Seq.newBuilder[ViewVersion]
     n.get("versions").elements().forEachRemaining { v =>
       out += ViewVersion(v.get("version-id").asInt(), v.get("timestamp-ms").asLong(),
@@ -52,11 +62,12 @@ final class ViewCatalog(warehouse: String) {
     out.result()
   }
 
+  def load(name: String): Seq[ViewVersion] = versionsOf(readRoot(name))
+
   def currentSql(name: String): String = {
-    val n = mapper.readTree(new String(Files.readAllBytes(viewFile(name)),
-      StandardCharsets.UTF_8))
+    val n = readRoot(name) // one read+parse serves both the pointer and the list
     val cur = n.get("current-version-id").asInt()
-    load(name).find(_.versionId == cur).get.sql
+    versionsOf(n).find(_.versionId == cur).get.sql
   }
 
   /** Materialize the view's current version as a Spark temp view + frame. */

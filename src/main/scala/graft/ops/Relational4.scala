@@ -28,9 +28,13 @@ object Relational4 {
 
   /** Deterministic partsupp: (ps_partkey, ps_suppkey, ps_availqty,
     * ps_supplycost_cents), 4 rows per part. Stride suppkey assignment
-    * (TPC-H 4.2.3 shape, 0-based): (p + i·(S div 4 + p div S)) mod S —
-    * distinct within a part for the testdata's S (stride stays in
-    * [S/4, S/2)).
+    * (TPC-H 4.2.3 shape, 0-based) with the stride folded into
+    * [1, (S-1) div 3]: with i in 0..3, i·stride then stays strictly below
+    * S and strictly increasing, so the 4 suppkeys are distinct for EVERY
+    * part — the raw TPC-H stride (S div 4 + p div S) only guarantees that
+    * when P/S stays in TPC-H's own regime, and at the testdata's S=10 it
+    * reaches multiples of S, collapsing all 4 rows onto one supplier.
+    * Requires S ≥ 4 (testdata minimum is 10).
     */
   private[ops] def partsupp(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part").select(col("p_partkey"))
@@ -41,7 +45,8 @@ object Relational4 {
       .select(
         col("ps_partkey"),
         ((col("ps_partkey") + col("i") *
-          (expr("s_cnt div 4") + expr("ps_partkey div s_cnt"))) % col("s_cnt"))
+          ((expr("s_cnt div 4") + expr("ps_partkey div s_cnt"))
+            % expr("(s_cnt - 1) div 3") + 1)) % col("s_cnt"))
           .as("ps_suppkey"),
         ((col("ps_partkey") * 7 + col("i") * 13) % 9999 + 1)
           .cast(LongType).as("ps_availqty"),
@@ -53,7 +58,8 @@ object Relational4 {
   private val psCte: String = """
 ps AS (
   SELECT p_partkey AS ps_partkey,
-    (p_partkey + u.i * (sc.s_cnt // 4 + p_partkey // sc.s_cnt)) % sc.s_cnt
+    (p_partkey + u.i * ((sc.s_cnt // 4 + p_partkey // sc.s_cnt)
+        % ((sc.s_cnt - 1) // 3) + 1)) % sc.s_cnt
       AS ps_suppkey,
     CAST((p_partkey * 7 + u.i * 13) % 9999 + 1 AS BIGINT) AS ps_availqty,
     CAST((p_partkey * 31 + u.i * 17) % 100000 + 100 AS BIGINT)

@@ -84,4 +84,39 @@ class NameMappingSpec extends AnyFunSuite {
     val alias = NameMapping.aliasById(m)
     assert(alias(4) === "element" && alias(7) === "lat")
   }
+
+  test("explicit null field-id parses as unassigned, never as field 0") {
+    // spec-legal foreign metadata: a rule with "field-id": null is an
+    // unassigned mapping — NullNode.asInt() is 0, which would bind the
+    // rule's paths to field ID 0
+    val m = NameMapping.parse(
+      """[{"field-id": null, "names": ["ghost"]},
+         |{"field-id": 1, "names": ["id"]}]""".stripMargin)
+    assert(m.head.fieldId.isEmpty)
+    val idx = NameMapping.index(m)
+    assert(!idx.contains("ghost"))
+    assert(idx.get("id").contains(1))
+  }
+
+  test("nested list-of-struct-of-list registers full parquet flavors, no mixed ones") {
+    import graft.core._
+    // docs list<struct<words: list<string>>>
+    val schema = IceSchema(0, Seq(
+      NestedField(1, "docs", IceListType(2,
+        IceStructType(Seq(
+          NestedField(3, "words", IceListType(4, IceString,
+            elementRequired = false), required = false))),
+        elementRequired = false), required = false)))
+    val idx = NameMapping.index(NameMapping.default(schema))
+    // plain Iceberg paths
+    assert(idx.get("docs.element").contains(2))
+    assert(idx.get("docs.element.words").contains(3))
+    assert(idx.get("docs.element.words.element").contains(4))
+    // full parquet-footer flavor at EVERY list level
+    assert(idx.get("docs.list.element").contains(2))
+    assert(idx.get("docs.list.element.words").contains(3))
+    assert(idx.get("docs.list.element.words.list.element").contains(4))
+    // mixed flavors (plain then parquet) are not real footer paths
+    assert(!idx.contains("docs.element.words.list.element"))
+  }
 }
