@@ -522,12 +522,17 @@ object ManifestIO {
       }
     private val manifests =
       new java.util.LinkedHashMap[(String, IceStructType), ManifestVal](64, 0.75f, true)
+    // list cache is entry-budgeted like the manifest cache, not just
+    // count-capped: a long-history table's manifest lists are O(snapshots)
+    // entries each, so 256 of them near the history tail is O(snapshots²)
+    // resident ManifestFile objects — the orphan walk streams every list
+    // exactly once and would pin gigabytes behind a pure count cap
+    private val MaxListEntries = 262144L
+    private var listBudget = 0L
+    private def listWeight(v: Seq[ManifestFile]): Long =
+      math.max(16L, v.size.toLong)
     private val lists =
-      new java.util.LinkedHashMap[String, Seq[ManifestFile]](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Seq[ManifestFile]]): Boolean =
-          size() > MaxLists
-      }
+      new java.util.LinkedHashMap[String, Seq[ManifestFile]](64, 0.75f, true)
 
     // Avro IO runs OUTSIDE the lock — planFiles reads manifests from a
     // 32-thread pool and a lock held across file reads would serialize
@@ -579,7 +584,20 @@ object ManifestIO {
       if (cached.isDefined) hits.incrementAndGet() else misses.incrementAndGet()
       cached.getOrElse {
         val v = load
-        synchronized { lists.put(path, v) }
+        synchronized {
+          val prev = lists.put(path, v)
+          if (prev != null) listBudget -= listWeight(prev)
+          listBudget += listWeight(v)
+          val it = lists.entrySet().iterator()
+          while ((listBudget > MaxListEntries || lists.size() > MaxLists) &&
+              it.hasNext) {
+            val eldest = it.next()
+            if (eldest.getKey != path) { // never evict what we just loaded
+              listBudget -= listWeight(eldest.getValue)
+              it.remove()
+            }
+          }
+        }
         v
       }
     }

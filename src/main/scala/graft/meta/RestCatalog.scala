@@ -150,6 +150,7 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   private def pagedList(uri: String, arrayField: String)
       (item: JsonNode => String): Seq[String] = {
     val out = Seq.newBuilder[String]
+    val seen = scala.collection.mutable.Set.empty[String]
     var token: Option[String] = None
     var more = true
     while (more) {
@@ -159,6 +160,15 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
       node.path(arrayField).forEach(n => out += item(n))
       val next = node.path("next-page-token")
       token = if (next.isTextual && next.asText().nonEmpty) Some(next.asText()) else None
+      // a server that re-issues a token it already served would loop this
+      // client forever — treat a repeated token as end-of-list with a warn
+      token.foreach { t =>
+        if (!seen.add(t)) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"REST list at $uri re-issued page token; stopping pagination")
+          token = None
+        }
+      }
       more = token.isDefined
     }
     out.result()

@@ -158,18 +158,58 @@ c AS (
       k)
   }
 
+  /** Per-(table, bucket) membership cap for the k-NN graph's candidate
+    * self-join — the vector analogue of [[Dedup.BandBucketCap]]. The LSH
+    * bucket space is small (4 tables × 2⁴ buckets), so bucket populations
+    * grow LINEARLY with the corpus and the ungated self-join grows
+    * QUADRATICALLY: the sf1 probe measured 97 s (35× for 10× data) before
+    * the gate. A bucket over the cap splits into S = ceil(n/cap)
+    * deterministic sub-buckets by a modular fold of (vec_id, tbl), which
+    * bounds a vector's candidate width at ≤ 4·cap REGARDLESS of corpus
+    * size — candidate volume is then ≤ 4·cap·N, linear in N. Recall for a
+    * hot-bucket pair is 1-(1-1/S)⁴ across the 4 tables (each vector still
+    * ranks its top-k among ~cap near neighbors — the standard bounded-probe
+    * ANN trade). Buckets at or under the cap are EXACTLY as before (salt
+    * constant 0), and the DuckDB oracle restates the identical fold, so
+    * engine and oracle agree bit-for-bit at every corpus shape.
+    */
+  val VecBucketCap = 256
+
+  /** [[Dedup.saltBands]] for vector buckets: count per (tbl, bucket), salt 0
+    * under the cap, else an exact-integer fold of (vec_id, tbl) into
+    * S = ceil(n/cap) sub-buckets — every step restatable in ANSI SQL so the
+    * oracle computes the identical salt. Cool-corpus fast path: when no
+    * bucket exceeds the cap, emit the constant without the count-join.
+    */
+  private[ops] def saltBuckets(banded: DataFrame, cap: Int): DataFrame = {
+    val counts = banded.groupBy("tbl", "bucket").agg(count(lit(1)).as("__bn"))
+    val hottest = counts.agg(max(col("__bn"))).first()
+    if (hottest.isNullAt(0) || hottest.getLong(0) <= cap)
+      return banded.withColumn("salt", lit(0L))
+    banded.join(counts, Seq("tbl", "bucket"))
+      .withColumn("salt",
+        when(col("__bn") <= cap, lit(0L))
+          .otherwise(
+            ((col("vec_id") % lit(2147483647L)) * lit(1000003L) + col("tbl"))
+              % lit(2147483647L)
+              % ((col("__bn") + lit(cap - 1L)) / lit(cap.toLong)).cast("long")))
+      .drop("__bn")
+  }
+
   /** The k-NN GRAPH: every corpus vector's top-k neighbors among its LSH
     * bucket-mates — the neighbor structure graph-based curation consumes
     * (SemDeDup variants, graph clustering, coverage sampling). Unlike the
     * query-batch ANN ops there is no broadcastable query side: the
     * candidate stage is a bucket-keyed SELF-join (shuffle keys (tbl,
-    * bucket) — never all-pairs), candidate pairs drop to slim id pairs and
+    * bucket, salt) — never all-pairs, hot buckets sub-bucketed by
+    * [[saltBuckets]] under [[VecBucketCap]] so candidate volume stays
+    * linear in the corpus), candidate pairs drop to slim id pairs and
     * dedup BEFORE any vector payload is attached, and the per-vector top-k
     * is the partial-aggregating [[graft.functions.TopKByScore]] — each map
     * task reduces to ≤k per vector before the exchange, so the corpus-sized
     * scored frame never crosses a shuffle unreduced. Deterministic
-    * end-to-end (integer planes, rounded cosine, (score desc, id asc)
-    * ranking): the oracle restates the whole graph.
+    * end-to-end (integer planes, deterministic salt fold, rounded cosine,
+    * (score desc, id asc) ranking): the oracle restates the whole graph.
     */
   def knnGraph(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = withInt8Codes(t(spark, dir, "embeddings"))
@@ -177,10 +217,13 @@ c AS (
     // persist the BANDED frame (not just emb): both sides of the self-join
     // read it, and unpersisted each side would re-run the 4-table x 16-plane
     // x 64-dim integer projections per corpus row
-    val banded = CacheRegistry.persist(emb.select(col("vec_id"),
-      posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket"))))
+    val banded = CacheRegistry.persist(saltBuckets(
+      emb.select(col("vec_id"),
+        posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket"))),
+      VecBucketCap))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.salt") === col("b.salt") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
       .distinct()
@@ -755,26 +798,39 @@ asgn AS (
         WHERE rn <= 10""")),
 
     // the all-corpus k-NN graph over LSH buckets — deterministic
-    // end-to-end, the oracle restates codes → buckets → bucket-mate pairs
-    // → rounded-cosine top-k per vector
+    // end-to-end, the oracle restates codes → buckets → per-bucket counts →
+    // the hot-bucket salt fold (verbatim [[saltBuckets]]) → co-salted
+    // bucket-mate pairs → rounded-cosine top-k per vector
     QueryDef("sim_knn_graph", (s, dir) => knnGraph(s, dir, 5),
       Some(s"""
         WITH $codesCteSql,
         bk AS (SELECT vec_id, embedding, $bucketColsSql FROM c),
+        bnd AS (SELECT vec_id, u.tbl,
+            CASE u.tbl WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
+              AS bucket
+          FROM bk, unnest([0,1,2,3]) AS u(tbl)),
+        bcnt AS (SELECT tbl, bucket, count(*) AS n
+          FROM bnd GROUP BY tbl, bucket),
+        sb AS (SELECT b.vec_id, b.tbl, b.bucket,
+            CASE WHEN c.n <= $VecBucketCap THEN 0
+                 ELSE ((b.vec_id % 2147483647) * 1000003 + b.tbl) % 2147483647
+                      % ((c.n + ${VecBucketCap - 1}) // $VecBucketCap) END
+              AS salt
+          FROM bnd b JOIN bcnt c ON b.tbl = c.tbl AND b.bucket = c.bucket),
         cand AS (
-          SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-            q.embedding AS qe, n.embedding AS ne
-          FROM bk q, bk n
-          WHERE n.vec_id <> q.vec_id
-            AND (q.b0 = n.b0 OR q.b1 = n.b1 OR q.b2 = n.b2 OR q.b3 = n.b3))
+          SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+          FROM sb a JOIN sb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            AND a.salt = b.salt AND a.vec_id <> b.vec_id)
         SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
           SELECT query_id, neighbor_id,
-            round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
-              CAST(ne AS DOUBLE[])), 4) AS cos_sim,
+            round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(n.embedding AS DOUBLE[])), 4) AS cos_sim,
             row_number() OVER (PARTITION BY query_id
-              ORDER BY round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
-                CAST(ne AS DOUBLE[])), 4) DESC, neighbor_id) AS rn
-          FROM cand) z WHERE rn <= 5""")),
+              ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                CAST(n.embedding AS DOUBLE[])), 4) DESC, neighbor_id) AS rn
+          FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings n ON n.vec_id = cand.neighbor_id) z
+        WHERE rn <= 5""")),
 
     // embedding-cosine near-dup pairs, blocked by label (exact within block;
     // the oracle-checkable baseline — dedup_embedding_lsh is the scale path)

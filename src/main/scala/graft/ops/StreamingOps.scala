@@ -59,8 +59,29 @@ object StreamingOps {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
-    java.nio.file.Files.createSymbolicLink(
-      d.resolve("events.parquet"), java.nio.file.Paths.get(file))
+    val src = java.nio.file.Paths.get(file)
+    if (java.nio.file.Files.isDirectory(src)) {
+      // a directory-shaped table (multi-file parquet write): link each data
+      // file flat into the staging dir — the streaming file source lists one
+      // level and would silently skip a symlinked SUBDIRECTORY, starting a
+      // stream over zero files
+      val it = java.nio.file.Files.list(src)
+      try {
+        val files = it.iterator()
+        var i = 0
+        while (files.hasNext) {
+          val p = files.next()
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+            java.nio.file.Files.createSymbolicLink(
+              d.resolve(f"part-$i%05d.parquet"), p)
+            i += 1
+          }
+        }
+        require(i > 0, s"no parquet data files under directory $file")
+      } finally it.close()
+    } else
+      java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
     d
   }
 

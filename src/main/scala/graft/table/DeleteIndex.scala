@@ -1,5 +1,6 @@
 package graft.table
 
+import graft.core.{Bounds, IceString}
 import graft.meta.{DataFile, ManifestEntry}
 
 /** Index over a snapshot's delete manifest entries so planning matches
@@ -109,8 +110,13 @@ private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
     while (i < posRanged.length) {
       val p = posRanged(i)
       rangedBoundsChecks.incrementAndGet()
-      if (p.lo.forall(_ <= path) &&
-          p.hi.forall(h => path <= h || path.startsWith(h)))
+      // code-point order, not String.compareTo: the bounds were written in
+      // UTF-8 byte order (= code-point order), and UTF-16 code-unit order
+      // disagrees for supplementary-plane chars — a path with one would
+      // compare above a truncated upper bound that actually admits it
+      if (p.lo.forall(Bounds.compare(IceString, _, path) <= 0) &&
+          p.hi.forall(h => Bounds.compare(IceString, path, h) <= 0 ||
+            path.startsWith(h)))
         ranged += p.file
       i += 1
     }

@@ -364,18 +364,45 @@ final class IceTable private (
       ignoreDuplicates: Boolean = false): Snapshot = {
     require(paths.distinct.size == paths.size,
       "file paths must be unique for addFiles")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(location), graft.meta.FileIO.conf)
+    // a directory registers the data files under it (Iceberg add_files
+    // procedure semantics — a multi-file parquet write IS a directory);
+    // expanded before the duplicate guard so re-registering a directory
+    // trips it exactly like re-registering its member files
+    def expandDir(p: String): Seq[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.getFileStatus(hp).isDirectory) Seq(p)
+      else {
+        val out = Seq.newBuilder[String]
+        val it = fs.listFiles(hp, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName
+          if (st.isFile && n.endsWith(".parquet") &&
+              !n.startsWith("_") && !n.startsWith("."))
+            out += st.getPath.toString
+        }
+        val files = out.result().sorted
+        require(files.nonEmpty, s"no parquet data files under directory $p")
+        files
+      }
+    }
+    val expanded = paths.flatMap(expandDir)
+    require(expanded.distinct.size == expanded.size,
+      "file paths must be unique for addFiles (after directory expansion)")
     // scheme-insensitive comparison (same norm as DataWriter/positionsOf):
     // `file:///x` and `/x` are the same file, and a scheme-qualified
     // re-registration must not slip past the duplicate guard (ADVICE r13)
     def norm(p: String) = IceScan.pathOnly(p)
-    val requested = paths.map(norm).toSet
+    val requested = expanded.map(norm).toSet
     val referenced = currentSnapshot.toSeq
       .flatMap(_ => newScan().planFiles().map(_.file.filePath))
       .filter(p => requested(norm(p)))
     val referencedNorm = referenced.map(norm).toSet
     val toAdd =
-      if (referenced.isEmpty) paths
-      else if (ignoreDuplicates) paths.filterNot(p => referencedNorm(norm(p)))
+      if (referenced.isEmpty) expanded
+      else if (ignoreDuplicates) expanded.filterNot(p => referencedNorm(norm(p)))
       else throw new IllegalArgumentException(
         "cannot add files that are already referenced by table, files: " +
           referenced.mkString(", "))
@@ -383,8 +410,6 @@ final class IceTable private (
       return currentSnapshot.getOrElse(
         throw new IllegalStateException("no snapshot and nothing to add"))
     val nameToId = NameMapping.index(nameMapping)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(location), graft.meta.FileIO.conf)
     // partitioned registration infers each file's partition tuple from its
     // footer stats (reference `table/arrow_utils.go:1235-1252` +
     // `internal/utils.go` PartitionValue): only ORDER-PRESERVING transforms
@@ -1978,10 +2003,23 @@ final class IceTable private (
     // decodes it: a manifest is written under a single spec/schema pair).
     val listPaths = meta.snapshots.map(s =>
       s.manifestList -> s.schemaId).toMap
-    val manifestPaths: Map[String, Int] = listPaths.toSeq.par.flatMap {
-      case (list, schemaId) =>
-        ManifestIO.readManifestList(list).map(_.path -> schemaId)
-    }.seq.toMap
+    // fold each list into a concurrent dedup map instead of flatMapping all
+    // (path, schemaId) pairs into one intermediate: successive snapshots
+    // share almost all their manifests, so the pair count is O(snapshots ×
+    // manifests-per-snapshot) — quadratic in history length — while the
+    // DISTINCT manifest count stays linear. At 10⁴ one-file commits the
+    // flatMap materialized 5×10⁷ tuples and OOM'd an 8 GB driver; the fold
+    // peaks at the distinct count
+    val manifestPaths: Map[String, Int] = {
+      val acc = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      listPaths.toSeq.par.foreach { case (list, schemaId) =>
+        ManifestIO.readManifestList(list)
+          .foreach(m => acc.putIfAbsent(m.path, Integer.valueOf(schemaId)))
+      }
+      val b = Map.newBuilder[String, Int]
+      acc.forEach((k, v) => b += k -> v.intValue)
+      b.result()
+    }
     val dataPaths: Seq[String] = manifestPaths.toSeq.par.flatMap {
       case (mf, schemaId) =>
         val (_, entries) = ManifestIO.readManifest(mf, meta.specs,

@@ -147,6 +147,21 @@ class DeleteIndexSpec extends AnyFunSuite {
     assert(r.planMs < 60000, s"adversarial planFiles took ${r.planMs}ms")
   }
 
+  test("supplementary-plane paths match ranged bounds in code-point (UTF-8) order") {
+    // lo = U+E000 (BMP private use), path contains U+1F600 (supplementary).
+    // Code-point order (= the UTF-8 byte order the bounds were written in):
+    // lo < path, so the delete applies. UTF-16 code-unit order disagrees —
+    // the surrogate 0xD83D sorts BELOW 0xE000 — and would skip the delete,
+    // silently resurfacing deleted rows.
+    val lo = "/w/d/\uE000"
+    val path = "/w/d/\uD83D\uDE00.parquet" // U+1F600
+    val index = new DeleteIndex(Seq(entry(
+      dataFile("/w/d/rd.parquet", content = 1, lo = Some(lo), hi = Some(path)),
+      seq = 5L)))
+    assert(index.posDeletesFor(path, dseq = 1L).map(_.filePath) ==
+      Seq("/w/d/rd.parquet"))
+  }
+
   test("range binary search skips deletes older than the data file") {
     val deletes = (1 to 100).map(i =>
       entry(dataFile(s"/w/r/rd$i.parquet", content = 1,

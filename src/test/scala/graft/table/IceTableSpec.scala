@@ -557,6 +557,29 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       "plan-time footer sniff detected for a stamped name-mapped table")
   }
 
+  test("addFiles: a directory registers its data files and trips the duplicate guard") {
+    // a multi-file parquet write IS a directory — registering it must pick
+    // up every part file (and skip _SUCCESS / hidden files), and a later
+    // re-registration of the directory OR a member file must trip the guard
+    val dir = Files.createTempDirectory("graft-dir-add").toString
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val members = DataWriter.listParquet(dir).map(_._1)
+    assert(members.size == 3)
+    val canonical = SchemaConv.fromSpark(spark.read.parquet(s"$sfDir/nation.parquet").schema)
+    val t = IceTable.create(catalog, "nation_dir_ext", canonical)
+    t.addFiles(Seq(dir))
+    assert(t.newScan().planFiles().size == 3)
+    assert(t.scan(spark).count() ==
+      spark.read.parquet(s"$sfDir/nation.parquet").count())
+    intercept[IllegalArgumentException](t.addFiles(Seq(dir)))
+    intercept[IllegalArgumentException](t.addFiles(Seq(members.head)))
+    // ignoreDuplicates: the directory re-registration is a no-op, not a dup
+    val snapBefore = t.currentSnapshot.get.snapshotId
+    t.addFiles(Seq(dir), ignoreDuplicates = true)
+    assert(t.currentSnapshot.get.snapshotId == snapBefore)
+  }
+
   test("addFiles: duplicate-registration guard and snapshot props (transaction.go:499-564)") {
     val foreignDir = Files.createTempDirectory("graft-foreign-dup").toString
     spark.read.parquet(s"$sfDir/region.parquet")
