@@ -369,9 +369,23 @@ object IncrementalDedup {
       .join(broadcast(newIds), Seq("vec_id"), "left_anti")
       .withColumn("is_new", lit(false))
       .unionByName(newBuckets)
-    newBuckets.as("a").join(allBuckets.as("b"),
+    // salted over the FULL corpus (stored ∪ Δ): counts within a touched
+    // bucket equal the batch pipeline's full-corpus counts, so the salts
+    // match [[Similarity.embeddingNearDupLSH]] exactly — the incremental
+    // set stays the batch set restricted to increment-touching pairs, and
+    // the Δ join inherits the same hot-bucket bound. Only the tiny counts
+    // frame is cached; each side salts via a broadcast join with it
+    val saltKeys = Seq("tbl", "bucket", "label")
+    val counts = CacheRegistry.persist(
+      Similarity.bucketCounts(allBuckets, saltKeys))
+    val hot = Similarity.hasHotBucket(counts, Similarity.VecBucketCap)
+    val aSide = Similarity.saltWith(newBuckets, counts,
+      Similarity.VecBucketCap, saltKeys, hot)
+    val bSide = Similarity.saltWith(allBuckets, counts,
+      Similarity.VecBucketCap, saltKeys, hot)
+    aSide.as("a").join(bSide.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-        col("a.label") === col("b.label") &&
+        col("a.label") === col("b.label") && col("a.salt") === col("b.salt") &&
         ((!col("b.is_new") && col("a.vec_id") =!= col("b.vec_id")) ||
           col("a.vec_id") < col("b.vec_id")))
       .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
@@ -422,10 +436,21 @@ object IncrementalDedup {
       .join(broadcast(newIds), Seq("vec_id"), "left_anti")
       .withColumn("is_new", lit(false))
       .unionByName(newBuckets)
+    // salted over the FULL corpus so the salts (and therefore the candidate
+    // sets) equal [[Similarity.knnGraph]]'s — the spec's bit-identity
+    // against the batch graph restricted to increment queries depends on
+    // it. Counts-only caching, as in [[incrementalEmbeddingCandidates]]
+    val counts = CacheRegistry.persist(Similarity.bucketCounts(allBuckets))
+    val hot = Similarity.hasHotBucket(counts, Similarity.VecBucketCap)
+    val aSide = Similarity.saltWith(newBuckets, counts,
+      Similarity.VecBucketCap, Seq("tbl", "bucket"), hot)
+    val bSide = Similarity.saltWith(allBuckets, counts,
+      Similarity.VecBucketCap, Seq("tbl", "bucket"), hot)
     // per-QUERY orientation (the near-dup variant canonicalizes a<b; a kNN
     // list is owned by its query): every bucket-mate of an increment vector
-    val cand = newBuckets.as("a").join(allBuckets.as("b"),
+    val cand = aSide.as("a").join(bSide.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.salt") === col("b.salt") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
       .distinct()
@@ -829,13 +854,32 @@ object IncrementalDedup {
       },
       Some(s"""
         WITH ${Similarity.codesCteSql},
-        bk AS (SELECT vec_id, label, embedding, ${Similarity.bucketColsSql} FROM c)
+        bk AS (SELECT vec_id, label, embedding, ${Similarity.bucketColsSql} FROM c),
+        bnd AS (SELECT vec_id, label, u.tbl,
+            CASE u.tbl WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
+              AS bucket
+          FROM bk, unnest([0,1,2,3]) AS u(tbl)),
+        bcnt AS (SELECT tbl, bucket, label, count(*) AS n
+          FROM bnd GROUP BY tbl, bucket, label),
+        sb AS (SELECT b.vec_id, b.label, b.tbl, b.bucket,
+            CASE WHEN c.n <= ${Similarity.VecBucketCap} THEN 0
+                 ELSE ((b.vec_id % 2147483647) * 1000003 + b.tbl) % 2147483647
+                      % ((c.n + ${Similarity.VecBucketCap - 1}) // ${Similarity.VecBucketCap}) END
+              AS salt
+          FROM bnd b JOIN bcnt c ON b.tbl = c.tbl AND b.bucket = c.bucket
+            AND b.label = c.label),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            a.label AS label
+          FROM sb a JOIN sb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            AND a.label = b.label AND a.salt = b.salt
+            AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, label, cos_sim FROM (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-          FROM bk a JOIN bk b ON a.label = b.label AND a.vec_id < b.vec_id
-            AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)) z
+          SELECT cand.vec_a, cand.vec_b, cand.label,
+            round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+              CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a
+            JOIN embeddings eb ON eb.vec_id = cand.vec_b) z
         WHERE cos_sim >= 0.2 AND (vec_a % 10 = 0 OR vec_b % 10 = 0)""")),
 
     // incremental kNN: the increment's vectors' top-5 bucket-mate
@@ -851,19 +895,32 @@ object IncrementalDedup {
       Some(s"""
         WITH ${Similarity.codesCteSql},
         bk AS (SELECT vec_id, embedding, ${Similarity.bucketColsSql} FROM c),
+        bnd AS (SELECT vec_id, u.tbl,
+            CASE u.tbl WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
+              AS bucket
+          FROM bk, unnest([0,1,2,3]) AS u(tbl)),
+        bcnt AS (SELECT tbl, bucket, count(*) AS n
+          FROM bnd GROUP BY tbl, bucket),
+        sb AS (SELECT b.vec_id, b.tbl, b.bucket,
+            CASE WHEN c.n <= ${Similarity.VecBucketCap} THEN 0
+                 ELSE ((b.vec_id % 2147483647) * 1000003 + b.tbl) % 2147483647
+                      % ((c.n + ${Similarity.VecBucketCap - 1}) // ${Similarity.VecBucketCap}) END
+              AS salt
+          FROM bnd b JOIN bcnt c ON b.tbl = c.tbl AND b.bucket = c.bucket),
         cand AS (
-          SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-            q.embedding AS qe, n.embedding AS ne
-          FROM bk q, bk n
-          WHERE q.vec_id % 10 = 0 AND n.vec_id <> q.vec_id
-            AND (q.b0 = n.b0 OR q.b1 = n.b1 OR q.b2 = n.b2 OR q.b3 = n.b3))
+          SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+          FROM sb a JOIN sb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            AND a.salt = b.salt AND a.vec_id <> b.vec_id
+          WHERE a.vec_id % 10 = 0)
         SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
           SELECT query_id, neighbor_id,
-            round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
-              CAST(ne AS DOUBLE[])), 4) AS cos_sim,
+            round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(n.embedding AS DOUBLE[])), 4) AS cos_sim,
             row_number() OVER (PARTITION BY query_id
-              ORDER BY round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
-                CAST(ne AS DOUBLE[])), 4) DESC, neighbor_id) AS rn
-          FROM cand) z WHERE rn <= 5"""))
+              ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                CAST(n.embedding AS DOUBLE[])), 4) DESC, neighbor_id) AS rn
+          FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings n ON n.vec_id = cand.neighbor_id) z
+        WHERE rn <= 5"""))
   )
 }

@@ -175,18 +175,32 @@ c AS (
     */
   val VecBucketCap = 256
 
-  /** [[Dedup.saltBands]] for vector buckets: count per (tbl, bucket), salt 0
-    * under the cap, else an exact-integer fold of (vec_id, tbl) into
-    * S = ceil(n/cap) sub-buckets — every step restatable in ANSI SQL so the
-    * oracle computes the identical salt. Cool-corpus fast path: when no
-    * bucket exceeds the cap, emit the constant without the count-join.
+  /** [[Dedup.saltBands]] for vector buckets: count per bucket key (default
+    * (tbl, bucket); near-dup adds label), salt 0 under the cap, else an
+    * exact-integer fold of (vec_id, tbl) into S = ceil(n/cap) sub-buckets —
+    * every step restatable in ANSI SQL so the oracle computes the identical
+    * salt. Cool-corpus fast path: when no bucket exceeds the cap, emit the
+    * constant without the count-join.
     */
-  private[ops] def saltBuckets(banded: DataFrame, cap: Int): DataFrame = {
-    val counts = banded.groupBy("tbl", "bucket").agg(count(lit(1)).as("__bn"))
+  private[ops] def bucketCounts(banded: DataFrame,
+      keys: Seq[String] = Seq("tbl", "bucket")): DataFrame =
+    banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+
+  private[ops] def hasHotBucket(counts: DataFrame, cap: Int): Boolean = {
     val hottest = counts.agg(max(col("__bn"))).first()
-    if (hottest.isNullAt(0) || hottest.getLong(0) <= cap)
-      return banded.withColumn("salt", lit(0L))
-    banded.join(counts, Seq("tbl", "bucket"))
+    !hottest.isNullAt(0) && hottest.getLong(0) > cap
+  }
+
+  /** Attach the salt given precomputed counts (bucket-space-sized, so the
+    * join broadcasts). Split from [[saltBuckets]] so the incremental ops
+    * can compute counts ONCE over the full corpus and salt both join sides
+    * from the same tiny cached frame — salts then equal the batch
+    * pipeline's bit-for-bit without persisting any corpus-sized frame.
+    */
+  private[ops] def saltWith(banded: DataFrame, counts: DataFrame, cap: Int,
+      keys: Seq[String], anyHot: Boolean): DataFrame =
+    if (!anyHot) banded.withColumn("salt", lit(0L))
+    else banded.join(broadcast(counts), keys)
       .withColumn("salt",
         when(col("__bn") <= cap, lit(0L))
           .otherwise(
@@ -194,6 +208,11 @@ c AS (
               % lit(2147483647L)
               % ((col("__bn") + lit(cap - 1L)) / lit(cap.toLong)).cast("long")))
       .drop("__bn")
+
+  private[ops] def saltBuckets(banded: DataFrame, cap: Int,
+      keys: Seq[String] = Seq("tbl", "bucket")): DataFrame = {
+    val counts = bucketCounts(banded, keys)
+    saltWith(banded, counts, cap, keys, hasHotBucket(counts, cap))
   }
 
   /** The k-NN GRAPH: every corpus vector's top-k neighbors among its LSH
@@ -234,11 +253,16 @@ c AS (
   }
 
   /** Embedding near-dup via LSH pre-candidates + exact cosine verify — the
-    * 100 TB plan: the only shuffle keys are (table, bucket, label), so cost
-    * is Σ_bucket C(n,2) over bucket populations instead of C(n,2) over whole
-    * label blocks. Probabilistic recall (a pair must share ≥1 of the 4 table
-    * buckets); every emitted pair is exactly verified. SimilaritySpec pins
-    * the recall against the exact blocked join.
+    * 100 TB plan: the only shuffle keys are (table, bucket, label, salt), so
+    * cost is Σ_bucket C(n,2) over bucket populations instead of C(n,2) over
+    * whole label blocks — and a bucket whose population outgrows
+    * [[VecBucketCap]] (the mass-duplicate-embedding degenerate case, e.g. a
+    * boilerplate page embedded millions of times) sub-buckets under the
+    * same deterministic fold as [[knnGraph]], keeping candidate volume
+    * linear in the corpus. Probabilistic recall (a pair must share ≥1 of
+    * the 4 table buckets; co-salt within a hot bucket at 1-(1-1/S)⁴);
+    * every emitted pair is exactly verified. SimilaritySpec pins the
+    * recall against the exact blocked join.
     */
   def embeddingNearDupLSH(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val emb = withInt8Codes(t(spark, dir, "embeddings"))
@@ -247,12 +271,14 @@ c AS (
     // bucket, so dedup BEFORE attaching the 64-float vectors — the distinct
     // then shuffles slim (id, id, label) rows, not array payloads
     // persisted for the same both-sides-of-the-self-join reason as knnGraph
-    val banded = CacheRegistry.persist(emb
+    val banded = CacheRegistry.persist(saltBuckets(emb
       .select(col("vec_id"), col("label"),
-        posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket"))))
+        posexplode(lshBuckets(col("codes"))).as(Seq("tbl", "bucket"))),
+      VecBucketCap, Seq("tbl", "bucket", "label")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.label") === col("b.label") && col("a.salt") === col("b.salt") &&
+        col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"))
       .distinct()
@@ -854,13 +880,32 @@ asgn AS (
       (s, dir) => embeddingNearDupLSH(s, dir, 0.2),
       Some(s"""
         WITH $codesCteSql,
-        bk AS (SELECT vec_id, label, embedding, $bucketColsSql FROM c)
+        bk AS (SELECT vec_id, label, embedding, $bucketColsSql FROM c),
+        bnd AS (SELECT vec_id, label, u.tbl,
+            CASE u.tbl WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
+              AS bucket
+          FROM bk, unnest([0,1,2,3]) AS u(tbl)),
+        bcnt AS (SELECT tbl, bucket, label, count(*) AS n
+          FROM bnd GROUP BY tbl, bucket, label),
+        sb AS (SELECT b.vec_id, b.label, b.tbl, b.bucket,
+            CASE WHEN c.n <= $VecBucketCap THEN 0
+                 ELSE ((b.vec_id % 2147483647) * 1000003 + b.tbl) % 2147483647
+                      % ((c.n + ${VecBucketCap - 1}) // $VecBucketCap) END
+              AS salt
+          FROM bnd b JOIN bcnt c ON b.tbl = c.tbl AND b.bucket = c.bucket
+            AND b.label = c.label),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            a.label AS label
+          FROM sb a JOIN sb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            AND a.label = b.label AND a.salt = b.salt
+            AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, label, cos_sim FROM (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-          FROM bk a JOIN bk b ON a.label = b.label AND a.vec_id < b.vec_id
-            AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)) z
+          SELECT cand.vec_a, cand.vec_b, cand.label,
+            round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+              CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a
+            JOIN embeddings eb ON eb.vec_id = cand.vec_b) z
         WHERE cos_sim >= 0.2""")),
 
     // SemDeDup: cluster (IVF cells), dedup within clusters, keep one rep
