@@ -94,14 +94,30 @@ object Evaluators {
       case Op.NotIn => true
       case Op.StartsWith => (t, lower, upper) match {
         case (IceString, Some(lo: String), Some(up: String)) =>
-          val pfx = lits.head.toString
-          val loCmp = lo.substring(0, math.min(lo.length, pfx.length))
-          val upCmp = up.substring(0, math.min(up.length, pfx.length))
-          loCmp <= pfx && pfx <= upCmp
+          startsWithMayMatch(lits.head.toString, lo, up)
         case _ => true
       }
       case Op.NotStartsWith => true
     }
+  }
+
+  /** May any string in [lo, up] start with `pfx`? Compared over UTF-8 BYTES
+    * truncated to the prefix's byte length — the order and truncation
+    * parquet stats use. A UTF-16 `<=` here disagrees for supplementary
+    * prefixes (surrogate units 0xD800-0xDFFF sort below U+E000, so a file
+    * whose lower bound sits in the private-use area would be WRONGLY PRUNED
+    * for an emoji prefix — silent data loss), and a char-count substring can
+    * split a surrogate pair; byte-wise both issues vanish. Truncation is
+    * monotone in byte-lexicographic order, so the bracket test is sound.
+    */
+  private def startsWithMayMatch(pfx: String, lo: String, up: String): Boolean = {
+    val p = pfx.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val lob = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val upb = up.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val loT = java.util.Arrays.copyOfRange(lob, 0, math.min(lob.length, p.length))
+    val upT = java.util.Arrays.copyOfRange(upb, 0, math.min(upb.length, p.length))
+    java.util.Arrays.compareUnsigned(loT, p) <= 0 &&
+      java.util.Arrays.compareUnsigned(p, upT) <= 0
   }
 
   /** Per-entry partition-tuple evaluation (reference
@@ -231,9 +247,7 @@ object Evaluators {
       case Op.NotIn => true
       case Op.StartsWith => (t, lower, upper) match {
         case (IceString, Some(lo: String), Some(up: String)) =>
-          val pfx = lits.head.toString
-          lo.substring(0, math.min(lo.length, pfx.length)) <= pfx &&
-            pfx <= up.substring(0, math.min(up.length, pfx.length))
+          startsWithMayMatch(lits.head.toString, lo, up)
         case _ => true
       }
       case Op.NotStartsWith => true

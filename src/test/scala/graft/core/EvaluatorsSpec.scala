@@ -85,6 +85,37 @@ class EvaluatorsSpec extends AnyFunSuite {
     assert(may(P.notStartsWith("s", "m")))
   }
 
+  test("startsWith compares bounds in UTF-8 byte order (supplementary prefix)") {
+    // File strings span [U+E000, U+1F600 + 'z'] — valid bounds in the UTF-8
+    // order stats are written in. The file holds "😀z", which starts with
+    // "😀"; a UTF-16 compare ranks the surrogate unit 0xD83D BELOW 0xE000
+    // and wrongly pruned this file (silent data loss).
+    val f2 = file.copy(
+      lowerBounds = file.lowerBounds + (2 -> Bounds.encode(IceString, "")),
+      upperBounds = file.upperBounds + (2 -> Bounds.encode(IceString, "😀z")))
+    def may2(p: IcePredicate): Boolean =
+      Evaluators.fileMayMatch(P.bind(p, schema), f2)
+    assert(may2(P.startsWith("s", "😀")))
+    // pruning still fires for prefixes provably outside the range
+    assert(!may2(P.startsWith("s", "a"))) // below U+E000
+    assert(!may2(P.startsWith("s", "􏿿"))) // U+10FFFF, above the max
+    // and the manifest-summary path shares the same byte-order compare
+    val pSchema = IceSchema(-1, Seq(NestedField(1000, "s_t", IceString)))
+    val m = ManifestFile(
+      path = "/m/m1.avro", length = 1, specId = 0, content = 0,
+      sequenceNumber = 1, minSequenceNumber = 1, addedSnapshotId = 1,
+      addedFilesCount = 1, existingFilesCount = 0, deletedFilesCount = 0,
+      addedRowsCount = 10, existingRowsCount = 0, deletedRowsCount = 0,
+      partitions = Seq(FieldSummary(
+        containsNull = false, None,
+        Some(Bounds.encode(IceString, "")),
+        Some(Bounds.encode(IceString, "😀z")))))
+    assert(Evaluators.manifestMayMatch(
+      P.bind(P.startsWith("s_t", "😀"), pSchema), pSchema, m))
+    assert(!Evaluators.manifestMayMatch(
+      P.bind(P.startsWith("s_t", "a"), pSchema), pSchema, m))
+  }
+
   test("strict metrics: must-match decisions") {
     // whole range below the literal
     assert(must(P.lt("x", 80)))
