@@ -191,16 +191,19 @@ c AS (
     !hottest.isNullAt(0) && hottest.getLong(0) > cap
   }
 
-  /** Attach the salt given precomputed counts (bucket-space-sized, so the
-    * join broadcasts). Split from [[saltBuckets]] so the incremental ops
-    * can compute counts ONCE over the full corpus and salt both join sides
-    * from the same tiny cached frame — salts then equal the batch
-    * pipeline's bit-for-bit without persisting any corpus-sized frame.
+  /** Attach the salt given precomputed counts. Split from [[saltBuckets]]
+    * so the incremental ops can compute counts ONCE over the full corpus
+    * and salt both join sides from the same cached frame — salts then equal
+    * the batch pipeline's bit-for-bit without persisting any corpus-sized
+    * frame. The counts join is left unhinted like [[Dedup.saltBands]]'s:
+    * counts are bucket-space-sized (× label cardinality for the near-dup
+    * key), so AQE broadcasts them when small and falls back safely when a
+    * high-cardinality label column makes them large.
     */
   private[ops] def saltWith(banded: DataFrame, counts: DataFrame, cap: Int,
       keys: Seq[String], anyHot: Boolean): DataFrame =
     if (!anyHot) banded.withColumn("salt", lit(0L))
-    else banded.join(broadcast(counts), keys)
+    else banded.join(counts, keys)
       .withColumn("salt",
         when(col("__bn") <= cap, lit(0L))
           .otherwise(
