@@ -112,7 +112,18 @@ object DataWriter {
     } else {
       val partCols = spec.fields.map { pf =>
         val src = writeSchema.findById(pf.sourceId).get
-        pf.transform.toColumn(col(src.name), src.tpe).as(PartPrefix + pf.name)
+        val c = pf.transform.toColumn(col(src.name), src.tpe)
+        // STRING-typed partition values go into directory names; url-encode
+        // them so the staged dirs are pure ASCII — Spark's own path escaping
+        // leaves non-ASCII raw, and a JVM whose path charset can't map it
+        // (sun.jnu.encoding=ANSI under LANG=C, the common container locale)
+        // fails the whole write with InvalidPathException. Decoded exactly
+        // in [[parsePartitionDirs]]; every other result type renders ASCII.
+        val rendered =
+          if (pf.transform.resultType(src.tpe) == IceString)
+            org.apache.spark.sql.functions.url_encode(c)
+          else c
+        rendered.as(PartPrefix + pf.name)
       }
       val partNames = spec.fields.map(PartPrefix + _.name)
       // fanout shuffle on the partition tuple; tasks-per-partition > 1
@@ -322,6 +333,10 @@ object DataWriter {
     partType.fields.map { f =>
       kv.get(f.name) match {
         case None | Some(HiveNull) => null
+        // string-typed values were url-encoded before Spark's partitionBy
+        // (see the write side) — decode AFTER undoing Spark's own escaping
+        case Some(s) if f.tpe == IceString =>
+          java.net.URLDecoder.decode(s, "UTF-8")
         case Some(s) => parseValue(f.tpe, s)
       }
     }
