@@ -199,6 +199,38 @@ class PruningFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     fuzz(t, 80)
   }
 
+  test("delete fuzz: sequential random deletes keep scans exact, compaction preserves them") {
+    val df = fixture
+    val t = IceTable.create(catalog, "fuzz_del", SchemaConv.fromSpark(df.schema))
+    t.updateProperties(set = Map("write.max-records-per-file" -> "16"))
+    t.append(df)
+    // reference state: the base frame re-read from the table's own files so
+    // both sides see identical values, then key sets maintained driver-side
+    val base = t.scan(spark).cache()
+    var live: Set[Long] = matchedKeys(base)
+    assert(live.size == NRows)
+    (0 until 10).foreach { r =>
+      // conjunctions only: disjunctive trees at this domain size empty the
+      // table in a few rounds, leaving nothing for later rounds to compose
+      val p = P.and(leaf(), leaf())
+      // alternate parquet positional deletes and v3 deletion vectors —
+      // both must compose with every prior round's deletes
+      if (r % 2 == 0) t.deleteWhere(spark, p) else t.deleteWhereDV(spark, p)
+      live = live -- matchedKeys(base.where(sparkFilter(p)))
+      assert(matchedKeys(t.scan(spark)) == live, s"round $r: full scan diverged after $p")
+      val q = randomPredicate()
+      assert(matchedKeys(t.scan(spark, q)) ==
+        live.intersect(matchedKeys(base.where(sparkFilter(q)))),
+        s"round $r: filtered scan diverged for $q after deleting $p")
+    }
+    assert(live.nonEmpty && live.size < NRows, "fuzz should delete some but not all rows")
+    // compaction rewrites data files and drops the delete files — the live
+    // set must be untouched
+    t.compact(spark, targetFileCount = 4)
+    assert(matchedKeys(t.scan(spark)) == live, "compaction changed the live set")
+    base.unpersist()
+  }
+
   test("partitioned bucket(i,4) + truncate(s,2): 80 random predicates match exactly") {
     val df = fixture
     val schema = SchemaConv.fromSpark(df.schema)
