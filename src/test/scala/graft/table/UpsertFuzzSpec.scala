@@ -1,0 +1,76 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SchemaConv
+import graft.meta.FileCatalog
+
+/** Randomized upsert sequences: every round equality-deletes a random key
+  * set and re-inserts fresh values in one commit, and the scan must equal
+  * a driver-maintained map after each round — the strictly-older scoping
+  * rule (an equality delete kills only rows from strictly earlier
+  * sequences) has to hold across arbitrarily overlapping key histories,
+  * through a mid-sequence compaction, and after snapshot expiry plus
+  * orphan cleanup. Designed cases live in IceTableSpec; this sweeps the
+  * composition space. Seeded, so failures reproduce.
+  */
+class UpsertFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val rnd = new scala.util.Random(555)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("upsert-fuzz-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("random upsert rounds keep the table equal to the reference map") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft-upfuzz").toString
+    val catalog = new FileCatalog(wh)
+    val df0 = Seq.empty[(Long, Long, String)].toDF("k", "v", "txt")
+    val t = IceTable.create(catalog, "upfuzz", SchemaConv.fromSpark(df0.schema))
+    t.updateProperties(set = Map("write.max-records-per-file" -> "16"))
+    val ref = scala.collection.mutable.Map.empty[Long, (Long, String)]
+
+    def checkAfter(round: String): Unit = {
+      val got = t.scan(spark).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got == ref.toMap,
+        s"after $round: ${(ref.keySet -- got.keySet).toSeq.sorted.take(5)} missing, " +
+          s"${(got.keySet -- ref.keySet).toSeq.sorted.take(5)} extra, " +
+          s"changed=${got.collect { case (k, v) if ref.get(k).exists(_ != v) => k }.toSeq.sorted.take(5)}")
+    }
+
+    (0 until 12).foreach { round =>
+      val keys = Seq.fill(30)(rnd.nextInt(200).toLong).distinct
+      val rows = keys.map(k => (k, round.toLong * 1000 + k, s"r$round-$k"))
+      t.upsert(spark, rows.toDF("k", "v", "txt"), Seq("k"))
+      keys.zip(rows).foreach { case (k, (_, v, txt)) => ref(k) = (v, txt) }
+      checkAfter(s"upsert round $round")
+      if (round == 6) {
+        t.compact(spark, targetFileCount = 3)
+        checkAfter("mid-sequence compaction")
+      }
+    }
+    // maintenance must not disturb the converged state
+    t.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 2)
+    t.deleteOrphanFiles(System.currentTimeMillis() + 3600000L)
+    t.refresh()
+    checkAfter("expiry + orphan cleanup")
+    assert(ref.nonEmpty)
+  }
+}
