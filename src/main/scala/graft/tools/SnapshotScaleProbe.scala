@@ -85,11 +85,17 @@ object SnapshotScaleProbe {
     Point(n, commitAvgMs, loadMs, planMs, tasks.size, incMs, refMs, orphanMs)
   }
 
-  def run(n: Int): (Point, Point, Double) = {
+  def run(n: Int, mergeAppend: Boolean = false): (Point, Point, Double) = {
     val wh = Files.createTempDirectory("snap-scale").toString
     val catalog = new FileCatalog(wh)
     val schema = IceSchema(0, Seq(NestedField(1, "id", IceLong, required = true)))
     val t = IceTable.create(catalog, "snaps", schema)
+    // merge-append mode: the real-ingest posture — manifests bin-pack, so
+    // the manifest LIST stays bounded instead of growing one entry per
+    // commit, and the probe shows what that buys at history scale
+    if (mergeAppend) t.updateProperties(set = Map(
+      "commit.manifest-merge.enabled" -> "true",
+      "commit.manifest.min-count-to-merge" -> "8"))
     val q = n / 4
     val avgQ = commitRange(t, 0, q)
     val p1 = measure(catalog, t, q, avgQ)
@@ -105,9 +111,10 @@ object SnapshotScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(1000)
-    val (p1, p2, expireMs) = run(n)
+    val mergeAppend = args.contains("merge")
+    val (p1, p2, expireMs) = run(n, mergeAppend)
     def ratio(a: Double, b: Double): String = f"${b / math.max(a, 0.001)}%.1fx"
-    println(s"""{"probe":"snapshot-scale","n":$n,
+    println(s"""{"probe":"snapshot-scale","n":$n,"merge_append":$mergeAppend,
       |"at_quarter":{"snapshots":${p1.snapshots},"commit_avg_ms":${f"${p1.commitAvgMs}%.2f"},"load_ms":${f"${p1.loadMs}%.1f"},"plan_ms":${f"${p1.planMs}%.1f"},"tasks":${p1.plannedTasks},"incremental_ms":${f"${p1.incrementalPlanMs}%.1f"},"referenced_ms":${f"${p1.referencedSetMs}%.1f"},"orphan_dryrun_ms":${f"${p1.orphanWalkMs}%.1f"}},
       |"at_full":{"snapshots":${p2.snapshots},"commit_avg_ms":${f"${p2.commitAvgMs}%.2f"},"load_ms":${f"${p2.loadMs}%.1f"},"plan_ms":${f"${p2.planMs}%.1f"},"tasks":${p2.plannedTasks},"incremental_ms":${f"${p2.incrementalPlanMs}%.1f"},"referenced_ms":${f"${p2.referencedSetMs}%.1f"},"orphan_dryrun_ms":${f"${p2.orphanWalkMs}%.1f"}},
       |"expire_to_10_ms":${f"$expireMs%.1f"},
