@@ -578,6 +578,27 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snapBefore = t.currentSnapshot.get.snapshotId
     t.addFiles(Seq(dir), ignoreDuplicates = true)
     assert(t.currentSnapshot.get.snapshotId == snapBefore)
+
+    // Hive-layout (nested value dirs) on a PARTITIONED table: the recursive
+    // expansion finds the leaf files and footer-stat inference assigns each
+    // file its partition tuple — registering a whole Hive table is one call
+    import org.apache.spark.sql.functions.col
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    // Hive layout with the partition column kept IN the data (Iceberg
+    // registration needs it there): one value subdirectory per region
+    val flat = Files.createTempDirectory("graft-hive-add").toString
+    (0L until 5L).foreach { rk =>
+      src.where(col("n_regionkey") === rk)
+        .coalesce(1).write.mode("overwrite").parquet(s"$flat/rk=$rk")
+    }
+    val hSchema = SchemaConv.fromSpark(spark.read.parquet(s"$flat/rk=0").schema)
+    val ht = IceTable.create(catalog, "nation_hive_ext", hSchema,
+      PartitionSpec.of(0, ("n_regionkey", IdentityTransform, "n_regionkey"))(hSchema))
+    ht.addFiles(Seq(flat)) // one nested directory, five leaf files
+    assert(ht.newScan().planFiles().size == 5)
+    assert(ht.scan(spark).count() == src.count())
+    // partition pruning works off the inferred tuples
+    assert(ht.newScan(P.equalTo("n_regionkey", 2L)).planFiles().size == 1)
   }
 
   test("addFiles: duplicate-registration guard and snapshot props (transaction.go:499-564)") {
