@@ -177,13 +177,19 @@ object Bench {
     // clip-resilience rule that the headline total is the line's last field
     val planningResult =
       try Some(graft.table.PlanningStress.run()) catch { case _: Throwable => None }
-    val planningJson = planningResult.map(r =>
+    val planningJson = planningResult.map { r =>
+      val runs = r.planMsRuns.map(ms => f2(ms / 1000)).mkString("[", ",", "]")
       s""","planning":{"n_data":${r.nData},"n_deletes":${r.nDeletes},""" +
-        s""""plan_sec":${f2(r.planMs / 1000)},"ranged_checks":${r.rangedBoundsChecks}}""")
-      .getOrElse("")
-    val planningShort = planningResult.map(r =>
-      s""","planning":{"plan_sec":${f2(r.planMs / 1000)},"ranged_checks":${r.rangedBoundsChecks}}""")
-      .getOrElse("")
+        s""""plan_sec":${f2(r.planMs / 1000)},"plan_runs":$runs,""" +
+        s""""ranged_checks":${r.rangedBoundsChecks}}"""
+    }.getOrElse("")
+    // stdout keeps min + all runs: the min is the trend number, the spread
+    // is the in-board noise evidence (same role as the query repeat pairs)
+    val planningShort = planningResult.map { r =>
+      val runs = r.planMsRuns.map(ms => f2(ms / 1000)).mkString("[", ",", "]")
+      s""","planning":{"plan_sec":${f2(r.planMs / 1000)},"plan_runs":$runs,""" +
+        s""""ranged_checks":${r.rangedBoundsChecks}}"""
+    }.getOrElse("")
     // repeated-query spread goes to the local record only (stdout budget is
     // spent on per-query timings) — the noise-control criterion stays
     // checkable after the fact. value = min-of-two policy; value_first =

@@ -48,6 +48,18 @@ final case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
 
 object PartitionSpec {
   val Unpartitioned: PartitionSpec = PartitionSpec(0, Nil)
+
+  /** Spec stamped on GLOBAL (cross-partition) delete manifests — positional
+    * deletes, deletion vectors, and equality deletes that apply across the
+    * whole table. On a PARTITIONED table spec id 0 is the partitioned spec,
+    * so writing these as `Unpartitioned` (id 0) made the reader zip the
+    * partitioned spec's fields against an EMPTY partition record and crash.
+    * The sentinel id is never assigned by partition evolution (ids grow
+    * incrementally from 0), so readers always fall back to the empty
+    * partition type.
+    */
+  val GlobalDeletes: PartitionSpec = PartitionSpec(Int.MaxValue, Nil)
+
   val PartitionDataIdStart = 1000
 
   /** Build a spec with field IDs assigned from 1000 in order. */

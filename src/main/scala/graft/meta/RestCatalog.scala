@@ -161,13 +161,14 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
       val next = node.path("next-page-token")
       token = if (next.isTextual && next.asText().nonEmpty) Some(next.asText()) else None
       // a server that re-issues a token it already served would loop this
-      // client forever — treat a repeated token as end-of-list with a warn
+      // client forever — and silently truncating instead would hand callers
+      // an incomplete listing that can feed existence checks or cleanup
+      // decisions. A broken server is a loud failure, not a short list.
       token.foreach { t =>
-        if (!seen.add(t)) {
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"REST list at $uri re-issued page token; stopping pagination")
-          token = None
-        }
+        if (!seen.add(t))
+          throw new IllegalStateException(
+            s"REST list at $uri re-issued page token '$t' — " +
+              "refusing to return a truncated listing")
       }
       more = token.isDefined
     }

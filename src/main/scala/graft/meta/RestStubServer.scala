@@ -27,7 +27,8 @@ final class RestStubServer(val warehouse: String,
     requiredToken: Option[String] = None,
     oauthCredential: Option[(String, String)] = None,
     tokenTtlMs: Long = 3600000L,
-    listPageSize: Option[Int] = None) {
+    listPageSize: Option[Int] = None,
+    repeatPageToken: Boolean = false) {
 
   private final case class Entry(var versions: Vector[TableMetadata],
       location: String, var metadataLocs: Vector[String])
@@ -493,8 +494,11 @@ final class RestStubServer(val warehouse: String,
     val start = params.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
     params.get("pageSize").flatMap(_.toIntOption).orElse(listPageSize) match {
       case Some(s) =>
+        // a BROKEN-server mode for specs: re-issue the same token forever —
+        // a conformant client must fail loudly rather than loop or truncate
         (all.slice(start, start + s),
-          if (start + s < all.size) Some((start + s).toString) else None)
+          if (repeatPageToken) Some("0")
+          else if (start + s < all.size) Some((start + s).toString) else None)
       case None => (all.drop(start), None)
     }
   }

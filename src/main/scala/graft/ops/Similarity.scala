@@ -209,7 +209,11 @@ c AS (
           .otherwise(
             ((col("vec_id") % lit(2147483647L)) * lit(1000003L) + col("tbl"))
               % lit(2147483647L)
-              % ((col("__bn") + lit(cap - 1L)) / lit(cap.toLong)).cast("long")))
+              // ⌈n/cap⌉ via INTEGER `div`, exactly as the SQL oracle's `//`:
+              // double `/` then cast happens to agree only because the cap
+              // is a power of two — a non-power-of-two cap could round the
+              // double differently and silently break engine/oracle parity
+              % expr(s"(__bn + ${cap - 1}) div ${cap.toLong}")))
       .drop("__bn")
 
   private[ops] def saltBuckets(banded: DataFrame, cap: Int,
@@ -342,7 +346,9 @@ c AS (
       key: String = "label"): DataFrame = {
     val counts = emb.groupBy(key).agg(count(lit(1)).as("n"))
     emb.join(broadcast(counts), key)
-      .withColumn("g", ceil(col("n") / lit(blockCap.toDouble)).cast(IntegerType))
+      // integer ceil-division (see saltWith): identical to the oracle's
+      // ceil for every count a long can hold, double rounding never enters
+      .withColumn("g", expr(s"cast((n + ${blockCap - 1}) div $blockCap as int)"))
       .withColumn("gid", pmod(xxhash64(col("vec_id")), col("g")).cast(IntegerType))
       .withColumn("j", explode(sequence(lit(0), col("g") - 1)))
       .select(col(key), col("vec_id"), col("embedding"), col("gid"),

@@ -65,21 +65,27 @@ object StreamingOps {
       // file flat into the staging dir — the streaming file source lists one
       // level and would silently skip a symlinked SUBDIRECTORY, starting a
       // stream over zero files
+      // collect-then-SORT by source name: Files.list order is unspecified,
+      // and the staged part-NNNNN names decide micro-batch composition —
+      // unsorted linking makes the stream's batch boundaries (and any
+      // replay) differ across runs and filesystems
       val it = java.nio.file.Files.list(src)
-      try {
-        val files = it.iterator()
-        var i = 0
-        while (files.hasNext) {
-          val p = files.next()
-          val n = p.getFileName.toString
-          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
-            java.nio.file.Files.createSymbolicLink(
-              d.resolve(f"part-$i%05d.parquet"), p)
-            i += 1
+      val data =
+        try {
+          val b = Vector.newBuilder[java.nio.file.Path]
+          val files = it.iterator()
+          while (files.hasNext) {
+            val p = files.next()
+            val n = p.getFileName.toString
+            if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+              b += p
           }
-        }
-        require(i > 0, s"no parquet data files under directory $file")
-      } finally it.close()
+          b.result().sortBy(_.getFileName.toString)
+        } finally it.close()
+      require(data.nonEmpty, s"no parquet data files under directory $file")
+      data.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.createSymbolicLink(d.resolve(f"part-$i%05d.parquet"), p)
+      }
     } else
       java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
     d

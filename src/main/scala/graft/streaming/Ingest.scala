@@ -342,6 +342,31 @@ object Ingest {
       }
     inRange.filter(s => opOf(s.snapshotId) == "delete")
       .sortBy(_.sequenceNumber).foreach { s =>
+      // metadata-only drops: data files removed WHOLE by this delete
+      // snapshot (deleteWhere's strict-metrics path) record no (path, pos)
+      // rows — their live rows at drop time ARE the D set. Live = the
+      // file's rows minus every position already dead: pre-range kills sit
+      // in the seeded prior set, in-range kills accumulated below — both in
+      // `dead`. Cost stays proportional to the dropped files, not the table.
+      val dropped = ManifestIO.readManifestList(s.manifestList)
+        .filter(m => m.content == 0 && m.sequenceNumber == s.sequenceNumber)
+        .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, table.schema)._2
+          .filter(e => e.status == graft.meta.ManifestEntryStatus.Deleted &&
+            e.snapshotId == s.snapshotId)
+          .map(_.dataFile.filePath))
+        .distinct
+      if (dropped.nonEmpty) {
+        val rows = spark.read.schema(sparkSchema).parquet(dropped: _*)
+          .withColumn("file_path", IceScan.normalizedMetaPath)
+          .withColumn("pos", col("_metadata.row_index"))
+        val live = dead match {
+          case Some(d) => rows.join(d, Seq("file_path", "pos"), "left_anti")
+          case None => rows
+        }
+        parts += live.drop("file_path", "pos")
+          .withColumn("change_type", lit("D"))
+          .withColumn("change_seq", lit(s.sequenceNumber))
+      }
       val added = ManifestIO.readManifestList(s.manifestList)
         .filter(m => m.content == 1 && m.sequenceNumber == s.sequenceNumber)
         .flatMap(m => ManifestIO.readManifest(m.path, meta.specs, table.schema)._2

@@ -680,9 +680,21 @@ final class IceTable private (
     * not carried forward.
     */
   def replaceDataFiles(deletePaths: Set[String], added: Seq[DataFile],
-      operation: String = "replace"): Snapshot = synchronized {
-    val snapId = meta.reserveSnapshotId()
-    val seq = meta.lastSequenceNumber + 1
+      operation: String = "replace"): Snapshot =
+    replaceDataFiles(deletePaths, added, operation, Nil, None)
+
+  /** Extended form used by the metadata-aware delete paths: `newDeleteFiles`
+    * (content=1 positional-delete parquet or puffin DV files, covering the
+    * PARTIALLY-matched files) commit in the same snapshot that drops the
+    * fully-matched files as Deleted entries. `reserved` carries a
+    * pre-reserved (snapshotId, sequenceNumber) when the caller already
+    * stamped them into executor-written artifacts (DV blob descriptors).
+    */
+  private[graft] def replaceDataFiles(deletePaths: Set[String], added: Seq[DataFile],
+      operation: String, newDeleteFiles: Seq[DataFile],
+      reserved: Option[(Long, Long)]): Snapshot = synchronized {
+    val (snapId, seq) = reserved.getOrElse(
+      (meta.reserveSnapshotId(), meta.lastSequenceNumber + 1))
     val commitUuid = UUID.randomUUID().toString
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot replace files in an empty table"))
@@ -738,7 +750,18 @@ final class IceTable private (
     val deleteManifests =
       if (toKeep.isEmpty) Nil
       else ManifestIO.readManifestList(current.manifestList).filter(_.content == 1)
-    commitManifestList(dataManifests ++ deleteManifests, snapId, seq, operation)
+    // this commit's own positional deletes (partial-match files of a
+    // metadata-aware deleteWhere) ride in the same snapshot as the drops
+    val newDeleteManifest =
+      if (newDeleteFiles.isEmpty) None
+      else Some(ManifestIO.writeManifest(metaPath(s"$commitUuid-del0.avro"),
+          newDeleteFiles.map(f =>
+            ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f)),
+          PartitionSpec.GlobalDeletes, schema,
+          formatVersion = meta.formatVersion, content = 1)
+        .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId))
+    commitManifestList(dataManifests ++ newDeleteManifest.toSeq ++ deleteManifests,
+      snapId, seq, operation)
   }
 
   /** Compaction: coalesce the current data files into `targetFileCount`
@@ -923,37 +946,59 @@ final class IceTable private (
     if (tasks.isEmpty) return None
     val schemaNow = schema
     val bound = Predicates.bind(filter, schemaNow)
-    val paths = tasks.map(_.file.filePath)
-    val matches = spark.read.schema(schemaNow.toSpark).parquet(paths: _*)
-      .withColumn("file_path", IceScan.normalizedMetaPath)
-      .withColumn("pos", col("_metadata.row_index"))
-      .where(Predicates.toColumn(bound))
-      .select("file_path", "pos")
-    val stagingDir = s"${locationProvider.dataPath}/deletes-${UUID.randomUUID()}"
-    // range-partition by file_path so (a) a broad predicate fans out over
-    // many writers instead of funnelling every matched row through one task,
-    // and (b) each delete file covers a narrow file_path range, which the
-    // planner's bounds matching then uses to skip it for unrelated data files
-    matches.repartitionByRange(col("file_path"))
-      .sortWithinPartitions("file_path", "pos")
-      .write.parquet(stagingDir)
-    val deleteSchema = IceSchema(-1, Seq(
-      NestedField(2147483546, "file_path", IceString, required = true),
-      NestedField(2147483545, "pos", IceLong, required = true)))
-    val files = DataWriter.listParquet(stagingDir).map { case (p, len) =>
-      ParquetStats.toDataFile(p, len, deleteSchema, Nil, content = 1,
-        fullBoundsFieldIds = Set(DeleteIndex.PathFieldId))
-    }.filter(_.recordCount > 0)
-    val snapId = meta.reserveSnapshotId()
-    val seq = meta.lastSequenceNumber + 1
-    val commitUuid = UUID.randomUUID().toString
-    val manifestPath = metaPath(s"$commitUuid-m0.avro")
-    val entries = files.map(f =>
-      ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
-    val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
-        schemaNow, formatVersion = meta.formatVersion, content = 1)
-      .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
-    Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete"))
+    // Metadata-only split (reference `strictMetricsEval`
+    // `table/evaluators.go:1200-1565`, built for exactly this): files whose
+    // footer stats PROVE every row matches drop as whole-file Deleted
+    // manifest entries — zero data-file reads, zero delete rows. At 100 TB
+    // the common production delete (partition-aligned retention, `ts <
+    // cutoff` on a day-partitioned table) is then a metadata commit instead
+    // of an O(corpus) read + positional-delete write. Already-dead rows in
+    // a dropped file don't matter: strict-match means every row — live or
+    // not — satisfies the predicate, so removing the file removes only
+    // rows the delete targets.
+    val (fullMatch, partial) =
+      tasks.partition(t => Evaluators.fileMustMatch(bound, t.file))
+    val files =
+      if (partial.isEmpty) Nil
+      else {
+        val paths = partial.map(_.file.filePath)
+        val matches = spark.read.schema(schemaNow.toSpark).parquet(paths: _*)
+          .withColumn("file_path", IceScan.normalizedMetaPath)
+          .withColumn("pos", col("_metadata.row_index"))
+          .where(Predicates.toColumn(bound))
+          .select("file_path", "pos")
+        val stagingDir = s"${locationProvider.dataPath}/deletes-${UUID.randomUUID()}"
+        // range-partition by file_path so (a) a broad predicate fans out over
+        // many writers instead of funnelling every matched row through one
+        // task, and (b) each delete file covers a narrow file_path range,
+        // which the planner's bounds matching then uses to skip it for
+        // unrelated data files
+        matches.repartitionByRange(col("file_path"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.parquet(stagingDir)
+        val deleteSchema = IceSchema(-1, Seq(
+          NestedField(2147483546, "file_path", IceString, required = true),
+          NestedField(2147483545, "pos", IceLong, required = true)))
+        DataWriter.listParquet(stagingDir).map { case (p, len) =>
+          ParquetStats.toDataFile(p, len, deleteSchema, Nil, content = 1,
+            fullBoundsFieldIds = Set(DeleteIndex.PathFieldId))
+        }.filter(_.recordCount > 0)
+      }
+    if (fullMatch.nonEmpty)
+      Some(replaceDataFiles(fullMatch.map(_.file.filePath).toSet, Nil,
+        "delete", files, None))
+    else {
+      val snapId = meta.reserveSnapshotId()
+      val seq = meta.lastSequenceNumber + 1
+      val commitUuid = UUID.randomUUID().toString
+      val manifestPath = metaPath(s"$commitUuid-m0.avro")
+      val entries = files.map(f =>
+        ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+      val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.GlobalDeletes,
+          schemaNow, formatVersion = meta.formatVersion, content = 1)
+        .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+      Some(commitManifests(Seq(mf), snapId, seq, commitUuid, "delete"))
+    }
   }
 
   /** Positional delete recorded as v3 DELETION VECTORS: one roaring bitmap
@@ -980,18 +1025,29 @@ final class IceTable private (
       if (tasks.isEmpty) return None
       val schemaNow = schema
       val bound = Predicates.bind(filter, schemaNow)
-      val paths = tasks.map(_.file.filePath)
-      val matches = spark.read.schema(schemaNow.toSpark).parquet(paths: _*)
-        .withColumn("file_path", IceScan.normalizedMetaPath)
-        .withColumn("pos", col("_metadata.row_index"))
-        .where(Predicates.toColumn(bound))
-        .select("file_path", "pos")
+      // same strict-metrics split as [[deleteWhere]]: provably-full files
+      // drop as Deleted entries; only partial files earn a deletion vector
+      val (fullMatch, partial) =
+        tasks.partition(t => Evaluators.fileMustMatch(bound, t.file))
       val snapId = meta.reserveSnapshotId()
       val seq = meta.lastSequenceNumber + 1
       val commitUuid = UUID.randomUUID().toString
-      val files = writeDVShards(spark, matches, snapId, seq, commitUuid)
-      if (files.isEmpty) return None
-      Some(commitDVFiles(files, snapId, seq, commitUuid))
+      val files =
+        if (partial.isEmpty) Nil
+        else {
+          val paths = partial.map(_.file.filePath)
+          val matches = spark.read.schema(schemaNow.toSpark).parquet(paths: _*)
+            .withColumn("file_path", IceScan.normalizedMetaPath)
+            .withColumn("pos", col("_metadata.row_index"))
+            .where(Predicates.toColumn(bound))
+            .select("file_path", "pos")
+          writeDVShards(spark, matches, snapId, seq, commitUuid)
+        }
+      if (fullMatch.nonEmpty)
+        Some(replaceDataFiles(fullMatch.map(_.file.filePath).toSet, Nil,
+          "delete", files, Some((snapId, seq))))
+      else if (files.isEmpty) None
+      else Some(commitDVFiles(files, snapId, seq, commitUuid))
     }
 
   /** Distributed deletion-vector materialization: one hash shuffle
@@ -1066,7 +1122,7 @@ final class IceTable private (
     val entries = files.map(f =>
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
     val manifestPath = metaPath(s"$commitUuid-m0.avro")
-    val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
+    val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.GlobalDeletes,
         schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
     if (!dropDeleteManifests)
@@ -1135,7 +1191,7 @@ final class IceTable private (
     val manifestPath = metaPath(s"$commitUuid-m0.avro")
     val entries = files.map(f =>
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
-    val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.Unpartitioned,
+    val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.GlobalDeletes,
         schemaNow, formatVersion = meta.formatVersion, content = 1)
       .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
     commitManifests(Seq(mf), snapId, seq, commitUuid, "delete")
@@ -1175,7 +1231,7 @@ final class IceTable private (
       val deleteEntries = deleteFiles.map(f =>
         ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
       val deleteMf = ManifestIO.writeManifest(metaPath(s"$commitUuid-m1.avro"),
-          deleteEntries, PartitionSpec.Unpartitioned, schemaNow, formatVersion = meta.formatVersion, content = 1)
+          deleteEntries, PartitionSpec.GlobalDeletes, schemaNow, formatVersion = meta.formatVersion, content = 1)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       commitManifests(Seq(dataMf, deleteMf), snapId, seq, commitUuid, "overwrite")
     }

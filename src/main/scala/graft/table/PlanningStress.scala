@@ -25,7 +25,8 @@ object PlanningStress {
       rangedBoundsChecks: Long,
       plannedTasks: Int,
       dvAttached: Int,
-      minDeletesPerTask: Int)
+      minDeletesPerTask: Int,
+      planMsRuns: Seq[Double] = Nil)
 
   private def dataFile(path: String, content: Int = 0,
       lo: Option[String] = None, hi: Option[String] = None,
@@ -77,13 +78,22 @@ object PlanningStress {
       t.commitDistributedSnapshot(ds2, Seq(m2))
       t.refresh()
 
-      val scan = t.newScan()
-      val t0 = System.nanoTime()
-      val tasks = scan.planFiles()
-      val planMs = (System.nanoTime() - t0) / 1e6
-      Result(nData, nDeletes, nRanged, planMs, scan.lastPlanRangedChecks,
+      // min-of-3, like the query board: a single sample per board cannot
+      // distinguish a shared-VM load spike from a real planning regression
+      // (plan_sec swung 0.31→1.66 s across r17 boards on identical code).
+      // Manifest PARSING warms after run 1; the delete-index build and the
+      // ranged bounds matching — the stress target — re-run every plan.
+      val runs = (0 until 3).map { _ =>
+        val scan = t.newScan()
+        val t0 = System.nanoTime()
+        val tasks = scan.planFiles()
+        ((System.nanoTime() - t0) / 1e6, scan.lastPlanRangedChecks, tasks)
+      }
+      val (planMs, checks, tasks) = runs.minBy(_._1)
+      Result(nData, nDeletes, nRanged, planMs, checks,
         tasks.size, tasks.map(_.dvDeletes.size).sum,
-        if (tasks.isEmpty) 0 else tasks.map(_.deletes.size).min)
+        if (tasks.isEmpty) 0 else tasks.map(_.deletes.size).min,
+        planMsRuns = runs.map(_._1))
     } finally {
       // the synthetic warehouse is a few MB of Avro — reclaim it
       def rm(f: java.io.File): Unit = {

@@ -271,6 +271,21 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("REST pagination: a server that re-issues a page token fails loudly, not truncated") {
+    val server = new RestStubServer(
+      Files.createTempDirectory("graft-rest-loop").toString,
+      listPageSize = Some(2), repeatPageToken = true)
+    try {
+      val cat = new RestCatalog(server.uri)
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      Seq("l_a", "l_b", "l_c").foreach(n =>
+        IceTable.create(cat, n, SchemaConv.fromSpark(region.schema)))
+      val e = intercept[IllegalStateException](cat.listTables())
+      assert(e.getMessage.contains("re-issued page token"),
+        s"expected loud pagination failure, got: ${e.getMessage}")
+    } finally server.stop()
+  }
+
   test("REST error bodies: spec ErrorModel type and code surface in client failures") {
     val server = new RestStubServer(Files.createTempDirectory("graft-rest-err").toString)
     try {

@@ -124,6 +124,41 @@ class ChangelogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(changes(t, s1.snapshotId) === expect)
   }
 
+  test("whole-file drops surface as D rows, skipping positions already dead") {
+    // strict-metrics deleteWhere drops fully-matched files as Deleted
+    // manifest entries with NO delete rows to invert — the changelog must
+    // reconstruct their live rows, and only their live rows, as D
+    val schema = SchemaConv.fromSpark(nation.schema)
+    val t = IceTable.create(catalog, "cdc_drop", schema,
+      PartitionSpec.of(0, ("n_regionkey", IdentityTransform, "region"))(schema))
+    val s1 = t.append(nation)
+    def keysOf(region: Int) = nation.where(s"n_regionkey = $region")
+      .select("n_nationkey").collect().map(_.getAs[Number](0).longValue()).toSet
+    val r0 = keysOf(0)
+    val first = r0.min
+    val k1 = keysOf(1).min
+    // seq 2: partial positional kill inside partition 0
+    t.deleteWhere(spark,
+      P.and(P.equalTo("n_regionkey", 0L), P.equalTo("n_nationkey", first)))
+    // seq 3: MIXED — drops partition 0's file whole + position-deletes one
+    // row of partition 1, in ONE snapshot
+    t.deleteWhere(spark, P.or(P.equalTo("n_regionkey", 0L),
+      P.and(P.equalTo("n_regionkey", 1L), P.equalTo("n_nationkey", k1))))
+    t.refresh()
+    val s3 = t.metadata.currentSnapshot.get
+    val list = ManifestIO.readManifestList(s3.manifestList)
+    // the drop really was metadata-only for partition 0 (a Deleted entry
+    // exists) while partition 1 got a positional-delete file
+    assert(list.filter(_.content == 0).exists(m =>
+      ManifestIO.readManifest(m.path, t.metadata.specs, t.schema)._2
+        .exists(e => e.status == ManifestEntryStatus.Deleted &&
+          e.snapshotId == s3.snapshotId)))
+    assert(list.exists(m => m.content == 1 && m.sequenceNumber == s3.sequenceNumber))
+    val expect = Set((first, "D", 2L)) ++
+      (r0 - first).map(k => (k, "D", 3L)) + ((k1, "D", 3L))
+    assert(changes(t, s1.snapshotId) === expect)
+  }
+
   test("a position dead before the range start is not re-emitted") {
     // the second predicate's delete file re-records 0-2, but they died at
     // seq 2 — before this consumer's start — so only 3-4 are news

@@ -773,6 +773,121 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan(P.gt("loc.lat", 99.0)).planFiles().isEmpty)
   }
 
+  test("strict-metrics delete: partition-aligned deleteWhere is metadata-only (zero data reads)") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SchemaConv.fromSpark(orders.schema)
+    val spec = PartitionSpec.of(0, ("o_orderstatus", IdentityTransform, "status"))(schema)
+    val t = IceTable.create(catalog, "del_meta_only", schema, spec)
+    t.append(orders)
+    t.refresh()
+    val fTasks = t.newScan(P.equalTo("o_orderstatus", "F")).planFiles()
+    assert(fTasks.nonEmpty)
+    val total = orders.count()
+    val fCount = orders.where("o_orderstatus = 'F'").count()
+    // prove ZERO data-file reads: clobber the to-be-dropped files so any
+    // read attempt fails loudly — the metadata-only path must not notice
+    val hconf = spark.sparkContext.hadoopConfiguration
+    fTasks.map(_.file.filePath).foreach { p =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p), hconf)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      out.write("not a parquet file".getBytes("UTF-8")); out.close()
+    }
+    val snap = t.deleteWhere(spark, P.equalTo("o_orderstatus", "F")).get
+    assert(snap.summary("operation") == "delete")
+    t.refresh()
+    val list = ManifestIO.readManifestList(snap.manifestList)
+    // no positional-delete file was written in this commit
+    assert(!list.exists(m => m.content == 1 && m.sequenceNumber == snap.sequenceNumber),
+      "partition-aligned delete must not write delete files")
+    // the matched files were dropped as whole-file Deleted entries
+    val dropped = list.filter(_.content == 0).flatMap(m =>
+      ManifestIO.readManifest(m.path, t.metadata.specs, t.schema)._2
+        .filter(e => e.status == ManifestEntryStatus.Deleted &&
+          e.snapshotId == snap.snapshotId)
+        .map(_.dataFile.filePath)).toSet
+    assert(dropped == fTasks.map(_.file.filePath).toSet)
+    assert(snap.summary("deleted-data-files").toLong == fTasks.size.toLong)
+    assert(t.scan(spark).count() == total - fCount)
+    assert(t.scan(spark, P.equalTo("o_orderstatus", "F")).count() == 0)
+  }
+
+  test("strict-metrics delete: mixed predicate drops full files, position-deletes partial") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SchemaConv.fromSpark(orders.schema)
+    val spec = PartitionSpec.of(0, ("o_orderstatus", IdentityTransform, "status"))(schema)
+    val t = IceTable.create(catalog, "del_mixed", schema, spec)
+    t.append(orders)
+    t.refresh()
+    val oKeys = orders.where("o_orderstatus = 'O'")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val cut = oKeys(oKeys.length / 2) // strictly inside O's key range → partial
+    val fPaths = t.newScan(P.equalTo("o_orderstatus", "F")).planFiles()
+      .map(_.file.filePath).toSet
+    val pred = P.or(P.equalTo("o_orderstatus", "F"),
+      P.and(P.equalTo("o_orderstatus", "O"), P.lt("o_orderkey", cut)))
+    val snap = t.deleteWhere(spark, pred).get
+    t.refresh()
+    val list = ManifestIO.readManifestList(snap.manifestList)
+    // F files dropped whole; a positional-delete file covers the O slice
+    val dropped = list.filter(_.content == 0).flatMap(m =>
+      ManifestIO.readManifest(m.path, t.metadata.specs, t.schema)._2
+        .filter(e => e.status == ManifestEntryStatus.Deleted &&
+          e.snapshotId == snap.snapshotId)
+        .map(_.dataFile.filePath)).toSet
+    assert(dropped == fPaths)
+    assert(list.exists(m => m.content == 1 && m.sequenceNumber == snap.sequenceNumber),
+      "partial-match files still need positional deletes")
+    val survivors = orders.where(
+      s"NOT (o_orderstatus = 'F' OR (o_orderstatus = 'O' AND o_orderkey < $cut))")
+    assert(t.scan(spark).count() == survivors.count())
+    assert(t.scan(spark, P.equalTo("o_orderstatus", "P")).count() ==
+      orders.where("o_orderstatus = 'P'").count())
+  }
+
+  test("strict-metrics delete: deleteWhereDV takes the same metadata-only path") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SchemaConv.fromSpark(orders.schema)
+    val spec = PartitionSpec.of(0, ("o_orderstatus", IdentityTransform, "status"))(schema)
+    val t = IceTable.create(catalog, "del_meta_dv", schema, spec,
+      properties = Map("format-version" -> "3"))
+    t.append(orders)
+    t.refresh()
+    val fTasks = t.newScan(P.equalTo("o_orderstatus", "F")).planFiles()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    fTasks.map(_.file.filePath).foreach { p =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p), hconf)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      out.write("still not parquet".getBytes("UTF-8")); out.close()
+    }
+    val snap = t.deleteWhereDV(spark, P.equalTo("o_orderstatus", "F")).get
+    t.refresh()
+    val list = ManifestIO.readManifestList(snap.manifestList)
+    assert(!list.exists(m => m.content == 1 && m.sequenceNumber == snap.sequenceNumber),
+      "aligned DV delete must not write deletion vectors")
+    assert(t.scan(spark).count() ==
+      orders.count() - orders.where("o_orderstatus = 'F'").count())
+    // a follow-up MIXED DV delete writes puffin shards only for partial files
+    val oKeys = orders.where("o_orderstatus = 'O'")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val cut = oKeys(oKeys.length / 2)
+    val pred2 = P.or(P.equalTo("o_orderstatus", "P"),
+      P.and(P.equalTo("o_orderstatus", "O"), P.lt("o_orderkey", cut)))
+    val snap2 = t.deleteWhereDV(spark, pred2).get
+    t.refresh()
+    val list2 = ManifestIO.readManifestList(snap2.manifestList)
+    val newDeletes = list2.filter(m => m.content == 1 &&
+        m.sequenceNumber == snap2.sequenceNumber)
+      .flatMap(m => ManifestIO.readManifest(m.path, t.metadata.specs, t.schema)._2
+        .filter(_.status == ManifestEntryStatus.Added).map(_.dataFile))
+    assert(newDeletes.nonEmpty && newDeletes.forall(_.fileFormat == "puffin"))
+    // DV blob snapshot stamp matches the committing snapshot
+    assert(newDeletes.forall(_.content == 1))
+    val survivors = orders.where(
+      s"""NOT (o_orderstatus = 'F' OR o_orderstatus = 'P'
+         |  OR (o_orderstatus = 'O' AND o_orderkey < $cut))""".stripMargin)
+    assert(t.scan(spark).count() == survivors.count())
+  }
+
   test("catalog CAS: stale writer loses the race") {
     val t1 = IceTable.load(catalog, "li_basic")
     val t2 = IceTable.load(catalog, "li_basic")

@@ -231,6 +231,61 @@ class PruningFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     base.unpersist()
   }
 
+  test("delete fuzz: strict-match whole-file drops compose with positional deletes") {
+    // partition-aligned predicates must-match every file of their partition
+    // (identity bounds collapse), so they exercise deleteWhere's
+    // metadata-only drop path, interleaved with partial positional/DV
+    // rounds. Also regression-pins the GlobalDeletes spec-id fix: delete
+    // manifests on a PARTITIONED table used to be written with spec id 0
+    // and were unreadable.
+    val df = fixture.selectExpr("*", "k % 7 AS pc")
+    val schema = SchemaConv.fromSpark(df.schema)
+    val t = IceTable.create(catalog, "fuzz_drop", schema,
+      PartitionSpec.of(0, ("pc", IdentityTransform, "pc"))(schema))
+    t.updateProperties(set = Map("write.max-records-per-file" -> "16"))
+    t.append(df)
+    val base = t.scan(spark).cache()
+    var live = matchedKeys(base)
+    var metadataOnlyDrops = 0
+    (0 until 8).foreach { r =>
+      val p =
+        if (r % 2 == 0) P.equalTo("pc", Seq(1L, 3L, 5L, 0L)(r / 2))
+        else P.and(leaf(), leaf())
+      val snap = if (r % 4 < 2) t.deleteWhere(spark, p) else t.deleteWhereDV(spark, p)
+      if (r % 2 == 0) snap.foreach { s =>
+        // aligned rounds must not write a single delete row
+        val lst = ManifestIO.readManifestList(s.manifestList)
+        assert(!lst.exists(m => m.content == 1 && m.sequenceNumber == s.sequenceNumber),
+          s"round $r: aligned delete $p wrote delete files")
+        metadataOnlyDrops += 1
+      }
+      live = live -- matchedKeys(base.where(sparkFilter(p)))
+      assert(matchedKeys(t.scan(spark)) == live, s"round $r: full scan diverged after $p")
+      val q = randomPredicate()
+      assert(matchedKeys(t.scan(spark, q)) ==
+        live.intersect(matchedKeys(base.where(sparkFilter(q)))),
+        s"round $r: filtered scan diverged for $q after deleting $p")
+    }
+    assert(metadataOnlyDrops >= 3, "fuzz must exercise the metadata-only path")
+    assert(live.nonEmpty && live.size < NRows)
+    t.compact(spark, targetFileCount = 4)
+    assert(matchedKeys(t.scan(spark)) == live, "compaction changed the live set")
+    base.unpersist()
+  }
+
+  test("foreign directory registered via addFiles: 60 random predicates match exactly") {
+    // the sf1 table shape: a multi-file spark-written DIRECTORY (no iceberg
+    // field ids) registered wholesale, then fuzzed — single-file vs
+    // directory handling keeps producing real bugs
+    val dir = Files.createTempDirectory("graft-fuzz-dir").toString + "/tbl"
+    fixture.repartition(8).write.parquet(dir)
+    val t = IceTable.create(catalog, "fuzz_foreign",
+      SchemaConv.fromSpark(spark.read.parquet(dir).schema))
+    t.addFiles(Seq(dir))
+    assert(t.newScan().planFiles().size == 8)
+    fuzz(t, 60)
+  }
+
   test("partitioned bucket(i,4) + truncate(s,2): 80 random predicates match exactly") {
     val df = fixture
     val schema = SchemaConv.fromSpark(df.schema)
