@@ -21,6 +21,19 @@ trait Catalog {
   def load(name: String): TableMetadata
   def currentVersion(name: String): Int
 
+  /** ATOMICALLY consistent (version, metadata) snapshot of the table
+    * pointer. Callers that will later CAS with the returned version MUST
+    * use this, never `load` + `currentVersion` separately: a commit landing
+    * between the two reads pairs version n+1 with metadata of version n,
+    * and the caller's next CAS then links n+2 CONTENT BUILT FROM n —
+    * silently erasing commit n+1 from history (a real lost-update race the
+    * concurrency fuzz caught in round 18). Each catalog reads its pointer
+    * ONCE and derives both values from that single read; implementations
+    * may also return metadata NEWER than a racing reader's view, which is
+    * safe (the CAS merely conflicts and retries).
+    */
+  def loadVersioned(name: String): (Int, TableMetadata)
+
   /** CAS commit: succeeds only if `expectedVersion` is still current. */
   def commit(name: String, expectedVersion: Int, metadata: TableMetadata): Int
   def dropTable(name: String): Unit
@@ -271,12 +284,22 @@ final class FileCatalog(val warehouse: String) extends Catalog {
     val hint = Paths.get(stripScheme(hintFile(name)))
     if (!Files.exists(hint))
       throw new FileNotFoundException(s"no such table: $name under $warehouse")
-    new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt
+    // the hint is ADVISORY (last-writer-wins, so two racing winners can
+    // leave it pointing one version BACK); the plain v{N} lock files are
+    // the truth — probe forward from the hint so a regressed hint can
+    // never strand every writer in a conflict livelock
+    var v = new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toInt
+    while (Files.exists(Paths.get(stripScheme(versionFile(name, v + 1))))) v += 1
+    v
   }
 
-  def load(name: String): TableMetadata = {
+  def load(name: String): TableMetadata = loadVersioned(name)._2
+
+  def loadVersioned(name: String): (Int, TableMetadata) = {
+    // resolve the version FIRST, then read THAT version's file: the pair
+    // stays consistent no matter how many commits land in between
     val v = currentVersion(name)
-    TableMetadataJson.read(readMetadataFile(resolveVersionFile(name, v)))
+    (v, TableMetadataJson.read(readMetadataFile(resolveVersionFile(name, v))))
   }
 
   /** Reads plain or gzip metadata JSON (reference `table/table.go:391-452`). */

@@ -204,6 +204,12 @@ final class GlueCatalog(service: GlueApi, val warehouse: String,
 
   def currentVersion(name: String): Int = GlueCatalog.versionOf(pointer(name))
 
+  def loadVersioned(name: String): (Int, TableMetadata) = {
+    // ONE pointer read feeds both values — see the trait contract
+    val ptr = pointer(name)
+    (GlueCatalog.versionOf(ptr), TableMetadataJson.read(readMetadataFile(ptr)))
+  }
+
   def commit(name: String, expectedVersion: Int, metadata: TableMetadata): Int = {
     val cur = service.getTable(database, name)
     val held = GlueCatalog.versionOf(

@@ -39,6 +39,12 @@ final class InMemoryCatalog(val warehouse: String) extends Catalog {
       throw new java.io.FileNotFoundException(s"no such table: $name")).versions.size
   }
 
+  def loadVersioned(name: String): (Int, TableMetadata) = synchronized {
+    val e = tables.getOrElse(name,
+      throw new java.io.FileNotFoundException(s"no such table: $name"))
+    (e.versions.size, e.versions.last)
+  }
+
   def commit(name: String, expectedVersion: Int, metadata: TableMetadata): Int =
     synchronized {
       val e = tables.getOrElse(name,

@@ -200,6 +200,14 @@ final class RestCatalog(baseUri: String, namespace: String = "graft",
   def currentVersion(name: String): Int =
     parse(loadResult(name)).path("version").asInt()
 
+  def loadVersioned(name: String): (Int, TableMetadata) = {
+    // ONE LoadTable response feeds both values — see the trait contract
+    val node = parse(loadResult(name))
+    val m = TableMetadataJson.read(node.path("metadata").toString)
+    knownUuid.put(name, m.tableUuid)
+    (node.path("version").asInt(), m)
+  }
+
   private def loadResult(name: String): String = {
     val (status, resp) = send(get(tableUri(name)), expectAny = true)
     if (status == 404)

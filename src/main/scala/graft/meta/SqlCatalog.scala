@@ -95,6 +95,12 @@ final class SqlCatalog(jdbcUrl: String, warehouse: String,
   def currentVersion(name: String): Int =
     SqlCatalog.versionOf(pointerOrFail(name))
 
+  def loadVersioned(name: String): (Int, TableMetadata) = {
+    // ONE pointer read feeds both values — see the trait contract
+    val ptr = pointerOrFail(name)
+    (SqlCatalog.versionOf(ptr), TableMetadataJson.read(readMetadataFile(ptr)))
+  }
+
   /** The reference's optimistic commit (`sql.go:352-375`): point the row at
     * the new metadata iff it still points at the metadata this writer loaded.
     */

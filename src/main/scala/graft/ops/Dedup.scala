@@ -979,10 +979,26 @@ banded AS (SELECT doc_id, source, b.band,
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("tok_df"), col("tok"))))
       .where(col("rn") <= col("sz") - ceil(col("sz") * threshold) + lit(1))
-      .select("doc_id", "source", "tok")
+      .select("doc_id", "source", "tok", "sz", "rn")
+    // PPJoin candidate filters, both EXACT (they only drop pairs that can
+    // never verify at θ), both pruning INSIDE each token group before the
+    // pair rows materialize — the candidate stage is the plan's one
+    // super-linear record count (r18 probe: 20x candidates for 10x corpus
+    // from token-df² growth; every other stage linear):
+    //  - length: jac ≥ θ forces min(|A|,|B|) ≥ θ·max(|A|,|B|)
+    //  - positional: common tokens number at most 1 + min(szA-rnA, szB-rnB)
+    //    (rn = the token's 1-based rank in the GLOBAL rarity order, so all
+    //    later common tokens sit at positions > rn in both docs), and a
+    //    true match needs overlap ≥ ⌈θ/(1+θ)·(szA+szB)⌉; the first common
+    //    token of a true match always passes, so EXISTS-over-tokens +
+    //    distinct keeps exactly the verifiable pairs
     ranked.as("a").join(ranked.as("b"),
         col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") >= col("b.sz") * lit(threshold) &&
+        col("b.sz") >= col("a.sz") * lit(threshold) &&
+        lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) >=
+          ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1.0 + threshold))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }

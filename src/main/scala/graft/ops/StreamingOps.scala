@@ -137,14 +137,17 @@ object StreamingOps {
     private val catalog = new FileCatalog(wh.toString)
     private var sink: IceTable = null
     def onBatch(batch: DataFrame): Unit = {
-      val st = stageBatch(batch)
+      val st = timedInto(sinkStageNanos)(stageBatch(batch))
       try {
         if (st.n > 0) {
+          sinkBatches.incrementAndGet()
           if (sink == null)
             sink = IceTable.create(catalog, tableName,
               graft.core.SchemaConv.fromSpark(st.rows.schema))
-          sink.upsert(st.rows.sparkSession, st.rows, keys)
-          sink.refresh()
+          timedInto(sinkUpsertNanos) {
+            sink.upsert(st.rows.sparkSession, st.rows, keys)
+            sink.refresh()
+          }
         }
       } finally st.release()
     }
@@ -152,6 +155,24 @@ object StreamingOps {
       require(sink != null, s"$what delivered no batches — empty source dir?")
       sink
     }
+  }
+
+  /** Sink-cost telemetry for the streaming scale probes: wall nanos the
+    * foreachBatch sinks spend STAGING micro-batches (persist + count +
+    * coalesce sizing — executor compute) vs COMMITTING them (the Iceberg
+    * upsert: two write jobs, manifests, manifest list, metadata CAS).
+    * Attribution data, not control flow — reset by the probe, never read
+    * by queries.
+    */
+  private[ops] val sinkStageNanos = new java.util.concurrent.atomic.AtomicLong
+  private[ops] val sinkUpsertNanos = new java.util.concurrent.atomic.AtomicLong
+  private[ops] val sinkBatches = new java.util.concurrent.atomic.AtomicLong
+  private[ops] def resetSinkTelemetry(): Unit = {
+    sinkStageNanos.set(0L); sinkUpsertNanos.set(0L); sinkBatches.set(0L)
+  }
+  private[ops] def timedInto[A](acc: java.util.concurrent.atomic.AtomicLong)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f finally acc.addAndGet(System.nanoTime() - t0)
   }
 
   /** Await a bounded streaming run, STOPPING the query on timeout — a bare
@@ -702,14 +723,18 @@ object StreamingOps {
         // in-batch duplicates: collapse them here (est_jaccard is the
         // same deterministic value on every copy), then upsert keyed on
         // the pair for cross-batch idempotence under retries
-        val st = stageBatch(batch.toDF().dropDuplicates("doc_a", "doc_b"))
+        val st = timedInto(sinkStageNanos)(
+          stageBatch(batch.toDF().dropDuplicates("doc_a", "doc_b")))
         try {
           emitted.synchronized { emitted += st.n }
+          sinkBatches.incrementAndGet()
           if (sink == null)
             sink = IceTable.create(catalog, "neardup_pairs",
               graft.core.SchemaConv.fromSpark(st.rows.schema))
-          sink.upsert(st.rows.sparkSession, st.rows, Seq("doc_a", "doc_b"))
-          sink.refresh()
+          timedInto(sinkUpsertNanos) {
+            sink.upsert(st.rows.sparkSession, st.rows, Seq("doc_a", "doc_b"))
+            sink.refresh()
+          }
         } finally st.release()
       }
     val q = pairs.writeStream
