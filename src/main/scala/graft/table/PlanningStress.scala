@@ -17,6 +17,22 @@ import graft.meta.{DataFile, ManifestEntry, ManifestEntryStatus, ManifestIO, Fil
   */
 object PlanningStress {
 
+  /** Standalone runner for plan-time attribution (no Spark session —
+    * metadata plane only): prints each plan run plus cache hit/miss deltas.
+    */
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(2)
+    (0 until reps).foreach { i =>
+      val (h0, m0) = ManifestIO.manifestCacheStats
+      val r = run()
+      val (h1, m1) = ManifestIO.manifestCacheStats
+      println(s"""{"probe":"planning","rep":$i,"plan_ms":${r.planMs.round},""" +
+        s""""runs_ms":[${r.planMsRuns.map(_.round).mkString(",")}],""" +
+        s""""ranged_checks":${r.rangedBoundsChecks},"tasks":${r.plannedTasks},""" +
+        s""""cache_hits":${h1 - h0},"cache_misses":${m1 - m0}}""")
+    }
+  }
+
   final case class Result(
       nData: Int,
       nDeletes: Int,

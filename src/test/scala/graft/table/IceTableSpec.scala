@@ -897,4 +897,30 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val reloaded = IceTable.load(catalog, "li_basic")
     assert(reloaded.metadata.snapshots.size == t1.metadata.snapshots.size + 1)
   }
+
+  test("a regressed version hint never serves stale metadata or strands writers") {
+    // the hint file is advisory last-writer-wins: two racing CAS winners
+    // can leave it pointing one version BACK. currentVersion must probe
+    // forward to the real head (the v{N} lock files are the truth), or a
+    // loaded handle would see stale metadata and every subsequent commit
+    // would conflict forever against the existing lock
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(catalog, "hint_regress",
+      SchemaConv.fromSpark(region.schema))
+    t.append(region)
+    t.append(region) // v3 now (create=1, two appends)
+    val real = catalog.currentVersion("hint_regress")
+    // simulate the regression: force the hint back to 1
+    val hint = java.nio.file.Paths.get(
+      s"$warehouse/hint_regress/metadata/version-hint.text")
+    java.nio.file.Files.write(hint, "1".getBytes("UTF-8"))
+    assert(catalog.currentVersion("hint_regress") == real,
+      "currentVersion must probe past a regressed hint")
+    val fresh = IceTable.load(catalog, "hint_regress")
+    assert(fresh.metadata.snapshots.size == 2,
+      "a load through a regressed hint lost a snapshot")
+    // and commits from the freshly-loaded handle still land first try
+    fresh.append(region.limit(1))
+    assert(IceTable.load(catalog, "hint_regress").metadata.snapshots.size == 3)
+  }
 }
