@@ -703,40 +703,47 @@ final class IceTable private (
     val commitUuid = UUID.randomUUID().toString
     val current = meta.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot replace files in an empty table"))
-    // survivors keep their ORIGIN spec: one rewritten manifest per spec id.
-    // Folding every spec's entries into one default-spec manifest would zip
-    // an old spec's partition tuple against the new spec's fields after a
-    // partition evolution — same-typed fields silently misattribute values
-    // (and partition pruning then drops matching files), different types
-    // crash mid-commit.
-    val existingBySpec: Map[Int, Seq[ManifestEntry]] =
-      ManifestIO.readManifestList(current.manifestList)
-        .filter(_.content == 0)
-        .groupBy(_.specId)
-        .view.mapValues(_.flatMap(m =>
-          ManifestIO.readManifest(m.path, meta.specs, schema)._2
-            .filter(_.status != ManifestEntryStatus.Deleted)
-            .map(e => e.copy(sequenceNumber =
-              e.sequenceNumber.orElse(Some(m.sequenceNumber))))))
-        .toMap
+    // Rewrite ONLY the manifests that actually contain a deleted path;
+    // untouched manifests carry forward AS-IS (original file, statuses,
+    // sequence numbers). At 100 TB a partition-aligned retention delete
+    // touches the few manifests covering the expired partitions — rewriting
+    // every live manifest (the pre-r18 shape) made the metadata work
+    // O(live entries) instead of O(touched entries). Rewritten survivors
+    // keep their ORIGIN spec: folding entries across specs would zip an old
+    // spec's partition tuple against another spec's fields after partition
+    // evolution — same-typed fields silently misattribute values,
+    // different types crash mid-commit.
     val toKeepAll = collection.mutable.ArrayBuffer.empty[ManifestEntry]
-    val survivorManifests = existingBySpec.toSeq.sortBy(_._1).zipWithIndex.flatMap {
-      case ((specId, entries0), i) =>
-        val originSpec = meta.specById(specId).getOrElse(
-          throw new IllegalStateException(s"manifest references unknown spec $specId"))
-        val (toDelete, toKeep) = entries0.partition(
+    var touched = 0
+    val survivorManifests = ManifestIO.readManifestList(current.manifestList)
+      .filter(_.content == 0)
+      .flatMap { m =>
+        val live = ManifestIO.readManifest(m.path, meta.specs, schema)._2
+          .filter(_.status != ManifestEntryStatus.Deleted)
+          .map(e => e.copy(sequenceNumber =
+            e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+        val (toDelete, toKeep) = live.partition(
           e => deletePaths.contains(e.dataFile.filePath))
         toKeepAll ++= toKeep
-        val entries =
-          toKeep.map(_.copy(status = ManifestEntryStatus.Existing)) ++
-          toDelete.map(_.copy(status = ManifestEntryStatus.Deleted, snapshotId = snapId))
-        if (entries.isEmpty) None
-        else Some(ManifestIO.writeManifest(metaPath(s"$commitUuid-m${i + 1}.avro"),
-            entries, originSpec, schema, formatVersion = meta.formatVersion)
-          .copy(sequenceNumber = seq,
-            minSequenceNumber = toKeep.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
-            addedSnapshotId = snapId))
-    }
+        if (toDelete.isEmpty) {
+          // nothing in this manifest changes — carry the file forward
+          // untouched (entry-level seq/snapshotId already select correctly
+          // for incremental reads and the changelog)
+          if (live.isEmpty) None else Some(m)
+        } else {
+          val originSpec = meta.specById(m.specId).getOrElse(
+            throw new IllegalStateException(s"manifest references unknown spec ${m.specId}"))
+          val entries =
+            toKeep.map(_.copy(status = ManifestEntryStatus.Existing)) ++
+            toDelete.map(_.copy(status = ManifestEntryStatus.Deleted, snapshotId = snapId))
+          touched += 1
+          Some(ManifestIO.writeManifest(metaPath(s"$commitUuid-m$touched.avro"),
+              entries, originSpec, schema, formatVersion = meta.formatVersion)
+            .copy(sequenceNumber = seq,
+              minSequenceNumber = toKeep.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+              addedSnapshotId = snapId))
+        }
+      }
     val toKeep = toKeepAll.toSeq
     val addedEntries = added.map(f =>
       ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))

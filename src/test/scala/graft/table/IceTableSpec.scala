@@ -844,6 +844,35 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       orders.where("o_orderstatus = 'P'").count())
   }
 
+  test("strict-metrics delete rewrites only the touched manifests") {
+    // at 100 TB a partition-aligned retention delete must be O(touched
+    // manifests), not O(live manifests): untouched manifests carry forward
+    // as the SAME file, byte-identical path, not an Existing-entry rewrite
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SchemaConv.fromSpark(orders.schema)
+    val spec = PartitionSpec.of(0, ("o_orderstatus", IdentityTransform, "status"))(schema)
+    val t = IceTable.create(catalog, "del_touch", schema, spec)
+    // one append per partition → one manifest per partition
+    Seq("F", "O", "P").foreach(st => t.append(orders.where(s"o_orderstatus = '$st'")))
+    t.refresh()
+    val before = ManifestIO.readManifestList(t.currentSnapshot.get.manifestList)
+      .filter(_.content == 0).map(_.path).toSet
+    assert(before.size == 3)
+    val snap = t.deleteWhere(spark, P.equalTo("o_orderstatus", "F")).get
+    t.refresh()
+    val after = ManifestIO.readManifestList(snap.manifestList).filter(_.content == 0)
+    // the two untouched partitions' manifests survive as the SAME files
+    assert(after.count(m => before.contains(m.path)) == 2,
+      s"untouched manifests must carry forward as-is: ${after.map(_.path)}")
+    // the touched partition's manifest was rewritten to Deleted tombstones
+    val rewritten = after.filter(m => !before.contains(m.path))
+    assert(rewritten.size == 1)
+    val entries = ManifestIO.readManifest(rewritten.head.path, t.metadata.specs, t.schema)._2
+    assert(entries.nonEmpty && entries.forall(e =>
+      e.status == ManifestEntryStatus.Deleted && e.snapshotId == snap.snapshotId))
+    assert(t.scan(spark).count() == orders.where("o_orderstatus != 'F'").count())
+  }
+
   test("strict-metrics delete: deleteWhereDV takes the same metadata-only path") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val schema = SchemaConv.fromSpark(orders.schema)
