@@ -782,6 +782,38 @@ final class IceTable private (
   def compact(spark: SparkSession, targetFileCount: Int): Snapshot =
     rewriteAllFiles(spark)(_.repartition(targetFileCount))
 
+  /** Size-filtered incremental compaction (Iceberg's `rewrite_data_files`
+    * bin-pack strategy with a min-size filter; the reference README tracks
+    * rewrite_data_files as unsupported): rewrite ONLY files smaller than
+    * `smallerThanBytes`, and only where it pays — a partition holding at
+    * least `minInputFiles` of them, or any small file carrying MOR delete
+    * debt (rewriting bakes the deletes in). This is the maintenance loop a
+    * 100-TB table actually runs: full-table [[compact]] is not an
+    * operation at that scale, but the small tail of every ingest cycle is.
+    * One delete-applying read pass over the selected files (the fanout
+    * writer re-clusters them per partition), one [[replaceDataFiles]]
+    * commit — which carries untouched manifests forward, so metadata work
+    * is O(touched) too. Returns None when nothing qualifies.
+    */
+  def compactSmallFiles(spark: SparkSession, smallerThanBytes: Long,
+      minInputFiles: Int = 2): Option[Snapshot] = {
+    val scan = newScan()
+    val tasks = scan.planFiles()
+    val chosen = tasks
+      .filter(_.file.fileSizeInBytes < smallerThanBytes)
+      .groupBy(_.file.partition).valuesIterator
+      .filter(g => g.size >= minInputFiles ||
+        g.exists(t => t.deletes.nonEmpty || t.eqDeletes.nonEmpty || t.dvDeletes.nonEmpty))
+      .flatten.toSeq
+    if (chosen.isEmpty) return None
+    graft.GraftSession.ensurePrepared(spark)
+    val newFiles = DataWriter.write(scan.toDFFor(spark, chosen),
+      location, schema, spec, sortOrder, meta.properties,
+      avgRowBytesHint = avgRowBytes)
+    Some(replaceDataFiles(chosen.map(_.file.filePath).toSet, newFiles,
+      operation = "replace"))
+  }
+
   /** Shared full-rewrite skeleton for [[compact]] and [[rewriteZOrdered]]:
     * plan the live files, re-cluster their rows with `transform`, write,
     * swap atomically. The MOR rule lives HERE, once: a raw parquet read

@@ -83,6 +83,41 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cnt == li.where("l_shipdate >= TIMESTAMP '2001-01-01'").count())
   }
 
+  test("strict-metrics delete across partition evolution drops files of both specs") {
+    // the metadata-only delete path rewrites manifests PER ORIGIN SPEC; a
+    // table that evolved its partitioning has live manifests under several
+    // specs, and an aligned delete must drop fully-matched files from all
+    // of them without writing a single delete row
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SchemaConv.fromSpark(orders.schema)
+    val t = IceTable.create(catalog, "ord_specevo_del", schema,
+      PartitionSpec.of(0, ("o_orderstatus", IdentityTransform, "status"))(schema))
+    t.append(orders.where("o_orderkey % 2 = 0"))
+    t.updateSpec(("o_orderstatus", IdentityTransform, "status"),
+      ("o_orderkey", BucketTransform(4), "key_b"))
+    t.append(orders.where("o_orderkey % 2 = 1"))
+    t.refresh()
+    val del = t.deleteWhere(spark, P.equalTo("o_orderstatus", "F")).get
+    t.refresh()
+    val list = ManifestIO.readManifestList(del.manifestList)
+    assert(!list.exists(m => m.content == 1 && m.sequenceNumber == del.sequenceNumber),
+      "aligned delete across specs must stay metadata-only")
+    val droppedSpecs = list.filter(_.content == 0).flatMap(m =>
+      ManifestIO.readManifest(m.path, t.metadata.specs, t.schema)._2
+        .filter(e => e.status == ManifestEntryStatus.Deleted &&
+          e.snapshotId == del.snapshotId)
+        .map(_ => m.specId)).toSet
+    assert(droppedSpecs == Set(0, 1),
+      s"files of BOTH specs must drop, saw specs $droppedSpecs")
+    val want = orders.where("o_orderstatus != 'F'").count()
+    assert(t.scan(spark).count() == want)
+    assert(t.scan(spark, P.equalTo("o_orderstatus", "O")).count() ==
+      orders.where("o_orderstatus = 'O'").count())
+    // compaction over the evolved, metadata-deleted table preserves rows
+    t.compact(spark, 2)
+    assert(t.scan(spark).count() == want)
+  }
+
   test("moveBefore/moveAfter reorder columns; identifier fields are recorded") {
     val t = IceTable.create(catalog, "nation_move", SchemaConv.fromSpark(nation.schema))
     t.append(nation)

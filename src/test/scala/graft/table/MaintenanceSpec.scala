@@ -34,6 +34,57 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
 
+  test("compactSmallFiles rewrites only the small tail and absorbs its MOR debt") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SchemaConv.fromSpark(orders.schema)
+    val spec = PartitionSpec.of(0, ("o_orderstatus", IdentityTransform, "status"))(schema)
+    val t = IceTable.create(catalog, "small_compact", schema, spec)
+    // one BIG file per partition…
+    t.append(orders)
+    t.refresh()
+    val bigPaths = t.newScan().planFiles().map(_.file.filePath).toSet
+    val bigMin = t.newScan().planFiles().map(_.file.fileSizeInBytes).min
+    // …then an ingest tail of many small files per partition
+    t.updateProperties(set = Map("write.max-records-per-file" -> "40"))
+    val tail = orders.where("o_orderkey < 300")
+    t.append(tail)
+    t.refresh()
+    val smallBefore = t.newScan().planFiles()
+      .count(tsk => !bigPaths.contains(tsk.file.filePath))
+    assert(smallBefore >= 6, s"fixture needs a small tail, got $smallBefore")
+    // MOR debt: one deleted key — it exists once in the big append and
+    // once in the tail, so the positional delete kills BOTH copies
+    val delKey = tail.select("o_orderkey").limit(1).collect().head.getLong(0)
+    t.deleteWhere(spark, P.equalTo("o_orderkey", delKey))
+    t.refresh()
+    val expect = orders.count() + tail.count() - 2
+    assert(t.scan(spark).count() == expect)
+    // the ingest-time small-file cap must not re-shred the rewrite
+    t.updateProperties(remove = Seq("write.max-records-per-file"))
+    // threshold strictly below the big files: only the tail qualifies
+    val snap = t.compactSmallFiles(spark, smallerThanBytes = bigMin)
+    assert(snap.isDefined)
+    t.refresh()
+    val after = t.newScan().planFiles()
+    assert(bigPaths.subsetOf(after.map(_.file.filePath).toSet),
+      "big files must stay byte-identical, untouched")
+    val smallAfter = after.count(tsk => !bigPaths.contains(tsk.file.filePath))
+    assert(smallAfter < smallBefore,
+      s"tail must shrink: $smallBefore -> $smallAfter")
+    // rows unchanged; the deleted key stays deleted (debt baked in, not
+    // resurrected by the rewrite)
+    assert(t.scan(spark).count() == expect)
+    assert(t.scan(spark, P.equalTo("o_orderkey", delKey)).count() == 0)
+    // nothing left to do: a second pass with the same threshold may only
+    // fire for partitions still over the input minimum — and never loops
+    // on its own output when the rewrite produced one file per partition
+    val again = t.compactSmallFiles(spark, smallerThanBytes = bigMin)
+    again.foreach { _ =>
+      t.refresh()
+      assert(t.scan(spark).count() == expect)
+    }
+  }
+
   test("artifact GC: expired-snapshot artifacts deleted, live ones untouchable") {
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val t = IceTable.create(catalog, "li_artifact_gc",
