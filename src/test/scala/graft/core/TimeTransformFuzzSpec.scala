@@ -21,7 +21,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class TimeTransformFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
-  private val rnd = new scala.util.Random(271828)
+  // default seed 271828 keeps CI deterministic; GRAFT_FUZZ_SEED sweeps
+  // fresh input space (failures print the seed via the env, reproducible)
+  private val rnd = new scala.util.Random(
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(271828L))
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

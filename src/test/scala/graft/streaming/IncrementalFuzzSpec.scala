@@ -22,7 +22,10 @@ import graft.table.IceTable
 class IncrementalFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
-  private val rnd = new scala.util.Random(9090)
+  // default seed 9090 keeps CI deterministic; GRAFT_FUZZ_SEED sweeps
+  // fresh input space (failures print the seed via the env, reproducible)
+  private val rnd = new scala.util.Random(
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(9090L))
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

@@ -22,7 +22,10 @@ import graft.meta.FileCatalog
 class EvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
-  private val rnd = new scala.util.Random(60609)
+  // default seed 60609 keeps CI deterministic; GRAFT_FUZZ_SEED sweeps
+  // fresh input space (failures print the seed via the env, reproducible)
+  private val rnd = new scala.util.Random(
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(60609L))
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()

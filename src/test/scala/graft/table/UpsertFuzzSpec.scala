@@ -21,7 +21,10 @@ import graft.meta.FileCatalog
 class UpsertFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
-  private val rnd = new scala.util.Random(555)
+  // default seed 555 keeps CI deterministic; GRAFT_FUZZ_SEED sweeps
+  // fresh input space (failures print the seed via the env, reproducible)
+  private val rnd = new scala.util.Random(
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(555L))
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
