@@ -159,10 +159,10 @@ object StreamingOps {
 
   /** Sink-cost telemetry for the streaming scale probes: wall nanos the
     * foreachBatch sinks spend STAGING micro-batches (persist + count +
-    * coalesce sizing — executor compute) vs COMMITTING them (the Iceberg
-    * upsert: two write jobs, manifests, manifest list, metadata CAS).
-    * Attribution data, not control flow — reset by the probe, never read
-    * by queries.
+    * coalesce sizing — this materializes the stateful plan, so it carries
+    * most of the stream compute) vs COMMITTING them (the Iceberg upsert:
+    * one write job, manifests, manifest list, metadata CAS). Attribution
+    * data, not control flow — reset by the probe, never read by queries.
     */
   private[ops] val sinkStageNanos = new java.util.concurrent.atomic.AtomicLong
   private[ops] val sinkUpsertNanos = new java.util.concurrent.atomic.AtomicLong

@@ -679,10 +679,11 @@ final class IceTable private (
 
   // ------------------------------------------------- overwrite / compaction
   /** ReplaceDataFiles (reference `Transaction.ReplaceDataFiles`
-    * `transaction.go:408-497`): one rewrite manifest holds Deleted entries
-    * for the removed files, Existing entries (original sequence numbers) for
-    * survivors, and Added entries for the new files; parent manifests are
-    * not carried forward.
+    * `transaction.go:408-497`): each TOUCHED parent manifest is rewritten
+    * with Deleted entries for its removed files and Existing entries
+    * (original sequence numbers) for its survivors; untouched data
+    * manifests carry forward as the same file, and the new files commit as
+    * Added entries.
     */
   def replaceDataFiles(deletePaths: Set[String], added: Seq[DataFile],
       operation: String = "replace"): Snapshot =
