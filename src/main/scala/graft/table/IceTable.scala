@@ -1161,48 +1161,120 @@ final class IceTable private (
     * delete manifests).
     */
   private def commitDVFiles(files: Seq[DataFile], snapId: Long, seq: Long,
-      commitUuid: String, dropDeleteManifests: Boolean = false): Snapshot =
+      commitUuid: String, dropDeleteManifests: Boolean = false,
+      dropEqualityManifests: Boolean = false): Snapshot =
     synchronized {
     val schemaNow = schema
-    val entries = files.map(f =>
-      ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
-    val manifestPath = metaPath(s"$commitUuid-m0.avro")
-    val mf = ManifestIO.writeManifest(manifestPath, entries, PartitionSpec.GlobalDeletes,
-        schemaNow, formatVersion = meta.formatVersion, content = 1)
-      .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+    def newMf: ManifestFile = {
+      val entries = files.map(f =>
+        ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
+      ManifestIO.writeManifest(metaPath(s"$commitUuid-m0.avro"), entries,
+          PartitionSpec.GlobalDeletes, schemaNow,
+          formatVersion = meta.formatVersion, content = 1)
+        .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
+    }
     if (!dropDeleteManifests)
-      commitManifests(Seq(mf), snapId, seq, commitUuid, "delete")
+      commitManifests(Seq(newMf), snapId, seq, commitUuid, "delete")
     else {
       // rewrite: the new DV manifest replaces the POSITIONAL delete
       // manifests; equality-delete manifests are value-based and survive
+      // UNLESS this commit converted them to positions too
       val current = meta.currentSnapshot.getOrElse(
         throw new IllegalStateException("empty table"))
       val all = ManifestIO.readManifestList(current.manifestList)
       val kept = all.filter { m =>
-        m.content == 0 || ManifestIO.readManifest(m.path, meta.specs, schemaNow)._2
-          .exists(_.dataFile.content == 2)
+        m.content == 0 || (!dropEqualityManifests &&
+          ManifestIO.readManifest(m.path, meta.specs, schemaNow)._2
+            .exists(_.dataFile.content == 2))
       }
-      commitManifestList(kept :+ mf, snapId, seq, "replace")
+      // files can be empty when the converted equality deletes kill no
+      // current row — the commit still drops the spent debt
+      commitManifestList(kept ++ (if (files.isEmpty) Nil else Seq(newMf)),
+        snapId, seq, "replace")
     }
   }
 
-  /** Maintenance: collapse all accumulated position deletes (parquet files
-    * and deletion vectors) into ONE deletion vector per referenced data
-    * file — the v3 invariant — dropping the superseded delete manifests.
-    * Read-side planning then matches at most one DV per data file. (One DV
+  /** Maintenance: collapse ALL accumulated merge-on-read debt — positional
+    * parquet deletes, deletion vectors, AND equality deletes — into ONE
+    * deletion vector per referenced data file (the v3 invariant), dropping
+    * the superseded delete manifests. Read-side planning then matches at
+    * most one DV per data file, and long-running upsert/CDC streams stop
+    * paying one anti-join per accumulated equality-delete set on every
+    * scan (Iceberg's convert-equality-deletes maintenance; the equality
+    * kill set is resolved ONCE here, against only the affected files, with
+    * the same strictly-older sequence scoping as the read path). (One DV
     * per file, not one Puffin container: shards write executor-side, like
     * [[deleteWhereDV]].)
+    *
+    * Tables carrying a name mapping or registered id-less files keep their
+    * equality deletes as-is (conversion reads key columns by canonical
+    * name, which an aliased foreign file would null-fill) — positional
+    * debt still collapses.
     */
   def rewritePositionDeletes(spark: SparkSession): Option[Snapshot] = synchronized {
     val tasks = newScan().planFiles()
-    val positions = IceScan.deletePositionsDF(spark, tasks)
-      .getOrElse(return None)
+    val convertible = meta.properties.get(NameMapping.PropertyKey).isEmpty &&
+      !meta.properties.get(IceTable.HasIdLessFilesProp).contains("true")
+    val posOpt = IceScan.deletePositionsDF(spark, tasks)
+    val eqOpt = if (convertible) eqKilledPositions(spark, tasks) else None
+    val positions = (posOpt.toSeq ++ eqOpt.toSeq)
+      .reduceOption(_.unionByName(_)).getOrElse(return None)
     val snapId = meta.reserveSnapshotId()
     val seq = meta.lastSequenceNumber + 1
     val commitUuid = UUID.randomUUID().toString
     val files = writeDVShards(spark, positions, snapId, seq, commitUuid)
-    if (files.isEmpty) return None
-    Some(commitDVFiles(files, snapId, seq, commitUuid, dropDeleteManifests = true))
+    if (files.isEmpty && eqOpt.isEmpty) return None
+    Some(commitDVFiles(files, snapId, seq, commitUuid, dropDeleteManifests = true,
+      dropEqualityManifests = eqOpt.isDefined))
+  }
+
+  /** Positions of rows killed by the table's EQUALITY deletes — the
+    * conversion read for [[rewritePositionDeletes]]. Reads ONLY the
+    * affected data files, projected to each id-set's key columns, and
+    * semi-joins the delete rows under the exact read-path condition:
+    * null-safe key equality AND the delete's sequence strictly newer than
+    * the data file's. Rows already dead positionally may appear again —
+    * the DV bitmaps dedupe on insert.
+    */
+  private def eqKilledPositions(spark: SparkSession,
+      tasks: Seq[FileScanTask]): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val affected = tasks.filter(_.eqDeletes.nonEmpty)
+    if (affected.isEmpty) return None
+    val schemaNow = schema
+    graft.GraftSession.ensurePrepared(spark)
+    val parts = affected.flatMap(_.eqDeletes).distinctBy(_._1.filePath)
+      .groupBy(_._1.equalityIds).toSeq.sortBy(_._1.mkString(","))
+      .map { case (ids, delFiles) =>
+        val fields = ids.map(schemaNow.byId(_))
+        val names = fields.map(_.name)
+        val keySchema = StructType(fields.map(SchemaConv.toSparkField))
+        val dataTasks = affected.filter(_.eqDeletes.exists(_._1.equalityIds == ids))
+        val seqRows = new java.util.ArrayList[org.apache.spark.sql.Row](dataTasks.size)
+        dataTasks.foreach(t =>
+          seqRows.add(org.apache.spark.sql.Row(t.file.filePath, t.dataSeq)))
+        val seqMap = spark.createDataFrame(seqRows, StructType(Seq(
+          StructField("__sp", StringType, nullable = false),
+          StructField("__seq", LongType, nullable = false))))
+        val data = spark.read.schema(keySchema)
+          .parquet(dataTasks.map(_.file.filePath): _*)
+          .withColumn("file_path", IceScan.normalizedMetaPath)
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(broadcast(seqMap), col("file_path") === col("__sp"), "left")
+        val delRows = delFiles.map { case (f, dseq) =>
+          spark.read.schema(keySchema).parquet(f.filePath)
+            .withColumn("__dseq", lit(dseq))
+        }.reduce(_.unionByName(_))
+        val renamed = delRows.select(
+          names.map(n => col(n).as(s"__d_$n")) :+ col("__dseq"): _*)
+        val bytes = delFiles.map(_._1.fileSizeInBytes).sum
+        val side =
+          if (bytes <= IceScan.DeleteBroadcastMaxBytes) broadcast(renamed) else renamed
+        val cond = names.map(n => col(n) <=> col(s"__d_$n")).reduce(_ && _) &&
+          col("__dseq") > col("__seq")
+        data.join(side, cond, "left_semi").select("file_path", "pos")
+      }
+    Some(parts.reduce(_.unionByName(_)))
   }
 
   /** Equality-delete (merge-on-read): record the KEY VALUES of rows to

@@ -773,6 +773,53 @@ class IceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan(P.gt("loc.lat", 99.0)).planFiles().isEmpty)
   }
 
+  test("rewritePositionDeletes converts equality-delete debt into deletion vectors") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val t = IceTable.create(catalog, "eq_to_dv",
+      SchemaConv.fromSpark(orders.schema),
+      properties = Map("format-version" -> "3"))
+    t.append(orders)
+    // accumulate equality debt: an upsert re-writing some keys, plus a
+    // bare key-set delete — two eq-delete files at different sequences
+    val upd = orders.where("o_orderstatus = 'F'").limit(200)
+      .withColumn("o_totalprice", org.apache.spark.sql.functions.expr("o_totalprice * 2"))
+    t.upsert(spark, upd, Seq("o_orderkey"))
+    t.refresh()
+    val dropKeys = orders.where("o_orderstatus = 'P'")
+      .select("o_orderkey").limit(100)
+    t.equalityDelete(spark, dropKeys, Seq("o_orderkey"))
+    t.refresh()
+    assert(t.newScan().planFiles().exists(_.eqDeletes.nonEmpty),
+      "fixture must carry equality debt")
+    val before = t.scan(spark).orderBy("o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSeq
+    val snap = t.rewritePositionDeletes(spark)
+    assert(snap.isDefined)
+    t.refresh()
+    // all equality debt converted: scans identical, planning sees only DVs
+    val tasks = t.newScan().planFiles()
+    assert(tasks.forall(_.eqDeletes.isEmpty), "equality debt must be spent")
+    assert(tasks.forall(_.deletes.isEmpty), "parquet positional debt collapses too")
+    assert(tasks.exists(_.dvDeletes.nonEmpty), "the kill set must survive as DVs")
+    val after = t.scan(spark).orderBy("o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "conversion changed the visible rows")
+    // converted-but-empty debt still gets released: a delete of absent keys
+    val sOrders = spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(Long.box(-1L)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType))))
+    t.equalityDelete(spark, sOrders, Seq("o_orderkey"))
+    t.refresh()
+    assert(t.newScan().planFiles().exists(_.eqDeletes.nonEmpty))
+    val snap2 = t.rewritePositionDeletes(spark)
+    assert(snap2.isDefined, "spent debt must still be released")
+    t.refresh()
+    assert(t.newScan().planFiles().forall(_.eqDeletes.isEmpty))
+    assert(t.scan(spark).count() == before.size)
+  }
+
   test("strict-metrics delete: partition-aligned deleteWhere is metadata-only (zero data reads)") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val schema = SchemaConv.fromSpark(orders.schema)
