@@ -64,9 +64,28 @@ class UpsertFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       t.upsert(spark, rows.toDF("k", "v", "txt"), Seq("k"))
       keys.zip(rows).foreach { case (k, (_, v, txt)) => ref(k) = (v, txt) }
       checkAfter(s"upsert round $round")
+      if (round == 3) {
+        // convert the accumulated equality debt to deletion vectors
+        // mid-sequence: scans must be unchanged, and LATER upserts' new
+        // equality deletes must compose with the converted DVs
+        assert(t.refresh().newScan().planFiles().exists(_.eqDeletes.nonEmpty))
+        assert(t.rewritePositionDeletes(spark).isDefined)
+        t.refresh()
+        assert(t.newScan().planFiles().forall(_.eqDeletes.isEmpty),
+          "conversion must spend the equality debt")
+        checkAfter("mid-sequence eq->DV conversion")
+      }
       if (round == 6) {
         t.compact(spark, targetFileCount = 3)
         checkAfter("mid-sequence compaction")
+      }
+      if (round == 9) {
+        // a second conversion over MIXED debt (post-compaction upserts'
+        // fresh eq deletes + any DVs from round 3 surviving compaction)
+        t.refresh()
+        t.rewritePositionDeletes(spark)
+        t.refresh()
+        checkAfter("second eq->DV conversion")
       }
     }
     // maintenance must not disturb the converged state
