@@ -25,7 +25,8 @@ object IceQueries {
       liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable,
       liDv: IceTable, ordersUp: IceTable, restSupplier: IceTable,
       sqlCustomer: IceTable, v1Part: IceTable, ordersZ: IceTable,
-      glueRegion: IceTable, ordersExtPart: IceTable)
+      glueRegion: IceTable, ordersExtPart: IceTable,
+      custSmall: IceTable, partEqDv: IceTable, ordersSpecEvo: IceTable)
 
   // computeIfAbsent (NOT TrieMap.getOrElseUpdate, whose thunk can run in
   // two racing threads with the loser's fully-built temp warehouse leaked):
@@ -336,6 +337,77 @@ object IceQueries {
         t.refresh()
         t
       }
+      val fSmall = Future {
+        // the 100-TB maintenance loop: one bulk load plus a tail of small
+        // ingest files, MOR delete debt on top, then the SIZE-FILTERED
+        // incremental compaction — only the small tail rewrites (delete
+        // debt baked in), the bulk file must survive untouched, and the
+        // debt on it still applies at read time
+        val customer = spark.read.parquet(s"$dir/customer.parquet")
+        val t = IceTable.create(catalog, "customer_small",
+          SchemaConv.fromSpark(customer.schema))
+        t.append(customer.where("c_custkey % 10 <= 6").coalesce(1))
+        (7 to 9).foreach(i =>
+          t.append(customer.where(s"c_custkey % 10 = $i").coalesce(1)))
+        t.deleteWhere(spark, P.equalTo("c_mktsegment", "MACHINERY"))
+        t.refresh()
+        val before = t.newScan().planFiles().map(_.file)
+        val bulk = before.maxBy(_.fileSizeInBytes)
+        require(t.compactSmallFiles(spark,
+            smallerThanBytes = bulk.fileSizeInBytes).isDefined,
+          "small-file compaction found nothing to rewrite")
+        t.refresh()
+        val after = t.newScan().planFiles()
+        require(after.exists(_.file.filePath == bulk.filePath),
+          "bulk file did not survive small-file compaction")
+        t
+      }
+      val fEqDv = Future {
+        // merge-on-read debt of BOTH kinds — equality deletes (by key) and
+        // positional deletes — then the rewrite maintenance that converts
+        // the equality debt into deletion vectors and drops the spent
+        // manifests: subsequent planning must see one DV per file and no
+        // per-scan anti-joins, with the scan result unchanged
+        val part = spark.read.parquet(s"$dir/part.parquet")
+        val t = IceTable.create(catalog, "part_eqdv",
+          SchemaConv.fromSpark(part.schema))
+        t.append(part.coalesce(4))
+        t.refresh()
+        t.equalityDelete(spark,
+          part.where("p_size > 40").select("p_partkey"), Seq("p_partkey"))
+        t.refresh()
+        t.deleteWhere(spark, P.equalTo("p_brand", "Brand#13"))
+        t.refresh()
+        require(t.rewritePositionDeletes(spark).isDefined,
+          "delete rewrite committed nothing despite accumulated debt")
+        t.refresh()
+        val tasks = t.newScan().planFiles()
+        require(tasks.forall(tk => tk.eqDeletes.isEmpty && tk.deletes.isEmpty),
+          "equality/positional debt survived the DV conversion")
+        require(tasks.exists(_.dvDeletes.nonEmpty),
+          "conversion produced no deletion vectors")
+        t
+      }
+      val fSpecEvo = Future {
+        // partition EVOLUTION end-to-end: files written under spec 0
+        // (identity on status) and spec 1 (month(o_orderdate) +
+        // bucket(o_custkey)) coexist in one table — a filtered scan must
+        // plan manifests under BOTH specs, projecting the predicate
+        // through each spec's own transforms
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val oSchema = SchemaConv.fromSpark(orders.schema)
+        val spec0 = PartitionSpec.of(0,
+          ("o_orderstatus", IdentityTransform, "status"))(oSchema)
+        val t = IceTable.create(catalog, "orders_specevo", oSchema, spec0)
+        t.append(orders.where("o_orderkey % 2 = 0"))
+        t.refresh()
+        t.updateSpec(("o_orderdate", MonthTransform, "order_month"),
+          ("o_custkey", BucketTransform(4), "ck_bucket"))
+        t.refresh()
+        t.append(orders.where("o_orderkey % 2 = 1"))
+        t.refresh()
+        t
+      }
       val (li, snap1Id) = Await.result(fLi, Duration.Inf)
       Fixture(li, snap1Id,
         Await.result(fPart, Duration.Inf),
@@ -351,7 +423,10 @@ object IceQueries {
         Await.result(fV1, Duration.Inf),
         Await.result(fZ, Duration.Inf),
         Await.result(fGlue, Duration.Inf),
-        Await.result(fExtPart, Duration.Inf))
+        Await.result(fExtPart, Duration.Inf),
+        Await.result(fSmall, Duration.Inf),
+        Await.result(fEqDv, Duration.Inf),
+        Await.result(fSpecEvo, Duration.Inf))
     })
 
   private val curationTables = new ConcurrentHashMap[String, (IceTable, IceTable)]()
@@ -827,6 +902,45 @@ object IceQueries {
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_custkey BETWEEN 100 AND 400
           AND o_orderkey BETWEEN 2000 AND 8000""")),
+
+    // scan after size-filtered incremental compaction: the small ingest
+    // tail was rewritten with its positional-delete debt baked in, the
+    // bulk file survived untouched WITH its debt still matched at read
+    // time — any loss on either side changes rows
+    QueryDef(
+      "ice_compact_small_scan",
+      (s, dir) => fixture(s, dir).custSmall.scan(s,
+        selected = Some(Seq("c_custkey", "c_name", "c_acctbal"))),
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_mktsegment <> 'MACHINERY'""")),
+
+    // scan after the delete rewrite converted accumulated EQUALITY deletes
+    // into deletion vectors (and collapsed the positional debt into the
+    // same bitmaps): the fixture asserts planning sees only DVs, this
+    // oracle proves the conversion killed exactly the right rows
+    QueryDef(
+      "ice_eq_convert_scan",
+      (s, dir) => fixture(s, dir).partEqDv.scan(s,
+        selected = Some(Seq("p_partkey", "p_name", "p_brand", "p_size"))),
+      Some("""
+        SELECT p_partkey, p_name, p_brand, p_size FROM part
+        WHERE p_size <= 40 AND p_brand <> 'Brand#13'""")),
+
+    // cross-spec scan over the partition-evolved table: half the files are
+    // partitioned by identity(status), half by month(orderdate) +
+    // bucket(custkey) — the predicate must project through BOTH specs'
+    // transforms, and a projection error under either spec changes rows
+    QueryDef(
+      "ice_partition_evolution_scan",
+      (s, dir) => fixture(s, dir).ordersSpecEvo.scan(s,
+        P.equalTo("o_orderstatus", "O")
+          .and(P.gtEq("o_orderdate", "1997-01-01")),
+        Some(Seq("o_orderkey", "o_orderstatus", "o_orderdate"))),
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'""")),
 
     QueryDef(
       "ice_upsert_scan",

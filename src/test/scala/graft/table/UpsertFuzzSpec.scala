@@ -87,6 +87,16 @@ class UpsertFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         t.refresh()
         checkAfter("second eq->DV conversion")
       }
+      if (round == 10) {
+        // SIZE-FILTERED incremental compaction mid-sequence: the tiny
+        // rolling limit makes every file qualify, so the new-path rewrite
+        // must bake all accumulated MOR debt in — and round 11's upsert
+        // must compose its fresh equality deletes on top
+        assert(t.refresh().compactSmallFiles(spark,
+          smallerThanBytes = Long.MaxValue).isDefined)
+        t.refresh()
+        checkAfter("mid-sequence small-file compaction")
+      }
     }
     // maintenance must not disturb the converged state
     t.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 2)
