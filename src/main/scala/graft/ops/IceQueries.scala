@@ -26,7 +26,8 @@ object IceQueries {
       liDv: IceTable, ordersUp: IceTable, restSupplier: IceTable,
       sqlCustomer: IceTable, v1Part: IceTable, ordersZ: IceTable,
       glueRegion: IceTable, ordersExtPart: IceTable,
-      custSmall: IceTable, partEqDv: IceTable, ordersSpecEvo: IceTable)
+      custSmall: IceTable, partEqDv: IceTable, ordersSpecEvo: IceTable,
+      supplierMerge: IceTable, nationExpire: IceTable)
 
   // computeIfAbsent (NOT TrieMap.getOrElseUpdate, whose thunk can run in
   // two racing threads with the loser's fully-built temp warehouse leaked):
@@ -408,6 +409,46 @@ object IceQueries {
         t.refresh()
         t
       }
+      val fMerge = Future {
+        // MERGE-append end-to-end: four appends under min-count-to-merge=2
+        // force the bin-packing branch to rewrite existing manifests on
+        // commit — a packing bug (lost or duplicated entries) changes
+        // rows, not just plans
+        val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+        val t = IceTable.create(catalog, "supplier_merge",
+          SchemaConv.fromSpark(supplier.schema),
+          properties = Map(
+            "commit.manifest-merge.enabled" -> "true",
+            "commit.manifest.min-count-to-merge" -> "2"))
+        (0 to 3).foreach { i =>
+          t.append(supplier.where(s"s_suppkey % 4 = $i"))
+          t.refresh()
+        }
+        t
+      }
+      val fExpire = Future {
+        // the full maintenance lifecycle against live data: three appends,
+        // a compaction (superseding the originals), snapshot expiry to the
+        // latest, then orphan cleanup reclaiming the expired snapshots'
+        // files — the scan afterwards must still be exact, i.e. cleanup
+        // never reaped a live file
+        val nation = spark.read.parquet(s"$dir/nation.parquet")
+        val t = IceTable.create(catalog, "nation_expire",
+          SchemaConv.fromSpark(nation.schema))
+        (0 to 2).foreach { i =>
+          t.append(nation.where(s"n_nationkey % 3 = $i"))
+          t.refresh()
+        }
+        t.compact(spark, targetFileCount = 1)
+        t.refresh()
+        t.expireSnapshots(System.currentTimeMillis() + 3600000L, retainLast = 1)
+        t.refresh()
+        val reclaimed = t.deleteOrphanFiles(System.currentTimeMillis() + 3600000L)
+        require(reclaimed.nonEmpty,
+          "expiry + orphan cleanup reclaimed nothing despite the compaction")
+        t.refresh()
+        t
+      }
       val (li, snap1Id) = Await.result(fLi, Duration.Inf)
       Fixture(li, snap1Id,
         Await.result(fPart, Duration.Inf),
@@ -426,7 +467,9 @@ object IceQueries {
         Await.result(fExtPart, Duration.Inf),
         Await.result(fSmall, Duration.Inf),
         Await.result(fEqDv, Duration.Inf),
-        Await.result(fSpecEvo, Duration.Inf))
+        Await.result(fSpecEvo, Duration.Inf),
+        Await.result(fMerge, Duration.Inf),
+        Await.result(fExpire, Duration.Inf))
     })
 
   private val curationTables = new ConcurrentHashMap[String, (IceTable, IceTable)]()
@@ -941,6 +984,28 @@ object IceQueries {
         SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders
         WHERE o_orderstatus = 'O'
           AND o_orderdate >= TIMESTAMP '1997-01-01'""")),
+
+    // scan of the merge-append table: every row arrived through the
+    // manifest bin-packing branch (existing manifests rewritten on
+    // commit), so entry loss or duplication in the packer changes rows
+    QueryDef(
+      "ice_merge_append_scan",
+      (s, dir) => fixture(s, dir).supplierMerge.scan(s,
+        P.gtEq("s_acctbal", 0.0),
+        Some(Seq("s_suppkey", "s_name", "s_acctbal"))),
+      Some("""
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        WHERE s_acctbal >= 0""")),
+
+    // scan after the full maintenance lifecycle (compact -> expire ->
+    // orphan cleanup, with the fixture asserting cleanup reclaimed the
+    // superseded files): matching the whole-table oracle proves the
+    // reclaim never touched a live file
+    QueryDef(
+      "ice_expire_scan",
+      (s, dir) => fixture(s, dir).nationExpire.scan(s,
+        selected = Some(Seq("n_nationkey", "n_name", "n_regionkey"))),
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
 
     QueryDef(
       "ice_upsert_scan",
