@@ -289,6 +289,30 @@ class PruningFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     fuzz(t, 60)
   }
 
+  test("partition evolution: specs change mid-history, 60 random predicates match exactly") {
+    // three spec epochs in one table — unpartitioned, bucket(i,4), then
+    // truncate(s,2)+month(dt) — so every fuzzed predicate plans manifests
+    // under THREE different specs at once: each epoch's files must prune
+    // through its own spec's projection and no other's
+    val df = fixture
+    val schema = SchemaConv.fromSpark(df.schema)
+    val t = IceTable.create(catalog, "fuzz_specevo", schema)
+    t.updateProperties(set = Map("write.max-records-per-file" -> "16"))
+    t.append(df.where("k % 3 = 0"))
+    t.refresh()
+    t.updateSpec(("i", BucketTransform(4), "i_bucket"))
+    t.refresh()
+    t.append(df.where("k % 3 = 1"))
+    t.refresh()
+    t.updateSpec(("s", TruncateTransform(2), "s_trunc"),
+      ("dt", MonthTransform, "dt_month"))
+    t.refresh()
+    t.append(df.where("k % 3 = 2"))
+    t.refresh()
+    assert(t.metadata.specs.size == 3)
+    fuzz(t, 60)
+  }
+
   test("partitioned bucket(i,4) + truncate(s,2): 80 random predicates match exactly") {
     val df = fixture
     val schema = SchemaConv.fromSpark(df.schema)
