@@ -29,7 +29,8 @@ object Bench {
           .map(p => p.group(1) -> p.group(2).toDouble).toMap
       case None =>
         val skip = Set("value", "plan_sec", "ranged_checks", "n_data",
-          "n_deletes", "n", "rc", "cpus", "sf", "now", "prev")
+          "n_deletes", "n", "rc", "cpus", "sf", "now", "prev",
+          "cpu_ms", "spark_ms")
         pair.findAllMatchIn(artifactText)
           .map(p => p.group(1) -> p.group(2).toDouble)
           .filterNot(kv => skip(kv._1)).toMap
@@ -170,6 +171,24 @@ object Bench {
       else
         s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
     }
+    // fixed-work ambient calibration (r18 verdict item 4): a constant CPU
+    // loop + one tiny fixed Spark job, min-of-3, measured INSIDE this
+    // session after the queries — the ratio of two rounds' calibrations
+    // estimates the ambient multiplier between their windows, so the
+    // common-subset trend can be normalized instead of argued from
+    // builder-side re-runs the artifact can't show
+    val calResult =
+      try Some(graft.tools.Calibration.run(spark)) catch { case _: Throwable => None }
+    val calJson = calResult.map { c =>
+      val cr = c.cpuRuns.map(f2).mkString("[", ",", "]")
+      val sr = c.sparkRuns.map(f2).mkString("[", ",", "]")
+      s""","calibration":{"cpu_ms":${f2(c.cpuMs)},"cpu_runs":$cr,""" +
+        s""""spark_ms":${f2(c.sparkMs)},"spark_runs":$sr}"""
+    }.getOrElse("")
+    // stdout variant keeps just the two mins (budget: the tail clips from
+    // the front, cheapest queries first — see the clip-resilience note)
+    val calShort = calResult.map(c =>
+      s""","cal":{"cpu_ms":${f1(c.cpuMs)},"spark_ms":${f1(c.sparkMs)}}""").getOrElse("")
     // metadata-planning stress: the adversarial 1e5×1e4 planFiles numbers
     // as round-over-round metrics (regressions show as numbers here, not
     // only as the spec's pass/fail). The stdout variant keeps only the two
@@ -227,7 +246,7 @@ object Bench {
       line(f2, timings, valueLast = false).dropRight(1) +
         s""","policy":"min2_over_1s","value_first":${f2(firstRunTotal)}""" +
         s""","failed":$failedJson$commonPrev""" +
-        s""","repeats":$repeatJson$planningJson}""" + "\n")
+        s""","repeats":$repeatJson$calJson$planningJson}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     // failed list + common-subset trend ride the stdout line too (before the
@@ -236,6 +255,6 @@ object Bench {
     // AFTER the JSON, clipping the driver's stdout-tail capture — Verify is
     // the hard gate.
     println(line(f1, timings.sortBy(_._2), valueLast = true,
-      extra = s""","failed":$failedJson$commonPrev""" + planningShort))
+      extra = s""","failed":$failedJson$commonPrev""" + calShort + planningShort))
   }
 }
