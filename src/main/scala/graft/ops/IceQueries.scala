@@ -20,14 +20,20 @@ import graft.table._
   */
 object IceQueries {
 
+  /** The maintenance-path tables, grouped into a nested case class so the
+    * outer Fixture stays clear of Scala's 22-field case-class ceiling.
+    */
+  private case class MaintFixture(custSmall: IceTable, partEqDv: IceTable,
+      ordersSpecEvo: IceTable, supplierMerge: IceTable, nationExpire: IceTable,
+      supplierMapped: IceTable, docsLineage: IceTable)
+
   private case class Fixture(li: IceTable, firstSnapshotId: Long,
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
       liCompact: IceTable, ordersExt: IceTable, ordersEq: IceTable,
       liDv: IceTable, ordersUp: IceTable, restSupplier: IceTable,
       sqlCustomer: IceTable, v1Part: IceTable, ordersZ: IceTable,
       glueRegion: IceTable, ordersExtPart: IceTable,
-      custSmall: IceTable, partEqDv: IceTable, ordersSpecEvo: IceTable,
-      supplierMerge: IceTable, nationExpire: IceTable)
+      maint: MaintFixture)
 
   // computeIfAbsent (NOT TrieMap.getOrElseUpdate, whose thunk can run in
   // two racing threads with the loser's fully-built temp warehouse leaked):
@@ -426,6 +432,66 @@ object IceQueries {
         }
         t
       }
+      val fMapped = Future {
+        // eq→DV conversion on a NAME-MAPPED table (r18 verdict item 3):
+        // supplier re-written with foreign column names and no parquet
+        // field ids, registered by reference through the mapping, then
+        // UPSERTED by key — leaving equality debt over a MIX of id-less
+        // foreign files and our own id-ful upsert files — and converted.
+        // The conversion's key-column read resolves per-file through the
+        // same alias rules the scan uses; pre-r19 these tables kept their
+        // equality debt forever.
+        val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+        val canonical = SchemaConv.fromSpark(supplier.schema)
+        val foreignDir = Files.createTempDirectory("graft-mapped-eqdv").toString
+        supplier.select(supplier.columns.map(c => col(c).as(s"x_$c")).toSeq: _*)
+          .coalesce(2).write.mode("overwrite").parquet(foreignDir)
+        val t = IceTable.create(catalog, "supplier_mapped", canonical)
+        val mapping = canonical.fields.map(f =>
+          MappedField(Some(f.id), Seq(s"x_${f.name}")))
+        t.updateProperties(set =
+          Map(NameMapping.PropertyKey -> NameMapping.toJson(mapping)))
+        t.addFiles(DataWriter.listParquet(foreignDir).map(_._1))
+        t.refresh()
+        // key-modulo predicate: non-empty at EVERY test SF (an s_acctbal
+        // filter matched zero rows at sf0.001, voiding the debt the
+        // fixture requires)
+        t.upsert(spark,
+          supplier.where("s_suppkey % 3 = 0")
+            .withColumn("s_name", lit("updated")),
+          Seq("s_suppkey"))
+        t.refresh()
+        require(t.rewritePositionDeletes(spark).isDefined,
+          "mapped-table delete rewrite committed nothing despite eq debt")
+        t.refresh()
+        val tasks = t.newScan().planFiles()
+        require(tasks.forall(_.eqDeletes.isEmpty),
+          "equality debt survived the DV conversion on a name-mapped table")
+        require(tasks.exists(_.dvDeletes.nonEmpty),
+          "mapped-table conversion produced no deletion vectors")
+        t
+      }
+      val fLineage = Future {
+        // v3 ROW LINEAGE end-to-end: two deterministic single-task appends
+        // (doc_id-sorted halves) assign dense _row_id ranges, then a full
+        // compaction rewrites every row — the scan's _row_id must still be
+        // the ORIGINAL assignment, carried by the materialized lineage
+        // column the rewrite wrote (Iceberg v3 §row-lineage; reference
+        // Snapshot.FirstRowID `table/snapshots.go:249-258`)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val t = IceTable.create(catalog, "documents_lineage",
+          SchemaConv.fromSpark(docs.schema),
+          properties = Map("format-version" -> "3"))
+        t.append(docs.where("doc_id % 2 = 0")
+          .repartition(1).sortWithinPartitions("doc_id"))
+        t.refresh()
+        t.append(docs.where("doc_id % 2 = 1")
+          .repartition(1).sortWithinPartitions("doc_id"))
+        t.refresh()
+        t.compact(spark, targetFileCount = 1)
+        t.refresh()
+        t
+      }
       val fExpire = Future {
         // the full maintenance lifecycle against live data: three appends,
         // a compaction (superseding the originals), snapshot expiry to the
@@ -465,11 +531,14 @@ object IceQueries {
         Await.result(fZ, Duration.Inf),
         Await.result(fGlue, Duration.Inf),
         Await.result(fExtPart, Duration.Inf),
-        Await.result(fSmall, Duration.Inf),
-        Await.result(fEqDv, Duration.Inf),
-        Await.result(fSpecEvo, Duration.Inf),
-        Await.result(fMerge, Duration.Inf),
-        Await.result(fExpire, Duration.Inf))
+        MaintFixture(
+          Await.result(fSmall, Duration.Inf),
+          Await.result(fEqDv, Duration.Inf),
+          Await.result(fSpecEvo, Duration.Inf),
+          Await.result(fMerge, Duration.Inf),
+          Await.result(fExpire, Duration.Inf),
+          Await.result(fMapped, Duration.Inf),
+          Await.result(fLineage, Duration.Inf)))
     })
 
   private val curationTables = new ConcurrentHashMap[String, (IceTable, IceTable)]()
@@ -952,7 +1021,7 @@ object IceQueries {
     // time — any loss on either side changes rows
     QueryDef(
       "ice_compact_small_scan",
-      (s, dir) => fixture(s, dir).custSmall.scan(s,
+      (s, dir) => fixture(s, dir).maint.custSmall.scan(s,
         selected = Some(Seq("c_custkey", "c_name", "c_acctbal"))),
       Some("""
         SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -964,11 +1033,46 @@ object IceQueries {
     // oracle proves the conversion killed exactly the right rows
     QueryDef(
       "ice_eq_convert_scan",
-      (s, dir) => fixture(s, dir).partEqDv.scan(s,
+      (s, dir) => fixture(s, dir).maint.partEqDv.scan(s,
         selected = Some(Seq("p_partkey", "p_name", "p_brand", "p_size"))),
       Some("""
         SELECT p_partkey, p_name, p_brand, p_size FROM part
         WHERE p_size <= 40 AND p_brand <> 'Brand#13'""")),
+
+    // eq→DV conversion on a NAME-MAPPED table: foreign id-less files
+    // (aliased column names) mixed with our id-ful upsert files, upserted
+    // by key, then converted — the fixture asserts planning is DV-only
+    // afterwards; this oracle proves the conversion's alias-resolved key
+    // read killed exactly the upserted keys' old versions
+    QueryDef(
+      "ice_eq_convert_mapped_scan",
+      (s, dir) => fixture(s, dir).maint.supplierMapped.scan(s,
+        selected = Some(Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))),
+      Some("""
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 3 = 0 THEN 'updated' ELSE s_name END
+                 AS s_name,
+               s_nationkey, s_acctbal
+        FROM supplier""")),
+
+    // v3 row lineage through a full rewrite: _row_id was assigned by two
+    // deterministic sorted appends (evens then odds), then compaction moved
+    // every row to a new file+position — the scan must return the ORIGINAL
+    // ids via the materialized lineage column, which the oracle restates
+    // as rank-within-half (evens [0, nEven), odds [nEven, total))
+    QueryDef(
+      "ice_row_lineage_scan",
+      (s, dir) => fixture(s, dir).maint.docsLineage
+        .newScan(withRowId = true).toDF(s)
+        .select(col("doc_id"), col("_row_id")),
+      Some("""
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1
+          AS BIGINT) AS _row_id
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+          + row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS _row_id
+        FROM documents WHERE doc_id % 2 = 1""")),
 
     // cross-spec scan over the partition-evolved table: half the files are
     // partitioned by identity(status), half by month(orderdate) +
@@ -976,7 +1080,7 @@ object IceQueries {
     // transforms, and a projection error under either spec changes rows
     QueryDef(
       "ice_partition_evolution_scan",
-      (s, dir) => fixture(s, dir).ordersSpecEvo.scan(s,
+      (s, dir) => fixture(s, dir).maint.ordersSpecEvo.scan(s,
         P.equalTo("o_orderstatus", "O")
           .and(P.gtEq("o_orderdate", "1997-01-01")),
         Some(Seq("o_orderkey", "o_orderstatus", "o_orderdate"))),
@@ -990,7 +1094,7 @@ object IceQueries {
     // commit), so entry loss or duplication in the packer changes rows
     QueryDef(
       "ice_merge_append_scan",
-      (s, dir) => fixture(s, dir).supplierMerge.scan(s,
+      (s, dir) => fixture(s, dir).maint.supplierMerge.scan(s,
         P.gtEq("s_acctbal", 0.0),
         Some(Seq("s_suppkey", "s_name", "s_acctbal"))),
       Some("""
@@ -1003,7 +1107,7 @@ object IceQueries {
     // reclaim never touched a live file
     QueryDef(
       "ice_expire_scan",
-      (s, dir) => fixture(s, dir).nationExpire.scan(s,
+      (s, dir) => fixture(s, dir).maint.nationExpire.scan(s,
         selected = Some(Seq("n_nationkey", "n_name", "n_regionkey"))),
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
 

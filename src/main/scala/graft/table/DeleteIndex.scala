@@ -23,16 +23,27 @@ import graft.meta.{DataFile, ManifestEntry}
   *     (the applicable set depends only on the data sequence number, so
   *     N data files share at most M distinct suffixes).
   *
+  * Equality deletes come in two scopes (Iceberg spec §scan-planning): a
+  * delete written under an UNPARTITIONED spec (incl. the synthetic
+  * global-deletes spec) applies to every strictly-older data file; a
+  * delete written under a PARTITIONED spec applies only to data files of
+  * the SAME spec and the SAME partition tuple. Scoped entries index by
+  * (specId, tuple) so a partitioned upsert sink's accumulated delete
+  * files stop anti-joining against every partition's scans — only the
+  * key's own partition pays (r18 verdict item 2).
+  *
   * Driver-side, metadata-sized: entries live in memory already; the index
   * is one sort + one groupBy over the delete entries. Queries are safe to
-  * issue from parallel planning loops: the equality-suffix memo is a
-  * concurrent map over structurally-shared list tails and the range-check
-  * counter is atomic.
+  * issue from parallel planning loops: the equality-suffix memos are
+  * concurrent maps over structurally-shared list tails and the
+  * range-check counter is atomic.
   */
-private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
+private[table] final class DeleteIndex(keyedEntries: Seq[DeleteIndex.Keyed]) {
   import DeleteIndex._
 
-  private val (eqRaw, allPos) = deleteEntries.partition(_.dataFile.content == 2)
+  private val (eqRawKeyed, allPosKeyed) =
+    keyedEntries.partition(_.entry.dataFile.content == 2)
+  private val allPos = allPosKeyed.map(_.entry)
   private val (dvRaw, posRaw) = allPos.partition(_.dataFile.isDeletionVector)
 
   private def seqOf(e: ManifestEntry): Long = e.sequenceNumber.getOrElse(0L)
@@ -66,7 +77,13 @@ private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
   private val EmptyPos = Array.empty[PosEntry]
   private val EmptyEntries = Array.empty[ManifestEntry]
 
-  private val eqBySeq: Array[ManifestEntry] = eqRaw.toArray.sortBy(seqOf)
+  // global = written under an unpartitioned spec (or carrying no tuple —
+  // a scoped entry without its tuple can only be matched conservatively);
+  // scoped = partitioned spec AND a tuple, indexed by (specId, tuple)
+  private val (eqScopedKeyed, eqGlobalKeyed) = eqRawKeyed.partition(k =>
+    k.partitionedSpec && k.entry.dataFile.partition.nonEmpty)
+  private val eqBySeq: Array[ManifestEntry] =
+    eqGlobalKeyed.map(_.entry).toArray.sortBy(seqOf)
   // one cons-list, built once: every memoized suffix is a TAIL of this list,
   // so the memo holds O(distinct start indexes) pointers, not copies
   private val eqPairsList: List[(DataFile, Long)] =
@@ -74,12 +91,21 @@ private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
   private val eqSuffixes =
     new java.util.concurrent.ConcurrentHashMap[Int, List[(DataFile, Long)]]()
 
+  private val eqScoped: Map[(Int, Seq[Any]), ScopedGroup] =
+    eqScopedKeyed.groupBy(k => (k.specId, tupleKey(k.entry.dataFile.partition)))
+      .view.mapValues { ks =>
+        val sorted = ks.map(_.entry).toArray.sortBy(seqOf)
+        ScopedGroup(sorted.map(seqOf),
+          sorted.iterator.map(d => (d.dataFile, seqOf(d))).toList,
+          new java.util.concurrent.ConcurrentHashMap())
+      }.toMap
+
   /** Bounds evaluations against range-scoped delete files — test hook
     * asserting the index short-circuits (file-scoped deletes never scan).
     */
   val rangedBoundsChecks = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def isEmpty: Boolean = deleteEntries.isEmpty
+  def isEmpty: Boolean = keyedEntries.isEmpty
 
   /** First index in `seqs` with value >= (or > when `strict`) `target`. */
   private def lowerBound(seqs: Array[Long], target: Long, strict: Boolean): Int = {
@@ -132,14 +158,33 @@ private[table] final class DeleteIndex(deleteEntries: Seq[ManifestEntry]) {
 
   /** Equality deletes applying at data sequence `dseq` — STRICTLY newer
     * only (Iceberg spec: rows (re)written in the same or a later commit
-    * must not be re-deleted). Memoized per distinct start index; each memo
-    * entry is a shared tail of [[eqPairsList]] (O(1) extra memory), so the
-    * cache is O(M + distinct data sequences) however many files plan.
+    * must not be re-deleted). Global scope: every data file. Memoized per
+    * distinct start index; each memo entry is a shared tail of
+    * [[eqPairsList]] (O(1) extra memory), so the cache is O(M + distinct
+    * data sequences) however many files plan.
     */
   def eqDeletesFor(dseq: Long): Seq[(DataFile, Long)] = {
     if (eqBySeq.isEmpty) return Nil
     val from = lowerBound(eqSeqs, dseq, strict = true)
     eqSuffixes.computeIfAbsent(from, f => eqPairsList.drop(f))
+  }
+
+  /** Equality deletes applying to a data file at sequence `dseq` written
+    * under spec `specId` with partition tuple `partition`: the global set
+    * plus the scoped set of exactly (specId, tuple) — a scoped delete in
+    * any other partition never reaches this file's anti-join.
+    */
+  def eqDeletesFor(dseq: Long, specId: Int,
+      partition: Seq[Any]): Seq[(DataFile, Long)] = {
+    val global = eqDeletesFor(dseq)
+    if (eqScoped.isEmpty) return global
+    eqScoped.get((specId, tupleKey(partition))) match {
+      case None => global
+      case Some(g) =>
+        val from = lowerBound(g.seqs, dseq, strict = true)
+        val scoped = g.suffixes.computeIfAbsent(from, f => g.pairsList.drop(f))
+        if (global.isEmpty) scoped else global ++ scoped
+    }
   }
 }
 
@@ -148,4 +193,26 @@ private[table] object DeleteIndex {
     * files (Iceberg spec §position-delete-files).
     */
   val PathFieldId = 2147483546
+
+  /** A delete manifest entry plus the facts partition-scope matching needs
+    * from its owning manifest: the spec id and whether that spec is
+    * partitioned (GlobalDeletes and unpartitioned specs are not).
+    */
+  final case class Keyed(entry: ManifestEntry, specId: Int, partitionedSpec: Boolean)
+
+  /** Value-equality key over a partition tuple: byte arrays compare by
+    * reference in JVM equality, so they canonicalize to Seq[Byte].
+    */
+  def tupleKey(p: Seq[Any]): Seq[Any] =
+    p.map { case b: Array[Byte] => b.toSeq; case x => x }
+
+  /** Index over entries with no partition scoping (every equality delete
+    * global) — the pre-scoping shape, kept for specs and probes.
+    */
+  def unscoped(entries: Seq[ManifestEntry]): DeleteIndex =
+    new DeleteIndex(entries.map(Keyed(_, 0, partitionedSpec = false)))
+
+  private[table] final case class ScopedGroup(seqs: Array[Long],
+      pairsList: List[(DataFile, Long)],
+      suffixes: java.util.concurrent.ConcurrentHashMap[Int, List[(DataFile, Long)]])
 }

@@ -29,7 +29,10 @@ final case class FileScanTask(
     deletes: Seq[DataFile], // positional parquet (content=1)
     eqDeletes: Seq[(DataFile, Long)] = Nil, // equality (content=2) with their data sequence
     dataSeq: Long = 0L,
-    dvDeletes: Seq[DataFile] = Nil) // v3 deletion vectors referencing this file
+    dvDeletes: Seq[DataFile] = Nil, // v3 deletion vectors referencing this file
+    // v3 row lineage: the _row_id of the file's first row (explicit from
+    // the manifest entry, or inherited from the manifest's first_row_id)
+    firstRowId: Option[Long] = None)
 
 /** Distributed snapshot descriptor (reference
   * `table/distributed_snapshot.go:31-76`): the coordinator reserves the
@@ -139,7 +142,8 @@ final class IceTable private (
       ref: Option[String] = None,
       limit: Option[Int] = None,
       caseSensitive: Boolean = true,
-      maxConcurrency: Option[Int] = None): IceScan = {
+      maxConcurrency: Option[Int] = None,
+      withRowId: Boolean = false): IceScan = {
     val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined || ref.isDefined
     val snap = snapshotId.map(id => meta.snapshotById(id).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $id")))
@@ -149,7 +153,7 @@ final class IceTable private (
         throw new IllegalArgumentException(s"no snapshot as of $ts"))))
       .orElse(meta.currentSnapshot)
     new IceScan(this, snap, filter, selected, limit, caseSensitive, timeTravel,
-      maxConcurrency)
+      maxConcurrency, withRowId)
   }
 
   // ------------------------------------------------------------------- refs
@@ -203,7 +207,8 @@ final class IceTable private (
         val parentManifests =
           parent.map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
         val listPath = metaPath(s"snap-$snapId-1-$commitUuid.avro")
-        ManifestIO.writeManifestList(listPath, mf +: parentManifests, meta.formatVersion)
+        ManifestIO.writeManifestList(listPath, assignRowLineage(mf +: parentManifests),
+          meta.formatVersion)
         val now = System.currentTimeMillis()
         val collector = summarizeCommit(Seq(mf))
         val addedRecords = collector.addedDataRecords
@@ -596,13 +601,22 @@ final class IceTable private (
       else {
         val mSpec = meta.specs.find(_.specId == specId).getOrElse(PartitionSpec.Unpartitioned)
         val entries = bin.flatMap { m =>
-          ManifestIO.readManifest(m.path, meta.specs, schema)._2.flatMap { e =>
-            val seqd = e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber)))
-            if (e.status == ManifestEntryStatus.Deleted)
-              // only THIS snapshot's deletes ride along; older tombstones drop
-              if (e.snapshotId == snapId) Some(seqd) else None
-            else if (e.status == ManifestEntryStatus.Added && e.snapshotId == snapId) Some(seqd)
-            else Some(seqd.copy(status = ManifestEntryStatus.Existing))
+          // v3 lineage: entries rewritten into the merged manifest carry
+          // their inherited first_row_ids along (this commit's own Added
+          // entries stay null — they inherit from the MERGED manifest's
+          // list-side assignment)
+          IceTable.lineageOf(m,
+              ManifestIO.readManifest(m.path, meta.specs, schema)._2).flatMap {
+            case (e0, rid) =>
+              val e = if (rid.isDefined && e0.dataFile.firstRowId.isEmpty &&
+                  !(e0.status == ManifestEntryStatus.Added && e0.snapshotId == snapId))
+                e0.copy(dataFile = e0.dataFile.copy(firstRowId = rid)) else e0
+              val seqd = e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber)))
+              if (e.status == ManifestEntryStatus.Deleted)
+                // only THIS snapshot's deletes ride along; older tombstones drop
+                if (e.snapshotId == snapId) Some(seqd) else None
+              else if (e.status == ManifestEntryStatus.Added && e.snapshotId == snapId) Some(seqd)
+              else Some(seqd.copy(status = ManifestEntryStatus.Existing))
           }
         }
         binIdx += 1
@@ -634,6 +648,29 @@ final class IceTable private (
     mergedData ++ deleteManifests
   }
 
+  /** v3 row lineage, list-side assignment (Iceberg v3 spec §row-lineage;
+    * reference `Snapshot.FirstRowID` `table/snapshots.go:249-258`): every
+    * data manifest WITHOUT a first_row_id gets one when the manifest list
+    * is written, in list order, each advancing the counter by its
+    * added-rows count — exactly the rows whose file-level lineage is null
+    * and will inherit (carried-forward manifests keep their original
+    * assignment; rewritten manifests materialize file-level ids first, so
+    * their own assignment covers only this commit's Added entries).
+    * No-op below v3.
+    */
+  private def assignRowLineage(manifests: Seq[ManifestFile]): Seq[ManifestFile] = {
+    if (meta.formatVersion < 3) return manifests
+    var next = meta.nextRowId.getOrElse(0L)
+    manifests.map { m =>
+      if (m.content != 0 || m.firstRowId.isDefined) m
+      else {
+        val assigned = m.copy(firstRowId = Some(next))
+        next += m.addedRowsCount
+        assigned
+      }
+    }
+  }
+
   /** Shared commit tail: assemble manifest list (new + parent's), snapshot,
     * metadata, CAS (reference `snapshot_producers.go:420-718`).
     */
@@ -649,7 +686,8 @@ final class IceTable private (
     // which a merge rewrites into mixed Existing manifests
     val collector = summarizeCommit(newManifests)
     val assembled = newManifests ++ parentManifests
-    val finalManifests = mergeManifestsIfEnabled(assembled, snapId, seq, commitUuid)
+    val finalManifests = assignRowLineage(
+      mergeManifestsIfEnabled(assembled, snapId, seq, commitUuid))
     val listPath = metaPath(s"snap-$snapId-$attempt-$commitUuid.avro")
     ManifestIO.writeManifestList(listPath, finalManifests, meta.formatVersion)
     val now = System.currentTimeMillis()
@@ -719,10 +757,16 @@ final class IceTable private (
     val survivorManifests = ManifestIO.readManifestList(current.manifestList)
       .filter(_.content == 0)
       .flatMap { m =>
-        val live = ManifestIO.readManifest(m.path, meta.specs, schema)._2
-          .filter(_.status != ManifestEntryStatus.Deleted)
-          .map(e => e.copy(sequenceNumber =
-            e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+        // v3 lineage: materialize inherited first_row_ids BEFORE rewriting
+        // — survivors leave this manifest, losing its inheritance base
+        val live = IceTable.lineageOf(m,
+            ManifestIO.readManifest(m.path, meta.specs, schema)._2)
+          .filter(_._1.status != ManifestEntryStatus.Deleted)
+          .map { case (e0, rid) =>
+            val e = if (rid.isDefined && e0.dataFile.firstRowId.isEmpty)
+              e0.copy(dataFile = e0.dataFile.copy(firstRowId = rid)) else e0
+            e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber)))
+          }
         val (toDelete, toKeep) = live.partition(
           e => deletePaths.contains(e.dataFile.filePath))
         toKeepAll ++= toKeep
@@ -798,7 +842,9 @@ final class IceTable private (
     */
   def compactSmallFiles(spark: SparkSession, smallerThanBytes: Long,
       minInputFiles: Int = 2): Option[Snapshot] = {
-    val scan = newScan()
+    // v3: materialize row lineage through the rewrite (see rewriteAllFiles)
+    val preserveLineage = meta.formatVersion >= 3
+    val scan = newScan(withRowId = preserveLineage)
     val tasks = scan.planFiles()
     val chosen = tasks
       .filter(_.file.fileSizeInBytes < smallerThanBytes)
@@ -808,8 +854,12 @@ final class IceTable private (
       .flatten.toSeq
     if (chosen.isEmpty) return None
     graft.GraftSession.ensurePrepared(spark)
+    val writeSchema =
+      if (preserveLineage) schema.copy(fields =
+        schema.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong))
+      else schema
     val newFiles = DataWriter.write(scan.toDFFor(spark, chosen),
-      location, schema, spec, sortOrder, meta.properties,
+      location, writeSchema, spec, sortOrder, meta.properties,
       avgRowBytesHint = avgRowBytes)
     Some(replaceDataFiles(chosen.map(_.file.filePath).toSet, newFiles,
       operation = "replace"))
@@ -824,21 +874,30 @@ final class IceTable private (
     */
   private def rewriteAllFiles(spark: SparkSession)(
       transform: DataFrame => DataFrame): Snapshot = {
-    val scan = newScan()
+    // v3 row lineage: rewritten rows change file and position, so their
+    // ids are read through the lineage scan and MATERIALIZED into the new
+    // files' `_row_id` column (Iceberg v3 spec: rewrites must preserve
+    // row ids) — the read side prefers the materialized column
+    val preserveLineage = meta.formatVersion >= 3
+    val scan = newScan(withRowId = preserveLineage)
     val tasks = scan.planFiles()
     val oldPaths = tasks.map(_.file.filePath).toSet
     graft.GraftSession.ensurePrepared(spark)
     val hasDeletes = tasks.exists(t =>
       t.deletes.nonEmpty || t.eqDeletes.nonEmpty || t.dvDeletes.nonEmpty)
     val source =
-      if (hasDeletes) scan.toDFFor(spark, tasks)
+      if (hasDeletes || preserveLineage) scan.toDFFor(spark, tasks)
       else spark.read.schema(schema.toSpark).parquet(oldPaths.toSeq: _*)
     // the REAL spec, not Unpartitioned: replacement files registered under
     // a partitioned spec with empty tuples would read back as all-null
     // partition values, and partition-filtered scans would silently prune
     // every compacted file
+    val writeSchema =
+      if (preserveLineage) schema.copy(fields =
+        schema.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong))
+      else schema
     val newFiles = DataWriter.write(transform(source),
-      location, schema, spec, properties = meta.properties,
+      location, writeSchema, spec, properties = meta.properties,
       avgRowBytesHint = avgRowBytes)
     replaceDataFiles(oldPaths, newFiles, operation = "replace")
   }
@@ -878,12 +937,20 @@ final class IceTable private (
   def overwriteWhere(spark: SparkSession, filter: IcePredicate, replacement: DataFrame)
       : Snapshot = {
     val bound = Predicates.bind(filter, schema)
-    val scan = newScan()
+    // v3: surviving rows are rewritten, so their lineage materializes like
+    // any other rewrite (rewriteAllFiles); replacement rows are NEW rows
+    // and take freshly assigned ids
+    val preserveLineage = meta.formatVersion >= 3
+    val scan = newScan(withRowId = preserveLineage)
     val tasks = scan.planFiles()
     val fullMatch = tasks.filter(t => Evaluators.fileMustMatch(bound, t.file))
     val partial = tasks.filter(t => !Evaluators.fileMustMatch(bound, t.file) &&
       Evaluators.fileMayMatch(bound, t.file))
     graft.GraftSession.ensurePrepared(spark)
+    val survivorSchema =
+      if (preserveLineage) schema.copy(fields =
+        schema.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong))
+      else schema
     // survivors = rows where the filter is NOT TRUE. Under SQL three-valued
     // logic `!c` is NULL (not true) when c is NULL, so a bare negation would
     // silently drop rows with null filter columns from the rewritten file —
@@ -894,7 +961,7 @@ final class IceTable private (
       else DataWriter.write(
         scan.toDFFor(spark, partial)
           .where(!coalesce(Predicates.toColumn(bound), lit(false))),
-        location, schema, spec, properties = meta.properties,
+        location, survivorSchema, spec, properties = meta.properties,
         avgRowBytesHint = avgRowBytes)
     val addedNew = DataWriter.write(replacement, location, schema, spec,
       properties = meta.properties, avgRowBytesHint = avgRowBytes)
@@ -954,7 +1021,8 @@ final class IceTable private (
     val now = System.currentTimeMillis()
     val parent = meta.currentSnapshot
     val listPath = metaPath(s"snap-$snapId-1-${UUID.randomUUID()}.avro")
-    ManifestIO.writeManifestList(listPath, manifests, meta.formatVersion)
+    ManifestIO.writeManifestList(listPath, assignRowLineage(manifests),
+      meta.formatVersion)
     // the list mixes carried-forward manifests with this commit's rewrites —
     // only the latter (stamped addedSnapshotId == snapId) hold its deltas
     val collector = summarizeCommit(manifests.filter(_.addedSnapshotId == snapId))
@@ -1206,17 +1274,16 @@ final class IceTable private (
     * per file, not one Puffin container: shards write executor-side, like
     * [[deleteWhereDV]].)
     *
-    * Tables carrying a name mapping or registered id-less files keep their
-    * equality deletes as-is (conversion reads key columns by canonical
-    * name, which an aliased foreign file would null-fill) — positional
-    * debt still collapses.
+    * Name-mapped / id-less tables convert too: the key-column read goes
+    * through [[IceScan.readTasksProjected]], the same per-file id-ful vs
+    * aliased-name resolution the scan path uses — exactly the foreign-file
+    * tables that would otherwise accumulate permanent equality debt.
     */
   def rewritePositionDeletes(spark: SparkSession): Option[Snapshot] = synchronized {
-    val tasks = newScan().planFiles()
-    val convertible = meta.properties.get(NameMapping.PropertyKey).isEmpty &&
-      !meta.properties.get(IceTable.HasIdLessFilesProp).contains("true")
+    val scan = newScan()
+    val tasks = scan.planFiles()
     val posOpt = IceScan.deletePositionsDF(spark, tasks)
-    val eqOpt = if (convertible) eqKilledPositions(spark, tasks) else None
+    val eqOpt = eqKilledPositions(spark, scan, tasks)
     val positions = (posOpt.toSeq ++ eqOpt.toSeq)
       .reduceOption(_.unionByName(_)).getOrElse(return None)
     val snapId = meta.reserveSnapshotId()
@@ -1234,32 +1301,45 @@ final class IceTable private (
     * semi-joins the delete rows under the exact read-path condition:
     * null-safe key equality AND the delete's sequence strictly newer than
     * the data file's. Rows already dead positionally may appear again —
-    * the DV bitmaps dedupe on insert.
+    * the DV bitmaps dedupe on insert. Data files read through the scan's
+    * [[IceScan.readTasksProjected]], so id-less name-mapped files resolve
+    * their key columns by alias exactly like a scan would (delete files
+    * are always our own writes — canonical names + field ids).
     */
-  private def eqKilledPositions(spark: SparkSession,
+  private def eqKilledPositions(spark: SparkSession, scan: IceScan,
       tasks: Seq[FileScanTask]): Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val affected = tasks.filter(_.eqDeletes.nonEmpty)
     if (affected.isEmpty) return None
     val schemaNow = schema
     graft.GraftSession.ensurePrepared(spark)
-    val parts = affected.flatMap(_.eqDeletes).distinctBy(_._1.filePath)
-      .groupBy(_._1.equalityIds).toSeq.sortBy(_._1.mkString(","))
-      .map { case (ids, delFiles) =>
+    // group by each task's EXACT applicable delete-file set: under
+    // partition-scoped deletes two data files with the same equality ids
+    // can face different delete sets, and joining the union against both
+    // would kill rows a scoped delete never reaches. Tasks of one
+    // partition share their set, so group count is O(partitions touched).
+    val parts = affected.groupBy(_.eqDeletes.map(_._1.filePath).toSet).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(" "))
+      .flatMap { case (_, groupTasks) =>
+        groupTasks.head.eqDeletes.distinctBy(_._1.filePath)
+          .groupBy(_._1.equalityIds).toSeq.sortBy(_._1.mkString(","))
+          .map { case (ids, delFiles) => (ids, delFiles, groupTasks) }
+      }
+      .map { case (ids, delFiles, groupTasks) =>
         val fields = ids.map(schemaNow.byId(_))
         val names = fields.map(_.name)
         val keySchema = StructType(fields.map(SchemaConv.toSparkField))
-        val dataTasks = affected.filter(_.eqDeletes.exists(_._1.equalityIds == ids))
+        val dataTasks = groupTasks
         val seqRows = new java.util.ArrayList[org.apache.spark.sql.Row](dataTasks.size)
         dataTasks.foreach(t =>
           seqRows.add(org.apache.spark.sql.Row(t.file.filePath, t.dataSeq)))
         val seqMap = spark.createDataFrame(seqRows, StructType(Seq(
           StructField("__sp", StringType, nullable = false),
           StructField("__seq", LongType, nullable = false))))
-        val data = spark.read.schema(keySchema)
-          .parquet(dataTasks.map(_.file.filePath): _*)
-          .withColumn("file_path", IceScan.normalizedMetaPath)
-          .withColumn("pos", col("_metadata.row_index"))
+        val data = scan.readTasksProjected(spark, dataTasks,
+            IceSchema(-1, fields), stampPathPos = true)
+          .withColumnRenamed("__path", "file_path")
+          .withColumnRenamed("__pos", "pos")
           .join(broadcast(seqMap), col("file_path") === col("__sp"), "left")
         val delRows = delFiles.map { case (f, dseq) =>
           spark.read.schema(keySchema).parquet(f.filePath)
@@ -1337,10 +1417,23 @@ final class IceTable private (
       // project the key fields): one write job per upsert instead of two.
       // For a streaming upsert sink that halves per-trigger write-job
       // overhead, the dominant commit cost measured by StreamCommitProbe.
-      // Partition tuples are stripped: the entries live in the GLOBAL
-      // delete manifest, which carries the empty partition type.
+      //
+      // Delete SCOPE: partition-scoped when provably safe, else global.
+      // A partition-scoped equality delete only reaches data files of the
+      // same spec + partition tuple (Iceberg spec), so scoping an upsert's
+      // deletes by the incoming row's partition is correct ONLY when a
+      // key's older versions are guaranteed to live in that partition:
+      // every partition field must derive from a key column (key→tuple is
+      // then a pure function) and the table must have a single spec epoch
+      // (an older spec's files carry a different spec id and would escape
+      // the scoped match). When safe, it is the 100-TB posture: each
+      // partition's scans anti-join only that partition's delete files
+      // instead of every accumulated delete file table-wide.
+      val scopedDeletes = spec.fields.nonEmpty && meta.specs.size == 1 &&
+        spec.fields.forall(f => eqIds.contains(f.sourceId))
       val deleteFiles = dataFiles
-        .map(_.copy(content = 2, equalityIds = eqIds, partition = Nil))
+        .map(f => f.copy(content = 2, equalityIds = eqIds,
+          partition = if (scopedDeletes) f.partition else Nil))
         .filter(_.recordCount > 0)
       val snapId = meta.reserveSnapshotId()
       val seq = meta.lastSequenceNumber + 1
@@ -1353,7 +1446,8 @@ final class IceTable private (
       val deleteEntries = deleteFiles.map(f =>
         ManifestEntry(ManifestEntryStatus.Added, snapId, Some(seq), Some(seq), f))
       val deleteMf = ManifestIO.writeManifest(metaPath(s"$commitUuid-m1.avro"),
-          deleteEntries, PartitionSpec.GlobalDeletes, schemaNow, formatVersion = meta.formatVersion, content = 1)
+          deleteEntries, if (scopedDeletes) spec else PartitionSpec.GlobalDeletes,
+          schemaNow, formatVersion = meta.formatVersion, content = 1)
         .copy(sequenceNumber = seq, minSequenceNumber = seq, addedSnapshotId = snapId)
       commitManifests(Seq(dataMf, deleteMf), snapId, seq, commitUuid, "overwrite")
     }
@@ -2297,6 +2391,37 @@ object IceTable {
     */
   val SourceSnapshotIdKey = "source-snapshot-id"
 
+  /** Reserved field id of the `_row_id` metadata column (Iceberg v3 spec
+    * §reserved-field-ids): materialized into rewritten data files so
+    * compaction preserves lineage across position changes.
+    */
+  val RowIdFieldId = 2147483540
+
+  /** v3 row lineage, read-side inheritance (Iceberg v3 spec §row-lineage):
+    * each data entry's effective first_row_id is its explicit value, or —
+    * for ADDED entries — inherited from the manifest's first_row_id by
+    * accumulating record counts over the preceding null-lineage added
+    * entries. Existing entries rely on the materialized value their
+    * rewrite stamped ([[IceTable.replaceDataFiles]], manifest merge);
+    * pre-lineage legacy entries stay None (their rows scan with a null
+    * `_row_id` rather than colliding with freshly assigned ranges).
+    */
+  private[table] def lineageOf(m: ManifestFile,
+      entries: Seq[ManifestEntry]): Seq[(ManifestEntry, Option[Long])] = {
+    var next = m.firstRowId
+    entries.map { e =>
+      if (e.dataFile.content != 0) (e, None)
+      else e.dataFile.firstRowId match {
+        case s @ Some(_) => (e, s)
+        case None if e.status == ManifestEntryStatus.Added =>
+          val eff = next
+          next = next.map(_ + e.dataFile.recordCount)
+          (e, eff)
+        case None => (e, None)
+      }
+    }
+  }
+
   /** Standard Iceberg Puffin NDV blob (apache/iceberg puffin spec). */
   val ThetaBlobType = "apache-datasketches-theta-v1"
 
@@ -2386,7 +2511,11 @@ final class IceScan(
     limit: Option[Int],
     caseSensitive: Boolean,
     timeTravel: Boolean = false,
-    maxConcurrency: Option[Int] = None) {
+    maxConcurrency: Option[Int] = None,
+    // v3 row lineage: append the `_row_id` metadata column to the output —
+    // the file's materialized column where a rewrite preserved it, else
+    // first_row_id + row position (null for pre-lineage files)
+    withRowId: Boolean = false) {
 
   private def meta = table.metadata
 
@@ -2448,16 +2577,35 @@ final class IceScan(
       val dataEntries = boundedPar(dataManifests) { m =>
         val (pf, ps) = partFilter(m.specId)
         val (_, entries) = ManifestIO.readManifest(m.path, meta.specs, schema)
-        entries.filter(e => e.status != ManifestEntryStatus.Deleted &&
+        // v3 lineage inheritance runs BEFORE pruning: a pruned entry still
+        // consumes its record-count slice of the manifest's row-id range
+        IceTable.lineageOf(m, entries).filter { case (e, _) =>
+          e.status != ManifestEntryStatus.Deleted &&
           Evaluators.partitionMayMatch(pf, ps, e.dataFile.partition) &&
-          Evaluators.fileMayMatch(bound, e.dataFile))
-          .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+          Evaluators.fileMayMatch(bound, e.dataFile)
+        }.map { case (e, rid) =>
+          (e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))),
+            m.specId, rid)
+        }
       }
 
-      val deleteEntries = boundedPar(deleteManifests) { m =>
+      // delete manifests/entries prune under the SAME projected partition
+      // filter as data: a delete file scoped to a partition the filter
+      // excludes can only kill rows in data files this plan already pruned
+      // (global delete manifests carry no summaries → always pass)
+      val deleteEntries = boundedPar(deleteManifests.filter { m =>
+        val (pf, ps) = partFilter(m.specId)
+        Evaluators.manifestMayMatch(pf, ps, m)
+      }) { m =>
+        val (pf, ps) = partFilter(m.specId)
+        val partitioned = meta.specById(m.specId).exists(_.fields.nonEmpty)
         val (_, entries) = ManifestIO.readManifest(m.path, meta.specs, schema)
-        entries.filter(_.status != ManifestEntryStatus.Deleted)
-          .map(e => e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+        entries.filter(e => e.status != ManifestEntryStatus.Deleted &&
+          (!partitioned || e.dataFile.partition.isEmpty ||
+            Evaluators.partitionMayMatch(pf, ps, e.dataFile.partition)))
+          .map(e => DeleteIndex.Keyed(
+            e.copy(sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))),
+            m.specId, partitioned))
       }
       // indexed matching (hash by path, binary search by sequence number)
       // instead of the naive dataFiles×deleteFiles nested loop — planning
@@ -2465,11 +2613,12 @@ final class IceScan(
       // `matchDeletesToData` `table/scanner.go:285-309`)
       val index = new DeleteIndex(deleteEntries)
 
-      val tasks = dataEntries.map { e =>
+      val tasks = dataEntries.map { case (e, specId, rid) =>
         val dseq = e.sequenceNumber.getOrElse(0L)
         val path = e.dataFile.filePath
         FileScanTask(e.dataFile, index.posDeletesFor(path, dseq),
-          index.eqDeletesFor(dseq), dseq, index.dvsFor(path, dseq))
+          index.eqDeletesFor(dseq, specId, e.dataFile.partition), dseq,
+          index.dvsFor(path, dseq), firstRowId = rid)
       }.toSeq
       lastPlanRangedChecks = index.rangedBoundsChecks.get()
       tasks
@@ -2494,12 +2643,15 @@ final class IceScan(
     val schema = scanSchema
     val projected: IceSchema =
       selected.map(s => schema.select(s, caseSensitive)).getOrElse(schema)
+    val outSpark =
+      if (withRowId) projected.toSpark.add("_row_id", LongType, nullable = true)
+      else projected.toSpark
     if (limit.contains(0))
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        projected.toSpark)
+        outSpark)
     if (tasks.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        projected.toSpark)
+        outSpark)
 
     val bound = Predicates.bind(filter, schema, caseSensitive)
     // equality-delete key columns must be scanned even when projected away:
@@ -2515,9 +2667,15 @@ final class IceScan(
       schema.fields.map(_.name).filter(n =>
         filterNames.contains(n) || filterRoots.contains(n) ||
           eqColNames.contains(n))).distinct
-    val readSchema = schema.select(readNames, caseSensitive)
+    val readBase = schema.select(readNames, caseSensitive)
+    // lineage reads add the materialized `_row_id` column (reserved field
+    // id): present in rewrite-preserved files, null-filled elsewhere —
+    // the inheritance fallback fills those from first_row_id + position
+    val readSchema =
+      if (withRowId) IceSchema(readBase.schemaId,
+        readBase.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong))
+      else readBase
 
-    val paths = tasks.map(_.file.filePath)
     graft.GraftSession.ensurePrepared(spark)
     val deleteDataFiles = tasks.flatMap(_.deletes).distinctBy(_.filePath)
     val dvFiles = tasks.flatMap(_.dvDeletes)
@@ -2527,99 +2685,8 @@ final class IceScan(
     val needEqDeletes = eqDeletePairs.nonEmpty
     val needDeletes = needPosDeletes || needEqDeletes
 
-    // files written by us carry parquet field IDs → ID-based resolution.
-    // With an explicit name mapping (`schema.name-mapping.default`,
-    // reference `name_mapping.go:30-80`), externally-added files without
-    // field IDs are read by NAME under their mapped aliases (a field-ID
-    // schema would silently null-fill them) and renamed to the canonical
-    // schema; footer-sniffing the split costs one footer read per planned
-    // file, paid only by mapping-enabled tables.
-    val aliasOf: Map[Int, String] = meta.properties.get(NameMapping.PropertyKey)
-      .map(j => NameMapping.aliasById(NameMapping.parse(j))).getOrElse(Map.empty)
-    def aliasName(f: NestedField): String = aliasOf.getOrElse(f.id, f.name)
-    val mayHaveIdLess = aliasOf.nonEmpty ||
-      meta.properties.get(IceTable.HasIdLessFilesProp).contains("true")
-    // columns added with an initial-default: files that predate the column
-    // must return the default instead of the null Spark fills in
-    val defaultedFields = readSchema.fields.filter(_.initialDefault.isDefined)
-    val needSplit = mayHaveIdLess || defaultedFields.nonEmpty
-    val defaultedIds = defaultedFields.map(_.id).toSet
-    // groups: (file carries IDs, defaulted IDs absent). Both facts come
-    // from the MANIFEST — `hasFieldIds` stamped at write/addFiles time and
-    // column presence from the per-column stats keys — so planning opens
-    // ZERO data files. Only legacy entries written before the stamp (or
-    // stat-less files under defaulted columns) pay a footer sniff.
-    val groups: Seq[((Boolean, Set[Int]), Seq[String])] =
-      if (!needSplit) Seq((true, Set.empty[Int]) -> paths)
-      else {
-        val nameToId = NameMapping.index(table.nameMapping)
-        // the stats-key shortcut infers "column absent from file" from
-        // "column absent from stats maps" — unsound for a defaulted column
-        // whose metrics mode is none (stats suppressed, column present:
-        // the default would OVERWRITE the file's real values). Those
-        // tables pay the footer sniff instead.
-        val metricsSuppressedDefault = defaultedIds.nonEmpty && {
-          val modes = ParquetStats.modesFor(schema, meta.properties)
-          defaultedIds.exists(id => modes.get(id).exists(_.kind == "none"))
-        }
-        boundedPar(tasks) { t =>
-          val f = t.file
-          val statsIds = f.columnSizes.keySet ++ f.valueCounts.keySet ++
-            f.nullValueCounts.keySet
-          val fromManifest: Option[(Boolean, Set[Int])] = f.hasFieldIds match {
-            case Some(ids) if !metricsSuppressedDefault &&
-                (statsIds.nonEmpty || defaultedIds.isEmpty) =>
-              Some((ids, statsIds))
-            case _ => None
-          }
-          Seq(f.filePath -> fromManifest.getOrElse(
-            ParquetStats.fileColumns(f.filePath, nameToId)))
-        }
-          .groupBy { case (_, (hasIds, present)) => (hasIds, defaultedIds -- present) }
-          .view.mapValues(_.map(_._1).toSeq).toSeq
-      }
-
-    def readBranch(ps: Seq[String], schema: org.apache.spark.sql.types.StructType,
-        renames: Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]])
-        : DataFrame = {
-      var d = spark.read.schema(schema).parquet(ps: _*)
-      // per-file row positions must be stamped before any union hides the
-      // per-file _metadata column
-      if (needDeletes) d = d
-        .withColumn("__path", IceScan.normalizedMetaPath)
-        .withColumn("__pos", col("_metadata.row_index"))
-      renames.foreach { rs =>
-        // cast to the canonical type: struct casts rename NESTED aliased
-        // fields back positionally (same tree shape by construction)
-        val keep = rs.map { case (alias, canon, tpe) =>
-          col(alias).cast(tpe).as(canon)
-        } ++ (if (needDeletes) Seq(col("__path"), col("__pos")) else Nil)
-        d = d.select(keep: _*)
-      }
-      d
-    }
-    // ID-less files read with an ID-free alias schema: pure by-name
-    // matching, nested levels included — struct children, list elements,
-    // and map entries take their mapped aliases so the foreign file's own
-    // nested names resolve; the rename-select then CASTS back to the
-    // canonical type (struct casts rename positionally), so aliased names
-    // never leave the scan
-    val aliasFn: Int => Option[String] = aliasOf.get _
-    val foreignSchema = org.apache.spark.sql.types.StructType(readSchema.fields.map(f =>
-      org.apache.spark.sql.types.StructField(aliasName(f),
-        NameMapping.aliasedSparkType(f.tpe, aliasFn), nullable = !f.required)))
-    val branches = groups.map { case ((hasIds, absentDefaulted), ps) =>
-      var d =
-        if (hasIds) readBranch(ps, readSchema.toSpark, None)
-        else readBranch(ps, foreignSchema,
-          Some(readSchema.fields.map(f =>
-            (aliasName(f), f.name, IceType.toSpark(f.tpe)))))
-      defaultedFields.filter(f => absentDefaulted.contains(f.id)).foreach { f =>
-        d = d.withColumn(f.name, lit(f.initialDefault.get).cast(IceType.toSpark(f.tpe)))
-      }
-      d
-    }
-    var df = branches.reduce(_.unionByName(_))
+    var df = readTasksProjected(spark, tasks, readSchema,
+      stampPathPos = needDeletes || withRowId)
 
     if (needPosDeletes) {
       val deletes = IceScan.positionsOf(spark, deleteDataFiles, dvFiles)
@@ -2667,10 +2734,129 @@ final class IceScan(
         }
       df = df.drop("__seq")
     }
-    if (needDeletes) df = df.drop("__path", "__pos")
+    if (withRowId) {
+      // per-file first_row_id via a metadata-sized broadcast map; the
+      // materialized column (rewrite-preserved) wins over inheritance
+      val ridRows = new java.util.ArrayList[org.apache.spark.sql.Row](tasks.size)
+      tasks.foreach(t => ridRows.add(org.apache.spark.sql.Row(
+        t.file.filePath, t.firstRowId.map(Long.box).orNull)))
+      val ridMap = spark.createDataFrame(ridRows, StructType(Seq(
+        StructField("__rp", StringType, nullable = false),
+        StructField("__frid", LongType, nullable = true))))
+      df = df.join(broadcast(ridMap), col("__path") === col("__rp"), "left")
+        .withColumn("_row_id",
+          coalesce(col("_row_id"), col("__frid") + col("__pos")))
+        .drop("__rp", "__frid")
+    }
+    if (needDeletes || withRowId) df = df.drop("__path", "__pos")
     if (bound != AlwaysTrue) df = df.where(Predicates.toColumn(bound))
-    df = df.select(projected.fields.map(f => col(f.name)): _*)
+    df = df.select(projected.fields.map(f => col(f.name)) ++
+      (if (withRowId) Seq(col("_row_id")) else Nil): _*)
     limit.map(df.limit).getOrElse(df)
+  }
+
+  /** Raw projected read of the tasks' data files, resolving each file the
+    * way the table's scan does. Files written by us carry parquet field
+    * IDs → ID-based resolution. With an explicit name mapping
+    * (`schema.name-mapping.default`, reference `name_mapping.go:30-80`),
+    * externally-added files without field IDs are read by NAME under their
+    * mapped aliases (a field-ID schema would silently null-fill them) and
+    * cast-renamed back to the canonical schema; columns added with an
+    * initial-default fill with the default, not null, in files that
+    * predate them. `stampPathPos` adds `__path`/`__pos` (normalized file
+    * path + row index) BEFORE the branch union hides the per-file
+    * _metadata column. Shared by the MOR scan ([[toDFFor]]) and the eq→DV
+    * conversion read ([[IceTable.rewritePositionDeletes]]) so name-mapped
+    * tables convert under exactly the resolution rules scans read with.
+    */
+  private[table] def readTasksProjected(spark: SparkSession, tasks: Seq[FileScanTask],
+      readSchema: IceSchema, stampPathPos: Boolean): DataFrame = {
+    val schema = scanSchema
+    val paths = tasks.map(_.file.filePath)
+    val aliasOf: Map[Int, String] = meta.properties.get(NameMapping.PropertyKey)
+      .map(j => NameMapping.aliasById(NameMapping.parse(j))).getOrElse(Map.empty)
+    def aliasName(f: NestedField): String = aliasOf.getOrElse(f.id, f.name)
+    val mayHaveIdLess = aliasOf.nonEmpty ||
+      meta.properties.get(IceTable.HasIdLessFilesProp).contains("true")
+    val defaultedFields = readSchema.fields.filter(_.initialDefault.isDefined)
+    val needSplit = mayHaveIdLess || defaultedFields.nonEmpty
+    val defaultedIds = defaultedFields.map(_.id).toSet
+    // groups: (file carries IDs, defaulted IDs absent). Both facts come
+    // from the MANIFEST — `hasFieldIds` stamped at write/addFiles time and
+    // column presence from the per-column stats keys — so planning opens
+    // ZERO data files. Only legacy entries written before the stamp (or
+    // stat-less files under defaulted columns) pay a footer sniff.
+    val groups: Seq[((Boolean, Set[Int]), Seq[String])] =
+      if (!needSplit) Seq((true, Set.empty[Int]) -> paths)
+      else {
+        val nameToId = NameMapping.index(table.nameMapping)
+        // the stats-key shortcut infers "column absent from file" from
+        // "column absent from stats maps" — unsound for a defaulted column
+        // whose metrics mode is none (stats suppressed, column present:
+        // the default would OVERWRITE the file's real values). Those
+        // tables pay the footer sniff instead.
+        val metricsSuppressedDefault = defaultedIds.nonEmpty && {
+          val modes = ParquetStats.modesFor(schema, meta.properties)
+          defaultedIds.exists(id => modes.get(id).exists(_.kind == "none"))
+        }
+        boundedPar(tasks) { t =>
+          val f = t.file
+          val statsIds = f.columnSizes.keySet ++ f.valueCounts.keySet ++
+            f.nullValueCounts.keySet
+          val fromManifest: Option[(Boolean, Set[Int])] = f.hasFieldIds match {
+            case Some(ids) if !metricsSuppressedDefault &&
+                (statsIds.nonEmpty || defaultedIds.isEmpty) =>
+              Some((ids, statsIds))
+            case _ => None
+          }
+          Seq(f.filePath -> fromManifest.getOrElse(
+            ParquetStats.fileColumns(f.filePath, nameToId)))
+        }
+          .groupBy { case (_, (hasIds, present)) => (hasIds, defaultedIds -- present) }
+          .view.mapValues(_.map(_._1).toSeq).toSeq
+      }
+
+    def readBranch(ps: Seq[String], schema: org.apache.spark.sql.types.StructType,
+        renames: Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]])
+        : DataFrame = {
+      var d = spark.read.schema(schema).parquet(ps: _*)
+      // per-file row positions must be stamped before any union hides the
+      // per-file _metadata column
+      if (stampPathPos) d = d
+        .withColumn("__path", IceScan.normalizedMetaPath)
+        .withColumn("__pos", col("_metadata.row_index"))
+      renames.foreach { rs =>
+        // cast to the canonical type: struct casts rename NESTED aliased
+        // fields back positionally (same tree shape by construction)
+        val keep = rs.map { case (alias, canon, tpe) =>
+          col(alias).cast(tpe).as(canon)
+        } ++ (if (stampPathPos) Seq(col("__path"), col("__pos")) else Nil)
+        d = d.select(keep: _*)
+      }
+      d
+    }
+    // ID-less files read with an ID-free alias schema: pure by-name
+    // matching, nested levels included — struct children, list elements,
+    // and map entries take their mapped aliases so the foreign file's own
+    // nested names resolve; the rename-select then CASTS back to the
+    // canonical type (struct casts rename positionally), so aliased names
+    // never leave the scan
+    val aliasFn: Int => Option[String] = aliasOf.get _
+    val foreignSchema = org.apache.spark.sql.types.StructType(readSchema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(aliasName(f),
+        NameMapping.aliasedSparkType(f.tpe, aliasFn), nullable = !f.required)))
+    val branches = groups.map { case ((hasIds, absentDefaulted), ps) =>
+      var d =
+        if (hasIds) readBranch(ps, readSchema.toSpark, None)
+        else readBranch(ps, foreignSchema,
+          Some(readSchema.fields.map(f =>
+            (aliasName(f), f.name, IceType.toSpark(f.tpe)))))
+      defaultedFields.filter(f => absentDefaulted.contains(f.id)).foreach { f =>
+        d = d.withColumn(f.name, lit(f.initialDefault.get).cast(IceType.toSpark(f.tpe)))
+      }
+      d
+    }
+    branches.reduce(_.unionByName(_))
   }
 }
 

@@ -87,10 +87,13 @@ object EqDebtProbe {
     val (_, planBeforeMs) = timedMinMs(3)(t.newScan().planFiles())
     val (before, scanBeforeMs) = timedMinMs(3)(checksum())
 
-    val (_, convertMs) = timedMinMs(1) {
-      require(t.rewritePositionDeletes(spark).isDefined, "conversion was a no-op")
-      t.refresh()
-    }
+    // single-shot timer, NOT timedMinMs: the body COMMITS a snapshot, so a
+    // repeat would re-run the maintenance against an already-converted
+    // table (the require would fail on the second, no-op pass)
+    val convertT0 = System.nanoTime()
+    require(t.rewritePositionDeletes(spark).isDefined, "conversion was a no-op")
+    t.refresh()
+    val convertMs = (System.nanoTime() - convertT0) / 1e6
     require(t.newScan().planFiles().forall(_.eqDeletes.isEmpty),
       "equality debt survived the conversion")
 

@@ -82,7 +82,7 @@ class DeleteIndexSpec extends AnyFunSuite {
         eqIds = Seq(1)), seq = 1 + rnd.nextInt(10))
 
     val shuffled = rnd.shuffle(deletes.toSeq)
-    val index = new DeleteIndex(shuffled)
+    val index = DeleteIndex.unscoped(shuffled)
     for (path <- dataPaths; dseq <- 0L to 11L) {
       val (nPos, nDv, nEq) = naive(shuffled, path, dseq)
       assert(index.posDeletesFor(path, dseq).map(_.filePath).sorted ==
@@ -107,7 +107,7 @@ class DeleteIndexSpec extends AnyFunSuite {
       deletes += entry(dataFile(s"/w/big/data/dv$i.puffin", content = 1,
         refPath = Some(dataPaths(i * 20 + 1))), seq = 100L)
     }
-    val index = new DeleteIndex(deletes.toSeq)
+    val index = DeleteIndex.unscoped(deletes.toSeq)
     val t0 = System.nanoTime()
     var matched = 0
     for ((p, i) <- dataPaths.zipWithIndex) {
@@ -155,11 +155,50 @@ class DeleteIndexSpec extends AnyFunSuite {
     // silently resurfacing deleted rows.
     val lo = "/w/d/\uE000"
     val path = "/w/d/\uD83D\uDE00.parquet" // U+1F600
-    val index = new DeleteIndex(Seq(entry(
+    val index = DeleteIndex.unscoped(Seq(entry(
       dataFile("/w/d/rd.parquet", content = 1, lo = Some(lo), hi = Some(path)),
       seq = 5L)))
     assert(index.posDeletesFor(path, dseq = 1L).map(_.filePath) ==
       Seq("/w/d/rd.parquet"))
+  }
+
+  test("partition-scoped equality deletes never reach a disjoint partition") {
+    def eq(path: String, part: Seq[Any], seq: Long, specId: Int = 1,
+        partitioned: Boolean = true): DeleteIndex.Keyed =
+      DeleteIndex.Keyed(
+        entry(dataFile(path, content = 2, eqIds = Seq(1)).copy(partition = part), seq),
+        specId, partitioned)
+    val index = new DeleteIndex(Seq(
+      eq("/w/p/eq_p0.parquet", Seq(0), seq = 5),
+      eq("/w/p/eq_p1.parquet", Seq(1), seq = 6),
+      // byte-array tuple values must compare by VALUE, not reference
+      eq("/w/p/eq_bin.parquet", Seq(Array[Byte](1, 2)), seq = 7),
+      // global delete (unpartitioned spec) applies everywhere
+      eq("/w/p/eq_glob.parquet", Nil, seq = 8, specId = 0, partitioned = false),
+      // scoped spec but NO tuple recorded → conservative global
+      eq("/w/p/eq_notuple.parquet", Nil, seq = 9)))
+
+    def names(dseq: Long, specId: Int, part: Seq[Any]): Seq[String] =
+      index.eqDeletesFor(dseq, specId, part).map(_._1.filePath).sorted
+
+    // partition 0 sees its own scoped delete + both globals, never p1's
+    assert(names(1L, 1, Seq(0)) ==
+      Seq("/w/p/eq_glob.parquet", "/w/p/eq_notuple.parquet", "/w/p/eq_p0.parquet"))
+    // partition 1 likewise
+    assert(names(1L, 1, Seq(1)) ==
+      Seq("/w/p/eq_glob.parquet", "/w/p/eq_notuple.parquet", "/w/p/eq_p1.parquet"))
+    // a partition nothing scoped targets gets only the globals
+    assert(names(1L, 1, Seq(2)) ==
+      Seq("/w/p/eq_glob.parquet", "/w/p/eq_notuple.parquet"))
+    // same tuple VALUE under a DIFFERENT spec id does not match (Iceberg
+    // spec: partition spec AND values must equal)
+    assert(names(1L, 2, Seq(0)) ==
+      Seq("/w/p/eq_glob.parquet", "/w/p/eq_notuple.parquet"))
+    // binary tuple matches by value
+    assert(names(1L, 1, Seq(Array[Byte](1, 2))).contains("/w/p/eq_bin.parquet"))
+    // strictly-older rule still applies inside a scope
+    assert(!names(5L, 1, Seq(0)).contains("/w/p/eq_p0.parquet"))
+    assert(names(4L, 1, Seq(0)).contains("/w/p/eq_p0.parquet"))
   }
 
   test("range binary search skips deletes older than the data file") {
@@ -167,7 +206,7 @@ class DeleteIndexSpec extends AnyFunSuite {
       entry(dataFile(s"/w/r/rd$i.parquet", content = 1,
         lo = Some("/w/r/data/a.parquet"), hi = Some("/w/r/data/z.parquet")),
         seq = i.toLong))
-    val index = new DeleteIndex(deletes)
+    val index = DeleteIndex.unscoped(deletes)
     val hits = index.posDeletesFor("/w/r/data/m.parquet", dseq = 91L)
     assert(hits.size == 10) // seq 91..100
     // binary search landed at the suffix: only 10 bounds checks, not 100

@@ -172,6 +172,50 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "plan-time footer sniff detected for a stamped table with defaults")
   }
 
+  test("v3 row lineage: _row_id assigns on append, inherits on scan, survives compaction") {
+    val t = IceTable.create(catalog, "nation_lineage",
+      SchemaConv.fromSpark(nation.schema),
+      properties = Map("format-version" -> "3"))
+    t.append(nation.where("n_nationkey < 10")
+      .repartition(1).sortWithinPartitions("n_nationkey"))
+    t.refresh()
+    t.append(nation.where("n_nationkey >= 10")
+      .repartition(1).sortWithinPartitions("n_nationkey"))
+    t.refresh()
+    val n1 = nation.where("n_nationkey < 10").count()
+    val total = nation.count()
+    def lineage(): Map[String, Long] =
+      t.newScan(withRowId = true).toDF(spark)
+        .select("n_nationkey", "_row_id").collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val before = lineage()
+    // dense, collision-free assignment across both commits
+    assert(before.size == total)
+    assert(before.values.toSeq.sorted == (0L until total).toSeq)
+    // the first commit's rows occupy the first range (snapshot first-row-id)
+    assert(nation.where("n_nationkey < 10").collect()
+      .forall(r => before(r.get(0).toString) < n1))
+    assert(t.metadata.nextRowId.contains(total))
+    // time travel reads lineage of the FIRST snapshot alone
+    val snap1 = t.metadata.snapshots.head
+    assert(snap1.firstRowId.contains(0L))
+    val tt = t.newScan(snapshotId = Some(snap1.snapshotId), withRowId = true)
+      .toDF(spark).select("_row_id").collect().map(_.getLong(0)).sorted
+    assert(tt.toSeq == (0L until n1).toSeq)
+    // COMPACTION: every row changes file and position; lineage must ride
+    // along in the materialized _row_id column of the rewritten file
+    t.compact(spark, targetFileCount = 1)
+    t.refresh()
+    assert(lineage() == before, "compaction changed row lineage")
+    // and AGAIN through a second rewrite (materialized column round-trips)
+    t.compact(spark, targetFileCount = 2)
+    t.refresh()
+    assert(lineage() == before, "second compaction changed row lineage")
+    // plain scans are unaffected by the lineage machinery
+    assert(t.scan(spark).columns.toSeq ==
+      nation.columns.toSeq, "plain scan must not expose _row_id")
+  }
+
   test("unionByName merges incoming fields: add, promote, reject narrowing") {
     val t = IceTable.create(catalog, "nation_union", SchemaConv.fromSpark(nation.schema))
     t.append(nation)

@@ -85,6 +85,46 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("eq->DV conversion resolves key columns through the name mapping") {
+    // an UPSERTED name-mapped table: foreign id-less files under aliased
+    // names + our id-ful upsert files, equality debt across both — the
+    // conversion's key read must resolve per-file like the scan does
+    // (r18 verdict item 3: these tables previously kept their debt forever)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val canonical = SchemaConv.fromSpark(nation.schema)
+    val foreignDir = Files.createTempDirectory("graft-mapped-conv").toString
+    nation.select(nation.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).as(s"f_$c")).toSeq: _*)
+      .coalesce(2).write.mode("overwrite").parquet(foreignDir)
+    val t = IceTable.create(catalog, "nation_mapped_conv", canonical)
+    t.updateProperties(set = Map(NameMapping.PropertyKey -> NameMapping.toJson(
+      canonical.fields.map(f => MappedField(Some(f.id), Seq(s"f_${f.name}"))))))
+    t.addFiles(DataWriter.listParquet(foreignDir).map(_._1))
+    t.refresh()
+    val updated = nation.where("n_nationkey % 3 = 0")
+      .withColumn("n_name", org.apache.spark.sql.functions.lit("upd"))
+    t.upsert(spark, updated, Seq("n_nationkey"))
+    t.refresh()
+    assert(t.newScan().planFiles().exists(_.eqDeletes.nonEmpty))
+    def state() = t.scan(spark, selected = Some(Seq("n_nationkey", "n_name")))
+      .collect().map(r => (r.get(0).toString, r.getString(1))).sortBy(_._1).toSeq
+    val before = state()
+    // conversion must run (not skip) and spend the debt
+    assert(t.rewritePositionDeletes(spark).isDefined,
+      "name-mapped conversion skipped despite equality debt")
+    t.refresh()
+    val tasks = t.newScan().planFiles()
+    assert(tasks.forall(_.eqDeletes.isEmpty), "eq debt survived conversion")
+    assert(tasks.exists(_.dvDeletes.nonEmpty), "no DVs written")
+    val after = state()
+    assert(after == before, "conversion changed scan results")
+    // the kill set was RIGHT: updated keys carry the new name once each
+    val got = t.scan(spark).where("n_nationkey % 3 = 0")
+      .select("n_nationkey", "n_name").collect()
+    assert(got.nonEmpty && got.forall(_.getString(1) == "upd"))
+    assert(got.map(_.get(0).toString).distinct.length == got.length)
+  }
+
   test("artifact GC: expired-snapshot artifacts deleted, live ones untouchable") {
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val t = IceTable.create(catalog, "li_artifact_gc",

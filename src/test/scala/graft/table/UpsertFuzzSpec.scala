@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.SchemaConv
-import graft.meta.FileCatalog
+import graft.core.{BucketTransform, SchemaConv}
+import graft.meta.{FileCatalog, PartitionSpec}
 
 /** Randomized upsert sequences: every round equality-deletes a random key
   * set and re-inserts fresh values in one commit, and the scan must equal
@@ -104,5 +104,56 @@ class UpsertFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.refresh()
     checkAfter("expiry + orphan cleanup")
     assert(ref.nonEmpty)
+  }
+
+  test("partitioned sink: scoped equality deletes stay exact and prune by partition") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft-upfuzz-part").toString
+    val catalog = new FileCatalog(wh)
+    val df0 = Seq.empty[(Long, Long, String)].toDF("k", "v", "txt")
+    val schema = SchemaConv.fromSpark(df0.schema)
+    // partition derives from the KEY (bucket(k, 4)), so the upsert path's
+    // safety gate engages and deletes are written partition-scoped
+    val spec = PartitionSpec.of(0, ("k", BucketTransform(4), "kb"))(schema)
+    val t = IceTable.create(catalog, "upfuzz_part", schema, spec)
+    t.updateProperties(set = Map("write.max-records-per-file" -> "16"))
+    val ref = scala.collection.mutable.Map.empty[Long, (Long, String)]
+
+    def checkAfter(round: String): Unit = {
+      val got = t.scan(spark).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got == ref.toMap,
+        s"after $round: ${(ref.keySet -- got.keySet).toSeq.sorted.take(5)} missing, " +
+          s"${(got.keySet -- ref.keySet).toSeq.sorted.take(5)} extra, " +
+          s"changed=${got.collect { case (k, v) if ref.get(k).exists(_ != v) => k }.toSeq.sorted.take(5)}")
+    }
+
+    (0 until 8).foreach { round =>
+      val keys = Seq.fill(30)(rnd.nextInt(200).toLong).distinct
+      val rows = keys.map(k => (k, round.toLong * 1000 + k, s"p$round-$k"))
+      t.upsert(spark, rows.toDF("k", "v", "txt"), Seq("k"))
+      keys.zip(rows).foreach { case (k, (_, v, txt)) => ref(k) = (v, txt) }
+      checkAfter(s"partitioned upsert round $round")
+      if (round == 4) {
+        assert(t.refresh().rewritePositionDeletes(spark).isDefined)
+        t.refresh()
+        assert(t.newScan().planFiles().forall(_.eqDeletes.isEmpty),
+          "conversion must spend the scoped equality debt")
+        checkAfter("scoped eq->DV conversion")
+      }
+    }
+    // the scoping must be OBSERVABLE in the plan: with 4 buckets and 3
+    // post-conversion upsert rounds, each data file anti-joins only its own
+    // bucket's delete files — strictly fewer than the table-wide total a
+    // global-scope writer would attach to every file
+    t.refresh()
+    val tasks = t.newScan().planFiles()
+    val allEqFiles = tasks.flatMap(_.eqDeletes.map(_._1.filePath)).distinct.size
+    assert(allEqFiles > 0, "rounds 5-7 must leave live equality debt")
+    val maxPerTask = tasks.map(_.eqDeletes.size).max
+    assert(maxPerTask < allEqFiles,
+      s"every task sees all $allEqFiles delete files — scoping did not engage")
+    checkAfter("final plan inspection")
   }
 }
