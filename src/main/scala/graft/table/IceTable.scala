@@ -1313,17 +1313,26 @@ final class IceTable private (
     if (affected.isEmpty) return None
     val schemaNow = schema
     graft.GraftSession.ensurePrepared(spark)
-    // group by each task's EXACT applicable delete-file set: under
-    // partition-scoped deletes two data files with the same equality ids
-    // can face different delete sets, and joining the union against both
-    // would kill rows a scoped delete never reaches. Tasks of one
-    // partition share their set, so group count is O(partitions touched).
-    val parts = affected.groupBy(_.eqDeletes.map(_._1.filePath).toSet).toSeq
-      .sortBy(_._1.toSeq.sorted.mkString(" "))
+    // group by the data file's PARTITION TUPLE: tasks of one partition
+    // share their applicable delete-file universe (that partition's scoped
+    // files + the globals) -- a scoped delete from another partition never
+    // enters the group, so the union can't over-kill -- and the
+    // strictly-newer `__dseq > __seq` guard below scopes sequences per
+    // row, exactly like the read path. Scoped upsert deletes only exist
+    // under a single-spec table (the write-side safety gate), so the tuple
+    // alone identifies the partition. Grouping by tuple, NOT by each
+    // task's exact seq-suffix delete set, keeps the conversion at
+    // O(partitions) joins instead of O(upsert rounds): an exact-set key
+    // split a 32-round unpartitioned history into 32 overlapping joins
+    // (EqDebtProbe: conversion 9 to 80 s before this was caught).
+    val parts = affected
+      .groupBy(t => DeleteIndex.tupleKey(t.file.partition)).toSeq
+      .sortBy(_._1.mkString(" "))
       .flatMap { case (_, groupTasks) =>
-        groupTasks.head.eqDeletes.distinctBy(_._1.filePath)
+        groupTasks.flatMap(_.eqDeletes).distinctBy(_._1.filePath)
           .groupBy(_._1.equalityIds).toSeq.sortBy(_._1.mkString(","))
-          .map { case (ids, delFiles) => (ids, delFiles, groupTasks) }
+          .map { case (ids, delFiles) => (ids, delFiles,
+            groupTasks.filter(_.eqDeletes.exists(_._1.equalityIds == ids))) }
       }
       .map { case (ids, delFiles, groupTasks) =>
         val fields = ids.map(schemaNow.byId(_))
