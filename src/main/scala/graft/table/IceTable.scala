@@ -996,10 +996,18 @@ final class IceTable private (
       .flatMap { case (specId, ms) =>
         val sp = meta.specs.find(_.specId == specId).getOrElse(spec)
         val entries = ms.flatMap { m =>
-          ManifestIO.readManifest(m.path, meta.specs, schema)._2
-            .filter(_.status != ManifestEntryStatus.Deleted)
-            .map(e => e.copy(status = ManifestEntryStatus.Existing,
-              sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+          // v3 lineage: materialize inherited first_row_ids before the
+          // entries leave their manifest — re-packed Existing entries have
+          // no inheritance base (a fresh list assignment would NULL their
+          // _row_id on every later scan)
+          IceTable.lineageOf(m, ManifestIO.readManifest(m.path, meta.specs, schema)._2)
+            .filter(_._1.status != ManifestEntryStatus.Deleted)
+            .map { case (e0, rid) =>
+              val e = if (rid.isDefined && e0.dataFile.firstRowId.isEmpty)
+                e0.copy(dataFile = e0.dataFile.copy(firstRowId = rid)) else e0
+              e.copy(status = ManifestEntryStatus.Existing,
+                sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber)))
+            }
         }
         val groups = math.max(1, math.min(targetCount, entries.size))
         val per = math.max(1, math.ceil(entries.size.toDouble / groups).toInt)

@@ -202,6 +202,13 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tt = t.newScan(snapshotId = Some(snap1.snapshotId), withRowId = true)
       .toDF(spark).select("_row_id").collect().map(_.getLong(0)).sorted
     assert(tt.toSeq == (0L until n1).toSeq)
+    // manifest re-packing BEFORE any data rewrite: the original files have
+    // no materialized _row_id column, so the packed Existing entries must
+    // carry materialized first_row_ids — an unmaterialized repack would
+    // null every _row_id (inheritance is Added-entry-only by design)
+    t.rewriteManifests(targetCount = 1)
+    t.refresh()
+    assert(lineage() == before, "rewriteManifests changed row lineage")
     // COMPACTION: every row changes file and position; lineage must ride
     // along in the materialized _row_id column of the rewritten file
     t.compact(spark, targetFileCount = 1)
