@@ -76,6 +76,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no broadcast delete application:\n$p")
   }
 
+  test("row-lineage scan: rid map broadcasts, the fact side never shuffles") {
+    val p = plan("ice_row_lineage_scan")
+    // _row_id = coalesce(materialized column, broadcast (path -> first_row_id)
+    // map + per-file position) — a per-row map over the scan; at 100 TB a
+    // shuffled join against the metadata-sized map would dominate everything
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"lineage attachment shuffled the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rid map not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"UDF in the lineage path:\n$p")
+  }
+
   test("q8 market share: dimension filters broadcast, one shuffle for the year agg") {
     val p = plan("q8_market_share")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n$p")
