@@ -25,7 +25,7 @@ object IceQueries {
     */
   private case class MaintFixture(custSmall: IceTable, partEqDv: IceTable,
       ordersSpecEvo: IceTable, supplierMerge: IceTable, nationExpire: IceTable,
-      supplierMapped: IceTable, docsLineage: IceTable)
+      supplierMapped: IceTable, docsLineage: IceTable, docsLusn: IceTable)
 
   private case class Fixture(li: IceTable, firstSnapshotId: Long,
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
@@ -492,6 +492,28 @@ object IceQueries {
         t.refresh()
         t
       }
+      val fLusn = Future {
+        // v3 lineage companion `_last_updated_sequence_number`: the commit
+        // sequence that last UPDATED each row. append (seq 1) seeds every
+        // doc, two upserts (seq 2, 3) touch the %5 and %7 key families, a
+        // full compaction (seq 4) then rewrites every row — the rewrite
+        // must MATERIALIZE the per-row values (the rewritten entries' own
+        // sequence advances, but no row was logically updated), so the
+        // scan still reads 1/2/3 per family, never 4
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val t = IceTable.create(catalog, "documents_lusn",
+          SchemaConv.fromSpark(docs.schema),
+          properties = Map("format-version" -> "3"))
+        t.append(docs)
+        t.refresh()
+        t.upsert(spark, docs.where("doc_id % 5 = 0"), Seq("doc_id"))
+        t.refresh()
+        t.upsert(spark, docs.where("doc_id % 7 = 0"), Seq("doc_id"))
+        t.refresh()
+        t.compact(spark, targetFileCount = 1)
+        t.refresh()
+        t
+      }
       val fExpire = Future {
         // the full maintenance lifecycle against live data: three appends,
         // a compaction (superseding the originals), snapshot expiry to the
@@ -538,7 +560,8 @@ object IceQueries {
           Await.result(fMerge, Duration.Inf),
           Await.result(fExpire, Duration.Inf),
           Await.result(fMapped, Duration.Inf),
-          Await.result(fLineage, Duration.Inf)))
+          Await.result(fLineage, Duration.Inf),
+          Await.result(fLusn, Duration.Inf)))
     })
 
   private val curationTables = new ConcurrentHashMap[String, (IceTable, IceTable)]()
@@ -1073,6 +1096,24 @@ object IceQueries {
         SELECT doc_id, CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
           + row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS _row_id
         FROM documents WHERE doc_id % 2 = 1""")),
+
+    // the lineage pair's second half: `_last_updated_sequence_number` per
+    // row — seeded by the append (seq 1), bumped by the upserts that last
+    // touched each key family (seq 2, 3), and PRESERVED through the full
+    // compaction at seq 4 (a materialization failure would read 4
+    // everywhere; an inheritance failure would null or misnumber)
+    QueryDef(
+      "ice_row_lineage_seq_scan",
+      (s, dir) => fixture(s, dir).maint.docsLusn
+        .newScan(withRowId = true).toDF(s)
+        .select(col("doc_id"),
+          col("_last_updated_sequence_number").as("last_upd_seq")),
+      Some("""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN 3
+                         WHEN doc_id % 5 = 0 THEN 2
+                         ELSE 1 END AS BIGINT) AS last_upd_seq
+        FROM documents""")),
 
     // cross-spec scan over the partition-evolved table: half the files are
     // partitioned by identity(status), half by month(orderdate) +

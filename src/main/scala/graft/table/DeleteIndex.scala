@@ -77,11 +77,18 @@ private[table] final class DeleteIndex(keyedEntries: Seq[DeleteIndex.Keyed]) {
   private val EmptyPos = Array.empty[PosEntry]
   private val EmptyEntries = Array.empty[ManifestEntry]
 
-  // global = written under an unpartitioned spec (or carrying no tuple —
-  // a scoped entry without its tuple can only be matched conservatively);
-  // scoped = partitioned spec AND a tuple, indexed by (specId, tuple)
-  private val (eqScopedKeyed, eqGlobalKeyed) = eqRawKeyed.partition(k =>
+  // global = written under an unpartitioned spec; scoped = partitioned
+  // spec AND a tuple, indexed by (specId, tuple). A partitioned-spec entry
+  // with NO tuple is malformed — the Iceberg spec scopes such deletes to
+  // spec AND tuple, so without the tuple there is no lawful match set —
+  // and it applies to NOTHING: matching it globally would be the unsafe
+  // direction (a genuinely scoped delete applied table-wide over-deletes
+  // equal-key rows in other partitions). Unreachable via this repo's
+  // writers (upsert always records tuples; addFiles imports no deletes) —
+  // this guards foreign v2/v3 metadata.
+  private val (eqScopedKeyed, eqRest) = eqRawKeyed.partition(k =>
     k.partitionedSpec && k.entry.dataFile.partition.nonEmpty)
+  private val eqGlobalKeyed = eqRest.filterNot(_.partitionedSpec)
   private val eqBySeq: Array[ManifestEntry] =
     eqGlobalKeyed.map(_.entry).toArray.sortBy(seqOf)
   // one cons-list, built once: every memoized suffix is a TAIL of this list,

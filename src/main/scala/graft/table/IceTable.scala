@@ -32,7 +32,10 @@ final case class FileScanTask(
     dvDeletes: Seq[DataFile] = Nil, // v3 deletion vectors referencing this file
     // v3 row lineage: the _row_id of the file's first row (explicit from
     // the manifest entry, or inherited from the manifest's first_row_id)
-    firstRowId: Option[Long] = None)
+    firstRowId: Option[Long] = None,
+    // partition spec the file was written under (owning manifest's spec id) —
+    // scoped-delete conversion groups by (specId, tuple), not tuple alone
+    specId: Int = 0)
 
 /** Distributed snapshot descriptor (reference
   * `table/distributed_snapshot.go:31-76`): the coordinator reserves the
@@ -207,8 +210,8 @@ final class IceTable private (
         val parentManifests =
           parent.map(s => ManifestIO.readManifestList(s.manifestList)).getOrElse(Nil)
         val listPath = metaPath(s"snap-$snapId-1-$commitUuid.avro")
-        ManifestIO.writeManifestList(listPath, assignRowLineage(mf +: parentManifests),
-          meta.formatVersion)
+        val (lineaged, lineageEnd) = assignRowLineage(mf +: parentManifests)
+        ManifestIO.writeManifestList(listPath, lineaged, meta.formatVersion)
         val now = System.currentTimeMillis()
         val collector = summarizeCommit(Seq(mf))
         val addedRecords = collector.addedDataRecords
@@ -228,7 +231,7 @@ final class IceTable private (
           lastUpdatedMs = now,
           snapshots = meta.snapshots :+ snap,
           refs = meta.refs + (branch -> branchRef),
-          nextRowId = firstRowId.map(_ + addedRecords)))
+          nextRowId = firstRowId.map(f => math.max(lineageEnd, f + addedRecords))))
         maintainMetadata()
         snap
       } catch {
@@ -656,19 +659,25 @@ final class IceTable private (
     * and will inherit (carried-forward manifests keep their original
     * assignment; rewritten manifests materialize file-level ids first, so
     * their own assignment covers only this commit's Added entries).
-    * No-op below v3.
+    * Returns the counter it reached: carried-forward LEGACY manifests (a
+    * v2→v3 upgrade, or lists predating lineage) also consume ranges here,
+    * so the persisted next-row-id must advance past them, not just past
+    * this commit's added rows — otherwise the next commit would hand out
+    * overlapping ranges and duplicate _row_id values durably. No-op below
+    * v3.
     */
-  private def assignRowLineage(manifests: Seq[ManifestFile]): Seq[ManifestFile] = {
-    if (meta.formatVersion < 3) return manifests
+  private def assignRowLineage(manifests: Seq[ManifestFile]): (Seq[ManifestFile], Long) = {
+    if (meta.formatVersion < 3) return (manifests, 0L)
     var next = meta.nextRowId.getOrElse(0L)
-    manifests.map { m =>
+    val assigned = manifests.map { m =>
       if (m.content != 0 || m.firstRowId.isDefined) m
       else {
-        val assigned = m.copy(firstRowId = Some(next))
+        val a = m.copy(firstRowId = Some(next))
         next += m.addedRowsCount
-        assigned
+        a
       }
     }
+    (assigned, next)
   }
 
   /** Shared commit tail: assemble manifest list (new + parent's), snapshot,
@@ -686,7 +695,7 @@ final class IceTable private (
     // which a merge rewrites into mixed Existing manifests
     val collector = summarizeCommit(newManifests)
     val assembled = newManifests ++ parentManifests
-    val finalManifests = assignRowLineage(
+    val (finalManifests, lineageEnd) = assignRowLineage(
       mergeManifestsIfEnabled(assembled, snapId, seq, commitUuid))
     val listPath = metaPath(s"snap-$snapId-$attempt-$commitUuid.avro")
     ManifestIO.writeManifestList(listPath, finalManifests, meta.formatVersion)
@@ -709,7 +718,7 @@ final class IceTable private (
       snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
       properties = meta.properties -- removeProps ++ setProps,
       refs = meta.refs + ("main" -> advanceMain(snapId)),
-      nextRowId = firstRowId.map(_ + addedRecords))
+      nextRowId = firstRowId.map(f => math.max(lineageEnd, f + addedRecords)))
     commitMeta(newMeta)
     maintainMetadata()
     snap
@@ -856,7 +865,9 @@ final class IceTable private (
     graft.GraftSession.ensurePrepared(spark)
     val writeSchema =
       if (preserveLineage) schema.copy(fields =
-        schema.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong))
+        schema.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong)
+          :+ NestedField(IceTable.LastUpdatedSeqFieldId,
+            IceTable.LastUpdatedSeqCol, IceLong))
       else schema
     val newFiles = DataWriter.write(scan.toDFFor(spark, chosen),
       location, writeSchema, spec, sortOrder, meta.properties,
@@ -894,7 +905,9 @@ final class IceTable private (
     // every compacted file
     val writeSchema =
       if (preserveLineage) schema.copy(fields =
-        schema.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong))
+        schema.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong)
+          :+ NestedField(IceTable.LastUpdatedSeqFieldId,
+            IceTable.LastUpdatedSeqCol, IceLong))
       else schema
     val newFiles = DataWriter.write(transform(source),
       location, writeSchema, spec, properties = meta.properties,
@@ -949,7 +962,9 @@ final class IceTable private (
     graft.GraftSession.ensurePrepared(spark)
     val survivorSchema =
       if (preserveLineage) schema.copy(fields =
-        schema.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong))
+        schema.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong)
+          :+ NestedField(IceTable.LastUpdatedSeqFieldId,
+            IceTable.LastUpdatedSeqCol, IceLong))
       else schema
     // survivors = rows where the filter is NOT TRUE. Under SQL three-valued
     // logic `!c` is NULL (not true) when c is NULL, so a bare negation would
@@ -1029,8 +1044,8 @@ final class IceTable private (
     val now = System.currentTimeMillis()
     val parent = meta.currentSnapshot
     val listPath = metaPath(s"snap-$snapId-1-${UUID.randomUUID()}.avro")
-    ManifestIO.writeManifestList(listPath, assignRowLineage(manifests),
-      meta.formatVersion)
+    val (lineaged, lineageEnd) = assignRowLineage(manifests)
+    ManifestIO.writeManifestList(listPath, lineaged, meta.formatVersion)
     // the list mixes carried-forward manifests with this commit's rewrites —
     // only the latter (stamped addedSnapshotId == snapId) hold its deltas
     val collector = summarizeCommit(manifests.filter(_.addedSnapshotId == snapId))
@@ -1048,7 +1063,7 @@ final class IceTable private (
       snapshots = meta.snapshots :+ snap,
       snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapId),
       refs = meta.refs + ("main" -> advanceMain(snapId)),
-      nextRowId = firstRowId.map(_ + addedRecords))
+      nextRowId = firstRowId.map(f => math.max(lineageEnd, f + addedRecords)))
     commitMeta(newMeta)
     maintainMetadata()
     snap
@@ -1321,22 +1336,25 @@ final class IceTable private (
     if (affected.isEmpty) return None
     val schemaNow = schema
     graft.GraftSession.ensurePrepared(spark)
-    // group by the data file's PARTITION TUPLE: tasks of one partition
-    // share their applicable delete-file universe (that partition's scoped
-    // files + the globals) -- a scoped delete from another partition never
-    // enters the group, so the union can't over-kill -- and the
-    // strictly-newer `__dseq > __seq` guard below scopes sequences per
-    // row, exactly like the read path. Scoped upsert deletes only exist
-    // under a single-spec table (the write-side safety gate), so the tuple
-    // alone identifies the partition. Grouping by tuple, NOT by each
-    // task's exact seq-suffix delete set, keeps the conversion at
-    // O(partitions) joins instead of O(upsert rounds): an exact-set key
-    // split a 32-round unpartitioned history into 32 overlapping joins
-    // (EqDebtProbe: conversion 9 to 80 s before this was caught).
+    // group by the data file's (SPEC ID, PARTITION TUPLE): tasks of one
+    // partition share their applicable delete-file universe (that
+    // partition's scoped files + the globals) -- a scoped delete from
+    // another partition OR another spec epoch never enters the group, so
+    // the union can't over-kill -- and the strictly-newer `__dseq > __seq`
+    // guard below scopes sequences per row, exactly like the read path.
+    // The spec id in the key mirrors the read-side index exactly
+    // (DeleteIndex keys scoped entries by (specId, tuple)) instead of
+    // leaning on the write-side gate's sequencing argument. Grouping by
+    // partition, NOT by each task's exact seq-suffix delete set, keeps
+    // the conversion at O(partitions) joins instead of O(upsert rounds):
+    // an exact-set key split a 32-round unpartitioned history into 32
+    // overlapping joins (EqDebtProbe: conversion 9 to 80 s before this
+    // was caught).
     val parts = affected
-      .groupBy(t => DeleteIndex.tupleKey(t.file.partition)).toSeq
-      .sortBy(_._1.mkString(" "))
-      .flatMap { case (_, groupTasks) =>
+      .groupBy(t => (t.specId, DeleteIndex.tupleKey(t.file.partition))).toSeq
+      .sortBy { case ((sid, tup), _) => (sid, tup.mkString(" ")) }
+      .map(_._2)
+      .flatMap { groupTasks =>
         groupTasks.flatMap(_.eqDeletes).distinctBy(_._1.filePath)
           .groupBy(_._1.equalityIds).toSeq.sortBy(_._1.mkString(","))
           .map { case (ids, delFiles) => (ids, delFiles,
@@ -1411,6 +1429,22 @@ final class IceTable private (
     commitManifests(Seq(mf), snapId, seq, commitUuid, "delete")
   }
 
+  /** True when every LIVE data file in the current snapshot was written
+    * under the current partition spec — the state condition under which a
+    * partition-scoped upsert delete can reach every older version of its
+    * keys. Manifest-LIST-sized (one cached Avro read, no manifest or data
+    * file opened): a data manifest's entries all carry its spec id, so
+    * "any Added/Existing files under another spec id" decides it. A
+    * touched old-spec manifest that holds only Deleted entries (post-
+    * compaction tombstones) has no live files and does not block scoping.
+    */
+  private def liveDataOnCurrentSpec: Boolean =
+    meta.currentSnapshot.forall { s =>
+      ManifestIO.readManifestList(s.manifestList).forall(m =>
+        m.content != 0 || m.specId == spec.specId ||
+          m.addedFilesCount + m.existingFilesCount == 0)
+    }
+
   /** Upsert (MERGE-by-key) as ONE row-delta snapshot: the incoming rows as
     * data files, which double as full-row equality-delete files over the
     * key columns, committed together at the same sequence number (one
@@ -1441,13 +1475,19 @@ final class IceTable private (
       // deletes by the incoming row's partition is correct ONLY when a
       // key's older versions are guaranteed to live in that partition:
       // every partition field must derive from a key column (key→tuple is
-      // then a pure function) and the table must have a single spec epoch
-      // (an older spec's files carry a different spec id and would escape
-      // the scoped match). When safe, it is the 100-TB posture: each
-      // partition's scans anti-join only that partition's delete files
-      // instead of every accumulated delete file table-wide.
-      val scopedDeletes = spec.fields.nonEmpty && meta.specs.size == 1 &&
-        spec.fields.forall(f => eqIds.contains(f.sourceId))
+      // then a pure function) and every LIVE data file must carry the
+      // current spec id (an older spec's files would escape the scoped
+      // match). The live-state check — not spec HISTORY — is what makes
+      // the gate recoverable: partition evolution followed by a full
+      // compaction rewrites all live files under the current spec and
+      // re-enables scoping, instead of one updateSpec call forcing every
+      // future upsert's deletes global forever. When safe, it is the
+      // 100-TB posture: each partition's scans anti-join only that
+      // partition's delete files instead of every accumulated delete file
+      // table-wide.
+      val scopedDeletes = spec.fields.nonEmpty &&
+        spec.fields.forall(f => eqIds.contains(f.sourceId)) &&
+        liveDataOnCurrentSpec
       val deleteFiles = dataFiles
         .map(f => f.copy(content = 2, equalityIds = eqIds,
           partition = if (scopedDeletes) f.partition else Nil))
@@ -2414,6 +2454,17 @@ object IceTable {
     */
   val RowIdFieldId = 2147483540
 
+  /** Reserved field id of `_last_updated_sequence_number` — `_row_id`'s
+    * v3 lineage companion: the sequence number of the commit that last
+    * UPDATED each row. Unmodified rows inherit their manifest entry's
+    * data sequence number; rewrites (compaction, z-order) materialize the
+    * original value into the new files exactly like `_row_id`, because
+    * the rewritten entry's own sequence number advances but the rows were
+    * not logically updated.
+    */
+  val LastUpdatedSeqFieldId = 2147483539
+  val LastUpdatedSeqCol = "_last_updated_sequence_number"
+
   /** v3 row lineage, read-side inheritance (Iceberg v3 spec §row-lineage):
     * each data entry's effective first_row_id is its explicit value, or —
     * for ADDED entries — inherited from the manifest's first_row_id by
@@ -2635,7 +2686,7 @@ final class IceScan(
         val path = e.dataFile.filePath
         FileScanTask(e.dataFile, index.posDeletesFor(path, dseq),
           index.eqDeletesFor(dseq, specId, e.dataFile.partition), dseq,
-          index.dvsFor(path, dseq), firstRowId = rid)
+          index.dvsFor(path, dseq), firstRowId = rid, specId = specId)
       }.toSeq
       lastPlanRangedChecks = index.rangedBoundsChecks.get()
       tasks
@@ -2662,6 +2713,7 @@ final class IceScan(
       selected.map(s => schema.select(s, caseSensitive)).getOrElse(schema)
     val outSpark =
       if (withRowId) projected.toSpark.add("_row_id", LongType, nullable = true)
+        .add(IceTable.LastUpdatedSeqCol, LongType, nullable = true)
       else projected.toSpark
     if (limit.contains(0))
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -2685,12 +2737,16 @@ final class IceScan(
         filterNames.contains(n) || filterRoots.contains(n) ||
           eqColNames.contains(n))).distinct
     val readBase = schema.select(readNames, caseSensitive)
-    // lineage reads add the materialized `_row_id` column (reserved field
-    // id): present in rewrite-preserved files, null-filled elsewhere —
-    // the inheritance fallback fills those from first_row_id + position
+    // lineage reads add the materialized `_row_id` and
+    // `_last_updated_sequence_number` columns (reserved field ids):
+    // present in rewrite-preserved files, null-filled elsewhere — the
+    // inheritance fallback fills those from first_row_id + position and
+    // the entry's data sequence number respectively
     val readSchema =
       if (withRowId) IceSchema(readBase.schemaId,
-        readBase.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong))
+        readBase.fields :+ NestedField(IceTable.RowIdFieldId, "_row_id", IceLong)
+          :+ NestedField(IceTable.LastUpdatedSeqFieldId,
+            IceTable.LastUpdatedSeqCol, IceLong))
       else readBase
 
     graft.GraftSession.ensurePrepared(spark)
@@ -2752,23 +2808,28 @@ final class IceScan(
       df = df.drop("__seq")
     }
     if (withRowId) {
-      // per-file first_row_id via a metadata-sized broadcast map; the
-      // materialized column (rewrite-preserved) wins over inheritance
+      // per-file (first_row_id, data sequence) via ONE metadata-sized
+      // broadcast map; the materialized columns (rewrite-preserved) win
+      // over inheritance
       val ridRows = new java.util.ArrayList[org.apache.spark.sql.Row](tasks.size)
       tasks.foreach(t => ridRows.add(org.apache.spark.sql.Row(
-        t.file.filePath, t.firstRowId.map(Long.box).orNull)))
+        t.file.filePath, t.firstRowId.map(Long.box).orNull, Long.box(t.dataSeq))))
       val ridMap = spark.createDataFrame(ridRows, StructType(Seq(
         StructField("__rp", StringType, nullable = false),
-        StructField("__frid", LongType, nullable = true))))
+        StructField("__frid", LongType, nullable = true),
+        StructField("__fseq", LongType, nullable = false))))
       df = df.join(broadcast(ridMap), col("__path") === col("__rp"), "left")
         .withColumn("_row_id",
           coalesce(col("_row_id"), col("__frid") + col("__pos")))
-        .drop("__rp", "__frid")
+        .withColumn(IceTable.LastUpdatedSeqCol,
+          coalesce(col(IceTable.LastUpdatedSeqCol), col("__fseq")))
+        .drop("__rp", "__frid", "__fseq")
     }
     if (needDeletes || withRowId) df = df.drop("__path", "__pos")
     if (bound != AlwaysTrue) df = df.where(Predicates.toColumn(bound))
     df = df.select(projected.fields.map(f => col(f.name)) ++
-      (if (withRowId) Seq(col("_row_id")) else Nil): _*)
+      (if (withRowId) Seq(col("_row_id"), col(IceTable.LastUpdatedSeqCol))
+       else Nil): _*)
     limit.map(df.limit).getOrElse(df)
   }
 

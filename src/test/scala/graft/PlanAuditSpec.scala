@@ -88,6 +88,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"UDF in the lineage path:\n$p")
   }
 
+  test("last-updated-seq scan: the lineage-pair map broadcasts, no fact shuffle") {
+    val p = plan("ice_row_lineage_seq_scan")
+    // _last_updated_sequence_number rides the SAME broadcast
+    // (path -> (first_row_id, data_seq)) map as _row_id — still exactly one
+    // metadata-sized broadcast over the scan, never a fact-side shuffle
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"lineage-pair attachment shuffled the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"lineage map not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"UDF in the lineage path:\n$p")
+  }
+
   test("q8 market share: dimension filters broadcast, one shuffle for the year agg") {
     val p = plan("q8_market_share")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n$p")

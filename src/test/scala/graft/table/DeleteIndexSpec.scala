@@ -175,25 +175,26 @@ class DeleteIndexSpec extends AnyFunSuite {
       eq("/w/p/eq_bin.parquet", Seq(Array[Byte](1, 2)), seq = 7),
       // global delete (unpartitioned spec) applies everywhere
       eq("/w/p/eq_glob.parquet", Nil, seq = 8, specId = 0, partitioned = false),
-      // scoped spec but NO tuple recorded → conservative global
+      // scoped spec but NO tuple recorded → malformed, applies to NOTHING
+      // (matching it globally would over-delete equal keys in other
+      // partitions — the unsafe direction)
       eq("/w/p/eq_notuple.parquet", Nil, seq = 9)))
 
     def names(dseq: Long, specId: Int, part: Seq[Any]): Seq[String] =
       index.eqDeletesFor(dseq, specId, part).map(_._1.filePath).sorted
 
-    // partition 0 sees its own scoped delete + both globals, never p1's
+    // partition 0 sees its own scoped delete + the global; the tuple-less
+    // scoped entry matches nowhere
     assert(names(1L, 1, Seq(0)) ==
-      Seq("/w/p/eq_glob.parquet", "/w/p/eq_notuple.parquet", "/w/p/eq_p0.parquet"))
+      Seq("/w/p/eq_glob.parquet", "/w/p/eq_p0.parquet"))
     // partition 1 likewise
     assert(names(1L, 1, Seq(1)) ==
-      Seq("/w/p/eq_glob.parquet", "/w/p/eq_notuple.parquet", "/w/p/eq_p1.parquet"))
-    // a partition nothing scoped targets gets only the globals
-    assert(names(1L, 1, Seq(2)) ==
-      Seq("/w/p/eq_glob.parquet", "/w/p/eq_notuple.parquet"))
+      Seq("/w/p/eq_glob.parquet", "/w/p/eq_p1.parquet"))
+    // a partition nothing scoped targets gets only the global
+    assert(names(1L, 1, Seq(2)) == Seq("/w/p/eq_glob.parquet"))
     // same tuple VALUE under a DIFFERENT spec id does not match (Iceberg
     // spec: partition spec AND values must equal)
-    assert(names(1L, 2, Seq(0)) ==
-      Seq("/w/p/eq_glob.parquet", "/w/p/eq_notuple.parquet"))
+    assert(names(1L, 2, Seq(0)) == Seq("/w/p/eq_glob.parquet"))
     // binary tuple matches by value
     assert(names(1L, 1, Seq(Array[Byte](1, 2))).contains("/w/p/eq_bin.parquet"))
     // strictly-older rule still applies inside a scope

@@ -218,6 +218,27 @@ class FormatVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("requires format-version 3"))
   }
 
+  test("v2->v3 upgrade: legacy manifests consume row-id ranges exactly once") {
+    val t = IceTable.create(catalog, "r_up23", SchemaConv.fromSpark(region.schema),
+      properties = Map("format-version" -> "2"))
+    t.append(region)
+    t.append(region) // two lineage-less manifests predating v3
+    t.commitUpdates(Nil, Seq(UpgradeFormatVersion(3)))
+    assert(IceTable.load(catalog, "r_up23").metadata.formatVersion == 3)
+    // The first v3 commit assigns ranges to BOTH legacy carried-forward
+    // manifests in addition to its own; the persisted next-row-id must
+    // clear ALL assignments (not just this commit's added rows), or the
+    // second commit reissues the legacy ranges as duplicate _row_id values
+    t.append(region)
+    t.append(region)
+    val ids = t.newScan(withRowId = true).toDF(spark).select("_row_id")
+    val n = ids.count()
+    assert(n == 4 * region.count())
+    assert(ids.distinct().count() == n,
+      "duplicate _row_id after v2->v3 upgrade: legacy ranges reissued")
+    assert(t.metadata.nextRowId.exists(_ >= n))
+  }
+
   test("upgrading a v2 table to v3 seeds the row-lineage counter") {
     val m2 = IceTable.load(catalog, "r_v1").metadata.copy(formatVersion = 2)
     val m3 = UpgradeFormatVersion(3).apply(m2)

@@ -21,9 +21,11 @@ import graft.meta.{FileCatalog, PartitionSpec}
   * with accumulated DV + equality debt crossing every maintenance op.
   *
   * Besides value-equality after every op, the fuzz pins the v3 LINEAGE
-  * INVARIANT: a row's _row_id never changes until an upsert replaces that
-  * key (compaction, conversion, deletes of other rows, and expiry must all
-  * preserve it). Seeded; GRAFT_FUZZ_SEED sweeps fresh sequences.
+  * INVARIANTS on the full pair: a row's _row_id never changes until an
+  * upsert replaces that key, and its _last_updated_sequence_number STRICTLY
+  * INCREASES exactly when an upsert touches the key (compaction,
+  * conversion, deletes of other rows, and expiry must all preserve both).
+  * Seeded; GRAFT_FUZZ_SEED sweeps fresh sequences.
   */
 class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -58,10 +60,12 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val ref = scala.collection.mutable.Map.empty[Long, (Long, String)]
     val refRid = scala.collection.mutable.Map.empty[Long, Long]
+    val refSeq = scala.collection.mutable.Map.empty[Long, Long]
 
-    def observe(): Map[Long, (Long, String, Long)] =
+    def observe(): Map[Long, (Long, String, Long, Long)] =
       t.newScan(withRowId = true).toDF(spark).collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
         .toMap
 
     def checkAfter(op: String, ridsMayChange: Set[Long]): Unit = {
@@ -70,13 +74,24 @@ class LifecycleFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"seed=$seed after $op: " +
           s"${(ref.keySet -- got.keySet).toSeq.sorted.take(5)} missing, " +
           s"${(got.keySet -- ref.keySet).toSeq.sorted.take(5)} extra")
-      got.foreach { case (k, (_, _, rid)) =>
-        if (!ridsMayChange.contains(k))
+      got.foreach { case (k, (_, _, rid, lusn)) =>
+        if (!ridsMayChange.contains(k)) {
           assert(refRid.get(k).forall(_ == rid),
             s"seed=$seed after $op: key $k lineage ${refRid.get(k)} -> $rid")
+          assert(refSeq.get(k).forall(_ == lusn),
+            s"seed=$seed after $op: key $k last-updated-seq " +
+              s"${refSeq.get(k)} -> $lusn (must be preserved)")
+        } else
+          // an upsert of the key is the ONE event that moves the pair —
+          // and it must move the sequence FORWARD
+          assert(refSeq.get(k).forall(_ < lusn),
+            s"seed=$seed after $op: key $k last-updated-seq " +
+              s"${refSeq.get(k)} -> $lusn (upsert must advance it)")
         refRid(k) = rid
+        refSeq(k) = lusn
       }
       refRid.keySet.diff(got.keySet).toSeq.foreach(refRid.remove)
+      refSeq.keySet.diff(got.keySet).toSeq.foreach(refSeq.remove)
     }
 
     // seed rows so the first maintenance ops have something to chew on

@@ -156,4 +156,70 @@ class UpsertFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every task sees all $allEqFiles delete files — scoping did not engage")
     checkAfter("final plan inspection")
   }
+
+  test("partition evolution disables scoped deletes until compaction rewrites the live set") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft-upfuzz-evo").toString
+    val catalog = new FileCatalog(wh)
+    val df0 = Seq.empty[(Long, Long, String)].toDF("k", "v", "txt")
+    val schema = SchemaConv.fromSpark(df0.schema)
+    val t = IceTable.create(catalog, "upfuzz_evo", schema,
+      PartitionSpec.of(0, ("k", BucketTransform(4), "kb"))(schema))
+    t.updateProperties(set = Map("write.max-records-per-file" -> "16"))
+    val ref = scala.collection.mutable.Map.empty[Long, (Long, String)]
+
+    def checkAfter(round: String): Unit = {
+      val got = t.scan(spark).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got == ref.toMap,
+        s"after $round: ${(ref.keySet -- got.keySet).toSeq.sorted.take(5)} missing, " +
+          s"${(got.keySet -- ref.keySet).toSeq.sorted.take(5)} extra")
+    }
+    def upsertRound(round: Int): Unit = {
+      val keys = Seq.fill(30)(rnd.nextInt(200).toLong).distinct
+      val rows = keys.map(k => (k, round.toLong * 1000 + k, s"e$round-$k"))
+      t.upsert(spark, rows.toDF("k", "v", "txt"), Seq("k"))
+      keys.zip(rows).foreach { case (k, (_, v, txt)) => ref(k) = (v, txt) }
+      checkAfter(s"evolution-sequence upsert round $round")
+    }
+    // the gate's direct observable: the spec id of the NEWEST delete
+    // manifest in the current list (GlobalDeletes.specId == Int.MaxValue)
+    def newestDeleteSpecId: Int = {
+      val snap = t.refresh().metadata.currentSnapshot.get
+      graft.meta.ManifestIO.readManifestList(snap.manifestList)
+        .filter(_.content == 1).maxBy(_.sequenceNumber).specId
+    }
+
+    (0 until 3).foreach(upsertRound) // single spec epoch: scoped
+    assert(newestDeleteSpecId == 0, "key-derived single-spec sink must scope")
+
+    // evolve the spec: spec-0 files are still LIVE, so a scoped delete
+    // under spec 1 would never reach a key's spec-0 versions — the gate
+    // must fall back to GLOBAL deletes (over-matching is safe, the
+    // strictly-older rule still scopes sequences)
+    t.updateSpec(("k", BucketTransform(8), "kb8"))
+    (3 until 5).foreach(upsertRound)
+    assert(newestDeleteSpecId == Int.MaxValue,
+      "live spec-0 files present: upsert deletes must be global")
+
+    // full compaction rewrites every live file under spec 1 — the LIVE-
+    // STATE gate re-engages scoping (the old spec-HISTORY gate stayed
+    // off forever after one updateSpec)
+    t.compact(spark, targetFileCount = 4)
+    checkAfter("post-evolution compaction")
+    (5 until 8).foreach(upsertRound)
+    assert(newestDeleteSpecId == 1,
+      "all live files on spec 1 after compaction: scoping must re-engage")
+
+    // and the re-engaged scoping is visible in the plan: post-compaction
+    // deletes attach per bucket, not table-wide
+    t.refresh()
+    val tasks = t.newScan().planFiles()
+    val allEqFiles = tasks.flatMap(_.eqDeletes.map(_._1.filePath)).distinct.size
+    assert(allEqFiles > 0, "rounds 5-7 must leave live equality debt")
+    assert(tasks.map(_.eqDeletes.size).max < allEqFiles,
+      s"every task sees all $allEqFiles delete files — scoping did not re-engage")
+    checkAfter("final evolved-sink state")
+  }
 }
