@@ -30,7 +30,7 @@ object Bench {
       case None =>
         val skip = Set("value", "plan_sec", "ranged_checks", "n_data",
           "n_deletes", "n", "rc", "cpus", "sf", "now", "prev",
-          "cpu_ms", "spark_ms")
+          "cpu_ms", "spark_ms", "recs_total", "prev_common", "prev_equal")
         pair.findAllMatchIn(artifactText)
           .map(p => p.group(1) -> p.group(2).toDouble)
           .filterNot(kv => skip(kv._1)).toMap
@@ -79,14 +79,36 @@ object Bench {
     // a query that throws is recorded as FAILED (see [[timed]]) — keep
     // timing the rest, and put the failed names on the output line
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // per-query task-measured shuffle-write attribution (r19 verdict item
+    // 1): min across the query's runs — identical plans write identical
+    // record counts every run, so the min strips retry/speculation
+    // inflation and IS the plan fingerprint. Identical records + flat
+    // calibration between two rounds ⇒ a wall delta is ambient noise.
+    val shufRecs = scala.collection.mutable.Map[String, Long]()
+    val shufBytes = scala.collection.mutable.Map[String, Long]()
+    // flush warm-up/fixture task events so the first query's counter
+    // starts clean (the listener bus is async)
+    graft.tools.ProbeMetrics.drainListenerBus(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
+        val counter = new graft.tools.ProbeMetrics.ShuffleFullCounter
+        spark.sparkContext.addSparkListener(counter)
         val dt = timed { fn(spark, sfDir).count(); () } match {
           case Right(sec) => sec
           case Left(e) =>
             failed += name
             System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
             0.0
+        }
+        // synchronous bus drain (no fixed sleep), then read the counters —
+        // the attribution must see exactly this run's task events
+        graft.tools.ProbeMetrics.drainListenerBus(spark)
+        spark.sparkContext.removeSparkListener(counter)
+        if (!failed.contains(name)) {
+          shufRecs(name) = math.min(
+            shufRecs.getOrElse(name, Long.MaxValue), counter.records.get)
+          shufBytes(name) = math.min(
+            shufBytes.getOrElse(name, Long.MaxValue), counter.bytes.get)
         }
         // builder-internal caches are per-query scratch; holding them across
         // ~60 queries accumulates MEMORY_AND_DISK blocks in one session
@@ -241,12 +263,48 @@ object Bench {
     } catch { case _: Throwable => "" }
     val firstRunTotal = results.filterNot(r => failed.contains(r._1))
       .map(r => r._3.map(_._1).getOrElse(r._2)).sum
+    // per-query shuffle-record maps: too large for the 2000-char stdout
+    // tail (164 × ~15 chars), so the FULL maps live in the committed
+    // BENCH_LOCAL.json (git history preserves each round's copy) and the
+    // stdout line carries the mechanical classification against the
+    // PREVIOUS round's committed map: how many shared queries, and how
+    // many of them wrote bit-identical record counts. Equal records +
+    // flat calibration ⇒ any common-subset wall delta is ambient (the
+    // r19 noise law), stated by the artifact itself instead of a manual
+    // probe session.
+    val prevRecs: Map[String, Long] = try {
+      val prevText = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"))
+      // record counts are only comparable at the SAME scale factor: a
+      // committed map from another sf would classify every query as
+      // "changed plan" and poison the signal
+      val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(prevText)
+        .exists(_.group(1) == sfDir.split('/').lastOption.getOrElse(sfDir))
+      if (!sameSf) Map.empty
+      else """"shuffle_records":\{([^}]*)\}""".r.findFirstMatchIn(prevText)
+        .map(m => """"([a-z0-9_]+)":(\d+)""".r.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toLong).toMap)
+        .getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    val shufCommon = shufRecs.keys.filter(prevRecs.contains).toSeq
+    val shufEqual = shufCommon.count(k => prevRecs(k) == shufRecs(k))
+    val shufShort =
+      s""","shuf":{"recs_total":${shufRecs.values.sum}""" +
+        (if (prevRecs.nonEmpty)
+          s""","prev_common":${shufCommon.size},"prev_equal":$shufEqual}"""
+        else "}")
+    def longMap(m: scala.collection.Map[String, Long]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val shufJson =
+      s""","shuffle_records":${longMap(shufRecs)}""" +
+        s""","shuffle_bytes":${longMap(shufBytes)}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       line(f2, timings, valueLast = false).dropRight(1) +
         s""","policy":"min2_over_1s","value_first":${f2(firstRunTotal)}""" +
-        s""","failed":$failedJson$commonPrev""" +
-        s""","repeats":$repeatJson$calJson$planningJson}""" + "\n")
+        s""","failed":$failedJson$commonPrev$shufShort""" +
+        s""","repeats":$repeatJson$calJson$planningJson$shufJson}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     // failed list + common-subset trend ride the stdout line too (before the
@@ -255,6 +313,7 @@ object Bench {
     // AFTER the JSON, clipping the driver's stdout-tail capture — Verify is
     // the hard gate.
     println(line(f1, timings.sortBy(_._2), valueLast = true,
-      extra = s""","failed":$failedJson$commonPrev""" + calShort + planningShort))
+      extra = s""","failed":$failedJson$commonPrev$shufShort""" + calShort +
+        planningShort))
   }
 }
