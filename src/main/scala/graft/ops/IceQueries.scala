@@ -25,7 +25,8 @@ object IceQueries {
     */
   private case class MaintFixture(custSmall: IceTable, partEqDv: IceTable,
       ordersSpecEvo: IceTable, supplierMerge: IceTable, nationExpire: IceTable,
-      supplierMapped: IceTable, docsLineage: IceTable, docsLusn: IceTable)
+      supplierMapped: IceTable, docsLineage: IceTable, docsLusn: IceTable,
+      liSorted: IceTable, custView: IceTable, views: ViewCatalog)
 
   private case class Fixture(li: IceTable, firstSnapshotId: Long,
       liPart: IceTable, liMor: IceTable, nationDist: IceTable,
@@ -514,6 +515,47 @@ object IceQueries {
         t.refresh()
         t
       }
+      val fSorted = Future {
+        // write-time SORT ORDER as a consumer-visible scan feature (not
+        // just metadata): the order range-clusters files on
+        // l_extendedprice, so a range predicate plans a strict SUBSET of
+        // the live files off footer bounds alone — asserted here — and
+        // the pruned scan must still be value-exact (the oracle row)
+        val s2 = SchemaConv.fromSpark(lineitem.schema)
+        val order = SortOrder(1, Seq(
+          SortField(s2.idByName("l_extendedprice"), IdentityTransform)))
+        // records-per-file cap keeps MULTIPLE files at every test SF (AQE
+        // coalesces a small range shuffle to one partition, and one file
+        // cannot demonstrate pruning)
+        val t = IceTable.create(catalog, "lineitem_sorted", s2,
+          sortOrder = order,
+          properties = Map("write.max-records-per-file" -> "2000"))
+        t.append(lineitem)
+        t.refresh()
+        val live = t.newScan().planFiles().size
+        val planned =
+          t.newScan(P.lt("l_extendedprice", 20000.0)).planFiles().size
+        require(live > 1 && planned < live,
+          s"sort-order bounds did not prune: $planned of $live files")
+        t
+      }
+      val fView = Future {
+        // stored VIEW executed against a live managed table: the view's
+        // SQL representation round-trips through the versioned view
+        // metadata and runs over the table's scan — a metadata-only view
+        // store would pass ViewMetadataSpec but never face the oracle
+        val customer = spark.read.parquet(s"$dir/customer.parquet")
+        val t = IceTable.create(catalog, "customer_viewbase",
+          SchemaConv.fromSpark(customer.schema))
+        t.append(customer)
+        t.refresh()
+        val views = new ViewCatalog(wh)
+        views.createOrReplace("mktseg_profile",
+          """SELECT c_mktsegment, COUNT(*) AS n_cust,
+            |       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+            |FROM customer_viewbase_live GROUP BY c_mktsegment""".stripMargin)
+        (t, views)
+      }
       val fExpire = Future {
         // the full maintenance lifecycle against live data: three appends,
         // a compaction (superseding the originals), snapshot expiry to the
@@ -561,7 +603,10 @@ object IceQueries {
           Await.result(fExpire, Duration.Inf),
           Await.result(fMapped, Duration.Inf),
           Await.result(fLineage, Duration.Inf),
-          Await.result(fLusn, Duration.Inf)))
+          Await.result(fLusn, Duration.Inf),
+          Await.result(fSorted, Duration.Inf),
+          Await.result(fView, Duration.Inf)._1,
+          Await.result(fView, Duration.Inf)._2))
     })
 
   private val curationTables = new ConcurrentHashMap[String, (IceTable, IceTable)]()
@@ -1077,6 +1122,35 @@ object IceQueries {
                  AS s_name,
                s_nationkey, s_acctbal
         FROM supplier""")),
+
+    // scan of the sort-ordered table under the range predicate its order
+    // exists for: the fixture asserts the predicate plans a strict subset
+    // of files off footer bounds, and this oracle proves the pruned scan
+    // dropped no qualifying row (the failure mode of over-tight bounds)
+    QueryDef(
+      "ice_sorted_scan",
+      (s, dir) => fixture(s, dir).maint.liSorted.scan(s,
+        P.lt("l_extendedprice", 20000.0),
+        Some(Seq("l_orderkey", "l_linenumber", "l_extendedprice"))),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        WHERE l_extendedprice < 20000""")),
+
+    // stored view executed against the live table: the SQL representation
+    // read back from the versioned view metadata runs over the managed
+    // table's scan — value parity with DuckDB makes views a consumer
+    // feature, not a metadata round-trip
+    QueryDef(
+      "ice_view_scan",
+      (s, dir) => {
+        val f = fixture(s, dir).maint
+        f.custView.scan(s).createOrReplaceTempView("customer_viewbase_live")
+        f.views.run(s, "mktseg_profile")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_cust,
+               MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        FROM customer GROUP BY c_mktsegment""")),
 
     // v3 row lineage through a full rewrite: _row_id was assigned by two
     // deterministic sorted appends (evens then odds), then compaction moved

@@ -143,4 +143,39 @@ class PruningMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertTasks(t, P.lt("intCol", 3), 3)
     assertTasks(t, P.gtEq("intCol", 3), 2)
   }
+
+  test("sort-order write prunes a range predicate the unsorted twin cannot") {
+    val s = spark
+    import s.implicits._
+    // same shuffled rows into both twins; the ONLY difference is the
+    // table-level sort order, so any planned-file-count gap is the
+    // write-time range clustering tightening per-file bounds
+    val rows = new scala.util.Random(7).shuffle((0L until 400L).toList)
+      .map(k => (k, k * 2))
+    val df = rows.toDF("k", "v")
+    val schema = SchemaConv.fromSpark(df.schema)
+    val order = SortOrder(1, Seq(SortField(schema.idByName("k"), IdentityTransform)))
+    // file-size cap, not partition count, decides file boundaries — AQE
+    // coalesces the tiny range shuffle to one partition otherwise
+    val props = Map("write.max-records-per-file" -> "100")
+    val sorted = IceTable.create(catalog, "pm_sorted_twin", schema,
+      sortOrder = order, properties = props)
+    sorted.append(df)
+    val unsorted = IceTable.create(catalog, "pm_unsorted_twin", schema,
+      properties = props)
+    unsorted.append(df.repartition(4))
+    val nS = sorted.newScan().planFiles().size
+    val nU = unsorted.newScan().planFiles().size
+    assert(nS >= 4 && nU >= 4, s"twins too small to prove pruning: $nS/$nU")
+    val pS = sorted.newScan(P.lt("k", 100L)).planFiles().size
+    val pU = unsorted.newScan(P.lt("k", 100L)).planFiles().size
+    // round-robin files all span [0,400) — stats prune nothing
+    assert(pU == nU, s"unsorted twin pruned $pU/$nU — fixture assumption broke")
+    // range-clustered files hold disjoint key ranges — most files drop
+    assert(pS < pU && pS <= math.max(1, nS / 2),
+      s"sorted twin planned $pS of $nS files vs unsorted $pU of $nU")
+    // and the pruned scan stays value-exact
+    assert(sorted.scan(spark, P.lt("k", 100L)).collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 100L))
+  }
 }
