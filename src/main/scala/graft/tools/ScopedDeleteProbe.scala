@@ -60,10 +60,8 @@ object ScopedDeleteProbe {
     val scoped = IceTable.create(catalog, "sink_scoped", schema, spec)
     val global = IceTable.create(catalog, "sink_global", schema)
 
-    def drive(t: IceTable): Unit = {
-      t.upsert(spark, base, Seq("k"))
-      t.refresh()
-      (0 until rounds).foreach { r =>
+    def driveRange(t: IceTable, from: Int, until: Int): Unit =
+      (from until until).foreach { r =>
         // each round updates a deterministic 1/rounds slice of the keys —
         // the steady-state CDC shape (every partition touched every round)
         val delta = base.where(col("k") % rounds === r)
@@ -71,9 +69,31 @@ object ScopedDeleteProbe {
         t.upsert(spark, delta, Seq("k"))
         t.refresh()
       }
+    def drive(t: IceTable): Unit = {
+      t.upsert(spark, base, Seq("k"))
+      t.refresh()
+      driveRange(t, 0, rounds)
     }
     drive(scoped)
     drive(global)
+
+    // the EVOLVED sink (r20): same history length, but the spec evolves
+    // mid-stream and a full compaction rewrites the live set under the new
+    // spec — the live-state gate must fall back to global for the rounds
+    // while old-spec files are live, then RE-ENGAGE scoping afterwards
+    // (the old spec-history gate stayed global forever)
+    val evolved = IceTable.create(catalog, "sink_evolved", schema,
+      PartitionSpec.of(0,
+        ("k", BucketTransform(math.max(2, buckets / 2)), "kb"))(schema))
+    evolved.upsert(spark, base, Seq("k"))
+    evolved.refresh()
+    driveRange(evolved, 0, rounds / 2)
+    evolved.updateSpec(("k", BucketTransform(buckets), "kb2"))
+    evolved.refresh()
+    driveRange(evolved, rounds / 2, rounds / 2 + 2) // global while spec-0 files live
+    evolved.compact(spark, targetFileCount = buckets)
+    evolved.refresh()
+    driveRange(evolved, rounds / 2 + 2, rounds) // scoped again
 
     def audit(name: String, t: IceTable): (Long, Int, Long, Double) = {
       val tasks = t.newScan().planFiles()
@@ -91,12 +111,22 @@ object ScopedDeleteProbe {
     }
     val (sumS, _, cntS, wallS) = audit("scoped", scoped)
     val (sumG, _, cntG, wallG) = audit("global", global)
+    val (sumE, maxE, cntE, _) = audit("evolved", evolved)
     require(cntS == cntG && cntS == rows.toLong,
       s"row mismatch: scoped=$cntS global=$cntG expected=$rows")
-    // identical values both sides — scoping must be invisible to results
+    require(cntE == rows.toLong, s"evolved row mismatch: $cntE expected=$rows")
+    // identical values on every sink — scope choices must be invisible
     val chkS = scoped.scan(spark).agg(sum(col("v"))).collect()(0).getLong(0)
     val chkG = global.scan(spark).agg(sum(col("v"))).collect()(0).getLong(0)
-    require(chkS == chkG, s"value checksum mismatch: $chkS vs $chkG")
+    val chkE = evolved.scan(spark).agg(sum(col("v"))).collect()(0).getLong(0)
+    require(chkS == chkG && chkS == chkE,
+      s"value checksum mismatch: $chkS vs $chkG vs $chkE")
+    // post-compaction scoping is VISIBLE in the evolved sink's plan: no
+    // task anti-joins the full delete-file set
+    val eqFilesE = evolved.newScan().planFiles()
+      .flatMap(_.eqDeletes.map(_._1.filePath)).distinct.size
+    require(eqFilesE > 0 && maxE < eqFilesE,
+      s"evolved sink did not re-engage scoping: max_per_task=$maxE of $eqFilesE files")
     println(f"""[scoped-probe] {"antijoin_input_ratio":"${sumG.toDouble / math.max(1L, sumS)}%.1fx",""" +
       f""""scan_speedup":"${wallG / wallS}%.2fx"}""")
     spark.stop()
