@@ -46,6 +46,11 @@ object EqDebtProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // fixed-work ambient anchor (r19 nit 3): conversion-cost drift across
+    // rounds is only attributable next to the same window's calibration
+    val cal = Calibration.run(spark)
+    println(f"""{"probe":"eq-debt-cal","cpu_ms":${cal.cpuMs}%.1f,"spark_ms":${cal.sparkMs}%.1f}""")
+
     val wh = Files.createTempDirectory("graft-eqdebt").toString
     val t = {
       val seed = spark.range(rows.toLong)
