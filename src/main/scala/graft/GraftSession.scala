@@ -29,7 +29,25 @@ object GraftSession {
   val ReadConfs: Seq[(String, String)] = Seq(
     "spark.sql.parquet.fieldId.read.enabled" -> "true",
     "spark.sql.parquet.fieldId.read.ignoreMissing" -> "true",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") ++ PerfConfs
+
+  /** Engine performance confs, applied with the read confs (r21).
+    *
+    * AQE coalesce floor: Spark's default
+    * `coalescePartitions.minPartitionSize` of 1 MB merges every small
+    * post-shuffle stage down to 1-4 partitions, so mid-plan work over
+    * modest exchanges (candidate joins, window ranks, verify joins) runs
+    * serially while the rest of the machine idles — measured r21:
+    * dedup_containment's verify join ran 598k candidate rows in 1-4 tasks.
+    * The floor is a SMALL-SCALE knob only: at deployment scale partitions
+    * are sized by `advisoryPartitionSizeInBytes` (64 MB default), which a
+    * 64 KB floor never reaches, so production plans are unchanged.
+    * Parameterised via SPARK_GRAFT_AQE_MIN_PARTITION for cluster profiles
+    * that do want a higher floor.
+    */
+  def PerfConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
 
   /** Apply the engine's read confs to a session (idempotent — sets only
     * keys whose current value differs).

@@ -516,7 +516,8 @@ object Analytics {
     * out; candidate volume is the bigram type count, aggregated map-side.
     */
   private[ops] def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
-    val words = t(s, dir, "documents").select(col("doc_id"),
+    // spread before tokenize — single-split input rationale (QueryDef.spread)
+    val words = QueryDef.spread(t(s, dir, "documents")).select(col("doc_id"),
       Tok.words(col("text")).as("ws"))
     val uni = CacheRegistry.persist(words
       .select(explode(col("ws")).as("w"))

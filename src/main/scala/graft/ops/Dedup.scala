@@ -239,7 +239,9 @@ $minhashVerifyCte"""
     */
   private[graft] def minhashCandidateStage(spark: SparkSession, dir: String,
       bucketCap: Int): (DataFrame, DataFrame) = {
-    val docs = t(spark, dir, "documents")
+    // spread before the signature expression — the 64-permutation MinHash
+    // is the dominant per-row cost and must not run on one core
+    val docs = QueryDef.spread(t(spark, dir, "documents"))
     val sigs = docs.select(col("doc_id"), col("source"),
         minhashSig(wordSet(col("text"))).as("sig"))
       .transform(CacheRegistry.persist(_))
@@ -291,7 +293,8 @@ $minhashVerifyCte"""
     * from 4 x 16-bit band buckets (pigeonhole: dist<=3 shares a band).
     */
   def simhashCandidates(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
-    val docsWithSource = t(spark, dir, "documents")
+    // spread before the SimHash expression — single-split input rationale
+    val docsWithSource = QueryDef.spread(t(spark, dir, "documents"))
     // persisted for the same reason as the minhash signatures: the band
     // self-join would otherwise run the signature UDF once per side
     val sh = docsWithSource.select(col("doc_id"), col("source"),
@@ -391,9 +394,12 @@ banded AS (SELECT doc_id, source, b.band,
     // tokenize ONCE: both candidate plans start from this persisted frame,
     // and the plan-choice sampler reads the SAME cache (whose
     // materialization is never wasted — the chosen plan needs it in full),
-    // so no row is tokenized twice at any scale
-    val docs = tokensPersisted(
-      raw.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
+    // so no row is tokenized twice at any scale. spread BEFORE the tokenize
+    // projection so the regex/split work lands above the widening exchange
+    // (QueryDef.spread: single-split input ⇒ single-core tokenize + join
+    // probe + partial agg otherwise; no-op at deployment scale)
+    val docs = tokensPersisted(QueryDef.spread(raw)
+      .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
     val joinedRowsEst = statsHint.getOrElse(sampleJoinedRowsTokenized(docs))
     if (joinedRowsEst <= CountJoinMaxPairs) {
       jaccardCountJoinPlans.incrementAndGet()
@@ -720,8 +726,9 @@ banded AS (SELECT doc_id, source, b.band,
 
   private[ops] def adaptiveContainment(raw: DataFrame, threshold: Double,
       statsHint: Option[Double]): DataFrame = {
-    val docs = tokensPersisted(
-      raw.select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
+    // spread before tokenize — same single-split rationale as adaptiveJaccard
+    val docs = tokensPersisted(QueryDef.spread(raw)
+      .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
     val joinedRowsEst = statsHint.getOrElse(sampleJoinedRowsTokenized(docs))
     val prefixWins = joinedRowsEst > CountJoinMaxPairs ||
       (joinedRowsEst > ContainmentPrefixFloor &&
@@ -854,7 +861,9 @@ banded AS (SELECT doc_id, source, b.band,
     * prefix filtering instead, which is the right plan when dfs are large.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val withWords = t(spark, dir, "documents")
+    // spread before the shingle transform: the gram lambda is the dominant
+    // per-row cost and the single-file scan would run it on one core
+    val withWords = QueryDef.spread(t(spark, dir, "documents"))
       .select(col("doc_id"), col("source"),
         Tok.words(col("text")).as("words"))
     val w = col("words")
@@ -912,7 +921,8 @@ banded AS (SELECT doc_id, source, b.band,
         col("total_spans").cast(DoubleType))
 
   def sharedSpanStats(spark: SparkSession, dir: String, n: Int): DataFrame = {
-    val exploded = spanRows(t(spark, dir, "documents"), n)
+    // spread before the span shingle transform — single-split input rationale
+    val exploded = spanRows(QueryDef.spread(t(spark, dir, "documents")), n)
       .transform(CacheRegistry.persist(_))
     val spanDf = exploded.groupBy("span").agg(count(lit(1)).as("df"))
     spanStatsRollup(exploded.join(spanDf, "span"))

@@ -589,7 +589,8 @@ object PipelineOps {
 
     QueryDef(
       "text_repetition",
-      (s, dir) => repetition(t(s, dir, "documents"), flagAbove = 0.2),
+      (s, dir) => repetition(QueryDef.spread(t(s, dir, "documents")),
+        flagAbove = 0.2),
       Some("""
         WITH w AS (
           SELECT doc_id, string_split(

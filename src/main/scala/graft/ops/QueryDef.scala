@@ -54,6 +54,34 @@ private[graft] object Tok {
 }
 
 object QueryDef {
+  /** Scale-adaptive map-side parallelism guard (optimization guide §2.5,
+    * "input skew: one huge unsplittable file ... repartition immediately
+    * after the read"). The driver testdata ships every table as ONE
+    * single-row-group parquet file, so a scan arrives as a single split no
+    * matter what `maxPartitionBytes` says — and everything between the scan
+    * and the first exchange (tokenization regexes, MD5 signature hashing,
+    * explode, join probes, partial aggregation) runs on one core while the
+    * rest idle (measured r21: dedup_jaccard_pairs spent 4.7 of 5.3 s in one
+    * such task). Widening to the session's default parallelism costs one
+    * corpus-linear round-robin exchange of the RAW rows and unlocks cores×
+    * on all map-side compute above it.
+    *
+    * Scale posture: the guard is conditional — a deployment-scale input
+    * already arrives in ≥ cores splits, the condition is false, and this is
+    * a no-op. Nothing is tuned to local[32]; the target is the session's own
+    * parallelism. Apply it ONLY where heavy per-row compute sits between the
+    * scan and the first exchange — a plain scan+filter+tiny-agg query is
+    * better off without the extra exchange.
+    *
+    * Correctness: results are row-order-independent everywhere this is used
+    * (aggregates, pair sets, per-row maps), and round-robin repartition is
+    * deterministic under retries (sortBeforeRepartition, on by default).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Read one driver-generated table (TESTDATA.md) from the given sf dir.
     *
     * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which Spark's

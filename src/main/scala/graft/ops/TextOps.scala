@@ -143,7 +143,7 @@ object TextOps {
       k: Int = 100, capacity: Int = 4096): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val toks = t(s, dir, "documents").select(col("doc_id"),
+    val toks = QueryDef.spread(t(s, dir, "documents")).select(col("doc_id"),
       explode(Tok.words(col("text")))
         .as("token"))
       .transform(CacheRegistry.persist(_)) // both passes read it
@@ -206,46 +206,33 @@ object TextOps {
     // (Σ_positions x = Σ_{distinct bigrams} n·x, integer arithmetic), and
     // it is strictly smaller than the corpus: the explode is one row per
     // TOKEN, which at 100 TB persisted a larger-than-corpus intermediate
-    // (VERDICT r15 What's-wrong #2). No explicit persist: docBigrams has
-    // exactly TWO direct consumers (bgCounts and the scoring join), kept
-    // byte-identical so ReuseExchange serves both from the SAME shuffle
-    // output (disk-backed, executor-local — the scale-safe
-    // materialization), and the explode is map-side-combined straight
-    // into the groupBy, never shuffled raw. PlanAuditSpec pins the reuse
-    // (one Generate, ≥1 ReusedExchange in the executed plan).
-    val docBigrams = documents
+    // (VERDICT r15 What's-wrong #2). PlanAuditSpec pins the one-corpus-pass
+    // law (exactly one Generate materialization).
+    // r21: the exchange-reuse discipline this relied on (byte-identical
+    // consumer subtrees sharing one ShuffleExchange) proved brittle in the
+    // bench-shaped session — StageProfile measured FOUR separate corpus
+    // scan+tokenize+explode passes (two materializing identical 256,477-
+    // record exchanges side by side), exactly the failure mode the r17
+    // comment feared. The per-doc bigram-count frame is therefore now an
+    // EXPLICIT CacheRegistry persist — the same materialization contract as
+    // Dedup.tokensPersisted, strictly smaller than the tokenized corpus —
+    // so every consumer (bgCounts → ctx/vocab, and the scoring join) reads
+    // one materialization unconditionally instead of depending on plan
+    // canonicalization. spread: single-split input would tokenize on one
+    // core (QueryDef.spread scaladoc).
+    val docBigrams = CacheRegistry.persist(QueryDef.spread(documents)
       .select(col("doc_id"), w.as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("ws")) - 2),
         i => struct(element_at(col("ws"), i + 1).as("prev"),
           element_at(col("ws"), i + 2).as("cur")))).as("bg"))
-      // semantically a no-op (in-range element_at over split tokens is
-      // never null) but load-bearing for exchange reuse: the downstream
-      // joins on prev/cur INFER isnotnull filters and push them into their
-      // branch's copy of this subtree, so branches without a join would
-      // canonicalize differently and re-run the corpus scan + explode once
-      // per constraint variant. Stating the constraint here makes every
-      // branch byte-identical — the inferred filters are subsumed.
       .where(col("bg.prev").isNotNull && col("bg.cur").isNotNull)
       .groupBy(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val bgCounts = docBigrams.groupBy("prev", "cur").agg(sum(col("n")).as("c_bg"))
     val ctxCounts = bgCounts.groupBy("prev").agg(sum(col("c_bg")).as("c_ctx"))
-    // vocab derives from bgCounts, NOT docBigrams: distinct `cur` is the
-    // same set either way, but a third direct consumer of docBigrams
-    // prunes the count column out of its aggregate, canonicalizes to a
-    // DIFFERENT subtree, and silently re-runs the corpus scan + explode
-    // (ReuseExchange only dedups byte-identical plans — observed r17:
-    // three parquet scans, one per consumer variant). The no-op
-    // `c_bg > 0` guard (every group counts ≥ 1) blocks column pruning
-    // from dropping the sum out of THIS branch's bgCounts aggregate —
-    // a sum-less variant would again canonicalize differently and
-    // re-scan. Re-aggregating the small bigram-type frame is
-    // executor-local shuffle re-read, not a second pass over 100 TB.
-    // PlanAuditSpec pins Generate==1.
-    val vocab = bgCounts.where(col("c_bg") > 0)
-      .agg(countDistinct(col("cur")).as("v"))
+    val vocab = bgCounts.agg(countDistinct(col("cur")).as("v"))
     // per-bigram negative log-likelihood in INTEGER micro-units (1e-4):
     // rounded the moment it leaves ln(), so the per-doc reduction is an
     // exact order-independent integer sum (map-side-combinable, no
@@ -352,7 +339,9 @@ object TextOps {
     // hash-exact like lm_perplexity
     QueryDef(
       "text_entropy",
-      (s, dir) => wordEntropy(t(s, dir, "documents")),
+      // spread: the tokenize+explode is the dominant per-row cost and the
+      // single-split input would run it on one core (QueryDef.spread)
+      (s, dir) => wordEntropy(QueryDef.spread(t(s, dir, "documents"))),
       Some("""
         WITH toks AS (SELECT doc_id, unnest(string_split(
             regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
@@ -432,7 +421,9 @@ object TextOps {
       "dedup_cross_source_overlap",
       (s, dir) => {
         val w = Tok.words(col("text"))
-        val spans = t(s, dir, "documents")
+        // spread before the 5-token span shingle+md5 transform — the
+        // dominant per-row cost (QueryDef.spread single-split rationale)
+        val spans = QueryDef.spread(t(s, dir, "documents"))
           .select(col("source"), w.as("ws"))
           .where(size(col("ws")) >= 5)
           .select(col("source"), explode(transform(
@@ -591,7 +582,7 @@ object TextOps {
       "text_vocab_topk",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = t(s, dir, "documents").select(col("doc_id"),
+        val toks = QueryDef.spread(t(s, dir, "documents")).select(col("doc_id"),
           explode(Tok.words(col("text")))
             .as("token"))
         val agg = toks.groupBy("token")
@@ -673,7 +664,7 @@ object TextOps {
     // grid) + one final division, so the double hash-matches cross-engine
     QueryDef(
       "text_source_drift",
-      (s, dir) => sourceDrift(t(s, dir, "documents")),
+      (s, dir) => sourceDrift(QueryDef.spread(t(s, dir, "documents"))),
       Some("""
         WITH toks AS (
           SELECT source, unnest(string_split(
@@ -742,9 +733,10 @@ object TextOps {
         // persisted: BOTH the doc-frequency and the term-frequency
         // aggregations read the exploded term frame
         val toks = CacheRegistry.persist(
-          t(s, dir, "documents").select(col("doc_id"), col("source"),
-            explode(Tok.words(col("text")))
-              .as("term")))
+          QueryDef.spread(t(s, dir, "documents"))
+            .select(col("doc_id"), col("source"),
+              explode(Tok.words(col("text")))
+                .as("term")))
         val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val df = toks.groupBy("term")
           .agg(countDistinct(col("doc_id")).as("doc_freq"))
@@ -815,7 +807,7 @@ object TextOps {
   private[ops] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val qTerms = Seq("hash", "join", "vector", "stream", "spark")
-        val docs = t(s, dir, "documents").select(col("doc_id"),
+        val docs = QueryDef.spread(t(s, dir, "documents")).select(col("doc_id"),
           Tok.words(col("text")).as("ws"))
           .select(col("doc_id"), col("ws"),
             size(col("ws")).cast(LongType).as("dl"))

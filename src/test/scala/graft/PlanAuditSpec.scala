@@ -423,33 +423,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("lm perplexity: the corpus is scanned and exploded exactly once") {
     // the shared docBigrams intermediate must be served to every consumer
-    // by exchange reuse, not recomputed — at 100 TB each un-reused
-    // consumer variant is a full corpus scan + explode. Pinned here
-    // because the reuse is brittle by construction: ReuseExchange only
-    // dedups byte-identical canonical subtrees, so a consumer that prunes
-    // an aggregate column or carries a join-inferred isnotnull the others
-    // lack silently re-runs the pipeline (observed r17: THREE scans
-    // before the branch alignment in lmPerplexity)
+    // from ONE materialization — at 100 TB each un-shared consumer variant
+    // is a full corpus scan + explode. r17 relied on exchange reuse
+    // (byte-identical canonical subtrees), which proved brittle: the r21
+    // bench session measured FOUR corpus passes. The frame is now an
+    // explicit CacheRegistry persist, so the law is: the corpus-scale
+    // Generate lives in exactly ONE distinct cached relation, and no
+    // consumer branch re-runs it outside the cache.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // each consumer holds a FRESH InMemoryRelation instance, but one cached
+    // materialization = one shared CachedRDDBuilder — dedupe on that
+    val cachedBuilders = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     def expand(p: SparkPlan): Seq[SparkPlan] = {
       val nested = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
+        case i: InMemoryTableScanExec =>
+          // expand each DISTINCT cached materialization once: N scans of
+          // one cache are one materialization, not N
+          val b = i.relation.cacheBuilder
+          if (cachedBuilders.exists(_ eq b)) Seq.empty
+          else { cachedBuilders += b; Seq(i.relation.cachedPlan) }
         case _ => Seq.empty
       }
       p +: (p.children ++ nested ++ p.subqueries).flatMap(expand)
     }
     val df = SparkEntry.queries("text_lm_perplexity")(spark, sfDir)
-    df.collect() // AQE finalizes stages (and their reuse) only on execution
+    df.collect() // AQE finalizes stages only on execution
     val nodes = expand(df.queryExecution.executedPlan)
     val generates = nodes.count(_.nodeName.contains("Generate"))
-    val reused = nodes.count(_.nodeName.contains("ReusedExchange"))
+    val cacheReads = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
     assert(generates == 1,
-      s"bigram explode ran $generates times — a consumer branch stopped canonicalizing " +
-        s"with the others:\n${df.queryExecution.executedPlan}")
-    assert(reused >= 2,
-      s"expected docBigrams + bgCounts exchange reuse, found $reused ReusedExchange " +
-        s"nodes:\n${df.queryExecution.executedPlan}")
+      s"bigram explode materialized $generates times — a consumer branch fell " +
+        s"off the shared cache:\n${df.queryExecution.executedPlan}")
+    assert(cachedBuilders.size == 1 && cacheReads >= 2,
+      s"expected every consumer to read ONE cached docBigrams materialization, " +
+        s"found ${cachedBuilders.size} caches / $cacheReads cache reads:\n" +
+        s"${df.queryExecution.executedPlan}")
+    graft.ops.CacheRegistry.releaseAll()
   }
 }

@@ -222,20 +222,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = graft.ops.TextOps.lmPerplexity(d.repartition(5))
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(again == out.view.mapValues(_._2).toMap)
-    // scale pin: the three consumers of the per-doc bigram-count frame
-    // (bigram counts, vocab, scoring join) must SHARE its exchange —
-    // a plan change that recomputes the corpus-scale explode per consumer
-    // shows up here as the reuse nodes vanishing
+    // scale pin: the consumers of the per-doc bigram-count frame (bigram
+    // counts → ctx/vocab, and the scoring join) must SHARE its
+    // materialization. r21: sharing is an explicit CacheRegistry persist
+    // (exchange reuse proved brittle — four corpus passes measured in the
+    // bench session), so the executed plan must read the frame through
+    // InMemoryTableScan in ≥ 2 places and run the corpus explode nowhere
+    // outside the single cached subtree (PlanAuditSpec pins that half)
     val shared = graft.ops.TextOps.lmPerplexity(d)
-    shared.collect() // AQE finalizes (and reuses) stages only on execution
+    shared.collect()
     val plan = shared.queryExecution.executedPlan.toString
-    // the per-doc bigram aggregate's exchange feeds bgCounts, vocab AND the
-    // scoring join: its ShuffleQueryStage must appear reused, not rebuilt
-    val stageIds = "ShuffleQueryStage (\\d+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
-      || stageIds.distinct.size < stageIds.size,
-      s"per-doc bigram frame not shared across consumers:\n${plan.take(3000)}")
+    val cacheReads = "InMemoryTableScan".r.findAllMatchIn(plan).size
+    assert(cacheReads >= 2,
+      s"per-doc bigram frame not shared across consumers ($cacheReads cache " +
+        s"reads):\n${plan.take(3000)}")
+    graft.ops.CacheRegistry.releaseAll()
   }
 
   test("bloom decontamination has one-sided error against the exact join") {
