@@ -26,28 +26,17 @@ object GraftSession {
     * consistent schema. [[graft.ops.QueryDef.t]] branches on the ACTUAL
     * read type, so micros files are unaffected.
     */
+  // r21 note: an AQE coalesce floor of 64k
+  // (`coalescePartitions.minPartitionSize`) was trialled here to
+  // parallelize the 1-4-task post-shuffle stages AQE produces on tiny
+  // inputs; an A/B over a warm query list measured it NEUTRAL-TO-WORSE
+  // board-wide (per-task scheduling overhead across every stage of ~90
+  // queries outweighed the few serial mid-stages it widened), so the
+  // default 1m floor stands.
   val ReadConfs: Seq[(String, String)] = Seq(
     "spark.sql.parquet.fieldId.read.enabled" -> "true",
     "spark.sql.parquet.fieldId.read.ignoreMissing" -> "true",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true") ++ PerfConfs
-
-  /** Engine performance confs, applied with the read confs (r21).
-    *
-    * AQE coalesce floor: Spark's default
-    * `coalescePartitions.minPartitionSize` of 1 MB merges every small
-    * post-shuffle stage down to 1-4 partitions, so mid-plan work over
-    * modest exchanges (candidate joins, window ranks, verify joins) runs
-    * serially while the rest of the machine idles — measured r21:
-    * dedup_containment's verify join ran 598k candidate rows in 1-4 tasks.
-    * The floor is a SMALL-SCALE knob only: at deployment scale partitions
-    * are sized by `advisoryPartitionSizeInBytes` (64 MB default), which a
-    * 64 KB floor never reaches, so production plans are unchanged.
-    * Parameterised via SPARK_GRAFT_AQE_MIN_PARTITION for cluster profiles
-    * that do want a higher floor.
-    */
-  def PerfConfs: Seq[(String, String)] = Seq(
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
   /** Apply the engine's read confs to a session (idempotent — sets only
     * keys whose current value differs).

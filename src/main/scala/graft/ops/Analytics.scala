@@ -152,8 +152,10 @@ object Analytics {
     */
   private[ops] def itemPagerank(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
-      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+    // spread: per-row JSON parse over a single-split scan (QueryDef.spread)
+    val ev = QueryDef.spread(t(s, dir, "events"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
     val edges = CacheRegistry.persist(
       ev.withColumn("nk", lead("k", 1).over(byUser))
         .where(col("nk").isNotNull && col("nk") =!= col("k"))
@@ -388,8 +390,9 @@ object Analytics {
     */
   private[ops] def itemTriangles(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
-      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+    val ev = QueryDef.spread(t(s, dir, "events"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
     val e = CacheRegistry.persist(
       ev.withColumn("nk", lead("k", 1).over(byUser))
         .where(col("nk").isNotNull && col("nk") =!= col("k"))
@@ -444,7 +447,7 @@ object Analytics {
     */
   private[ops] def frequentPairs(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val si = t(s, dir, "events")
+    val si = QueryDef.spread(t(s, dir, "events"))
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
@@ -516,8 +519,9 @@ object Analytics {
     * out; candidate volume is the bigram type count, aggregated map-side.
     */
   private[ops] def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
-    // spread before tokenize — single-split input rationale (QueryDef.spread)
-    val words = QueryDef.spread(t(s, dir, "documents")).select(col("doc_id"),
+    // NOT spread (r21 A/B): both consumers aggregate map-side right above
+    // the tokenize — the widening exchange lost on the board (+0.38 s)
+    val words = t(s, dir, "documents").select(col("doc_id"),
       Tok.words(col("text")).as("ws"))
     val uni = CacheRegistry.persist(words
       .select(explode(col("ws")).as("w"))
@@ -554,8 +558,9 @@ object Analytics {
     */
   private[ops] def markovTransitions(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
-      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+    val ev = QueryDef.spread(t(s, dir, "events"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
     val edges = ev.withColumn("nk", lead("k", 1).over(byUser))
       .where(col("nk").isNotNull && col("nk") =!= col("k"))
       .groupBy(col("k").as("src"), col("nk").as("dst"))

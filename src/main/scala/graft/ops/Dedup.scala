@@ -1145,6 +1145,9 @@ banded AS (SELECT doc_id, source, b.band,
     // exact word-set duplicate families — one shuffle on the content key
     QueryDef(
       "dedup_wordset_families",
+      // NOT spread (r21 A/B): the word-set key is one map expression into a
+      // map-side-combining aggregate — the widening exchange cost more than
+      // the parallel tokenize saved (+0.36 s on the board)
       (s, dir) =>
         t(s, dir, "documents")
           .groupBy(array_join(sort_array(wordSet(col("text"))), " ").as("wskey"))
@@ -1162,7 +1165,9 @@ banded AS (SELECT doc_id, source, b.band,
     // — equivalent to the engine's min-struct representative aggregate
     QueryDef(
       "dedup_paragraph_exact",
-      (s, dir) => chunkDedupStats(t(s, dir, "documents"), chunkWords = 20),
+      // spread: chunk-hash shingling dominates (QueryDef.spread rationale)
+      (s, dir) => chunkDedupStats(QueryDef.spread(t(s, dir, "documents")),
+        chunkWords = 20),
       Some("""
         WITH w AS (SELECT doc_id, string_split(
             regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws FROM documents),

@@ -34,7 +34,10 @@ object Multimodal {
     * from doc_id.
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
+    // spread: every downstream consumer decodes payload bytes per row
+    // (ImageIO / histogram kernels) — the dominant cost, which a
+    // single-split input would serialize on one core (QueryDef.spread)
+    QueryDef.spread(t(spark, dir, "documents")).select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(

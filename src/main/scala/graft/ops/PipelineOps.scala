@@ -470,7 +470,7 @@ object PipelineOps {
     // determinism stay pinned in PipelineOpsSpec
     QueryDef(
       "pipeline_quality_classifier",
-      (s, dir) => nbQualityScores(t(s, dir, "documents"),
+      (s, dir) => nbQualityScores(QueryDef.spread(t(s, dir, "documents")),
         goodSources = (0 to 4).map(i => s"src$i")),
       Some("""
         WITH toks AS (SELECT doc_id, source, unnest(string_split(
@@ -568,7 +568,10 @@ object PipelineOps {
           FROM documents) sub""")),
     QueryDef(
       "pipeline_decontaminate",
-      (s, dir) => decontaminate(t(s, dir, "documents"), benchMaxId = 50L),
+      // spread: the 5-gram shingle transform dominates and a single-split
+      // input serializes it on one core (QueryDef.spread)
+      (s, dir) => decontaminate(QueryDef.spread(t(s, dir, "documents")),
+        benchMaxId = 50L),
       Some("""
         WITH w AS (
           SELECT doc_id, string_split(

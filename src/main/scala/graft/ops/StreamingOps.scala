@@ -629,7 +629,15 @@ object StreamingOps {
     */
   def streamedMinhashLsh(spark: SparkSession, dir: String,
       bucketCap: Int = StreamBucketCap): (DataFrame, Seq[Long]) = {
-    val s2 = streamSession(spark)
+    // 8 state partitions (vs the default 2): the LSH bucket state fn does
+    // REAL per-group compute (sort arrivals, pairwise signature agreement,
+    // state (de)serialization of member signature arrays) — at 2 partitions
+    // that work serialized on two cores and dominated the stream's wall
+    // (StreamCommitProbe: staging ≈ 3.6 s of ~6.9). Commit overhead grows
+    // with store count, so this is the measured balance point, not a
+    // core-count constant; results are partition-independent (the fn sorts
+    // within each bucket group).
+    val s2 = streamSession(spark, parts = 8)
     import s2.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val srcDir = stagedDocuments(spark, dir)
@@ -637,6 +645,12 @@ object StreamingOps {
       s2.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
+        // NOT repartitioned before the signature select: StreamCommitProbe
+        // A/B'd a per-batch repartition(defaultParallelism) here and it did
+        // NOT pay (staging 3.87 s vs 3.56 s baseline) — the extra raw-text
+        // exchange per micro-batch costs more than the parallel signature
+        // pass saves at per-trigger batch sizes. The win that did pay is
+        // the 8-partition state width (see streamSession below).
         .select(col("doc_id"), col("source"),
           Dedup.minhashSig(Dedup.wordSet(col("text"))).as("sig")),
       extra = Seq("sig"))
@@ -672,7 +686,9 @@ object StreamingOps {
   def streamedMinhashLshWindowed(spark: SparkSession, dir: String,
       bucketCap: Int = StreamBucketCap,
       windowDocs: Int = StreamWindowDocs): (DataFrame, Seq[Long]) = {
-    val s2 = streamSession(spark)
+    // 8 state partitions — same per-group-compute rationale as
+    // [[streamedMinhashLsh]]
+    val s2 = streamSession(spark, parts = 8)
     import s2.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val srcDir = stagedDocuments(spark, dir)
@@ -680,6 +696,7 @@ object StreamingOps {
       s2.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
+        // NOT repartitioned — same A/B result as [[streamedMinhashLsh]]
         .select(col("doc_id"), col("source"),
           Dedup.minhashSig(Dedup.wordSet(col("text"))).as("sig"),
           // +1: the clock must stay strictly ABOVE the initial watermark

@@ -339,9 +339,9 @@ object TextOps {
     // hash-exact like lm_perplexity
     QueryDef(
       "text_entropy",
-      // spread: the tokenize+explode is the dominant per-row cost and the
-      // single-split input would run it on one core (QueryDef.spread)
-      (s, dir) => wordEntropy(QueryDef.spread(t(s, dir, "documents"))),
+      // NOT spread (r21 A/B): explode feeds a map-side-combining aggregate
+      // directly — the widening exchange lost on the board
+      (s, dir) => wordEntropy(t(s, dir, "documents")),
       Some("""
         WITH toks AS (SELECT doc_id, unnest(string_split(
             regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
@@ -582,7 +582,9 @@ object TextOps {
       "text_vocab_topk",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = QueryDef.spread(t(s, dir, "documents")).select(col("doc_id"),
+        // NOT spread (r21 A/B): explode feeds a map-side-combining
+        // aggregate directly — the widening exchange lost on the board
+        val toks = t(s, dir, "documents").select(col("doc_id"),
           explode(Tok.words(col("text")))
             .as("token"))
         val agg = toks.groupBy("token")
@@ -807,7 +809,10 @@ object TextOps {
   private[ops] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val qTerms = Seq("hash", "join", "vector", "stream", "spark")
-        val docs = QueryDef.spread(t(s, dir, "documents")).select(col("doc_id"),
+        // NOT spread (r21 A/B): the |Q|-term filter right after the explode
+        // keeps map work tiny; the widening exchange showed up as +0.8 s on
+        // the RRF consumer
+        val docs = t(s, dir, "documents").select(col("doc_id"),
           Tok.words(col("text")).as("ws"))
           .select(col("doc_id"), col("ws"),
             size(col("ws")).cast(LongType).as("dl"))
