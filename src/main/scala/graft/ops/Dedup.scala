@@ -293,8 +293,9 @@ $minhashVerifyCte"""
     * from 4 x 16-bit band buckets (pigeonhole: dist<=3 shares a band).
     */
   def simhashCandidates(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
-    // spread before the SimHash expression — single-split input rationale
-    val docsWithSource = QueryDef.spread(t(spark, dir, "documents"))
+    // NOT spread (r21 A/B): the SimHash expression folds map-side into one
+    // cached row per doc — the widening exchange lost on the board (+1.0 s)
+    val docsWithSource = t(spark, dir, "documents")
     // persisted for the same reason as the minhash signatures: the band
     // self-join would otherwise run the signature UDF once per side
     val sh = docsWithSource.select(col("doc_id"), col("source"),
@@ -683,10 +684,9 @@ banded AS (SELECT doc_id, source, b.band,
     * count-join (Σ C(df,2) joined rows, no array payloads) when document
     * frequencies are modest, the one-sided PREFIX-PROBE plan
     * ([[containmentPairsPrefixOver]]) when the moment estimate says the
-    * count-join goes quadratic — one stopword with df=10⁹ at 100 TB — or
-    * when the threshold is high enough that short prefixes make the probe
-    * plan cheaper outright. Both plans are exact (DedupSpec proves
-    * identical pair sets); the choice affects cost only.
+    * count-join goes quadratic — one stopword with df=10⁹ at 100 TB. Both
+    * plans are exact (DedupSpec proves identical pair sets); the choice
+    * affects cost only (crossover evidence: [[adaptiveContainment]]).
     */
   def containmentPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     adaptiveContainment(t(spark, dir, "documents"), threshold, statsHint = None)
@@ -700,39 +700,37 @@ banded AS (SELECT doc_id, source, b.band,
     adaptiveContainment(table.scan(spark), threshold,
       statsHint = table.tokenJoinedRowsOf("text"))
 
-  /** Above this Σ C(df,2), a high-threshold containment run prefers the
-    * prefix-probe plan even though the count-join is not yet quadratic:
-    * the probe side explores at most a (1−t) fraction of each document's
-    * tokens — the RAREST ones, so the realized probe moment
-    * Σ_tok prefdf·df is far below (1−t)·Σ df² (measured 0.23× at t=0.9 on
-    * the sf0.1 corpus) — and the verify join's per-candidate array cost is
-    * amortized once joined-row savings reach count-join scale. Below the
-    * floor there is nothing worth saving and the count-join's simpler
-    * two-shuffle shape wins.
-    */
-  val ContainmentPrefixFloor: Double = 2e6
-
-  /** Prefix lengths scale with (1−t): at t ≥ this bound the probe side is
-    * ≤ a quarter of the token stream and the prefix plan's joined rows
-    * undercut the count-join's by enough to pay for candidate
-    * verification (see the 2·(1−t)·V < 1 analysis in the scaladoc of
-    * [[containmentPairsPrefixOver]]).
-    */
-  val ContainmentPrefixMinThreshold: Double = 0.75
-
   /** Test hooks: which containment plan the cost-based chooser ran. */
   val containmentPrefixPlans = new java.util.concurrent.atomic.AtomicLong()
   val containmentCountJoinPlans = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Containment plan choice = the SAME rule as jaccard: prefix-probe only
+    * when Σ C(df,2) clears the [[CountJoinMaxPairs]] quadratic budget.
+    *
+    * r21: the previous HIGH-THRESHOLD EARLY FLIP (est > 2e6 floor at
+    * t ≥ 0.75 → prefix) was tuned when the count-join's tokenize/join
+    * stages ran on a single core (single-split input, see
+    * [[graft.ops.QueryDef.spread]]); with that fixed,
+    * [[ContainmentPlanProbe]] measured the count-join STRICTLY faster
+    * across the whole window the early flip governed — min-of-2 walls on
+    * doc_id-shifted replicated corpora at t=0.9, identical output rows:
+    * est 1.1e7 → 3.37 s vs 5.70 s, est 1.0e8 → 3.08 s vs 11.50 s, and even
+    * est 4.0e8 (past the budget, dfs scaled uniformly) 14.0 s vs 23.4 s.
+    * Uniform df growth gives the prefix plan no candidate advantage
+    * (shuffle records came out equal) while it pays the rarity-ranking
+    * window and the array-shipping verify join. The budget flip stays: its
+    * job is the PLANTED-STOPWORD shape (one token with df in the millions,
+    * Σ C(df,2) ~ 1e12+), where the count-join is structurally quadratic
+    * and the prefix plan's candidate bound is the only survivable plan
+    * (SkewStressSpec pins that corpus-linearity).
+    */
   private[ops] def adaptiveContainment(raw: DataFrame, threshold: Double,
       statsHint: Option[Double]): DataFrame = {
     // spread before tokenize — same single-split rationale as adaptiveJaccard
     val docs = tokensPersisted(QueryDef.spread(raw)
       .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws")))
     val joinedRowsEst = statsHint.getOrElse(sampleJoinedRowsTokenized(docs))
-    val prefixWins = joinedRowsEst > CountJoinMaxPairs ||
-      (joinedRowsEst > ContainmentPrefixFloor &&
-        threshold >= ContainmentPrefixMinThreshold)
+    val prefixWins = joinedRowsEst > CountJoinMaxPairs
     if (prefixWins) {
       containmentPrefixPlans.incrementAndGet()
       containmentPairsPrefixOver(docs, threshold)
@@ -749,7 +747,7 @@ banded AS (SELECT doc_id, source, b.band,
         .select(col("doc_id"), col("source"), wordSet(col("text")).as("ws"))),
       threshold)
 
-  private def containmentCountJoinOver(docs: DataFrame,
+  private[ops] def containmentCountJoinOver(docs: DataFrame,
       threshold: Double): DataFrame = {
     val tokens = docs.select(col("doc_id"), col("source"), col("sz"),
       explode(col("ws")).as("tok"))
@@ -1277,8 +1275,8 @@ banded AS (SELECT doc_id, source, b.band,
     // exact containment >= 0.9 pairs (excerpt/quote detection: coverage of
     // the SMALLER word set — the shape jaccard structurally misses).
     // Cost-based like its jaccard sibling: plan choice reads the ANALYZE
-    // token-moment blob; at the registered t=0.9 the short one-sided
-    // prefixes beat the count-join once the moment clears the floor
+    // token-moment blob; count-join below the quadratic budget, prefix
+    // above it (r21 crossover probe — see adaptiveContainment scaladoc)
     QueryDef(
       "dedup_containment",
       (s, dir) => containmentPairsForTable(s, IceQueries.curation(s, dir)._1, 0.9),

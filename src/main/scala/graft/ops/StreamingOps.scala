@@ -629,15 +629,18 @@ object StreamingOps {
     */
   def streamedMinhashLsh(spark: SparkSession, dir: String,
       bucketCap: Int = StreamBucketCap): (DataFrame, Seq[Long]) = {
-    // 8 state partitions (vs the default 2): the LSH bucket state fn does
-    // REAL per-group compute (sort arrivals, pairwise signature agreement,
-    // state (de)serialization of member signature arrays) — at 2 partitions
-    // that work serialized on two cores and dominated the stream's wall
-    // (StreamCommitProbe: staging ≈ 3.6 s of ~6.9). Commit overhead grows
-    // with store count, so this is the measured balance point, not a
-    // core-count constant; results are partition-independent (the fn sorts
-    // within each bucket group).
-    val s2 = streamSession(spark, parts = 8)
+    // widened state (vs the default 2 partitions): the LSH bucket state fn
+    // does REAL per-group compute (sort arrivals, pairwise signature
+    // agreement, state (de)serialization of member signature arrays) — at 2
+    // partitions that work serialized on two cores and dominated the
+    // stream's wall (StreamCommitProbe: staging 3.56 → 3.17 s at 8).
+    // Capped by the session's own parallelism so the low-core scaling runs
+    // the driver performs don't pay 8 store commits on 4 cores; commit
+    // overhead grows with store count, so 8 is the measured balance point
+    // at full width, not a core-count constant. Results are
+    // partition-independent (the fn sorts within each bucket group).
+    val s2 = streamSession(spark,
+      parts = math.min(8, spark.sparkContext.defaultParallelism))
     import s2.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val srcDir = stagedDocuments(spark, dir)
@@ -686,9 +689,10 @@ object StreamingOps {
   def streamedMinhashLshWindowed(spark: SparkSession, dir: String,
       bucketCap: Int = StreamBucketCap,
       windowDocs: Int = StreamWindowDocs): (DataFrame, Seq[Long]) = {
-    // 8 state partitions — same per-group-compute rationale as
+    // widened state — same per-group-compute rationale and low-core cap as
     // [[streamedMinhashLsh]]
-    val s2 = streamSession(spark, parts = 8)
+    val s2 = streamSession(spark,
+      parts = math.min(8, spark.sparkContext.defaultParallelism))
     import s2.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val srcDir = stagedDocuments(spark, dir)

@@ -734,11 +734,11 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         // persisted: BOTH the doc-frequency and the term-frequency
         // aggregations read the exploded term frame
+        // NOT spread (r21 A/B): the widening exchange lost on the board
         val toks = CacheRegistry.persist(
-          QueryDef.spread(t(s, dir, "documents"))
-            .select(col("doc_id"), col("source"),
-              explode(Tok.words(col("text")))
-                .as("term")))
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            explode(Tok.words(col("text")))
+              .as("term")))
         val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val df = toks.groupBy("term")
           .agg(countDistinct(col("doc_id")).as("doc_freq"))

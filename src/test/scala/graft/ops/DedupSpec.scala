@@ -130,12 +130,14 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("a planted high-df token flips the containment chooser to the prefix plan") {
     val s = spark
     import s.implicits._
-    // 2,500 docs sharing one stopword: Σ C(df,2) ≈ 3.1e6 clears the 2e6
-    // floor, so at t=0.9 the SAMPLED estimate (no stats hint) must select
-    // the prefix plan — the count-join would pay C(2500,2) joined rows for
+    // 21,000 docs sharing one stopword: Σ C(df,2) ≈ 2.2e8 clears the
+    // CountJoinMaxPairs quadratic budget (the ONLY flip since r21 — the
+    // high-threshold early flip was removed on ContainmentPlanProbe
+    // evidence), so the SAMPLED estimate (no stats hint) must select the
+    // prefix plan — the count-join would pay C(21000,2) joined rows for
     // that token alone. Two planted dups prove the result on this corpus.
-    val docs = (0L until 2500L).map(i => (i, s"the uniq${i}a uniq${i}b", "src")) ++
-      Seq((9000L, "p q r s t u v w x y", "src"), (9001L, "p q r s t u v w x y", "src"))
+    val docs = (0L until 21000L).map(i => (i, s"the uniq${i}a uniq${i}b", "src")) ++
+      Seq((90000L, "p q r s t u v w x y", "src"), (90001L, "p q r s t u v w x y", "src"))
     val df = docs.toDF("doc_id", "text", "source")
     val beforePrefix = Dedup.containmentPrefixPlans.get()
     try {
@@ -143,7 +145,7 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(Dedup.containmentPrefixPlans.get() == beforePrefix + 1,
         "high-df corpus did not engage the prefix plan")
-      assert(pairs == Set((9000L, 9001L)), s"unexpected pair set: $pairs")
+      assert(pairs == Set((90000L, 90001L)), s"unexpected pair set: $pairs")
     } finally CacheRegistry.releaseAll()
   }
 
