@@ -629,18 +629,16 @@ object StreamingOps {
     */
   def streamedMinhashLsh(spark: SparkSession, dir: String,
       bucketCap: Int = StreamBucketCap): (DataFrame, Seq[Long]) = {
-    // widened state (vs the default 2 partitions): the LSH bucket state fn
-    // does REAL per-group compute (sort arrivals, pairwise signature
-    // agreement, state (de)serialization of member signature arrays) — at 2
-    // partitions that work serialized on two cores and dominated the
-    // stream's wall (StreamCommitProbe: staging 3.56 → 3.17 s at 8).
-    // Capped by the session's own parallelism so the low-core scaling runs
-    // the driver performs don't pay 8 store commits on 4 cores; commit
-    // overhead grows with store count, so 8 is the measured balance point
-    // at full width, not a core-count constant. Results are
-    // partition-independent (the fn sorts within each bucket group).
-    val s2 = streamSession(spark,
-      parts = math.min(8, spark.sparkContext.defaultParallelism))
+    // r21 A/B note: an 8-partition state width was trialled (the bucket
+    // state fn does real per-group compute that serializes on two cores,
+    // and a quiet-JVM StreamCommitProbe showed staging 3.56 → 3.17 s) but
+    // REVERTED: in bench-board context two consecutive boards measured the
+    // 8-store variant consistently slower than this 2-store shape (state
+    // commit + checkpoint overhead per trigger outweighs the parallel
+    // state compute at per-trigger batch sizes on a busy session). The
+    // default width stands; production sizes state partitions to
+    // keys/partition, as the streamSession scaladoc documents.
+    val s2 = streamSession(spark)
     import s2.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val srcDir = stagedDocuments(spark, dir)
@@ -689,10 +687,8 @@ object StreamingOps {
   def streamedMinhashLshWindowed(spark: SparkSession, dir: String,
       bucketCap: Int = StreamBucketCap,
       windowDocs: Int = StreamWindowDocs): (DataFrame, Seq[Long]) = {
-    // widened state — same per-group-compute rationale and low-core cap as
-    // [[streamedMinhashLsh]]
-    val s2 = streamSession(spark,
-      parts = math.min(8, spark.sparkContext.defaultParallelism))
+    // default state width — same r21 A/B result as [[streamedMinhashLsh]]
+    val s2 = streamSession(spark)
     import s2.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val srcDir = stagedDocuments(spark, dir)
